@@ -1,13 +1,687 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.AsofJoin
+import graft.ops.ColumnOps._
+import graft.ops.JsonOps._
+import graft.ops.ValidateOps._
+
+/** Driver contract — one entry per implemented operator (SURVEY.md §2), each
+  * with an equivalent DuckDB oracle in [[oracleSql]] where SQL-expressible.
+  *
+  * Conventions shared by query + oracle (the driver hash-compares values
+  * after sorting columns by name):
+  *  - every computed column is aliased identically on both sides;
+  *  - double aggregates are `round`ed (hash-agg accumulation order differs
+  *    between engines; exact FP equality is only kept where both engines
+  *    provably run the identical IEEE sequence, e.g. cosine);
+  *  - counts stay BIGINT on both sides (DuckDB integer `sum`s are cast down
+  *    from HUGEINT); extracted date parts are cast to INT to match Spark;
+  *  - no raw timestamp output columns (formatted as strings instead —
+  *    parquet tz-annotation vs naive-timestamp comparisons are not robust).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def rd(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Exercises the reference's headline pipeline end-to-end: JSON explode
+    * (G1, full-inference parity mode) → snake_case (P2) → date-partition
+    * derivation (P7) → aggregation.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val events = rd(spark, "/root/testdata/sf0.001", "events")
+    events
+      .explodeJsonColumn("props", prefix = "prop_", formatColumnNames = true)
+      .withYearMonthDayFromColumn("ts")
+      .groupBy("event_type", "year", "month", "day")
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("total_value"),
+        round(avg(col("prop_k").cast("int")), 4).as("avg_prop_k"))
+      .orderBy("event_type", "year", "month", "day")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ------------------------------------------------- relational parity
+    "q01_agg" -> ((s, dir) => {
+      rd(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q02_filter_project" -> ((s, dir) => {
+      rd(s, dir, "lineitem")
+        .filter(
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * col("l_discount"), 4)
+            .as("disc_revenue"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q03_broadcast_join" -> ((s, dir) => {
+      rd(s, dir, "customer")
+        .join(broadcast(rd(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(rd(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+          count(lit(1)).as("n_customers"),
+          round(avg("c_acctbal"), 2).as("avg_acctbal"))
+        .orderBy("r_name")
+    }),
+
+    "q04_join_agg" -> ((s, dir) => {
+      rd(s, dir, "orders")
+        .join(rd(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "q05_semi_join" -> ((s, dir) => {
+      rd(s, dir, "customer")
+        .join(
+          rd(s, dir, "orders").filter(col("o_totalprice") > 150000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment")
+    }),
+
+    "q06_anti_join" -> ((s, dir) => {
+      rd(s, dir, "customer")
+        .join(rd(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_nationkey")
+    }),
+
+    "q07_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      rd(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select("o_custkey", "rnk", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rnk")
+    }),
+
+    "q08_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rd(s, dir, "lineitem")
+        .select(
+          col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .over(w), 2).as("running_revenue"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    }),
+
+    "q09_topk_sort" -> ((s, dir) => {
+      rd(s, dir, "lineitem")
+        .orderBy(
+          col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(10)
+    }),
+
+    "q10_set_ops" -> ((s, dir) => {
+      val building = rd(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val withOrders = rd(s, dir, "orders").select("o_custkey")
+      def counted(op: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n")).select(lit(op).as("op"), col("n"))
+      counted("intersect", building.intersect(withOrders))
+        .unionByName(counted("except", building.except(withOrders)))
+        .unionByName(counted("union", building.union(withOrders).distinct()))
+        .orderBy("op")
+    }),
+
+    "q11_distinct_agg" -> ((s, dir) => {
+      rd(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q12_rollup" -> ((s, dir) => {
+      rd(s, dir, "customer")
+        .join(broadcast(rd(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(rd(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(
+          count(lit(1)).as("n_customers"),
+          round(sum("c_acctbal"), 2).as("sum_acctbal"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    }),
+
+    "q13_explode_json" -> ((s, dir) => {
+      rd(s, dir, "events")
+        .explodeJsonColumn("props", prefix = "prop_")
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(avg(col("prop_k").cast("int")), 4).as("avg_prop_k"))
+        .orderBy("event_type")
+    }),
+
+    "q14_year_month_day" -> ((s, dir) => {
+      rd(s, dir, "orders")
+        .withYearMonthDayFromColumn("o_orderdate")
+        .groupBy("year", "month")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("total_price"))
+        .orderBy("year", "month")
+    }),
+
+    "q15_struct_to_json" -> ((s, dir) => {
+      rd(s, dir, "customer")
+        .select(
+          col("c_custkey"),
+          struct(col("c_name"), col("c_mktsegment")).as("c_info"))
+        .convertStructTypeToJson()
+        .orderBy("c_custkey")
+    }),
+
+    "q16_normalize_columns" -> ((s, dir) => {
+      rd(s, dir, "events")
+        .select(
+          col("event_type").as("eventType"),
+          col("user_id").as("User Id"),
+          col("value").as("Value($)"))
+        .formatColumnNames() // -> event_type, _user__id, _value
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("_user__id")).as("n_users"),
+          round(sum("_value"), 2).as("total_value"))
+        .orderBy("event_type")
+    }),
+
+    "q17_validate" -> ((s, dir) => {
+      val rules = Seq(
+        FieldRule.requiredField("user_id"),
+        FieldRule("value", check = Some(_ <= 400), message = "> 400"),
+        FieldRule.oneOf("event_type", Seq("click", "view", "purchase")))
+      rd(s, dir, "events")
+        .validateFields(rules)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col(ErrorsColumn) === array(), 1L).otherwise(0L))
+            .as("n_valid"))
+        .orderBy("event_type")
+    }),
+
+    "q18_asof_join" -> ((s, dir) => {
+      AsofJoin.asof(
+        left = rd(s, dir, "events"),
+        right = rd(s, dir, "orders"),
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTs = "ts", rightTs = "o_orderdate",
+        rightCols = Seq("o_orderkey"),
+        inner = true)
+        .select("event_id", "o_orderkey")
+        .orderBy("event_id")
+    }),
+
+    "q19_range_join" -> ((s, dir) => {
+      rd(s, dir, "orders")
+        .join(
+          rd(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") >= col("o_orderdate") &&
+            col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lineitems"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "q20_time_window" -> ((s, dir) => {
+      rd(s, dir, "events")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("total_value"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("n_events"), col("total_value"))
+        .orderBy("day", "event_type")
+    }),
+
+    "q21_cube" -> ((s, dir) => {
+      rd(s, dir, "documents")
+        .cube("lang", "source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_chars").as("total_chars"))
+        .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
+    }),
+
+    "q22_constants" -> ((s, dir) => {
+      rd(s, dir, "region")
+        .createColumnsFromSeq(Seq("source" -> "graft", "load_env" -> "test"))
+        .withYearMonthDayFromDate(LocalDate.of(2024, 6, 15))
+        .select("r_name", "source", "load_env", "year", "month", "day")
+        .orderBy("r_name")
+    }),
+
+    // ------------------------------------------------ LLM-pipeline: dedup
+    "x1_dedup_exact" -> ((s, dir) => {
+      Dedup.dedupExact(rd(s, dir, "documents"), "doc_id", "text")
+        .orderBy("keep_id")
+    }),
+
+    "x2_dedup_minhash" -> ((s, dir) => {
+      Dedup.nearDuplicatesMinhash(
+        rd(s, dir, "documents"), "doc_id", "text", threshold = 0.8)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "x3_dedup_simhash" -> ((s, dir) => { // rows-only: hash family differs across engines
+      Dedup.nearDuplicatesSimhash(
+        rd(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "x4_dedup_ngram" -> ((s, dir) => {
+      Dedup.nearDuplicatesNgram(
+        rd(s, dir, "documents"), "doc_id", "text",
+        blockingCols = Seq("lang", "n_chars"), threshold = 0.7, n = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "x5_dedup_embedding" -> ((s, dir) => {
+      Dedup.nearDuplicatesEmbeddingExact(
+        rd(s, dir, "embeddings"), "vec_id", "embedding", minCosine = 0.45)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "x6_dedup_embedding_lsh" -> ((s, dir) => { // rows-only: approximate recall
+      Dedup.nearDuplicatesEmbedding(
+        rd(s, dir, "embeddings"), "vec_id", "embedding", minCosine = 0.45)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ------------------------------------------- LLM-pipeline: similarity
+    "y1_knn_brute" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      Similarity.topKBruteForce(
+        emb.filter(col("vec_id") < 50), emb, "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    "y2_knn_lsh" -> ((s, dir) => { // rows-only: approximate recall
+      Similarity.topKLsh(rd(s, dir, "embeddings"), "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ------------------------------------------------- LLM-pipeline: text
+    "t1_lang_id" -> ((s, dir) => {
+      rd(s, dir, "documents")
+        .select(TextAnalysis.langId(col("text")).as("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang_pred")
+    }),
+
+    "t2_quality" -> ((s, dir) => {
+      rd(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextAnalysis.tokenCountWhitespace(col("text")).as("n_tokens"),
+          round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    "t3_token_count" -> ((s, dir) => {
+      rd(s, dir, "documents")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCountWhitespace(col("text")).cast("long"))
+            .as("ws_tokens"),
+          sum(TextAnalysis.tokenCountBpe(col("text")).cast("long"))
+            .as("bpe_tokens"))
+        .orderBy("lang")
+    }),
+
+    "t4_fingerprint" -> ((s, dir) => {
+      rd(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
+    }),
+
+    // ------------------------------------------- LLM-pipeline: multimodal
+    "m1_multimodal_meta" -> ((s, dir) => {
+      Multimodal.metadataOnly(
+        Multimodal.packAsMedia(rd(s, dir, "documents"), "doc_id", "text", "text"))
+        .orderBy("media_id")
+    }),
+
+    "m2_multimodal_features" -> ((s, dir) => { // rows-only: stubbed decoder
+      Multimodal.extractFeatures(
+        s,
+        Multimodal.packAsMedia(rd(s, dir, "documents"), "doc_id", "text", "text"))
+        .toDF()
+        .select(col("media_id"), col("dim"),
+          round(element_at(col("features"), 1), 6).as("f0"))
+        .orderBy("media_id")
+    })
+  )
+
+  /** DuckDB-equivalent SQL per query (same tables, same column aliases).
+    * Omitted for x3/x6/y2/m2 (engine-specific hash families, approximate
+    * recall, stubbed decode) → driver records the weaker rows-only check.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_extendedprice * l_discount, 4) AS disc_revenue
+        |FROM lineitem
+        |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_broadcast_join" ->
+      """SELECT r_name, count(*) AS n_customers,
+        |  round(avg(c_acctbal), 2) AS avg_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q04_join_agg" ->
+      """SELECT o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(DISTINCT o_orderkey) AS n_orders
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q05_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q06_anti_join" ->
+      """SELECT c_nationkey, count(*) AS n_customers
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q07_window_rank" ->
+      """SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk
+        |  FROM orders) t
+        |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+
+    "q08_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  round(sum(l_extendedprice * (1 - l_discount)) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |    AS running_revenue
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "q09_topk_sort" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 10""".stripMargin,
+
+    "q10_set_ops" ->
+      """SELECT 'except' AS op, count(*) AS n FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  EXCEPT SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT 'intersect' AS op, count(*) AS n FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  INTERSECT SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT 'union' AS op, count(*) AS n FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  UNION SELECT o_custkey FROM orders)
+        |ORDER BY op""".stripMargin,
+
+    "q11_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT l_partkey) AS n_part
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q12_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        |  round(sum(c_acctbal), 2) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "q13_explode_json" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4)
+        |    AS avg_prop_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q14_year_month_day" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS year,
+        |  CAST(month(o_orderdate) AS INT) AS month,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_price
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q15_struct_to_json" ->
+      """SELECT c_custkey,
+        |  to_json(struct_pack(c_name := c_name, c_mktsegment := c_mktsegment))
+        |    AS c_info
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q16_normalize_columns" ->
+      """SELECT event_type, count(*) AS n,
+        |  count(DISTINCT user_id) AS n_users,
+        |  round(sum(value), 2) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q17_validate" ->
+      """SELECT event_type, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN value <= 400
+        |    AND event_type IN ('click', 'view', 'purchase')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q18_asof_join" ->
+      """SELECT event_id, o_orderkey FROM (
+        |  SELECT e.event_id, o.o_orderkey,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e
+        |  JOIN orders o
+        |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) t
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "q19_range_join" ->
+      """SELECT o_orderpriority, count(*) AS n_lineitems
+        |FROM orders JOIN lineitem
+        |  ON o_orderkey = l_orderkey
+        |  AND l_shipdate >= o_orderdate
+        |  AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q20_time_window" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  event_type, count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q21_cube" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY CUBE (lang, source)
+        |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin,
+
+    "q22_constants" ->
+      """SELECT r_name, 'graft' AS source, 'test' AS load_env,
+        |  2024 AS year, 6 AS month, 15 AS day
+        |FROM region ORDER BY r_name""".stripMargin,
+
+    "x1_dedup_exact" ->
+      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+        |    AS fingerprint,
+        |  min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    "x2_dedup_minhash" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_distinct(regexp_split_to_array(trim(text), '\s+')) AS ws
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.ws, b.ws))::DOUBLE
+        |    / len(list_distinct(list_concat(a.ws, b.ws))) AS jaccard
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.ws, b.ws))::DOUBLE
+        |    / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "x4_dedup_ngram" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars,
+        |    list_distinct(list_transform(range(1, length(text) - 1),
+        |      i -> substring(text, i, 3))) AS gs
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.gs, b.gs))::DOUBLE
+        |    / len(list_distinct(list_concat(a.gs, b.gs))) AS jaccard
+        |FROM d a JOIN d b
+        |  ON a.lang = b.lang AND a.n_chars = b.n_chars
+        |  AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.gs, b.gs))::DOUBLE
+        |    / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.7
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "x5_dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |    x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (a.nrm * b.nrm) AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |    x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (a.nrm * b.nrm) >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "y1_knn_brute" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
+        |  FROM embeddings)
+        |SELECT query_id, neighbor_id, rank, cosine FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * c.nrm) AS cosine,
+        |    CAST(row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |        x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * c.nrm) DESC,
+        |      c.vec_id) AS INT) AS rank
+        |  FROM e q JOIN e c ON q.vec_id < 50 AND c.vec_id <> q.vec_id) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "t1_lang_id" ->
+      """WITH s AS (SELECT
+        |    len(list_intersect(ts, ['the','a','of','and','to','in','is','on','for','with']))::DOUBLE / greatest(len(ts), 1) AS s_en,
+        |    len(list_intersect(ts, ['el','la','de','y','que','en','un','es','por','con']))::DOUBLE / greatest(len(ts), 1) AS s_es,
+        |    len(list_intersect(ts, ['der','die','das','und','ist','von','mit','den','im','ein']))::DOUBLE / greatest(len(ts), 1) AS s_de,
+        |    len(list_intersect(ts, ['le','la','de','et','les','des','une','du','est','dans']))::DOUBLE / greatest(len(ts), 1) AS s_fr
+        |  FROM (SELECT list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS ts
+        |        FROM documents))
+        |SELECT lang_pred, count(*) AS n_docs FROM (
+        |  SELECT CASE WHEN greatest(s_en, s_es, s_de, s_fr) < 0.05 THEN 'und'
+        |    WHEN s_fr > greatest(s_en, s_es, s_de) THEN 'fr'
+        |    WHEN s_de > greatest(s_en, s_es) THEN 'de'
+        |    WHEN s_es > s_en THEN 'es'
+        |    ELSE 'en' END AS lang_pred
+        |  FROM s) t
+        |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
+
+    "t2_quality" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
+        |  round(
+        |    least(len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE / 50.0, 1.0) * 0.4
+        |    + (len(list_distinct(regexp_split_to_array(trim(text), '\s+')))::DOUBLE
+        |       / len(regexp_split_to_array(trim(text), '\s+'))) * 0.3
+        |    + least((length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
+        |       / len(regexp_split_to_array(trim(text), '\s+'))) / 8.0, 1.0) * 0.2
+        |    + (1.0 - length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE
+        |       / length(text)) * 0.1, 6) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t3_token_count" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+        |    AS ws_tokens,
+        |  CAST(sum(len(regexp_extract_all(text,
+        |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpe_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "t4_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "m1_multimodal_meta" ->
+      """SELECT doc_id AS media_id, 'text' AS kind, 'raw' AS format,
+        |  CAST(octet_length(encode(text)) AS INT) AS payload_bytes
+        |FROM documents ORDER BY media_id""".stripMargin
+  )
 }

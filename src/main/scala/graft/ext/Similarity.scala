@@ -1,0 +1,169 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.{vector_dot, vector_norm}
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`, SURVEY.md §7.5).
+  *
+  * Two tiers:
+  *  - [[topKBruteForce]] — exact: broadcast the (small) query set against
+  *    the corpus; embarrassingly parallel, one shuffle for the per-query
+  *    top-k. The correctness baseline; also the right plan whenever
+  *    |queries| is small, even on a 100 TB corpus.
+  *  - [[hyperplaneBucket]] / [[topKLsh]] / [[cosinePairsLsh]] — random-
+  *    hyperplane LSH (Charikar 2002): bucket by the sign pattern of dot
+  *    products with `p` fixed pseudo-random hyperplanes; candidates come
+  *    from an equi-join on bucket (multi-probe: 1-bit flips), so all-pairs
+  *    similarity becomes near-linear. The scale path.
+  *
+  * All hyperplanes derive from a seeded deterministic generator — results
+  * are reproducible run-to-run (no RNG at execution time).
+  */
+object Similarity {
+
+  /** Deterministic unit-ish hyperplanes: dims × p doubles in [-1, 1). */
+  private def hyperplanes(p: Int, dims: Int, seed: Long): Seq[Seq[Float]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(p)(Seq.fill(dims)((rng.nextDouble() * 2 - 1).toFloat))
+  }
+
+  /** Cosine similarity given precomputed norms (fast custom expressions). */
+  private def cosine(va: Column, na: Column, vb: Column, nb: Column): Column =
+    vector_dot(va, vb) / (na * nb)
+
+  /** LSH bucket id: bit i = sign of dot(vec, plane_i). */
+  def hyperplaneBucket(vec: Column, planes: Int, dims: Int, seed: Long): Column =
+    hyperplanes(planes, dims, seed).zipWithIndex
+      .map { case (plane, i) =>
+        when(vector_dot(vec, typedlit(plane)) >= 0, lit(1L << i)).otherwise(lit(0L))
+      }
+      .reduce(_ + _)
+
+  /** Exact top-k neighbors of each query vector in the corpus.
+    * `queries` is broadcast (keep it small); output
+    * `(query_id, neighbor_id, rank, cosine)`, self-matches excluded,
+    * ties broken by neighbor id.
+    */
+  def topKBruteForce(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(
+      col(idCol).as("query_id"),
+      col(vecCol).as("qv"),
+      vector_norm(col(vecCol)).as("qn"))
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"),
+      vector_norm(col(vecCol)).as("cn"))
+
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("qn"), col("cv"), col("cn")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  /** Approximate top-k via hyperplane buckets with 1-bit multi-probe:
+    * each query probes its own bucket plus the `planes` buckets one bit
+    * away — an equi-join, no cross join. Recall tunes with `planes`
+    * (fewer planes ⇒ bigger buckets ⇒ higher recall, more compute).
+    */
+  def topKLsh(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      planes: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val dims = firstVectorLength(df, vecCol)
+    val base = df.select(
+      col(idCol).as("id"),
+      col(vecCol).as("v"),
+      vector_norm(col(vecCol)).as("n"),
+      hyperplaneBucket(col(vecCol), planes, dims, seed).as("bucket"))
+
+    val probes = base.select(
+      col("id").as("query_id"), col("v").as("qv"), col("n").as("qn"),
+      explode(
+        array((lit(0L) +: (0 until planes).map(i => lit(1L << i))).map(
+          m => col("bucket").bitwiseXOR(m)): _*)).as("bucket"))
+
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    probes
+      .join(base.select(col("id").as("neighbor_id"), col("v").as("cv"),
+        col("n").as("cn"), col("bucket")), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("qn"), col("cv"), col("cn")).as("cosine"))
+      .distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** All-pairs cosine via LSH buckets (for near-dup filtering). Pairs
+    * surface once per shared probe bucket, deduped. Output
+    * `(id_a, id_b, cosine)`, `id_a < id_b`.
+    */
+  def cosinePairsLsh(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      planes: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val dims = firstVectorLength(df, vecCol)
+    val base = df.select(
+      col(idCol).as("id"),
+      col(vecCol).as("v"),
+      vector_norm(col(vecCol)).as("n"),
+      hyperplaneBucket(col(vecCol), planes, dims, seed).as("bucket"))
+
+    // probe buckets: own + 1-bit flips; join x-probes to y-base so each
+    // near pair meets even when their signatures differ by one plane.
+    val probes = base.select(
+      col("id"), col("v"), col("n"),
+      explode(
+        array((lit(0L) +: (0 until planes).map(i => lit(1L << i))).map(
+          m => col("bucket").bitwiseXOR(m)): _*)).as("bucket"))
+
+    probes.as("x")
+      .join(base.as("y"), Seq("bucket"))
+      .filter(col("x.id") < col("y.id"))
+      .select(
+        col("x.id").as("id_a"), col("y.id").as("id_b"),
+        cosine(col("x.v"), col("x.n"), col("y.v"), col("y.n")).as("cosine"))
+      .distinct()
+  }
+
+  /** Exact all-pairs cosine — O(n²); verification scope only. */
+  def cosinePairsBruteForce(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String): DataFrame = {
+    val base = df.select(
+      col(idCol).as("id"),
+      col(vecCol).as("v"),
+      vector_norm(col(vecCol)).as("n"))
+    base.as("x").crossJoin(base.as("y"))
+      .filter(col("x.id") < col("y.id"))
+      .select(
+        col("x.id").as("id_a"), col("y.id").as("id_b"),
+        cosine(col("x.v"), col("x.n"), col("y.v"), col("y.n")).as("cosine"))
+  }
+
+  private def firstVectorLength(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head().getInt(0)
+}

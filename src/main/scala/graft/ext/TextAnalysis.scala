@@ -1,0 +1,111 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import Shingles._
+
+/** Text-analysis operators for LLM-corpus curation (SURVEY.md §7.5):
+  * language ID, quality scoring, token counting, fingerprinting. All pure
+  * `functions._` compositions (codegen'd, UDF-free) so a 100 TB sweep is a
+  * single scan + projection; the only shuffles are the caller's aggregates.
+  */
+object TextAnalysis {
+
+  /** "BPE-ish" token pattern: letter runs, digit runs, or single
+    * non-space symbols — the pre-tokenization split used by GPT-style BPE
+    * vocabularies (letters / numbers / punctuation split apart).
+    */
+  final val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Whitespace token count. */
+  def tokenCountWhitespace(text: Column): Column = size(tokens(text))
+
+  /** Regex (BPE-ish) token count. */
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0)))
+
+  // ------------------------------------------------------------- lang id
+
+  /** Tiny function-word profiles. Real systems use char-n-gram models
+    * (e.g. CLD3); the n-gram-free heuristic here is the classic
+    * stopword-profile scorer — enough to exercise the operator shape and
+    * stay SQL-expressible for the oracle.
+    */
+  final val StopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "un", "es", "por", "con"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "im", "ein"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "une", "du", "est", "dans"))
+
+  /** Fraction of the document's distinct tokens found in `profile`. */
+  def stopwordScore(text: Column, profile: Seq[String]): Column = {
+    val ts = tokenSet(lower(text))
+    (size(array_intersect(ts, typedlit(profile))).cast("double") /
+      greatest(size(ts), lit(1)).cast("double"))
+  }
+
+  /** Predicted language: the profile with the highest score, "und" when no
+    * profile scores above `minScore`. Deterministic tie-break: profile
+    * order (first wins via strict greater-than chain).
+    */
+  def langId(text: Column, minScore: Double = 0.05): Column = {
+    val scored = StopwordProfiles.map { case (lang, words) =>
+      (lang, stopwordScore(text, words))
+    }
+    val best = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bl, bs), (lang, s)) =>
+        (when(s > bs, lit(lang)).otherwise(bl), greatest(s, bs))
+    }
+    when(best._2 >= minScore, best._1).otherwise(lit("und"))
+  }
+
+  // ------------------------------------------------------------- quality
+
+  /** Heuristic quality score in [0, 1]:
+    * 0.4·min(tokens/50, 1) + 0.3·(distinct/total tokens)
+    * + 0.2·min(avgWordLen/8, 1) + 0.1·(1 − symbolRatio).
+    * Length, diversity, word-shape and symbol-noise — the standard cheap
+    * pre-filter family for LLM training corpora.
+    */
+  def qualityScore(text: Column): Column = {
+    val total = size(tokens(text)).cast("double")
+    val distinctN = size(tokenSet(text)).cast("double")
+    val lenScore = least(total / 50.0, lit(1.0))
+    val diversity = when(total > 0, distinctN / total).otherwise(lit(0.0))
+    val avgLen = when(total > 0,
+      length(regexp_replace(text, "\\s+", "")).cast("double") / total)
+      .otherwise(lit(0.0))
+    val shapeScore = least(avgLen / 8.0, lit(1.0))
+    val symbols = length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double")
+    val symbolRatio = when(length(text) > 0,
+      symbols / length(text).cast("double")).otherwise(lit(0.0))
+    lenScore * 0.4 + diversity * 0.3 + shapeScore * 0.2 + (lit(1.0) - symbolRatio) * 0.1
+  }
+
+  // --------------------------------------------------------- fingerprint
+
+  /** Content-defined fingerprint: md5 of normalized text (cross-engine
+    * reproducible); see [[Dedup.exactFingerprint]].
+    */
+  def fingerprint(text: Column): Column = Dedup.exactFingerprint(text)
+
+  /** Fast 64-bit rolling fingerprint (xxhash64 of normalized text) for
+    * engine-internal dedup keys where hex md5 width is wasteful.
+    */
+  def fingerprint64(text: Column): Column = xxhash64(normalizeText(text))
+
+  // ------------------------------------------------------------ profiles
+
+  /** One-call corpus profile: per-language counts with quality stats. */
+  def corpusProfile(df: DataFrame, textCol: String): DataFrame =
+    df.select(
+      langId(col(textCol)).as("lang_pred"),
+      tokenCountWhitespace(col(textCol)).as("n_tokens"),
+      qualityScore(col(textCol)).as("quality"))
+      .groupBy("lang_pred")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        round(avg("quality"), 4).as("avg_quality"))
+}

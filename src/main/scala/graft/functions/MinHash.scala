@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** k-function MinHash signature (Broder 1997, "On the resemblance and
+  * containment of documents") of an `array<string>` shingle set:
+  * `sig[i] = min over shingles of xxHash64(shingle, seed=i)`.
+  *
+  * One custom expression instead of k `array_min(transform(...))` calls:
+  * a single pass over the shingle array with an inner loop over k seeds —
+  * k× fewer array traversals and no per-element lambda frames, which is the
+  * difference between minutes and hours on a 100 TB dedup sweep.
+  */
+case class MinHashSignature(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k > 0, "minhash k must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val shingles = v.asInstanceOf[ArrayData]
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    val n = shingles.numElements()
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        val s = shingles.getUTF8String(i)
+        var j = 0
+        while (j < k) {
+          val h = XXH64.hashUTF8String(s, j.toLong)
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashFunctions {
+  /** `array<long>` MinHash signature of an `array<string>` column. */
+  def minhash_signature(shingles: Column, k: Int): Column =
+    ExpressionUtils.column(
+      MinHashSignature(ExpressionUtils.expression(shingles), k))
+}

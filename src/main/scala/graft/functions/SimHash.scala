@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SimHash (Charikar 2002, "Similarity estimation techniques from rounding
+  * algorithms") over a token array: each token's 64-bit xxHash votes +1/-1
+  * per bit position; the signature's bit j is 1 iff the vote sum is
+  * positive. Near-duplicate documents land within a small Hamming distance.
+  *
+  * A custom expression because the composable form is 64 `aggregate()`
+  * higher-order calls per row — this is one tight loop per row (64 counters,
+  * one xxHash per token), the shape that survives a 100 TB corpus.
+  */
+case class SimHash64(child: Expression, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val tokens = v.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = tokens.numElements()
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = XXH64.hashUTF8String(tokens.getUTF8String(i), seed)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** xxHash64 of a single string with an arbitrary seed — the per-band hash
+  * family for MinHash (Spark's built-in `xxhash64` fixes seed=42; MinHash
+  * needs k independent functions, cheaply seeded here).
+  */
+case class XxHash64Seeded(child: Expression, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any =
+    XXH64.hashUTF8String(v.asInstanceOf[UTF8String], seed)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HashFunctions {
+  /** 64-bit SimHash signature of an `array<string>` token column. */
+  def simhash64(tokens: Column, seed: Long = 0L): Column = {
+    val e = ExpressionUtils.expression(tokens)
+    ExpressionUtils.column(SimHash64(castToStringArray(e), seed))
+  }
+
+  def xxhash64_seeded(s: Column, seed: Long): Column =
+    ExpressionUtils.column(
+      XxHash64Seeded(ExpressionUtils.expression(s.cast(StringType)), seed))
+
+  private def castToStringArray(e: Expression): Expression = e
+}

@@ -1,0 +1,80 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+import graft.ops.PartitionOps._
+
+/** S4 — the partitioned table writer.
+  *
+  * Parity: `etl_projects/base/loaders/s3_loader.py:15-40` — overwrite mode,
+  * `maxRecordsPerFile=250000`, optional Hive-style `partitionBy`, per-layer
+  * format options, `save(path)`, then catalog registration (the reference
+  * registers an Athena external table via DDL fragments,
+  * `etl_projects/base/db/athena/table_storage_format.py:2-6`; here the Spark
+  * session catalog plays Athena's role).
+  *
+  * Scale posture: `maxRecordsPerFile` bounds file size so a 100 TB table
+  * lands as uniformly-sized splits; `onePartitionFilePerValue` pre-shuffles
+  * by the partition columns so each Hive partition is written by one task
+  * (one file) instead of every task appending a sliver to every partition —
+  * the small-files problem that kills object-store listings at scale.
+  * Incremental loads use dynamic partition overwrite so re-running a day
+  * replaces only that day's partitions (SURVEY.md §2.9).
+  */
+object TableWriter {
+
+  /** Reference default (s3_loader.py:13). */
+  final val DefaultMaxRecordsPerFile = 250000L
+
+  final case class Spec(
+      layer: Layer,
+      path: String,
+      partitionBy: Seq[String] = Nil,
+      maxRecordsPerFile: Long = DefaultMaxRecordsPerFile,
+      onePartitionFilePerValue: Boolean = false,
+      dynamicPartitionOverwrite: Boolean = false,
+      extraOptions: Map[String, String] = Map.empty)
+
+  def write(df: DataFrame, spec: Spec): Unit = {
+    val fmt = StorageFormat.forLayer(spec.layer)
+    val shaped =
+      if (spec.onePartitionFilePerValue && spec.partitionBy.nonEmpty)
+        df.optimizePartitionsByPartitionColumns(spec.partitionBy)
+      else df
+
+    var writer = shaped.write
+      .mode(SaveMode.Overwrite)
+      .format(fmt.format)
+      .option("maxRecordsPerFile", spec.maxRecordsPerFile)
+      .options(fmt.options)
+      .options(spec.extraOptions)
+    if (spec.dynamicPartitionOverwrite)
+      writer = writer.option("partitionOverwriteMode", "dynamic")
+    if (spec.partitionBy.nonEmpty)
+      writer = writer.partitionBy(spec.partitionBy: _*)
+    writer.save(spec.path)
+  }
+
+  /** S6 — register the written location as an external table in the session
+    * catalog (the sandbox stand-in for the reference's
+    * `create_external_table.py` Athena registration).
+    */
+  def registerExternalTable(
+      spark: SparkSession,
+      database: String,
+      table: String,
+      spec: Spec): Unit = {
+    val fmt = StorageFormat.forLayer(spec.layer)
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$database`")
+    spark.sql(s"DROP TABLE IF EXISTS `$database`.`$table`")
+    val partClause =
+      if (spec.partitionBy.nonEmpty)
+        spec.partitionBy.mkString(" PARTITIONED BY (", ", ", ")")
+      else ""
+    spark.sql(
+      s"CREATE TABLE `$database`.`$table` USING ${fmt.format}$partClause " +
+        s"LOCATION '${spec.path}'")
+    if (spec.partitionBy.nonEmpty)
+      spark.sql(s"MSCK REPAIR TABLE `$database`.`$table`")
+  }
+}

@@ -1,0 +1,92 @@
+package graft.ops
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType, StructType}
+
+/** Column-level parity operators (SURVEY.md §2.2 P1–P8).
+  *
+  * Behavioral contract derives from the reference's fluent service
+  * (lsom11/etl-projects, etl_projects/base/processors/spark/
+  * spark_dataframe_service.py:46-195), re-expressed as extension methods on
+  * `DataFrame` composed with `Dataset.transform`. Unlike the reference we
+  * never loop `withColumnRenamed`/`withColumn` per column — each operator is
+  * a single projection so the analyzed plan stays one `Project` node no
+  * matter how wide the schema (matters at 100 TB where thousand-column
+  * schemas make N chained projections an analyzer bottleneck).
+  */
+object ColumnOps {
+
+  /** P1 — snake_case one column name.
+    *
+    * Pipeline (parity with spark_dataframe_service.py:46-56): space and dot
+    * become `_` first, then all remaining non-word chars are stripped (the
+    * `_` survives: it is a word char), then `_` is inserted before every
+    * capital (a leading capital yields a leading underscore), then
+    * lowercased. E.g. "User Name" -> "_user__name", "user.id" -> "user_id",
+    * "HTTPStatus" -> "_h_t_t_p_status", "weird$chars!" -> "weirdchars".
+    */
+  def formatColumnName(name: String): String = {
+    val underscored =
+      name.replace(" ", "_").replace(".", "_").replaceAll("\\W", "")
+    underscored.replaceAll("([A-Z])", "_$1").toLowerCase
+  }
+
+  implicit class DataFrameColumnOps(val df: DataFrame) extends AnyVal {
+
+    /** P2 — rename every column to snake_case in one projection. */
+    def formatColumnNames(): DataFrame =
+      df.toDF(df.columns.map(formatColumnName).toIndexedSeq: _*)
+
+    /** P3 — serialize every StructType column to its JSON text. */
+    def convertStructTypeToJson(): DataFrame =
+      mapFieldsOfType(_.isInstanceOf[StructType], to_json(_))
+
+    /** P4 — serialize every ArrayType column to its JSON text. */
+    def convertArrayTypeToJson(): DataFrame =
+      mapFieldsOfType(_.isInstanceOf[ArrayType], to_json(_))
+
+    /** P5 — cast every StructType column with Spark's struct->string
+      * rendering (NOT JSON: `{1, x}` rather than `{"a":1,"b":"x"}`),
+      * matching the reference's `.cast("string")` variant
+      * (spark_dataframe_service.py:97-109).
+      */
+    def convertStructTypeToString(): DataFrame =
+      mapFieldsOfType(_.isInstanceOf[StructType], _.cast(StringType))
+
+    /** P6 — add constant columns from an ordered name->value list.
+      * `Seq` (not `Map`) keeps the reference's OrderedDict column order.
+      */
+    def createColumnsFromSeq(columns: Seq[(String, Any)]): DataFrame =
+      df.withColumns(
+        columns.map(_._1),
+        columns.map { case (_, v) => lit(v) })
+
+    /** P7 — derive partition columns year/month/day from a date column. */
+    def withYearMonthDayFromColumn(dateColumnName: String): DataFrame =
+      df.withColumns(
+        Seq("year", "month", "day"),
+        Seq(
+          year(col(dateColumnName)),
+          month(col(dateColumnName)),
+          dayofmonth(col(dateColumnName))))
+
+    /** P8 — the same three columns from a literal date (the run date). */
+    def withYearMonthDayFromDate(date: LocalDate): DataFrame =
+      df.withColumns(
+        Seq("year", "month", "day"),
+        Seq(lit(date.getYear), lit(date.getMonthValue), lit(date.getDayOfMonth)))
+
+    private def mapFieldsOfType(
+        pred: org.apache.spark.sql.types.DataType => Boolean,
+        f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+      val cols = df.schema.fields.map { field =>
+        if (pred(field.dataType)) f(col(field.name)).as(field.name)
+        else col(field.name)
+      }
+      df.select(cols.toIndexedSeq: _*)
+    }
+  }
+}

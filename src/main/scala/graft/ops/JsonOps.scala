@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** G1 — `explodeJsonColumn`, the reference's flagship operator
+  * (spark_dataframe_service.py:111-146): discover the field set of a
+  * JSON-string column, then surface one new top-level STRING column per
+  * field via the `json_tuple` generator, optionally prefixed and
+  * snake_cased, dropping the original column.
+  *
+  * Schema discovery is pluggable because the faithful behavior (re-read the
+  * whole column as a JSON dataset, spark_dataframe_service.py:128-130) is an
+  * O(data) extra pass — fine for parity tests, wrong at 100 TB:
+  *
+  *  - [[JsonSchema.InferFull]] — parity mode. We still avoid the
+  *    reference's Python-RDD round trip by feeding the string column
+  *    straight to `spark.read.json(Dataset[String])` (no serialization hop,
+  *    stays columnar until the JSON parse).
+  *  - [[JsonSchema.InferSample]] — scale mode: infer from a `limit(n)`
+  *    sample. One tiny job instead of a full scan.
+  *  - [[JsonSchema.Fields]] — zero-pass mode: the caller names the fields
+  *    (the right answer for a production 100 TB pipeline with a contract).
+  */
+object JsonOps {
+
+  sealed trait JsonSchema
+  object JsonSchema {
+    case object InferFull extends JsonSchema
+    final case class InferSample(rows: Int) extends JsonSchema
+    final case class Fields(names: Seq[String]) extends JsonSchema
+  }
+
+  implicit class DataFrameJsonOps(val df: DataFrame) {
+
+    def explodeJsonColumn(
+        jsonColumn: String,
+        prefix: String = "",
+        formatColumnNames: Boolean = false,
+        schema: JsonSchema = JsonSchema.InferFull): DataFrame = {
+      require(
+        df.columns.contains(jsonColumn),
+        s"explodeJsonColumn: input json column $jsonColumn does not exist")
+
+      val spark = df.sparkSession
+      val fieldNames: Seq[String] = schema match {
+        case JsonSchema.Fields(names) => names
+        case JsonSchema.InferFull     => inferFields(spark, df, jsonColumn, None)
+        case JsonSchema.InferSample(n) =>
+          inferFields(spark, df, jsonColumn, Some(n))
+      }
+
+      val outNames = fieldNames.map { f =>
+        val base = if (formatColumnNames) ColumnOps.formatColumnName(f) else f
+        prefix + base
+      }
+
+      // json_tuple parses the JSON once per row for all fields (vs one
+      // parse per field with get_json_object). Generator output columns
+      // arrive as c0..cN; rename them in the same projection's toDF.
+      val exploded = df
+        .select(col("*"), json_tuple(col(jsonColumn), fieldNames: _*))
+        .toDF((df.columns.toIndexedSeq ++ outNames): _*)
+      exploded.drop(jsonColumn)
+    }
+  }
+
+  /** Field discovery via Spark's JSON schema inference. Top-level field
+    * names come back alphabetically sorted (Spark's inference contract),
+    * matching the reference's observed column order.
+    */
+  private def inferFields(
+      spark: SparkSession,
+      df: DataFrame,
+      jsonColumn: String,
+      sampleRows: Option[Int]): Seq[String] = {
+    import spark.implicits._
+    val strings = df.select(col(jsonColumn).cast("string")).as[String]
+    val sampled = sampleRows.fold(strings)(n => strings.limit(n))
+    spark.read.json(sampled).schema.fieldNames.toIndexedSeq
+  }
+}

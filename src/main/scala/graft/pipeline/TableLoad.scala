@@ -1,0 +1,78 @@
+package graft.pipeline
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.lake.{Layer, Metastore, TableWriter}
+import graft.ops.ColumnOps._
+
+/** §3.2 — the per-table SQL load, in-process.
+  *
+  * The reference ships this as an Airflow sub-DAG per table that submits a
+  * remote `load_table.py` job over the Databricks REST API with parameters
+  * `[env, bucket, layer, src_db, tgt_db, query_path, table, partitions,
+  * run_date, is_incremental, spark_params]`
+  * (etl_projects/base/processors/builders/datalake_sub_dag_builder.py:
+  * 96-117); the job itself is not in the repo, so these semantics are the
+  * contract reconstructed from that parameter list (SURVEY.md §3.2 step 4):
+  * run the table's SQL against the source layer, normalize column names,
+  * stamp run-date partition columns when incremental, write partitioned to
+  * the target layer, register in the catalog.
+  *
+  * The control-plane state machines (REST retries, cluster lifecycle —
+  * SURVEY.md §2.12) are orchestration, not query capability; in-process
+  * sequencing plus the driver harness replaces them.
+  *
+  * Scale posture: incremental loads write with dynamic partition overwrite
+  * (only the run date's partitions are replaced — re-runs are idempotent
+  * without rewriting the table), and each load pre-shuffles by the partition
+  * columns so a 1000-executor write emits one file per Hive partition.
+  */
+object TableLoad {
+
+  final case class Spec(
+      source: String,
+      table: String,
+      query: String,
+      targetLayer: Layer,
+      partitions: Seq[String] = Nil,
+      runDate: Option[LocalDate] = None,
+      incremental: Boolean = false,
+      formatNames: Boolean = true,
+      registerTable: Boolean = true)
+
+  /** Run one table load; returns the DataFrame that was written. */
+  def run(spark: SparkSession, metastore: Metastore, spec: Spec): DataFrame = {
+    val queried = spark.sql(spec.query)
+    val named = if (spec.formatNames) queried.formatColumnNames() else queried
+
+    val stamped = (spec.incremental, spec.runDate) match {
+      case (true, Some(d)) if !named.columns.contains("year") =>
+        named.withYearMonthDayFromDate(d)
+      case _ => named
+    }
+
+    val path = metastore.tablePath(spec.targetLayer, spec.source, spec.table)
+    val writerSpec = TableWriter.Spec(
+      layer = spec.targetLayer,
+      path = path,
+      partitionBy = spec.partitions,
+      onePartitionFilePerValue = spec.partitions.nonEmpty,
+      dynamicPartitionOverwrite = spec.incremental)
+    TableWriter.write(stamped, writerSpec)
+
+    if (spec.registerTable) {
+      val db = metastore.datalakeDatabase(spec.source, spec.targetLayer)
+      TableWriter.registerExternalTable(spark, db, spec.table, writerSpec)
+    }
+    stamped
+  }
+
+  /** Sequence several loads (the sub-DAG fan-out, collapsed in-process). */
+  def runAll(
+      spark: SparkSession,
+      metastore: Metastore,
+      specs: Seq[Spec]): Seq[DataFrame] =
+    specs.map(run(spark, metastore, _))
+}
