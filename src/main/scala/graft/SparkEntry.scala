@@ -29,7 +29,14 @@ import graft.ops.ValidateOps._
 object SparkEntry {
 
   private def rd(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects
+      // ([PARQUET_TYPE_ILLEGAL]); read it as long nanos and convert. The
+      // generator emits whole-microsecond values, so `DIV 1000` is lossless.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    } else s.read.parquet(s"$dir/$name.parquet")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Exercises the reference's headline pipeline end-to-end: JSON explode
@@ -177,7 +184,11 @@ object SparkEntry {
           col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(rd(s, dir, "region")),
           col("n_regionkey") === col("r_regionkey"))
-        .rollup("r_name", "n_name")
+        .select("r_name", "n_name", "c_acctbal")
+        // Column overload, not rollup(String*): the string overload's column
+        // re-resolution trips DetectAmbiguousSelfJoin (false positive) on any
+        // joined input in Spark 4.1.
+        .rollup(col("r_name"), col("n_name"))
         .agg(
           count(lit(1)).as("n_customers"),
           round(sum("c_acctbal"), 2).as("sum_acctbal"))
@@ -360,7 +371,12 @@ object SparkEntry {
         .select(
           col("doc_id"),
           TextAnalysis.tokenCountWhitespace(col("text")).as("n_tokens"),
-          round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+          // floor(x*1e6+0.5)/1e6 not round(): Spark rounds via BigDecimal
+          // HALF_UP on the decimal expansion, DuckDB via double math — they
+          // disagree on ties (e.g. 0.7240624999…); this form is bit-identical
+          // in both engines given the same IEEE double input.
+          (floor(TextAnalysis.qualityScore(col("text")) * 1e6 + 0.5) / 1e6)
+            .as("quality"))
         .orderBy("doc_id")
     }),
 
@@ -534,7 +550,9 @@ object SparkEntry {
 
     "q17_validate" ->
       """SELECT event_type, count(*) AS n_rows,
-        |  CAST(sum(CASE WHEN value <= 400
+        |  CAST(sum(CASE WHEN user_id IS NOT NULL
+        |    AND value IS NOT NULL AND value <= 400
+        |    AND event_type IS NOT NULL
         |    AND event_type IN ('click', 'view', 'purchase')
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
@@ -656,14 +674,14 @@ object SparkEntry {
     "t2_quality" ->
       """SELECT doc_id,
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
-        |  round(
+        |  floor((
         |    least(len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE / 50.0, 1.0) * 0.4
         |    + (len(list_distinct(regexp_split_to_array(trim(text), '\s+')))::DOUBLE
         |       / len(regexp_split_to_array(trim(text), '\s+'))) * 0.3
         |    + least((length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
         |       / len(regexp_split_to_array(trim(text), '\s+'))) / 8.0, 1.0) * 0.2
         |    + (1.0 - length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE
-        |       / length(text)) * 0.1, 6) AS quality
+        |       / length(text)) * 0.1) * 1e6 + 0.5) / 1e6 AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "t3_token_count" ->

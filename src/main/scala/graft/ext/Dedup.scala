@@ -105,10 +105,9 @@ object Dedup {
 
     val chunked = sigs.select(
       col("id"), col("sig"),
-      posexplode(
-        transform(
-          sequence(lit(0), lit(3)),
-          j => shiftright(col("sig"), j * 16).bitwiseAND(lit(0xFFFFL)))))
+      posexplode(array(
+        (0 until 4).map(j =>
+          shiftright(col("sig"), j * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .toDF("id", "sig", "chunk", "chunk_val")
 
     chunked.as("x")

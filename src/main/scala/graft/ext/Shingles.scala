@@ -26,7 +26,7 @@ object Shingles {
       array_distinct(
         transform(
           sequence(lit(1), count),
-          i => concat_ws(" ", slice(toks, i, n)))))
+          i => concat_ws(" ", slice(toks, i, lit(n))))))
       .otherwise(array().cast("array<string>"))
   }
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.GraftShim
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** k-function MinHash signature (Broder 1997, "On the resemblance and
@@ -51,6 +51,6 @@ case class MinHashSignature(child: Expression, k: Int)
 object MinHashFunctions {
   /** `array<long>` MinHash signature of an `array<string>` column. */
   def minhash_signature(shingles: Column, k: Int): Column =
-    ExpressionUtils.column(
-      MinHashSignature(ExpressionUtils.expression(shingles), k))
+    GraftShim.column(
+      MinHashSignature(GraftShim.expression(shingles), k))
 }

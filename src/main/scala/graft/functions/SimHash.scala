@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.GraftShim
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -70,14 +70,10 @@ case class XxHash64Seeded(child: Expression, seed: Long)
 
 object HashFunctions {
   /** 64-bit SimHash signature of an `array<string>` token column. */
-  def simhash64(tokens: Column, seed: Long = 0L): Column = {
-    val e = ExpressionUtils.expression(tokens)
-    ExpressionUtils.column(SimHash64(castToStringArray(e), seed))
-  }
+  def simhash64(tokens: Column, seed: Long = 0L): Column =
+    GraftShim.column(SimHash64(GraftShim.expression(tokens), seed))
 
   def xxhash64_seeded(s: Column, seed: Long): Column =
-    ExpressionUtils.column(
-      XxHash64Seeded(ExpressionUtils.expression(s.cast(StringType)), seed))
-
-  private def castToStringArray(e: Expression): Expression = e
+    GraftShim.column(
+      XxHash64Seeded(GraftShim.expression(s.cast(StringType)), seed))
 }

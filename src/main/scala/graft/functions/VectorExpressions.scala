@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.classic.ExpressionUtils.column
+import org.apache.spark.sql.GraftShim.{column, expression}
 import org.apache.spark.sql.types.{DataType, DoubleType}
 
 /** Native Catalyst expressions for embedding math (SURVEY.md §7.5).
@@ -78,7 +78,4 @@ object VectorFunctions {
   /** Cosine similarity of two `array<float>` columns. */
   def vector_cosine(a: Column, b: Column): Column =
     vector_dot(a, b) / (vector_norm(a) * vector_norm(b))
-
-  private def expression(c: Column): Expression =
-    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 }

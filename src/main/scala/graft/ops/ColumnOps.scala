@@ -60,24 +60,29 @@ object ColumnOps {
       * `Seq` (not `Map`) keeps the reference's OrderedDict column order.
       */
     def createColumnsFromSeq(columns: Seq[(String, Any)]): DataFrame =
-      df.withColumns(
-        columns.map(_._1),
-        columns.map { case (_, v) => lit(v) })
+      appendColumns(columns.map { case (n, v) => n -> lit(v) })
 
     /** P7 — derive partition columns year/month/day from a date column. */
     def withYearMonthDayFromColumn(dateColumnName: String): DataFrame =
-      df.withColumns(
-        Seq("year", "month", "day"),
-        Seq(
-          year(col(dateColumnName)),
-          month(col(dateColumnName)),
-          dayofmonth(col(dateColumnName))))
+      appendColumns(Seq(
+        "year" -> year(col(dateColumnName)),
+        "month" -> month(col(dateColumnName)),
+        "day" -> dayofmonth(col(dateColumnName))))
 
     /** P8 — the same three columns from a literal date (the run date). */
     def withYearMonthDayFromDate(date: LocalDate): DataFrame =
-      df.withColumns(
-        Seq("year", "month", "day"),
-        Seq(lit(date.getYear), lit(date.getMonthValue), lit(date.getDayOfMonth)))
+      appendColumns(Seq(
+        "year" -> lit(date.getYear),
+        "month" -> lit(date.getMonthValue),
+        "day" -> lit(date.getDayOfMonth)))
+
+    /** Append named columns in declared order as one Project node (there is
+      * no public `withColumns(Seq, Seq)` overload; N chained `withColumn`
+      * calls would stack N projections).
+      */
+    private def appendColumns(
+        columns: Seq[(String, org.apache.spark.sql.Column)]): DataFrame =
+      df.select(col("*") +: columns.map { case (n, c) => c.as(n) }: _*)
 
     private def mapFieldsOfType(
         pred: org.apache.spark.sql.types.DataType => Boolean,

@@ -1,0 +1,17 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge between graft's custom Catalyst expressions and the public
+  * `Column` API. `org.apache.spark.sql.classic.ExpressionUtils` is
+  * `private[sql]` in Spark 4.x, so the conversion is exposed from inside the
+  * `org.apache.spark.sql` package. This is the only file outside the `graft`
+  * namespace and contains no logic of its own.
+  */
+object GraftShim {
+  /** Wrap a Catalyst expression as a user-facing Column. */
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+
+  /** Unwrap a Column to its underlying Catalyst expression. */
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB oracle compare.
+
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+
+For each entry in <verifyOutDir>/oracle_sql.json: run the SQL in DuckDB
+over the parquet tables in <sfDir>, load the Spark result parquet from
+<verifyOutDir>/<name>/, sort columns by name, sort rows, and compare a
+value hash. Mirrors the driver's CORRECTNESS check (rows/schema/hash).
+"""
+import sys, json, glob, hashlib, math
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def norm_val(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6g}"
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(norm_val(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{norm_val(x)}" for k, x in sorted(v.items())) + "}"
+    return str(v)
+
+def table_sig(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    names = [cols[i] for i in order]
+    norm_rows = sorted("|".join(norm_val(r[i]) for i in order) for r in rows)
+    h = hashlib.md5("\n".join(norm_rows).encode()).hexdigest()
+    return names, len(norm_rows), h, norm_rows
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    results = {}
+    for name in sorted(oracle):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            results[name] = "MISSING spark output"
+            continue
+        spark_t = pq.read_table(files[0])
+        s_cols = spark_t.column_names
+        s_rows = [tuple(spark_t.column(c)[i].as_py() for c in s_cols)
+                  for i in range(spark_t.num_rows)]
+        try:
+            cur = con.execute(oracle[name])
+            o_cols = [d[0] for d in cur.description]
+            o_rows = cur.fetchall()
+        except Exception as e:
+            results[name] = f"ORACLE ERROR: {e}"
+            continue
+        sn, src, sh, s_norm = table_sig(s_cols, s_rows)
+        on, orc, oh, o_norm = table_sig(o_cols, o_rows)
+        if sn != on:
+            results[name] = f"SCHEMA spark={sn} oracle={on}"
+        elif src != orc:
+            results[name] = f"ROWS spark={src} oracle={orc}"
+        elif sh != oh:
+            diff = [f"  S:{a}\n  O:{b}" for a, b in zip(s_norm, o_norm) if a != b][:3]
+            results[name] = "HASH mismatch, first diffs:\n" + "\n".join(diff)
+        else:
+            results[name] = "OK"
+    npass = sum(1 for v in results.values() if v == "OK")
+    for name, v in results.items():
+        mark = "PASS" if v == "OK" else "FAIL"
+        print(f"{mark} {name}" + ("" if v == "OK" else f": {v}"))
+    print(f"\n{npass}/{len(results)} oracle-backed queries pass")
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
