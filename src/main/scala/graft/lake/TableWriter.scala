@@ -67,13 +67,21 @@ object TableWriter {
     val fmt = StorageFormat.forLayer(spec.layer)
     spark.sql(s"CREATE DATABASE IF NOT EXISTS `$database`")
     spark.sql(s"DROP TABLE IF EXISTS `$database`.`$table`")
+    // Spark requires an explicit column list when PARTITIONED BY names
+    // partition columns ([SPECIFY_PARTITION_IS_NOT_ALLOWED]); read the
+    // schema back from the written location (a footer read, not a scan) —
+    // partition columns come back from directory inference.
+    val written = spark.read.format(fmt.format).load(spec.path)
+    val ddlColumns = written.schema.fields
+      .map(f => s"`${f.name}` ${f.dataType.sql}")
+      .mkString(", ")
     val partClause =
       if (spec.partitionBy.nonEmpty)
-        spec.partitionBy.mkString(" PARTITIONED BY (", ", ", ")")
+        spec.partitionBy.mkString(" PARTITIONED BY (`", "`, `", "`)")
       else ""
     spark.sql(
-      s"CREATE TABLE `$database`.`$table` USING ${fmt.format}$partClause " +
-        s"LOCATION '${spec.path}'")
+      s"CREATE TABLE `$database`.`$table` ($ddlColumns) " +
+        s"USING ${fmt.format}$partClause LOCATION '${spec.path}'")
     if (spec.partitionBy.nonEmpty)
       spark.sql(s"MSCK REPAIR TABLE `$database`.`$table`")
   }

@@ -75,8 +75,12 @@ object JsonOps {
       jsonColumn: String,
       sampleRows: Option[Int]): Seq[String] = {
     import spark.implicits._
-    val strings = df.select(col(jsonColumn).cast("string")).as[String]
+    // null rows would otherwise surface as a phantom `_corrupt_record`
+    // field in the inferred schema (Spark's malformed-row catch-all)
+    val strings =
+      df.select(col(jsonColumn).cast("string")).filter(col(jsonColumn).isNotNull).as[String]
     val sampled = sampleRows.fold(strings)(n => strings.limit(n))
-    spark.read.json(sampled).schema.fieldNames.toIndexedSeq
+    val corrupt = spark.conf.get("spark.sql.columnNameOfCorruptRecord")
+    spark.read.json(sampled).schema.fieldNames.toIndexedSeq.filterNot(_ == corrupt)
   }
 }

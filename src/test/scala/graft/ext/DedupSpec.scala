@@ -1,0 +1,109 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ext.Shingles._
+
+class DedupSpec extends SparkSpec {
+
+  // A tiny corpus with planted duplicates:
+  //  1/2 exact dups (modulo whitespace/case), 3 a near-dup of 1 (one word
+  //  changed), 4 a reordering of 1, 5 unrelated.
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "  the quick  brown fox jumps over the lazy dog near the river bank today "),
+    (3L, "the quick brown fox jumps over the lazy cat near the river bank today"),
+    (4L, "today bank river the near dog lazy the over jumps fox brown quick the"),
+    (5L, "completely different text about spark query engines and distributed joins"))
+
+  private def df = {
+    import spark.implicits._
+    docs.toDF("doc_id", "text")
+  }
+
+  test("x1 exact dedup groups normalized duplicates, keeps min id") {
+    import spark.implicits._
+    val out = Dedup.dedupExact(df, "doc_id", "text")
+      .as[(String, Long, Long)].collect()
+    assert(out.length === 4) // 1+2 collapse
+    val dupGroup = out.filter(_._3 == 2L)
+    assert(dupGroup.length === 1)
+    assert(dupGroup.head._2 === 1L) // deterministic keeper: smallest id
+  }
+
+  test("x2 minhash LSH finds the planted near-dup pairs") {
+    import spark.implicits._
+    val pairs = Dedup.nearDuplicatesMinhash(df, "doc_id", "text",
+        threshold = 0.5, numHashes = 64, bands = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // identical token sets
+    assert(pairs.contains((1L, 3L))) // 1-word edit
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L)) // unrelated stays out
+  }
+
+  test("x2 emits ordered pairs with jaccard in [threshold, 1]") {
+    import spark.implicits._
+    val rows = Dedup.nearDuplicatesMinhash(df, "doc_id", "text", 0.5)
+      .as[(Long, Long, Double)].collect()
+    rows.foreach { case (a, b, j) =>
+      assert(a < b)
+      assert(j >= 0.5 && j <= 1.0)
+    }
+  }
+
+  test("x3 simhash: identical token sets at hamming 0; unrelated text apart") {
+    import spark.implicits._
+    val pairs = Dedup.nearDuplicatesSimhash(df, "doc_id", "text", maxHamming = 3)
+      .as[(Long, Long, Long)].collect()
+    val h12 = pairs.find(p => p._1 == 1L && p._2 == 2L)
+    assert(h12.exists(_._3 == 0L)) // same token set -> same signature
+    // reordering keeps the token set -> also hamming 0 vs doc 1
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 0L))
+    assert(!pairs.exists(p => p._2 == 5L || p._1 == 5L))
+  }
+
+  test("x4 char-ngram blocked dedup respects blocking columns") {
+    import spark.implicits._
+    val blocked = df.withColumn("lang", lit("en"))
+    val pairs = Dedup.nearDuplicatesNgram(
+        blocked, "doc_id", "text", Seq("lang"), threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 3L)))
+    // different blocking value -> no pairs cross the block
+    val split = df.withColumn("lang",
+      when(col("doc_id") === 1L, "en").otherwise("de"))
+    val crossPairs = Dedup.nearDuplicatesNgram(
+        split, "doc_id", "text", Seq("lang"), threshold = 0.1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!crossPairs.exists(p => p._1 == 1L || p._2 == 1L))
+  }
+
+  test("jaccard is within [0,1] and 1 for identical sets (property)") {
+    import spark.implicits._
+    assert(graft.Check.holds2 { (xs: List[String], ys: List[String]) =>
+      val d = Seq((xs, ys)).toDF("a", "b")
+      val j = d.select(jaccard(col("a"), col("b")).as("j"))
+        .as[Double].head()
+      j >= 0.0 && j <= 1.0
+    })
+    val same = Seq((Seq("a", "b"), Seq("b", "a", "a"))).toDF("a", "b")
+    assert(same.select(jaccard(col("a"), col("b"))).as[Double].head() === 1.0)
+  }
+
+  test("wordNGrams: n>len gives empty, bigrams slide correctly") {
+    import spark.implicits._
+    val d = Seq("one two three").toDF("t")
+    val bi = d.select(wordNGrams(col("t"), 2)).as[Seq[String]].head()
+    assert(bi.toSet === Set("one two", "two three"))
+    val five = d.select(wordNGrams(col("t"), 5)).as[Seq[String]].head()
+    assert(five === Nil)
+  }
+
+  test("charNGrams of short strings guard the negative-range case") {
+    import spark.implicits._
+    val d = Seq("ab").toDF("t")
+    assert(d.select(charNGrams(col("t"), 3)).as[Seq[String]].head() === Nil)
+    assert(d.select(charNGrams(col("t"), 2)).as[Seq[String]].head() === Seq("ab"))
+  }
+}

@@ -1,0 +1,90 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.VectorFunctions._
+
+class SimilaritySpec extends SparkSpec {
+
+  // Deterministic synthetic vectors: cluster A around (1,0,0,...), cluster B
+  // around (0,1,0,...), plus an exact duplicate pair inside cluster A.
+  private def vectors = {
+    import spark.implicits._
+    val dims = 8
+    // noise 0.6 keeps intra-cluster cosine well below the 0.99 dup
+    // threshold while inter-cluster cosine stays far lower still
+    def vec(axis: Int, noiseSeed: Int, noise: Float): Seq[Float] = {
+      val rng = new scala.util.Random(noiseSeed)
+      Seq.tabulate(dims)(i =>
+        (if (i == axis) 1f else 0f) + (rng.nextFloat() - 0.5f) * noise)
+    }
+    (Seq(
+      (0L, vec(0, 1, 0.6f)), (1L, vec(0, 2, 0.6f)), (2L, vec(0, 3, 0.6f)),
+      (3L, vec(1, 4, 0.6f)), (4L, vec(1, 5, 0.6f)), (5L, vec(1, 6, 0.6f)),
+      (6L, vec(0, 1, 0.6f)) // exact dup of id 0
+    )).toDF("vec_id", "embedding")
+  }
+
+  test("vector_dot and vector_norm agree with hand math") {
+    import spark.implicits._
+    val d = Seq((Seq(1f, 2f, 3f), Seq(4f, 5f, 6f))).toDF("a", "b")
+    assert(d.select(vector_dot(col("a"), col("b"))).as[Double].head() === 32.0)
+    assert(math.abs(d.select(vector_norm(col("a"))).as[Double].head()
+      - math.sqrt(14.0)) < 1e-9)
+  }
+
+  test("vector_cosine is 1 for parallel, 0 for orthogonal vectors") {
+    import spark.implicits._
+    val d = Seq(
+      (Seq(1f, 0f), Seq(2f, 0f), "parallel"),
+      (Seq(1f, 0f), Seq(0f, 3f), "orthogonal")).toDF("a", "b", "case")
+    val m = d.select(col("case"), vector_cosine(col("a"), col("b")).as("c"))
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(m("parallel") - 1.0) < 1e-9)
+    assert(math.abs(m("orthogonal")) < 1e-9)
+  }
+
+  test("y1 brute-force top-k ranks the exact duplicate first") {
+    import spark.implicits._
+    val out = Similarity.topKBruteForce(
+      vectors.filter($"vec_id" === 0L), vectors, "vec_id", "embedding", k = 3)
+    val rows = out.as[(Long, Long, Int, Double)].collect().sortBy(_._3)
+    assert(rows.head._2 === 6L) // the exact dup
+    assert(math.abs(rows.head._4 - 1.0) < 1e-9)
+    // all top-3 of a cluster-A query are cluster-A members
+    assert(rows.forall(r => Set(1L, 2L, 6L).contains(r._2)))
+  }
+
+  test("y2 LSH top-k achieves full recall on separated clusters") {
+    import spark.implicits._
+    val exact = Similarity.topKBruteForce(
+        vectors, vectors, "vec_id", "embedding", k = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.topKLsh(
+        vectors, "vec_id", "embedding", k = 2, planes = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"LSH recall $recall too low; exact=$exact approx=$approx")
+  }
+
+  test("x5/x6 embedding near-dup: exact finds the planted pair, LSH agrees") {
+    import spark.implicits._
+    val exact = Dedup.nearDuplicatesEmbeddingExact(
+        vectors, "vec_id", "embedding", minCosine = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact === Set((0L, 6L)))
+    val lsh = Dedup.nearDuplicatesEmbedding(
+        vectors, "vec_id", "embedding", minCosine = 0.99, planes = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh === exact)
+  }
+
+  test("cosinePairsLsh emits each pair at most once") {
+    import spark.implicits._
+    val pairs = Similarity.cosinePairsLsh(vectors, "vec_id", "embedding", planes = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.length === pairs.distinct.length)
+    pairs.foreach { case (a, b) => assert(a < b) }
+  }
+}

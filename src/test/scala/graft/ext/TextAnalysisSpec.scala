@@ -1,0 +1,74 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+
+  test("token counts: whitespace vs BPE-ish split") {
+    import spark.implicits._
+    val d = Seq("Hello world, it's 2024!").toDF("t")
+    val ws = d.select(TextAnalysis.tokenCountWhitespace(col("t"))).as[Int].head()
+    val bpe = d.select(TextAnalysis.tokenCountBpe(col("t"))).as[Int].head()
+    assert(ws === 4)
+    // Hello | world | , | it | ' | s | 2024 | !
+    assert(bpe === 8)
+  }
+
+  test("language ID picks the right stopword profile") {
+    import spark.implicits._
+    val d = Seq(
+      ("en", "the cat sat on the mat and looked at the dog with a smile"),
+      ("es", "el perro y la casa de un amigo es que en la calle"),
+      ("de", "der hund und die katze ist von dem haus mit den kindern"),
+      ("fr", "le chien et la maison des amis est dans une rue du centre"),
+      ("und", "zzz qqq xxx yyy www vvv")).toDF("want", "t")
+    val got = d.select(col("want"), TextAnalysis.langId(col("t")))
+      .as[(String, String)].collect()
+    got.foreach { case (want, pred) => assert(pred === want) }
+  }
+
+  test("quality score stays in [0,1] and orders clean text above noise") {
+    import spark.implicits._
+    val d = Seq(
+      ("clean", ("a solid paragraph of reasonably varied english prose " +
+        "with plenty of distinct meaningful words forming useful content " +
+        "for a language model to learn from today")),
+      ("noisy", "$$$ ### !!! @@@ %% ^^ && ** (( ))"),
+      ("empty", "")).toDF("k", "t")
+    val q = d.select(col("k"), TextAnalysis.qualityScore(col("t")).as("q"))
+      .as[(String, Double)].collect().toMap
+    q.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
+    assert(q("clean") > q("noisy"))
+  }
+
+  test("fingerprints are whitespace/case-insensitive, content-sensitive") {
+    import spark.implicits._
+    val d = Seq(
+      ("a", "Hello  World"), ("b", "hello world"), ("c", "hello worlds"))
+      .toDF("id", "t")
+    val fp = d.select(col("id"), TextAnalysis.fingerprint(col("t")).as("f"))
+      .as[(String, String)].collect().toMap
+    assert(fp("a") === fp("b"))
+    assert(fp("a") !== fp("c"))
+    val fp64 = d.select(col("id"), TextAnalysis.fingerprint64(col("t")).as("f"))
+      .as[(String, Long)].collect().toMap
+    assert(fp64("a") === fp64("b"))
+    assert(fp64("a") !== fp64("c"))
+  }
+
+  test("corpusProfile aggregates per predicted language") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the cat and the dog sat on a mat in the sun for a while"),
+      (2L, "the quick brown fox is in the barn with the hens and a cow"),
+      (3L, "el perro y la casa de un amigo es que en la calle hay sol"))
+      .toDF("doc_id", "text")
+    val prof = TextAnalysis.corpusProfile(d, "text")
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(prof("en")._2 === 2L)
+    assert(prof("es")._2 === 1L)
+    assert(prof("en")._3 > 0L)
+  }
+}

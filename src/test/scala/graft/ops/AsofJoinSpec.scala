@@ -1,0 +1,63 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class AsofJoinSpec extends SparkSpec {
+
+  // left: (key, ts); right: (key, ts, px)
+  private def leftDf = {
+    import spark.implicits._
+    Seq(("a", 10L), ("a", 20L), ("a", 5L), ("b", 100L), ("c", 7L))
+      .toDF("k", "t")
+  }
+
+  private def rightDf = {
+    import spark.implicits._
+    Seq(
+      ("a", 10L, 1.0), // equal-ts: must match inclusively
+      ("a", 15L, 2.0),
+      ("b", 90L, 3.0),
+      ("b", 100L, 4.0),
+      ("b", 101L, 5.0)) // later than any left b: never matched
+      .toDF("k", "t", "px")
+  }
+
+  private def run(inner: Boolean = false) = {
+    import spark.implicits._
+    AsofJoin.asof(leftDf, rightDf,
+        leftKey = "k", rightKey = "k", leftTs = "t", rightTs = "t",
+        rightCols = Seq("px"), inner = inner)
+      .as[(String, Long, Option[Double])].collect()
+      .sortBy(r => (r._1, r._2))
+  }
+
+  test("as-of attaches the latest right row with rightTs <= leftTs") {
+    assert(run().toSeq === Seq(
+      ("a", 5L, None),         // nothing at or before 5
+      ("a", 10L, Some(1.0)),   // inclusive: ts==10 matches
+      ("a", 20L, Some(2.0)),   // 15 is the latest <= 20
+      ("b", 100L, Some(4.0)),  // 100 beats 90; 101 excluded
+      ("c", 7L, None)))        // key with no right rows at all
+  }
+
+  test("inner=true drops unmatched left rows") {
+    assert(run(inner = true).map(r => (r._1, r._2)).toSeq ===
+      Seq(("a", 10L), ("a", 20L), ("b", 100L)))
+  }
+
+  test("right-side ties on (key, ts) resolve to the greatest struct") {
+    import spark.implicits._
+    val right = Seq(("a", 10L, 1.0), ("a", 10L, 9.0), ("a", 10L, 4.0))
+      .toDF("k", "t", "px")
+    val out = AsofJoin.asof(
+      leftDf.filter($"k" === "a" && $"t" === 10L), right,
+      "k", "k", "t", "t", Seq("px"))
+    assert(out.as[(String, Long, Double)].head()._3 === 9.0)
+  }
+
+  test("left columns and row count are preserved (left-outer semantics)") {
+    val out = AsofJoin.asof(leftDf, rightDf, "k", "k", "t", "t", Seq("px"))
+    assert(out.count() === leftDf.count())
+    assert(out.columns.toSeq === Seq("k", "t", "px"))
+  }
+}

@@ -1,0 +1,92 @@
+package graft.ops
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.ColumnOps._
+
+class ColumnOpsSpec extends SparkSpec {
+
+  // P1 golden pairs — contract from the reference's formatter
+  // (spark_dataframe_service.py:46-56), including its warts (leading
+  // underscore on a leading capital, double underscore after a space).
+  test("P1 formatColumnName golden pairs") {
+    val golden = Seq(
+      "user.id" -> "user_id",
+      "User Name" -> "_user__name",
+      "HTTPStatus" -> "_h_t_t_p_status",
+      "weird$chars!" -> "weirdchars",
+      "alreadysnake" -> "alreadysnake",
+      "camelCase" -> "camel_case",
+      "a b.c" -> "a_b_c",
+      "" -> "")
+    golden.foreach { case (in, want) =>
+      assert(ColumnOps.formatColumnName(in) === want, s"for input '$in'")
+    }
+  }
+
+  test("P1 formatColumnName is idempotent on its own output (property)") {
+    assert(graft.Check.holds { (s: String) =>
+      val once = ColumnOps.formatColumnName(s)
+      ColumnOps.formatColumnName(once) == once
+    })
+  }
+
+  test("P1 output contains only word characters, lowercased (property)") {
+    assert(graft.Check.holds { (s: String) =>
+      ColumnOps.formatColumnName(s).matches("[a-z0-9_]*")
+    })
+  }
+
+  test("P2 formatColumnNames renames every column in one pass") {
+    import spark.implicits._
+    val df = Seq((1, "x")).toDF("User Id", "EventType")
+    val out = df.formatColumnNames()
+    assert(out.columns.toSeq === Seq("_user__id", "_event_type"))
+    // exactly one Project added on top of the input plan, however wide
+    def projects(d: org.apache.spark.sql.DataFrame) =
+      d.queryExecution.analyzed.collect {
+        case p: org.apache.spark.sql.catalyst.plans.logical.Project => p
+      }.size
+    assert(projects(out) === projects(df) + 1)
+  }
+
+  test("P3 struct->JSON and P5 struct->string differ as documented") {
+    import spark.implicits._
+    val df = Seq((1, (2, "x"))).toDF("id", "s")
+    val json = df.convertStructTypeToJson().select("s").as[String].head()
+    val str = df.convertStructTypeToString().select("s").as[String].head()
+    assert(json === """{"_1":2,"_2":"x"}""")
+    assert(str === "{2, x}")
+  }
+
+  test("P4 array->JSON serializes array columns only") {
+    import spark.implicits._
+    val df = Seq((1, Seq(1, 2, 3))).toDF("id", "a")
+    val out = df.convertArrayTypeToJson()
+    assert(out.schema("a").dataType.typeName === "string")
+    assert(out.schema("id").dataType.typeName === "integer")
+    assert(out.select("a").as[String].head() === "[1,2,3]")
+  }
+
+  test("P6 createColumnsFromSeq keeps declared order and values") {
+    import spark.implicits._
+    val out = Seq(1).toDF("id")
+      .createColumnsFromSeq(Seq("env" -> "prod", "v" -> 7))
+    assert(out.columns.toSeq === Seq("id", "env", "v"))
+    assert(out.select("env", "v").as[(String, Int)].head() === (("prod", 7)))
+  }
+
+  test("P7/P8 year month day derivation agrees between column and literal") {
+    import spark.implicits._
+    val df = Seq("2024-02-29").toDF("d").select(to_date(col("d")).as("d"))
+    val fromCol = df.withYearMonthDayFromColumn("d")
+      .select("year", "month", "day").as[(Int, Int, Int)].head()
+    val fromLit = df.withYearMonthDayFromDate(LocalDate.of(2024, 2, 29))
+      .select("year", "month", "day").as[(Int, Int, Int)].head()
+    assert(fromCol === ((2024, 2, 29)))
+    assert(fromLit === fromCol)
+  }
+}

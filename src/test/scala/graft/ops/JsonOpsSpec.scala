@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.JsonOps._
+
+class JsonOpsSpec extends SparkSpec {
+
+  private def heterogeneous = {
+    import spark.implicits._
+    Seq(
+      (1L, """{"a": 1, "b": "x"}"""),
+      (2L, """{"b": "y", "c": true}"""),
+      (3L, """{"a": 7}"""),
+      (4L, null.asInstanceOf[String]))
+      .toDF("id", "props")
+  }
+
+  test("G1 explode on heterogeneous JSON surfaces the union of fields") {
+    import spark.implicits._
+    val out = heterogeneous.explodeJsonColumn("props")
+    // inference returns the union of top-level fields, alphabetical
+    assert(out.columns.toSeq === Seq("id", "a", "b", "c"))
+    val rows = out.orderBy("id")
+      .as[(Long, Option[String], Option[String], Option[String])].collect()
+    assert(rows(0) === ((1L, Some("1"), Some("x"), None)))
+    assert(rows(1) === ((2L, None, Some("y"), Some("true"))))
+    assert(rows(2) === ((3L, Some("7"), None, None)))
+    assert(rows(3) === ((4L, None, None, None)))
+  }
+
+  test("G1 prefix and snake_case options compose") {
+    val out = heterogeneous
+      .withColumnRenamed("props", "p")
+      .explodeJsonColumn("p", prefix = "prop_", formatColumnNames = true)
+    assert(out.columns.forall(c => c == "id" || c.startsWith("prop_")))
+  }
+
+  test("G1 Fields mode needs no inference pass and keeps declared order") {
+    val out = heterogeneous.explodeJsonColumn(
+      "props", schema = JsonSchema.Fields(Seq("c", "a")))
+    assert(out.columns.toSeq === Seq("id", "c", "a"))
+  }
+
+  test("G1 InferSample(n) behaves like full inference on a small column") {
+    val full = heterogeneous.explodeJsonColumn("props")
+    val sampled = heterogeneous.explodeJsonColumn(
+      "props", schema = JsonSchema.InferSample(10))
+    assert(full.columns.toSeq === sampled.columns.toSeq)
+  }
+
+  test("G1 rejects a missing column with a clear error") {
+    val e = intercept[IllegalArgumentException] {
+      heterogeneous.explodeJsonColumn("nope")
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
+  test("explode ∘ to_json round-trips a struct's scalar fields") {
+    import spark.implicits._
+    val df = Seq((1L, (5, "v"))).toDF("id", "s")
+      .select(col("id"), to_json(col("s")).as("j"))
+    val out = df.explodeJsonColumn("j")
+    assert(out.orderBy("id").as[(Long, String, String)].head() === ((1L, "5", "v")))
+  }
+}
