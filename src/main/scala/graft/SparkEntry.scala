@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Shingles, Similarity, TextAnalysis}
 import graft.ops.AsofJoin
 import graft.ops.ColumnOps._
 import graft.ops.JsonOps._
@@ -307,6 +307,24 @@ object SparkEntry {
         .orderBy("r_name")
     }),
 
+    "q23_array_to_json" -> ((s, dir) => { // P4
+      rd(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          array(col("o_orderkey"), col("o_custkey")).as("keys"))
+        .convertArrayTypeToJson()
+        .orderBy("o_orderkey")
+    }),
+
+    "q24_struct_to_string" -> ((s, dir) => { // P5
+      rd(s, dir, "customer")
+        .select(
+          col("c_custkey"),
+          struct(col("c_name"), col("c_mktsegment")).as("c_info"))
+        .convertStructTypeToString()
+        .orderBy("c_custkey")
+    }),
+
     // ------------------------------------------------ LLM-pipeline: dedup
     "x1_dedup_exact" -> ((s, dir) => {
       Dedup.dedupExact(rd(s, dir, "documents"), "doc_id", "text")
@@ -314,8 +332,14 @@ object SparkEntry {
     }),
 
     "x2_dedup_minhash" -> ((s, dir) => {
+      // k=128/b=32 (r=4): per-pair LSH miss probability at J=0.8 is
+      // (1-0.8^4)^32 ≈ 5e-8 — the exact-Jaccard oracle compare stays
+      // deterministic. The operator default (64/16, ~2e-4 at the threshold
+      // boundary) is the cheaper production setting where a hair-below-
+      // certain recall is the accepted LSH trade.
       Dedup.nearDuplicatesMinhash(
-        rd(s, dir, "documents"), "doc_id", "text", threshold = 0.8)
+        rd(s, dir, "documents"), "doc_id", "text", threshold = 0.8,
+        numHashes = 128, bands = 32)
         .orderBy("id_a", "id_b")
     }),
 
@@ -400,6 +424,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "t5_word_ngrams" -> ((s, dir) => {
+      rd(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(Shingles.wordNGrams(col("text"), 2)).as("n_bigrams"),
+          size(Shingles.wordNGrams(col("text"), 3)).as("n_trigrams"))
+        .orderBy("doc_id")
+    }),
+
+    "t6_corpus_profile" -> ((s, dir) => {
+      TextAnalysis.corpusProfile(rd(s, dir, "documents"), "text")
+        .orderBy("lang_pred")
+    }),
+
     // ------------------------------------------- LLM-pipeline: multimodal
     "m1_multimodal_meta" -> ((s, dir) => {
       Multimodal.metadataOnly(
@@ -414,6 +452,19 @@ object SparkEntry {
         .toDF()
         .select(col("media_id"), col("dim"),
           round(element_at(col("features"), 1), 6).as("f0"))
+        .orderBy("media_id")
+    }),
+
+    "m3_frame_sample" -> ((s, dir) => {
+      // value-compared via per-media frame count + total sampled bytes
+      // (pure arithmetic on payload length — engine-neutral)
+      Multimodal.sampleFrames(
+        Multimodal.packAsMedia(rd(s, dir, "documents"), "doc_id", "text", "text"),
+        frameBytes = 32, stride = 2)
+        .groupBy("media_id")
+        .agg(
+          count(lit(1)).as("n_frames_sampled"),
+          sum(length(col("frame_payload"))).cast("long").as("frame_bytes"))
         .orderBy("media_id")
     })
   )
@@ -592,6 +643,15 @@ object SparkEntry {
         |  2024 AS year, 6 AS month, 15 AS day
         |FROM region ORDER BY r_name""".stripMargin,
 
+    "q23_array_to_json" ->
+      """SELECT o_orderkey, to_json([o_orderkey, o_custkey])::VARCHAR AS keys
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q24_struct_to_string" ->
+      """SELECT c_custkey,
+        |  '{' || c_name || ', ' || c_mktsegment || '}' AS c_info
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
     "x1_dedup_exact" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
         |    AS fingerprint,
@@ -697,9 +757,63 @@ object SparkEntry {
         |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "t5_word_ngrams" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS a
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN len(a) >= 2 THEN len(list_distinct(
+        |    list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])))
+        |    ELSE 0 END AS INT) AS n_bigrams,
+        |  CAST(CASE WHEN len(a) >= 3 THEN len(list_distinct(
+        |    list_transform(range(1, len(a) - 1),
+        |      i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])))
+        |    ELSE 0 END AS INT) AS n_trigrams
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "t6_corpus_profile" ->
+      """WITH q AS (SELECT
+        |    CASE WHEN greatest(s_en, s_es, s_de, s_fr) < 0.05 THEN 'und'
+        |      WHEN s_fr > greatest(s_en, s_es, s_de) THEN 'fr'
+        |      WHEN s_de > greatest(s_en, s_es) THEN 'de'
+        |      WHEN s_es > s_en THEN 'es'
+        |      ELSE 'en' END AS lang_pred,
+        |    n_tokens, quality
+        |  FROM (SELECT
+        |    len(list_intersect(ts, ['the','a','of','and','to','in','is','on','for','with']))::DOUBLE / greatest(len(ts), 1) AS s_en,
+        |    len(list_intersect(ts, ['el','la','de','y','que','en','un','es','por','con']))::DOUBLE / greatest(len(ts), 1) AS s_es,
+        |    len(list_intersect(ts, ['der','die','das','und','ist','von','mit','den','im','ein']))::DOUBLE / greatest(len(ts), 1) AS s_de,
+        |    len(list_intersect(ts, ['le','la','de','et','les','des','une','du','est','dans']))::DOUBLE / greatest(len(ts), 1) AS s_fr,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |    least(len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE / 50.0, 1.0) * 0.4
+        |      + (len(list_distinct(regexp_split_to_array(trim(text), '\s+')))::DOUBLE
+        |         / len(regexp_split_to_array(trim(text), '\s+'))) * 0.3
+        |      + least((length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
+        |         / len(regexp_split_to_array(trim(text), '\s+'))) / 8.0, 1.0) * 0.2
+        |      + (1.0 - length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE
+        |         / length(text)) * 0.1 AS quality
+        |  FROM (SELECT text,
+        |      list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS ts
+        |    FROM documents) t0) t1)
+        |SELECT lang_pred, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  floor(avg(quality) * 1e4 + 0.5) / 1e4 AS avg_quality
+        |FROM q GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
+
     "m1_multimodal_meta" ->
       """SELECT doc_id AS media_id, 'text' AS kind, 'raw' AS format,
         |  CAST(octet_length(encode(text)) AS INT) AS payload_bytes
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "m3_frame_sample" ->
+      """WITH f AS (SELECT doc_id AS media_id,
+        |    octet_length(encode(text)) AS L,
+        |    greatest(octet_length(encode(text)) // 32, 1) AS nf
+        |  FROM documents)
+        |SELECT media_id,
+        |  CAST(len(range(0, nf, 2)) AS BIGINT) AS n_frames_sampled,
+        |  CAST(list_sum(list_transform(range(0, nf, 2),
+        |    i -> least(32, L - i * 32))) AS BIGINT) AS frame_bytes
+        |FROM f ORDER BY media_id""".stripMargin
   )
 }

@@ -17,6 +17,18 @@ import Shingles._
   */
 object Dedup {
 
+  /** Decouple CPU parallelism from input split count: a small or
+    * single-row-group parquet table arrives as one partition, which would
+    * serialize the signature/shingle computation onto one core no matter
+    * how many executors exist. Round-robin up to the cluster's default
+    * parallelism — a no-op when the scan already yields enough splits (the
+    * 100 TB case), a cheap shuffle of (id, text) rows when it doesn't.
+    */
+  private def ensureParallelism(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   // ---------------------------------------------------------------- exact
 
   /** Content fingerprint: md5 of normalized text. md5 (not xxhash) so the
@@ -54,9 +66,9 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
 
-    val shingled = df.select(
+    val shingled = ensureParallelism(df.select(
       col(idCol).as("id"),
-      tokenSet(col(textCol)).as("shingles"))
+      tokenSet(col(textCol)).as("shingles")))
 
     val banded = shingled
       .withColumn("sig", minhash_signature(col("shingles"), numHashes))
@@ -99,9 +111,10 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(
+    val sigs = ensureParallelism(df.select(
       col(idCol).as("id"),
-      simhash64(tokenSet(col(textCol))).as("sig"))
+      col(textCol).as("_text")))
+      .select(col("id"), simhash64(tokenSet(col("_text"))).as("sig"))
 
     val chunked = sigs.select(
       col("id"), col("sig"),
@@ -135,9 +148,10 @@ object Dedup {
       blockingCols: Seq[String],
       threshold: Double,
       n: Int = 3): DataFrame = {
-    val grams = df.select(
-      col(idCol).as("id") +:
-        charNGrams(col(textCol), n).as("grams") +:
+    val grams = ensureParallelism(df.select(
+      col(idCol).as("id") +: col(textCol).as("_text") +:
+        blockingCols.map(col): _*))
+      .select(col("id") +: charNGrams(col("_text"), n).as("grams") +:
         blockingCols.map(col): _*)
 
     grams.as("x")
@@ -170,13 +184,16 @@ object Dedup {
 
   /** Exact variant for verification/small scopes: all pairs via a single
     * self-join on a trivial key is O(n²) — only for bounded inputs (the
-    * sf-scale oracle); the LSH path above is the 100 TB path.
+    * sf-scale oracle); the LSH path above is the 100 TB path. `maxRows`
+    * enforces that scope (fail fast instead of an accidental 10^16-pair
+    * cross join on a production table).
     */
   def nearDuplicatesEmbeddingExact(
       df: DataFrame,
       idCol: String,
       vecCol: String,
-      minCosine: Double): DataFrame =
-    Similarity.cosinePairsBruteForce(df, idCol, vecCol)
+      minCosine: Double,
+      maxRows: Long = Similarity.DefaultBruteForceMaxRows): DataFrame =
+    Similarity.cosinePairsBruteForce(df, idCol, vecCol, maxRows)
       .filter(col("cosine") >= minCosine)
 }

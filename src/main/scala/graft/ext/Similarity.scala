@@ -86,13 +86,14 @@ object Similarity {
       vecCol: String,
       k: Int,
       planes: Int = 8,
-      seed: Long = 42L): DataFrame = {
-    val dims = firstVectorLength(df, vecCol)
+      seed: Long = 42L,
+      dims: Int = InferDims): DataFrame = {
+    val d = resolveDims(df, vecCol, dims)
     val base = df.select(
       col(idCol).as("id"),
       col(vecCol).as("v"),
       vector_norm(col(vecCol)).as("n"),
-      hyperplaneBucket(col(vecCol), planes, dims, seed).as("bucket"))
+      hyperplaneBucket(col(vecCol), planes, d, seed).as("bucket"))
 
     val probes = base.select(
       col("id").as("query_id"), col("v").as("qv"), col("n").as("qn"),
@@ -123,13 +124,14 @@ object Similarity {
       idCol: String,
       vecCol: String,
       planes: Int = 8,
-      seed: Long = 42L): DataFrame = {
-    val dims = firstVectorLength(df, vecCol)
+      seed: Long = 42L,
+      dims: Int = InferDims): DataFrame = {
+    val d = resolveDims(df, vecCol, dims)
     val base = df.select(
       col(idCol).as("id"),
       col(vecCol).as("v"),
       vector_norm(col(vecCol)).as("n"),
-      hyperplaneBucket(col(vecCol), planes, dims, seed).as("bucket"))
+      hyperplaneBucket(col(vecCol), planes, d, seed).as("bucket"))
 
     // probe buckets: own + 1-bit flips; join x-probes to y-base so each
     // near pair meets even when their signatures differ by one plane.
@@ -148,11 +150,23 @@ object Similarity {
       .distinct()
   }
 
-  /** Exact all-pairs cosine — O(n²); verification scope only. */
+  /** Largest input [[cosinePairsBruteForce]] accepts before failing fast —
+    * ~1.25e9 candidate pairs, the edge of single-node-verification scope.
+    */
+  final val DefaultBruteForceMaxRows: Long = 50000L
+
+  /** Exact all-pairs cosine — O(n²); verification scope only, enforced by
+    * `maxRows` (one cheap count action) rather than just documented.
+    */
   def cosinePairsBruteForce(
       df: DataFrame,
       idCol: String,
-      vecCol: String): DataFrame = {
+      vecCol: String,
+      maxRows: Long = DefaultBruteForceMaxRows): DataFrame = {
+    val rows = df.count()
+    require(rows <= maxRows,
+      s"cosinePairsBruteForce: $rows rows exceeds maxRows=$maxRows " +
+        "(O(n²) verification-only path; use cosinePairsLsh at scale)")
     val base = df.select(
       col(idCol).as("id"),
       col(vecCol).as("v"),
@@ -164,6 +178,18 @@ object Similarity {
         cosine(col("x.v"), col("x.n"), col("y.v"), col("y.n")).as("cosine"))
   }
 
-  private def firstVectorLength(df: DataFrame, vecCol: String): Int =
-    df.select(size(col(vecCol))).head().getInt(0)
+  /** Sentinel: infer dimensionality from the first row (one tiny job). */
+  final val InferDims: Int = -1
+
+  /** Pass `dims` explicitly in production (schema contracts know it); the
+    * inference fallback is an eager extra job, assumes every vector has the
+    * first row's dimensionality, and fails on an empty input by design.
+    */
+  private def resolveDims(df: DataFrame, vecCol: String, dims: Int): Int =
+    if (dims > 0) dims
+    else df.select(size(col(vecCol))).head(1) match {
+      case Array(r) => r.getInt(0)
+      case _ => throw new IllegalArgumentException(
+        s"cannot infer vector dims from an empty DataFrame; pass dims explicitly")
+    }
 }

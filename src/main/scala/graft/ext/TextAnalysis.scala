@@ -106,6 +106,8 @@ object TextAnalysis {
       .groupBy("lang_pred")
       .agg(
         count(lit(1)).as("n_docs"),
-        sum("n_tokens").as("total_tokens"),
-        round(avg("quality"), 4).as("avg_quality"))
+        sum("n_tokens").cast("long").as("total_tokens"),
+        // floor form, not round(): cross-engine-stable on decimal ties
+        // (see SparkEntry t2_quality note)
+        (floor(avg("quality") * 1e4 + 0.5) / 1e4).as("avg_quality"))
 }

@@ -15,7 +15,15 @@ import org.apache.spark.sql.functions._
   * instead: tag both sides, union on (key, ts), and carry the last right
   * payload forward with `last(_, ignoreNulls)` over a single
   * partitionBy(key).orderBy(ts) window — ONE shuffle, O(|L|+|R|) rows, no
-  * blowup, AQE-skew-splittable.
+  * blowup.
+  *
+  * Skew bound: all rows of one key serialize into one window task, and AQE
+  * skew handling does NOT split window partitions (it applies to joins).
+  * With a power-law key distribution the hottest key is the straggler; the
+  * scale mitigation is to bucket the timestamp range per hot key and carry
+  * the last value across bucket boundaries in a second tiny pass (not
+  * implemented here — documented trade-off, acceptable while max key
+  * frequency ≪ rows/executor).
   *
   * Tie semantics: `rightTs == leftTs` matches (inclusive); among right rows
   * with identical (key, ts) the greatest `struct(rightCols)` wins
