@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.HashFunctions.simhash64
+import graft.functions.JaccardFunctions.jaccard_sorted
 import graft.functions.MinHashFunctions.minhash_signature
 import Shingles._
 
@@ -51,10 +52,21 @@ object Dedup {
     * the shingle set; emits `(id_a, id_b, jaccard)` with `id_a < id_b` for
     * pairs at or above `threshold`.
     *
-    * Pipeline: shingle → k-minhash signature → split into `bands` bands →
-    * hash each band → self-join on (band_index, band_hash) → distinct pairs
-    * → verify. With k=64, bands=16 (r=4), the S-curve catches ~all pairs
-    * with J ≥ 0.8 while keeping candidates near-linear.
+    * Pipeline: shingle → collapse token-set-identical docs into groups →
+    * k-minhash signature of each unique set → split into `bands` bands →
+    * hash each band → self-join on (band_index, band_hash) → distinct
+    * group pairs → exact-Jaccard verify → expand back to doc pairs.
+    *
+    * The collapse step is the load-bearing scale property on real corpora:
+    * duplicate-heavy data (the norm in crawled training sets) forms large
+    * clusters of identical token sets, and a cluster of m docs would
+    * otherwise contribute m²/2 band-join rows per band and m²/2 Jaccard
+    * verifications — all redundant, since Jaccard depends only on the token
+    * set. Running LSH on unique sets makes band-join and verify cost a
+    * function of CONTENT diversity, not corpus size; members then inherit
+    * their group pair's score in a pure explode (no per-pair set math).
+    * With k=64, bands=16 (r=4), the S-curve catches ~all pairs with
+    * J ≥ 0.8 while keeping candidates near-linear.
     */
   def nearDuplicatesMinhash(
       df: DataFrame,
@@ -66,37 +78,78 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
 
-    val shingled = ensureParallelism(df.select(
-      col(idCol).as("id"),
-      tokenSet(col(textCol)).as("shingles")))
+    // sorted once per doc: the sort both keys the group and enables the
+    // allocation-free merge-walk Jaccard at verify time
+    val shingled = ensureParallelism(df.select(col(idCol), col(textCol)))
+      .select(
+        col(idCol).as("id"),
+        array_sort(tokenSet(col(textCol))).as("shingles"))
 
-    val banded = shingled
+    // md5 (128-bit) of the sorted set as the group key: collision odds are
+    // negligible and a false merge would silently fabricate pairs.
+    // Persisted: the group table is referenced by the band join, both
+    // verify joins, and the intra-group branch of one output plan — without
+    // persistence Spark re-runs the aggregation per reference (the
+    // broadcast wrappers differ, so ReusedExchange cannot kick in). The
+    // ContextCleaner reclaims the blocks once the result DataFrame is
+    // dropped (same pattern as Spark ML's LSH models).
+    val groups = shingled
+      .groupBy(md5(to_json(col("shingles"))).as("set_key"))
+      .agg(
+        min(col("id")).as("gid"),
+        collect_list(col("id")).as("members"),
+        first(col("shingles")).as("shingles"))
+      .drop("set_key")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val banded = groups
       .withColumn("sig", minhash_signature(col("shingles"), numHashes))
       .select(
-        col("id"),
+        col("gid"),
         posexplode(
           transform(
             sequence(lit(0), lit(bands - 1)),
             j => hash(slice(col("sig"), j * rows + 1, lit(rows))))))
-      .toDF("id", "band", "band_hash")
+      .toDF("gid", "band", "band_hash")
 
     val candidates = banded.as("x")
       .join(banded.as("y"), Seq("band", "band_hash"))
-      .filter(col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .filter(col("x.gid") < col("y.gid"))
+      .select(col("x.gid").as("gid_a"), col("y.gid").as("gid_b"))
       .distinct()
 
-    candidates
-      .join(shingled.withColumnRenamed("shingles", "sh_a"), col("id_a") === col("id"))
-      .drop("id")
-      .join(
-        shingled.withColumnRenamed("shingles", "sh_b").withColumnRenamed("id", "id2"),
-        col("id_b") === col("id2"))
-      .select(
-        col("id_a"),
-        col("id_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+    // verify once per GROUP pair (content diversity), not per doc pair;
+    // the same joins carry the member lists so expansion is join-free
+    val repPairs = candidates
+      .join(groups.select(col("gid").as("gid_a"), col("shingles").as("sh_a"),
+        col("members").as("ma")), Seq("gid_a"))
+      .join(groups.select(col("gid").as("gid_b"), col("shingles").as("sh_b"),
+        col("members").as("mb")), Seq("gid_b"))
+      .select(col("ma"), col("mb"),
+        jaccard_sorted(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+
+    val cross = repPairs
+      .select(explode(col("ma")).as("a"), col("mb"), col("jaccard"))
+      .select(col("a"), explode(col("mb")).as("b"), col("jaccard"))
+      .select(
+        least(col("a"), col("b")).as("id_a"),
+        greatest(col("a"), col("b")).as("id_b"),
+        col("jaccard"))
+
+    // intra-group pairs: jaccard evaluated on the actual set (1 eval per
+    // group — preserves the empty-set → 0.0 edge exactly)
+    val intra = groups
+      .filter(size(col("members")) > 1)
+      .select(col("members"),
+        jaccard_sorted(col("shingles"), col("shingles")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select(explode(col("members")).as("a"), col("members"), col("jaccard"))
+      .select(col("a"), explode(col("members")).as("b"), col("jaccard"))
+      .filter(col("a") < col("b"))
+      .select(col("a").as("id_a"), col("b").as("id_b"), col("jaccard"))
+
+    cross.unionByName(intra)
   }
 
   // -------------------------------------------------------------- simhash
@@ -151,7 +204,7 @@ object Dedup {
     val grams = ensureParallelism(df.select(
       col(idCol).as("id") +: col(textCol).as("_text") +:
         blockingCols.map(col): _*))
-      .select(col("id") +: charNGrams(col("_text"), n).as("grams") +:
+      .select(col("id") +: array_sort(charNGrams(col("_text"), n)).as("grams") +:
         blockingCols.map(col): _*)
 
     grams.as("x")
@@ -160,7 +213,7 @@ object Dedup {
       .select(
         col("x.id").as("id_a"),
         col("y.id").as("id_b"),
-        jaccard(col("x.grams"), col("y.grams")).as("jaccard"))
+        jaccard_sorted(col("x.grams"), col("y.grams")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
