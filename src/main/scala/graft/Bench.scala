@@ -10,6 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the session before timing: executor thread pool, codegen
+    // compiler, parquet footer caches. Otherwise whichever query happens to
+    // run first absorbs ~4s of one-time init and the per-query numbers lie.
+    spark.range(1000).selectExpr("sum(id)").collect()
+    SparkEntry.queries.headOption.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
     // (time, succeeded) per query; failures are reported as -1 and excluded
     // from the total so a broken query can never make the bench look faster.
     val results = SparkEntry.queries.map { case (name, fn) =>

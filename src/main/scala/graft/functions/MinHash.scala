@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftShim
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
@@ -18,35 +18,23 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * per-seed values derive from re-hashing the resulting 8-byte value
   * (`XXH64.hashLong`), not from k passes over the string — the standard
   * one-hash+k-mixes construction, ~k× less byte hashing, which is the
-  * difference between minutes and hours on a 100 TB dedup sweep.
+  * difference between minutes and hours on a 100 TB dedup sweep. Kernel in
+  * [[ExprRuntimes.minhash]], shared by the interpreted and codegen paths.
   */
 case class MinHashSignature(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(k > 0, "minhash k must be positive")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
 
-  override def nullSafeEval(v: Any): Any = {
-    val shingles = v.asInstanceOf[ArrayData]
-    val mins = Array.fill(k)(Long.MaxValue)
-    var i = 0
-    val n = shingles.numElements()
-    while (i < n) {
-      if (!shingles.isNullAt(i)) {
-        val base = XXH64.hashUTF8String(shingles.getUTF8String(i), 0L)
-        var j = 0
-        while (j < k) {
-          val h = XXH64.hashLong(base, j.toLong)
-          if (h < mins(j)) mins(j) = h
-          j += 1
-        }
-      }
-      i += 1
-    }
-    new GenericArrayData(mins)
-  }
+  override def nullSafeEval(v: Any): Any =
+    ExprRuntimes.minhash(v.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.ExprRuntimes.minhash($a, $k)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftShim
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
@@ -15,38 +15,21 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * A custom expression because the composable form is 64 `aggregate()`
   * higher-order calls per row — this is one tight loop per row (64 counters,
-  * one xxHash per token), the shape that survives a 100 TB corpus.
+  * one xxHash per token, [[ExprRuntimes.simhash64]]), codegen'd via
+  * `doGenCode`, the shape that survives a 100 TB corpus.
   */
 case class SimHash64(child: Expression, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
 
-  override def nullSafeEval(v: Any): Any = {
-    val tokens = v.asInstanceOf[ArrayData]
-    val votes = new Array[Int](64)
-    var i = 0
-    val n = tokens.numElements()
-    while (i < n) {
-      if (!tokens.isNullAt(i)) {
-        val h = XXH64.hashUTF8String(tokens.getUTF8String(i), seed)
-        var j = 0
-        while (j < 64) {
-          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
-          j += 1
-        }
-      }
-      i += 1
-    }
-    var sig = 0L
-    var j = 0
-    while (j < 64) {
-      if (votes(j) > 0) sig |= (1L << j)
-      j += 1
-    }
-    sig
-  }
+  override def nullSafeEval(v: Any): Any =
+    ExprRuntimes.simhash64(v.asInstanceOf[ArrayData], seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.ExprRuntimes.simhash64($a, ${seed}L)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -57,12 +40,17 @@ case class SimHash64(child: Expression, seed: Long)
   * needs k independent functions, cheaply seeded here).
   */
 case class XxHash64Seeded(child: Expression, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
   override def nullSafeEval(v: Any): Any =
     XXH64.hashUTF8String(v.asInstanceOf[UTF8String], seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      s => "org.apache.spark.sql.catalyst.expressions.XXH64" +
+        s".hashUTF8String($s, ${seed}L)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

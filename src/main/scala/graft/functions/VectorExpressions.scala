@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftShim.{column, expression}
 import org.apache.spark.sql.types.{DataType, DoubleType}
@@ -13,11 +13,12 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * The composable alternative (`aggregate(zip_with(a, b, _*_), 0d, _+_)`)
   * allocates a lambda frame per element; at 100 TB (billions of rows × 64+
   * dims) that is the hot loop, so these run as tight primitive loops over
-  * Spark's `ArrayData` float representation instead. Null or
-  * length-mismatched inputs yield null, matching SQL semantics.
+  * Spark's `ArrayData` float representation ([[ExprRuntimes]]) and
+  * participate in whole-stage codegen via `doGenCode` (no fallback boxing).
+  * Null or length-mismatched inputs yield null, matching SQL semantics.
   */
 case class FloatVectorDot(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -27,17 +28,19 @@ case class FloatVectorDot(left: Expression, right: Expression)
     if (l == null) return null
     val r = right.eval(input)
     if (r == null) return null
-    val a = l.asInstanceOf[ArrayData].toFloatArray()
-    val b = r.asInstanceOf[ArrayData].toFloatArray()
-    if (a.length != b.length) return null
-    var acc = 0.0
-    var i = 0
-    while (i < a.length) {
-      acc += a(i).toDouble * b(i).toDouble
-      i += 1
-    }
-    acc
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) return null
+    ExprRuntimes.vectorDot(a, b)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if ($a.numElements() != $b.numElements()) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.ExprRuntimes.vectorDot($a, $b);
+      }""")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -46,21 +49,16 @@ case class FloatVectorDot(left: Expression, right: Expression)
 
 /** L2 norm of a float vector (same fast path as [[FloatVectorDot]]). */
 case class FloatVectorNorm(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
-  override def nullSafeEval(v: Any): Any = {
-    val a = v.asInstanceOf[ArrayData].toFloatArray()
-    var acc = 0.0
-    var i = 0
-    while (i < a.length) {
-      acc += a(i).toDouble * a(i).toDouble
-      i += 1
-    }
-    math.sqrt(acc)
-  }
+  override def nullSafeEval(v: Any): Any =
+    ExprRuntimes.vectorNorm(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.ExprRuntimes.vectorNorm($a)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
