@@ -1,0 +1,105 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class EventStreamSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-03-01 10:$minute%02d:00")
+
+  test("windowed agg over a memory stream: counts per tumbling window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+
+    val agg = EventStream.windowedEventAgg(events, "ts", "10 minutes", "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("win_agg")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts(1), "click", 1.0), (ts(2), "click", 2.0), (ts(4), "view", 5.0),
+        (ts(12), "click", 3.0))
+      q.processAllAvailable()
+      // advance watermark far past the first window so it finalizes
+      input.addData((ts(40), "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_agg")
+        .select("window_start", "event_type", "n_events", "total_value")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(rows.contains((Timestamp.valueOf("2024-03-01 10:00:00"), "click", 2L, 3.0)))
+      assert(rows.contains((Timestamp.valueOf("2024-03-01 10:00:00"), "view", 1L, 5.0)))
+      assert(rows.contains((Timestamp.valueOf("2024-03-01 10:10:00"), "click", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("late event beyond the watermark is dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val agg = EventStream.windowedEventAgg(
+      input.toDF().toDF("ts", "event_type", "value"), "ts", "10 minutes", "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("late_agg")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(1), "click", 1.0))
+      q.processAllAvailable()
+      input.addData((ts(50), "click", 1.0)) // watermark -> 10:45
+      q.processAllAvailable()
+      input.addData((ts(2), "click", 100.0)) // hopelessly late: dropped
+      q.processAllAvailable()
+      input.addData((ts(59), "click", 1.0))
+      q.processAllAvailable()
+      val first = spark.table("late_agg")
+        .filter(col("window_start") === Timestamp.valueOf("2024-03-01 10:00:00"))
+        .select("n_events", "total_value")
+        .as[(Long, Double)].collect().toSeq
+      assert(first === Seq((1L, 1.0))) // the late 100.0 never lands
+    } finally q.stop()
+  }
+
+  test("streaming dedup keeps first arrival per fingerprint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val out = EventStream.dedupStream(
+      input.toDF().toDF("ts", "text"), "text", "ts")
+    val q = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts(1), "Hello  World"), (ts(2), "hello world"), (ts(3), "other doc"))
+      q.processAllAvailable()
+      val texts = spark.table("dedup_stream").select("text").as[String].collect()
+      assert(texts.length === 2) // case/whitespace variants collapse
+      assert(texts.contains("other doc"))
+    } finally q.stop()
+  }
+
+  test("availableNow run lands parquet exactly once and is idempotent") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-stream-").toString
+    val src = s"$root/in"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    Files.write(java.nio.file.Paths.get(s"$src/a.json"),
+      Seq("""{"user_id": 1, "event_type": "click"}""",
+        """{"user_id": 2, "event_type": "view"}""")
+        .mkString("\n").getBytes("UTF-8"))
+
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("user_id", "long").add("event_type", "string")
+    def run(): Unit = EventStream.runAvailableNow(
+      EventStream.readJsonlStream(spark, src, schema),
+      s"$root/out", s"$root/ckpt")
+    run()
+    assert(spark.read.parquet(s"$root/out").count() === 2)
+    run() // second incremental run: no new input, no duplicate rows
+    assert(spark.read.parquet(s"$root/out").count() === 2)
+  }
+}
