@@ -177,4 +177,39 @@ class LakePipelineSpec extends SparkSpec {
     ObjectStore.putJsonObject(spark, path, """{"status": "rerun"}""")
     assert(ObjectStore.getObject(spark, path) === """{"status": "rerun"}""")
   }
+
+  test("S10 DwLoad sub-DAG: stage, validate, final load, catalog copy") {
+    import spark.implicits._
+    import graft.ops.ValidateOps.FieldRule
+    Seq((1L, "a@x.io", 10.0), (2L, "b@x.io", 20.0))
+      .toDF("id", "email", "amount").createOrReplaceTempView("dw_src")
+
+    val out = graft.pipeline.DwLoad.run(spark, metastore,
+      graft.pipeline.DwLoad.Spec(
+        schema = "finance", table = "payments",
+        stagingQuery = "SELECT * FROM dw_src",
+        rules = Seq(
+          FieldRule.requiredField("email"),
+          FieldRule.nonNegative("amount")),
+        minCount = 2))
+    assert(out.count() === 2)
+    // both schemas registered and queryable
+    assert(spark.sql("SELECT sum(amount) FROM `dw_finance_staging`.`payments`")
+      .head().getDouble(0) === 30.0)
+    assert(spark.sql("SELECT sum(amount) FROM `dw_finance`.`payments`")
+      .head().getDouble(0) === 30.0)
+
+    // a failing monitor aborts before the final schema is touched
+    Seq((3L, null.asInstanceOf[String], -5.0))
+      .toDF("id", "email", "amount").createOrReplaceTempView("dw_bad")
+    intercept[IllegalArgumentException] {
+      graft.pipeline.DwLoad.run(spark, metastore,
+        graft.pipeline.DwLoad.Spec(
+          schema = "finance", table = "payments_bad",
+          stagingQuery = "SELECT * FROM dw_bad",
+          rules = Seq(FieldRule.requiredField("email"))))
+    }
+    // the bad table never reached the final schema
+    assert(!spark.catalog.tableExists("`dw_finance`.`payments_bad`"))
+  }
 }
