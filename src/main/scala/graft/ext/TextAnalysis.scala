@@ -38,26 +38,40 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "im", "ein"),
     "fr" -> Seq("le", "la", "de", "et", "les", "des", "une", "du", "est", "dans"))
 
-  /** Fraction of the document's distinct tokens found in `profile`. */
+  /** Fraction of the document's distinct tokens found in `profile`.
+    * `stopword_hits` (one generated method call per profile) rather than
+    * `array_intersect` with a literal array — see
+    * [[graft.functions.StopwordHits]] for why this matters with several
+    * profiles in one projection.
+    */
   def stopwordScore(text: Column, profile: Seq[String]): Column = {
     val ts = tokenSet(lower(text))
-    (size(array_intersect(ts, typedlit(profile))).cast("double") /
+    (graft.functions.StopwordFunctions.stopword_hits(ts, profile).cast("double") /
       greatest(size(ts), lit(1)).cast("double"))
   }
 
   /** Predicted language: the profile with the highest score, "und" when no
     * profile scores above `minScore`. Deterministic tie-break: profile
-    * order (first wins via strict greater-than chain).
+    * order (first wins — encoded as a negative-index struct field, since
+    * struct ordering compares fields left to right).
+    *
+    * Shaped as `array_max` over (score, -index, lang) structs rather than a
+    * `when`-chain fold: the fold embeds every earlier profile's expression
+    * tree in each later branch (exponential tree growth), which made Janino
+    * spend seconds COMPILING the generated code per query — argmax keeps
+    * the tree linear in the profile count.
     */
   def langId(text: Column, minScore: Double = 0.05): Column = {
-    val scored = StopwordProfiles.map { case (lang, words) =>
-      (lang, stopwordScore(text, words))
+    val candidates = StopwordProfiles.zipWithIndex.map {
+      case ((lang, words), i) =>
+        struct(
+          stopwordScore(text, words).as("s"),
+          lit(-i).as("ni"),
+          lit(lang).as("lang"))
     }
-    val best = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
-      case ((bl, bs), (lang, s)) =>
-        (when(s > bs, lit(lang)).otherwise(bl), greatest(s, bs))
-    }
-    when(best._2 >= minScore, best._1).otherwise(lit("und"))
+    val best = array_max(array(candidates: _*))
+    when(best.getField("s") >= minScore, best.getField("lang"))
+      .otherwise(lit("und"))
   }
 
   // ------------------------------------------------------------- quality
