@@ -290,6 +290,20 @@ object SparkEntry {
         .orderBy("day", "event_type")
     }),
 
+    "q25_session_window" -> ((s, dir) => {
+      // per-user sessionization with a 30-minute inactivity gap; session
+      // bounds formatted (no raw timestamp output columns — see header)
+      rd(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(
+          col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("session_start"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
+    }),
+
     "q21_cube" -> ((s, dir) => {
       rd(s, dir, "documents")
         .cube("lang", "source")
@@ -378,6 +392,11 @@ object SparkEntry {
 
     "y2_knn_lsh" -> ((s, dir) => { // rows-only: approximate recall
       Similarity.topKLsh(rd(s, dir, "embeddings"), "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    "y3_knn_ivf" -> ((s, dir) => { // rows-only: approximate recall
+      Similarity.topKIvf(rd(s, dir, "embeddings"), "vec_id", "embedding", k = 5)
         .orderBy("query_id", "rank")
     }),
 
@@ -631,6 +650,21 @@ object SparkEntry {
         |  event_type, count(*) AS n_events,
         |  round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q25_session_window" ->
+      """WITH m AS (SELECT user_id, ts,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |      >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "q21_cube" ->
       """SELECT lang, source, count(*) AS n_docs,

@@ -150,6 +150,117 @@ object Similarity {
       .distinct()
   }
 
+  // ------------------------------------------------------------------ IVF
+
+  /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+    * assigns every vector to its nearest centroid cell; each query probes
+    * only the `nprobe` nearest cells. Complements [[topKLsh]]: IVF adapts
+    * to the data's cluster structure (LSH is data-independent), typically
+    * giving better recall/compute at the same candidate volume.
+    *
+    * Scale shape: training runs on a BOUNDED seeded sample collected to
+    * the driver (explicitly capped — Lloyd iterations on `sampleSize`
+    * points are trivial there); assignment and search are pure codegen'd
+    * expressions + one equi-join on cell id. At 100 TB only the sample
+    * collect touches the driver; everything else distributes.
+    */
+  def topKIvf(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      iterations: Int = 5,
+      sampleSize: Int = 1024,
+      seed: Long = 42L): DataFrame = {
+    val centroids = trainCentroids(df, idCol, vecCol, nlist, iterations, sampleSize, seed)
+
+    val base = df.select(
+      col(idCol).as("id"),
+      col(vecCol).as("v"),
+      vector_norm(col(vecCol)).as("n"),
+      nearestCells(col(vecCol), centroids, 1).getItem(0).as("cell"))
+
+    val probes = df.select(
+      col(idCol).as("query_id"),
+      col(vecCol).as("qv"),
+      vector_norm(col(vecCol)).as("qn"),
+      explode(nearestCells(col(vecCol), centroids, nprobe)).as("cell"))
+
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    probes
+      .join(base.select(col("id").as("neighbor_id"), col("v").as("cv"),
+        col("n").as("cn"), col("cell")), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("qn"), col("cv"), col("cn")).as("cosine"))
+      .distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** The `nprobe` nearest centroid ids for a vector, nearest first.
+    * Distance ranking uses `v·c − |c|²/2` (equivalent to squared-L2
+    * argmin); expressed as sort over (score, -index) structs so the tree
+    * stays linear in `nlist`.
+    */
+  private def nearestCells(
+      vec: Column, centroids: Seq[Array[Float]], nprobe: Int): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val half = c.map(x => x.toDouble * x.toDouble).sum / 2.0
+      struct(
+        (vector_dot(vec, typedlit(c.toSeq)) - half).as("s"),
+        lit(-i).as("ni"))
+    }
+    val top = slice(reverse(array_sort(array(scored: _*))), 1, nprobe)
+    transform(top, t => -t.getField("ni"))
+  }
+
+  /** Lloyd's algorithm on a bounded, deterministic sample (smallest ids —
+    * reproducible run-to-run). Empty cells keep their previous centroid.
+    */
+  private def trainCentroids(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      iterations: Int,
+      sampleSize: Int,
+      seed: Long): Seq[Array[Float]] = {
+    val sample = df.select(col(vecCol)).orderBy(col(idCol)).limit(sampleSize)
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "topKIvf: empty input")
+    val rng = new scala.util.Random(seed)
+    var centroids = Array.tabulate(nlist)(i =>
+      sample(if (i < sample.length) i else rng.nextInt(sample.length)).clone())
+
+    def sqDist(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    for (_ <- 0 until iterations) {
+      val sums = Array.fill(nlist)(new Array[Double](sample.head.length))
+      val counts = new Array[Int](nlist)
+      sample.foreach { v =>
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < nlist) {
+          val d = sqDist(v, centroids(c)); if (d < bd) { bd = d; best = c }; c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+      }
+      centroids = Array.tabulate(nlist)(c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(x => (x / counts(c)).toFloat))
+    }
+    centroids.toSeq
+  }
+
   /** Largest input [[cosinePairsBruteForce]] accepts before failing fast —
     * ~1.25e9 candidate pairs, the edge of single-node-verification scope.
     */

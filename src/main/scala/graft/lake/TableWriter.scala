@@ -55,6 +55,40 @@ object TableWriter {
     writer.save(spec.path)
   }
 
+  /** Bucketed external-table write (beyond-reference layout operator, the
+    * key to exchange-free joins at 100 TB): rows are hash-partitioned into
+    * `numBuckets` files per partition by `bucketCols` AT WRITE TIME, so any
+    * later equi-join or aggregation on those columns between tables with
+    * the same bucketing reads co-located data and skips the shuffle
+    * entirely — the single biggest repeated-query win for large fact-fact
+    * joins. `sortCols` additionally pre-sorts within buckets (sort-merge
+    * joins then skip the sort too). Bucketing rides the catalog
+    * (`saveAsTable` + `path` = external), not a bare directory — bucket
+    * metadata lives in the table definition.
+    */
+  def writeBucketed(
+      spark: SparkSession,
+      df: DataFrame,
+      database: String,
+      table: String,
+      path: String,
+      numBuckets: Int,
+      bucketCols: Seq[String],
+      sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty, "writeBucketed: bucketCols must be non-empty")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$database`")
+    spark.sql(s"DROP TABLE IF EXISTS `$database`.`$table`")
+    var writer = df.write
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+      .option("compression", "snappy")
+      .option("path", path)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    if (sortCols.nonEmpty)
+      writer = writer.sortBy(sortCols.head, sortCols.tail: _*)
+    writer.saveAsTable(s"`$database`.`$table`")
+  }
+
   /** S6 — register the written location as an external table in the session
     * catalog (the sandbox stand-in for the reference's
     * `create_external_table.py` Athena registration).

@@ -87,4 +87,20 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.length === pairs.distinct.length)
     pairs.foreach { case (a, b) => assert(a < b) }
   }
+
+  test("y3 IVF top-k: high recall vs brute force, deterministic") {
+    import spark.implicits._
+    val exact = Similarity.topKBruteForce(
+        vectors, vectors, "vec_id", "embedding", k = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.topKIvf(
+        vectors, "vec_id", "embedding", k = 2, nlist = 2, nprobe = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF recall $recall; exact=$exact ivf=$ivf")
+    val again = Similarity.topKIvf(
+        vectors, "vec_id", "embedding", k = 2, nlist = 2, nprobe = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(again === ivf) // seeded training: reproducible run-to-run
+  }
 }

@@ -212,4 +212,29 @@ class LakePipelineSpec extends SparkSpec {
     // the bad table never reached the final schema
     assert(!spark.catalog.tableExists("`dw_finance`.`payments_bad`"))
   }
+
+  test("bucketed tables join without a shuffle exchange") {
+    import spark.implicits._
+    val facts = (1L to 1000L).map(i => (i % 100, i, i * 1.5)).toDF("k", "id", "v")
+    val dims = (0L until 100L).map(i => (i, s"dim_$i")).toDF("k", "name")
+    TableWriter.writeBucketed(spark, facts, "bkt", "facts",
+      s"$root/bkt/facts", numBuckets = 8, bucketCols = Seq("k"), sortCols = Seq("k"))
+    TableWriter.writeBucketed(spark, dims, "bkt", "dims",
+      s"$root/bkt/dims", numBuckets = 8, bucketCols = Seq("k"), sortCols = Seq("k"))
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = spark.table("`bkt`.`facts`")
+        .join(spark.table("`bkt`.`dims`"), "k")
+        .groupBy("name").agg(sum("v").as("total"))
+      assert(joined.count() === 100)
+      val plan = joined.queryExecution.executedPlan.toString
+      // co-located layout: the join itself requires no exchange; the only
+      // shuffle left is the final aggregation by name
+      val joinSection = plan.split("SortMergeJoin")(1)
+      assert(!joinSection.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
 }
