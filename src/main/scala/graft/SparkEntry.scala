@@ -266,6 +266,22 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q26_asof_salted" -> ((s, dir) => {
+      // the skew-safe as-of (month-bucketed windows + boundary carry);
+      // same oracle semantics as q18 — the value compare proves the two
+      // formulations agree on real data
+      AsofJoin.asofSalted(
+        left = rd(s, dir, "events"),
+        right = rd(s, dir, "orders"),
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTs = "ts", rightTs = "o_orderdate",
+        rightCols = Seq("o_orderkey"),
+        bucket = t => date_trunc("month", t),
+        inner = true)
+        .select("event_id", "o_orderkey")
+        .orderBy("event_id")
+    }),
+
     "q19_range_join" -> ((s, dir) => {
       rd(s, dir, "orders")
         .join(
@@ -628,6 +644,16 @@ object SparkEntry {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q18_asof_join" ->
+      """SELECT event_id, o_orderkey FROM (
+        |  SELECT e.event_id, o.o_orderkey,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e
+        |  JOIN orders o
+        |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) t
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "q26_asof_salted" ->
       """SELECT event_id, o_orderkey FROM (
         |  SELECT e.event_id, o.o_orderkey,
         |    row_number() OVER (PARTITION BY e.event_id

@@ -19,11 +19,11 @@ import org.apache.spark.sql.functions._
   *
   * Skew bound: all rows of one key serialize into one window task, and AQE
   * skew handling does NOT split window partitions (it applies to joins).
-  * With a power-law key distribution the hottest key is the straggler; the
-  * scale mitigation is to bucket the timestamp range per hot key and carry
-  * the last value across bucket boundaries in a second tiny pass (not
-  * implemented here — documented trade-off, acceptable while max key
-  * frequency ≪ rows/executor).
+  * With a power-law key distribution the hottest key is the straggler —
+  * use [[asofSalted]] there: it buckets the timestamp range so a hot key
+  * parallelizes across buckets, with boundary carry-forward in a second,
+  * tiny pass. This plain variant stays the default while max key frequency
+  * ≪ rows/executor (one shuffle, no carry join).
   *
   * Tie semantics: `rightTs == leftTs` matches (inclusive); among right rows
   * with identical (key, ts) the greatest `struct(rightCols)` wins
@@ -66,6 +66,87 @@ object AsofJoin {
     val carried = l.unionByName(r)
       .withColumn("_match", last(col("_r"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
+
+    val matched = if (inner) carried.filter(col("_match").isNotNull) else carried
+    val out =
+      leftCols.map(c => col(s"_l.$c").as(c)) ++
+        rightCols.map(c => col(s"_match.$c").as(c))
+    matched.select(out: _*)
+  }
+
+  /** Skew-safe variant of [[asof]]: identical semantics (inclusive match,
+    * greatest-struct tie-break), but the window partitions on
+    * `(key, bucket(ts))` instead of `(key)`, so one hot key parallelizes
+    * across its time range instead of serializing into one task.
+    *
+    * Matches that cross a bucket boundary are carried by a second, tiny
+    * window: per `(key, bucket)` the latest right row is summarized (one
+    * row per key-bucket), and a running maximum over PRECEDING buckets
+    * yields the carry-in for each bucket. Cost: the big data is shuffled
+    * once on `(key, bucket)`; the carry pass runs on O(keys × buckets)
+    * rows. Correct for any bucketing function that is monotone in ts.
+    *
+    * @param bucket maps a ts column to its bucket (must be monotone
+    *               non-decreasing in ts), e.g.
+    *               `t => date_trunc("month", t)` or for numeric epochs
+    *               `t => floor(t / 86400)`.
+    */
+  def asofSalted(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      rightCols: Seq[String],
+      bucket: Column => Column,
+      inner: Boolean = false): DataFrame = {
+    val leftCols = left.columns.toIndexedSeq
+    val l = left.select(
+      col(leftKey).as("_k"),
+      col(leftTs).as("_t"),
+      lit(1).as("_side"),
+      struct(leftCols.map(col): _*).as("_l"),
+      lit(null).cast(structTypeOf(right, rightCols)).as("_r"))
+    val r = right.select(
+      col(rightKey).as("_k"),
+      col(rightTs).as("_t"),
+      lit(0).as("_side"),
+      lit(null).cast(structTypeOf(left, leftCols)).as("_l"),
+      struct(rightCols.map(col): _*).as("_r"))
+
+    val tagged = l.unionByName(r).withColumn("_b", bucket(col("_t")))
+
+    // per-(key, bucket) summary: the latest right row in the bucket as a
+    // (ts, payload) ordering struct — max == the row [[asof]]'s window
+    // would carry at bucket end (ties on ts resolve to the greatest
+    // payload struct, the same tie-break)
+    val bucketLast = tagged
+      .filter(col("_side") === 0)
+      .groupBy("_k", "_b")
+      .agg(max(struct(col("_t"), col("_r"))).as("_last"))
+
+    // carry-in per bucket: running max over strictly PRECEDING buckets of
+    // this key — O(keys × buckets) rows, the skew-free pass. Seeded from
+    // ALL (key, bucket) pairs present on either side: a left-only bucket
+    // still needs the carry from earlier right buckets.
+    val carryW = Window.partitionBy("_k").orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = tagged.select("_k", "_b").distinct()
+      .join(bucketLast, Seq("_k", "_b"), "left")
+      .withColumn("_carry", max(col("_last")).over(carryW))
+      .select(col("_k"), col("_b"), col("_carry"))
+
+    // within-bucket as-of (window on (key, bucket) — splittable), then
+    // fall back to the carried value when the bucket had no earlier right
+    val w = Window.partitionBy("_k", "_b")
+      .orderBy(col("_t"), col("_side"), col("_r"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = tagged
+      .withColumn("_inb", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .join(carries, Seq("_k", "_b"), "left")
+      .withColumn("_match", coalesce(col("_inb"), col("_carry._r")))
 
     val matched = if (inner) carried.filter(col("_match").isNotNull) else carried
     val out =

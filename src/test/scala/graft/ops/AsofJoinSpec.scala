@@ -60,4 +60,41 @@ class AsofJoinSpec extends SparkSpec {
     assert(out.count() === leftDf.count())
     assert(out.columns.toSeq === Seq("k", "t", "px"))
   }
+
+  test("salted as-of matches plain as-of on the fixture (bucketed by 10s)") {
+    import org.apache.spark.sql.functions._
+    val plain = AsofJoin.asof(leftDf, rightDf, "k", "k", "t", "t", Seq("px"))
+    val salted = AsofJoin.asofSalted(leftDf, rightDf, "k", "k", "t", "t",
+      Seq("px"), bucket = t => floor(t / 10))
+    assert(salted.collect().toSet === plain.collect().toSet)
+  }
+
+  test("salted as-of: carry crosses empty and left-only buckets (randomized)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    // clustered timestamps so buckets are sometimes empty on one side;
+    // duplicate (key, ts) right rows exercise the tie-break across buckets
+    val left = Seq.fill(300)((s"k${rng.nextInt(4)}", rng.nextInt(1000).toLong))
+      .toDF("k", "t")
+    val right = Seq.fill(200)(
+      (s"k${rng.nextInt(4)}", rng.nextInt(1000).toLong, rng.nextInt(50).toDouble))
+      .toDF("k", "t", "px")
+    val plain = AsofJoin.asof(left, right, "k", "k", "t", "t", Seq("px"))
+    for (width <- Seq(7L, 100L, 1000000L)) {
+      val salted = AsofJoin.asofSalted(left, right, "k", "k", "t", "t",
+        Seq("px"), bucket = t => floor(t / width))
+      assert(salted.collect().toSet === plain.collect().toSet,
+        s"bucket width $width diverged")
+    }
+  }
+
+  test("salted as-of inner=true drops unmatched left rows") {
+    import org.apache.spark.sql.functions._
+    val out = AsofJoin.asofSalted(leftDf, rightDf, "k", "k", "t", "t",
+      Seq("px"), bucket = t => floor(t / 10), inner = true)
+    import spark.implicits._
+    assert(out.as[(String, Long, Double)].collect().map(r => (r._1, r._2)).sorted.toSeq ===
+      Seq(("a", 10L), ("a", 20L), ("b", 100L)))
+  }
 }
