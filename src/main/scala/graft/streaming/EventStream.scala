@@ -1,11 +1,27 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types.StructType
 
 import org.apache.spark.sql.Row
+
+/** One user session as emitted by [[EventStream.sessionizeStream]].
+  * Top-level (not nested in the object): Catalyst's encoder codegen
+  * instantiates these reflectively from generated Java.
+  */
+final case class UserSession(
+    user_id: Long,
+    session_start: Timestamp,
+    session_end: Timestamp,
+    n_events: Long,
+    total_value: Double)
+
+/** Open-session state for [[EventStream.sessionizeStream]]. */
+final case class SessionState(start: Long, end: Long, n: Long, total: Double)
 
 /** Structured Streaming extension (SURVEY.md §2.9 declares the reference
   * batch-only; this module is the engine's declared extension beyond
@@ -70,6 +86,65 @@ object EventStream {
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark("_fp")
       .drop("_fp")
+
+  /** Custom-state sessionization via `flatMapGroupsWithState`: one state
+    * record per user holds the open session; an event later than
+    * `gapMs` after the session's end closes it (emit) and opens a new one;
+    * an event-time timeout closes idle sessions once the watermark passes
+    * their horizon, so state is bounded and sessions still emit when a
+    * user simply stops sending.
+    *
+    * This is the shape for semantics `session_window` cannot express —
+    * per-group custom accumulators, conditional emission, explicit
+    * timeout policy.
+    */
+  def sessionizeStream(
+      events: Dataset[(Long, Timestamp, Double)],
+      gapMs: Long = 30L * 60 * 1000,
+      lateness: String = "10 minutes"): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events
+      .toDF("user_id", "ts", "value")
+      .withWatermark("ts", lateness)
+      .as[(Long, Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long,
+         rows: Iterator[(Long, Timestamp, Double)],
+         state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(UserSession(userId, new Timestamp(s.start),
+              new Timestamp(s.end), s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_._2.getTime)
+            var open = state.getOption
+            val closed = Seq.newBuilder[UserSession]
+            sorted.foreach { case (_, ts, v) =>
+              val t = ts.getTime
+              open match {
+                case Some(s) if t - s.end <= gapMs =>
+                  open = Some(s.copy(end = math.max(s.end, t),
+                    n = s.n + 1, total = s.total + v))
+                case Some(s) =>
+                  closed += UserSession(userId, new Timestamp(s.start),
+                    new Timestamp(s.end), s.n, s.total)
+                  open = Some(SessionState(t, t, 1L, v))
+                case None =>
+                  open = Some(SessionState(t, t, 1L, v))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // close once the watermark passes session end + gap
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.result().iterator
+          }
+        })
+  }
 
   /** Parquet sink into a lake layer path, checkpointed; exactly-once via
     * the file-sink commit log. Caller `.start()`s (and picks a trigger —

@@ -102,4 +102,30 @@ class EventStreamSpec extends SparkSpec {
     run() // second incremental run: no new input, no duplicate rows
     assert(spark.read.parquet(s"$root/out").count() === 2)
   }
+
+  test("stateful sessionization: gap split, accumulation, timeout close") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val sessions = EventStream.sessionizeStream(
+      input.toDS(), gapMs = 10L * 60 * 1000, lateness = "5 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 5m apart (one session), then 20m gap (new one)
+      input.addData((1L, ts(0), 1.0), (1L, ts(5), 2.0), (1L, ts(25), 4.0))
+      q.processAllAvailable()
+      // push event time far ahead so the watermark times the sessions out
+      input.addData((2L, Timestamp.valueOf("2024-03-01 12:00:00"), 0.0))
+      q.processAllAvailable()
+      input.addData((2L, Timestamp.valueOf("2024-03-01 13:00:00"), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .filter(col("user_id") === 1L)
+        .select("session_start", "n_events", "total_value")
+        .as[(Timestamp, Long, Double)].collect().toSet
+      assert(rows.contains((ts(0), 2L, 3.0)))  // 10:00+10:05 merged
+      assert(rows.contains((ts(25), 1L, 4.0))) // split by the 20m gap
+    } finally q.stop()
+  }
 }
