@@ -202,22 +202,15 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** The `nprobe` nearest centroid ids for a vector, nearest first.
-    * Distance ranking uses `v·c − |c|²/2` (equivalent to squared-L2
-    * argmin); expressed as sort over (score, -index) structs so the tree
-    * stays linear in `nlist`.
+  /** The `nprobe` nearest centroid ids for a vector, nearest first — a
+    * single compact expression ([[graft.functions.NearestCells]]); the
+    * codebook rides along as a reference object instead of nlist × dims
+    * literals in generated code.
     */
   private def nearestCells(
-      vec: Column, centroids: Seq[Array[Float]], nprobe: Int): Column = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      val half = c.map(x => x.toDouble * x.toDouble).sum / 2.0
-      struct(
-        (vector_dot(vec, typedlit(c.toSeq)) - half).as("s"),
-        lit(-i).as("ni"))
-    }
-    val top = slice(reverse(array_sort(array(scored: _*))), 1, nprobe)
-    transform(top, t => -t.getField("ni"))
-  }
+      vec: Column, centroids: Seq[Array[Float]], nprobe: Int): Column =
+    graft.functions.CellFunctions.nearest_cells(
+      vec, centroids.map(_.toSeq), nprobe)
 
   /** Lloyd's algorithm on a bounded, deterministic sample (smallest ids —
     * reproducible run-to-run). Empty cells keep their previous centroid.

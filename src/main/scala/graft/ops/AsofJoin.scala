@@ -115,7 +115,11 @@ object AsofJoin {
       lit(null).cast(structTypeOf(left, leftCols)).as("_l"),
       struct(rightCols.map(col): _*).as("_r"))
 
+    // persisted: referenced by the bucket summary, the (key, bucket) seed,
+    // and the main window — without it the union + scans re-run per
+    // reference (ContextCleaner reclaims the blocks with the result)
     val tagged = l.unionByName(r).withColumn("_b", bucket(col("_t")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // per-(key, bucket) summary: the latest right row in the bucket as a
     // (ts, payload) ordering struct — max == the row [[asof]]'s window
