@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.{GraftShim, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions._
+
+/** SQL-surface registration: installs graft's native expressions as SQL
+  * functions so `spark.sql("SELECT graft_simhash64(...)")` works without
+  * touching the Scala API. Two entry points, one registration table:
+  *
+  *  - new sessions: `.config("spark.sql.extensions", "graft.GraftExtensions")`
+  *    (the standard `SparkSessionExtensions` injection);
+  *  - live sessions: `GraftExtensions.install(spark)` (registers on the
+  *    session's FunctionRegistry — no restart).
+  *
+  * Integer-ish parameters (k, seed) arrive as literal arguments: SQL has
+  * no constructor-parameter channel, so they are extracted from foldable
+  * int/long literals at resolution time.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.registrations.foreach { case (id, info, builder) =>
+      ext.injectFunction((id, info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  /** Register every graft function on an already-running session. */
+  def install(spark: SparkSession): Unit =
+    registrations.foreach { case (id, info, builder) =>
+      GraftShim.registerFunction(spark, id, info, builder)
+    }
+
+  private type Registration =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private lazy val registrations: Seq[Registration] = Seq(
+    make("graft_minhash", "k-seed MinHash signature of array<string>",
+      "graft_minhash(tokens, k)") {
+      case Seq(tokens, k) => MinHashSignature(tokens, intArg(k, "k"))
+    },
+    make("graft_simhash64", "64-bit SimHash of array<string>",
+      "graft_simhash64(tokens[, seed])") {
+      case Seq(tokens)       => SimHash64(tokens, 0L)
+      case Seq(tokens, seed) => SimHash64(tokens, longArg(seed, "seed"))
+    },
+    make("graft_xxhash64_seeded", "seeded xxHash64 of a string",
+      "graft_xxhash64_seeded(s, seed)") {
+      case Seq(s, seed) => XxHash64Seeded(s, longArg(seed, "seed"))
+    },
+    make("graft_jaccard_sorted",
+      "Jaccard of two sorted distinct array<string>",
+      "graft_jaccard_sorted(a, b)") {
+      case Seq(a, b) => JaccardSorted(a, b)
+    },
+    make("graft_vector_dot", "dot product of two array<float>",
+      "graft_vector_dot(a, b)") {
+      case Seq(a, b) => FloatVectorDot(a, b)
+    },
+    make("graft_vector_norm", "L2 norm of array<float>",
+      "graft_vector_norm(a)") {
+      case Seq(a) => FloatVectorNorm(a)
+    })
+
+  private def make(name: String, usage: String, example: String)(
+      build: PartialFunction[Seq[Expression], Expression]): Registration = {
+    val info = new ExpressionInfo(getClass.getName, null, name, usage, example)
+    (FunctionIdentifier(name), info, (args: Seq[Expression]) =>
+      build.applyOrElse(args, (bad: Seq[Expression]) =>
+        throw new IllegalArgumentException(
+          s"$name: unsupported argument list (${bad.size} args); usage: $example")))
+  }
+
+  private def intArg(e: Expression, name: String): Int = longArg(e, name).toInt
+
+  private def longArg(e: Expression, name: String): Long = e match {
+    case Literal(v: Int, _)  => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got: $other")
+  }
+}

@@ -14,4 +14,16 @@ object GraftShim {
 
   /** Unwrap a Column to its underlying Catalyst expression. */
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register a SQL function on a LIVE session (sessionState is
+    * `private[sql]`; this is the sanctioned post-creation path for a
+    * library installing its functions without a session restart).
+    */
+  def registerFunction(
+      spark: SparkSession,
+      name: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession]
+      .sessionState.functionRegistry.registerFunction(name, info, builder)
 }

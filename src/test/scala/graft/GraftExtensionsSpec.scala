@@ -1,0 +1,42 @@
+package graft
+
+/** Uses the shared session + `GraftExtensions.install` (the live-session
+  * path); the `spark.sql.extensions` class delegates to the same
+  * registration table, so this covers the builders for both entry points.
+  */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("graft functions are callable from plain SQL after install") {
+    GraftExtensions.install(spark)
+    val row = spark.sql(
+      """SELECT
+        |  graft_minhash(array('a', 'b', 'c'), 4) AS mh,
+        |  graft_simhash64(array('a', 'b')) AS sh,
+        |  graft_simhash64(array('a', 'b'), 7) AS sh7,
+        |  graft_jaccard_sorted(array('a', 'b'), array('b', 'c')) AS j,
+        |  graft_vector_dot(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)),
+        |                   array(CAST(3 AS FLOAT), CAST(4 AS FLOAT))) AS dot,
+        |  graft_vector_norm(array(CAST(3 AS FLOAT), CAST(4 AS FLOAT))) AS nrm,
+        |  graft_xxhash64_seeded('x', 5) AS xx
+        |""".stripMargin).head()
+    assert(row.getSeq[Long](0).length === 4)
+    assert(row.getLong(1) !== row.getLong(2)) // seed changes the signature
+    assert(row.getDouble(3) === 1.0 / 3.0)
+    assert(row.getDouble(4) === 11.0)
+    assert(row.getDouble(5) === 5.0)
+
+    // SQL result agrees with the Scala API (same expression underneath)
+    import org.apache.spark.sql.functions.lit
+    import graft.functions.HashFunctions
+    val viaApi = spark.range(1)
+      .select(HashFunctions.xxhash64_seeded(lit("x"), 5L).as("xx"))
+      .head().getLong(0)
+    assert(row.getLong(6) === viaApi)
+
+    // bad arity fails with the usage message, not an internal error
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_minhash(array('a'))").head()
+    }
+    assert(e.getMessage.contains("graft_minhash"))
+  }
+}
