@@ -35,13 +35,13 @@ object Similarity {
   private def cosine(va: Column, na: Column, vb: Column, nb: Column): Column =
     vector_dot(va, vb) / (na * nb)
 
-  /** LSH bucket id: bit i = sign of dot(vec, plane_i). */
+  /** LSH bucket id: bit i = sign of dot(vec, plane_i). One compact
+    * expression ([[graft.functions.HyperplaneBucketExpr]]) — the plane
+    * matrix rides as a reference object, not planes × dims literals.
+    */
   def hyperplaneBucket(vec: Column, planes: Int, dims: Int, seed: Long): Column =
-    hyperplanes(planes, dims, seed).zipWithIndex
-      .map { case (plane, i) =>
-        when(vector_dot(vec, typedlit(plane)) >= 0, lit(1L << i)).otherwise(lit(0L))
-      }
-      .reduce(_ + _)
+    graft.functions.BucketFunctions.hyperplane_bucket(
+      vec, hyperplanes(planes, dims, seed).map(_.toSeq))
 
   /** Exact top-k neighbors of each query vector in the corpus.
     * `queries` is broadcast (keep it small); output
