@@ -306,6 +306,29 @@ object SparkEntry {
         .orderBy("day", "event_type")
     }),
 
+    "q27_percentile" -> ((s, dir) => {
+      // exact interpolated percentiles (not approx — approx sketches are
+      // engine-specific and would never hash-match an oracle)
+      rd(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          (floor(expr("percentile(l_quantity, 0.5)") * 1e4 + 0.5) / 1e4)
+            .as("p50_qty"),
+          (floor(expr("percentile(l_extendedprice, 0.9)") * 1e4 + 0.5) / 1e4)
+            .as("p90_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q28_pivot" -> ((s, dir) => {
+      // explicit pivot values: deterministic schema, no discovery scan
+      rd(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum("l_extendedprice"), 2))
+        .withColumnsRenamed(Map("F" -> "rev_f", "O" -> "rev_o"))
+        .orderBy("l_returnflag")
+    }),
+
     "q25_session_window" -> ((s, dir) => {
       // per-user sessionization with a 30-minute inactivity gap; session
       // bounds formatted (no raw timestamp output columns — see header)
@@ -676,6 +699,18 @@ object SparkEntry {
         |  event_type, count(*) AS n_events,
         |  round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q27_percentile" ->
+      """SELECT l_returnflag,
+        |  floor(quantile_cont(l_quantity, 0.5) * 1e4 + 0.5) / 1e4 AS p50_qty,
+        |  floor(quantile_cont(l_extendedprice, 0.9) * 1e4 + 0.5) / 1e4 AS p90_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q28_pivot" ->
+      """SELECT l_returnflag,
+        |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice END), 2) AS rev_f,
+        |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_extendedprice END), 2) AS rev_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q25_session_window" ->
       """WITH m AS (SELECT user_id, ts,
