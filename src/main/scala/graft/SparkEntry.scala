@@ -2,7 +2,7 @@ package graft
 
 import java.time.LocalDate
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -18,9 +18,11 @@ import graft.ops.ValidateOps._
   * Conventions shared by query + oracle (the driver hash-compares values
   * after sorting columns by name):
   *  - every computed column is aliased identically on both sides;
-  *  - double aggregates are `round`ed (hash-agg accumulation order differs
-  *    between engines; exact FP equality is only kept where both engines
-  *    provably run the identical IEEE sequence, e.g. cosine);
+  *  - double aggregates go through [[rnd]] (floor form) on BOTH sides —
+  *    never engine `round()`, whose tie behavior differs between Spark
+  *    (BigDecimal HALF_UP) and DuckDB (double math); exact FP equality is
+  *    only kept where both engines provably run the identical IEEE
+  *    sequence, e.g. cosine;
   *  - counts stay BIGINT on both sides (DuckDB integer `sum`s are cast down
   *    from HUGEINT); extracted date parts are cast to INT to match Spark;
   *  - no raw timestamp output columns (formatted as strings instead —
@@ -38,6 +40,18 @@ object SparkEntry {
         .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     } else s.read.parquet(s"$dir/$name.parquet")
 
+  /** Cross-engine-stable rounding: floor(x*10^d + 0.5)/10^d on BOTH the
+    * Spark side and the DuckDB oracle. Spark's round() goes through
+    * BigDecimal HALF_UP on the decimal expansion while DuckDB rounds in
+    * double math — they disagree whenever a value's decimal expansion
+    * lands on a tie (seen in practice at sf0.1 row counts). The floor form
+    * is pure double arithmetic, bit-identical in both engines.
+    */
+  private def rnd(c: Column, digits: Int): Column = {
+    val p = math.pow(10, digits)
+    floor(c * p + 0.5) / p
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Exercises the reference's headline pipeline end-to-end: JSON explode
     * (G1, full-inference parity mode) → snake_case (P2) → date-partition
@@ -51,8 +65,8 @@ object SparkEntry {
       .groupBy("event_type", "year", "month", "day")
       .agg(
         count(lit(1)).as("n_events"),
-        round(sum("value"), 2).as("total_value"),
-        round(avg(col("prop_k").cast("int")), 4).as("avg_prop_k"))
+        rnd(sum("value"), 2).as("total_value"),
+        rnd(avg(col("prop_k").cast("int")), 4).as("avg_prop_k"))
       .orderBy("event_type", "year", "month", "day")
   }
 
@@ -63,11 +77,11 @@ object SparkEntry {
         .filter(col("l_shipdate") <= lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          round(sum("l_quantity"), 2).as("sum_qty"),
-          round(sum("l_extendedprice"), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          rnd(sum("l_quantity"), 2).as("sum_qty"),
+          rnd(sum("l_extendedprice"), 2).as("sum_base_price"),
+          rnd(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
             .as("sum_disc_price"),
-          round(avg("l_quantity"), 4).as("avg_qty"),
+          rnd(avg("l_quantity"), 4).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -78,7 +92,7 @@ object SparkEntry {
           col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
         .select(
           col("l_orderkey"), col("l_linenumber"),
-          round(col("l_extendedprice") * col("l_discount"), 4)
+          rnd(col("l_extendedprice") * col("l_discount"), 4)
             .as("disc_revenue"))
         .orderBy("l_orderkey", "l_linenumber")
     }),
@@ -92,7 +106,7 @@ object SparkEntry {
         .groupBy("r_name")
         .agg(
           count(lit(1)).as("n_customers"),
-          round(avg("c_acctbal"), 2).as("avg_acctbal"))
+          rnd(avg("c_acctbal"), 2).as("avg_acctbal"))
         .orderBy("r_name")
     }),
 
@@ -102,7 +116,7 @@ object SparkEntry {
           col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_orderpriority")
         .agg(
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          rnd(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
             .as("revenue"),
           countDistinct(col("o_orderkey")).as("n_orders"))
         .orderBy("o_orderpriority")
@@ -144,7 +158,7 @@ object SparkEntry {
       rd(s, dir, "lineitem")
         .select(
           col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          rnd(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
             .over(w), 2).as("running_revenue"))
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
     }),
@@ -191,7 +205,7 @@ object SparkEntry {
         .rollup(col("r_name"), col("n_name"))
         .agg(
           count(lit(1)).as("n_customers"),
-          round(sum("c_acctbal"), 2).as("sum_acctbal"))
+          rnd(sum("c_acctbal"), 2).as("sum_acctbal"))
         .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
     }),
 
@@ -201,7 +215,7 @@ object SparkEntry {
         .groupBy("event_type")
         .agg(
           count(lit(1)).as("n_events"),
-          round(avg(col("prop_k").cast("int")), 4).as("avg_prop_k"))
+          rnd(avg(col("prop_k").cast("int")), 4).as("avg_prop_k"))
         .orderBy("event_type")
     }),
 
@@ -211,7 +225,7 @@ object SparkEntry {
         .groupBy("year", "month")
         .agg(
           count(lit(1)).as("n_orders"),
-          round(sum("o_totalprice"), 2).as("total_price"))
+          rnd(sum("o_totalprice"), 2).as("total_price"))
         .orderBy("year", "month")
     }),
 
@@ -235,7 +249,7 @@ object SparkEntry {
         .agg(
           count(lit(1)).as("n"),
           countDistinct(col("_user__id")).as("n_users"),
-          round(sum("_value"), 2).as("total_value"))
+          rnd(sum("_value"), 2).as("total_value"))
         .orderBy("event_type")
     }),
 
@@ -299,7 +313,7 @@ object SparkEntry {
         .groupBy(window(col("ts"), "1 day"), col("event_type"))
         .agg(
           count(lit(1)).as("n_events"),
-          round(sum("value"), 2).as("total_value"))
+          rnd(sum("value"), 2).as("total_value"))
         .select(
           date_format(col("window.start"), "yyyy-MM-dd").as("day"),
           col("event_type"), col("n_events"), col("total_value"))
@@ -324,7 +338,7 @@ object SparkEntry {
       rd(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .pivot("l_linestatus", Seq("F", "O"))
-        .agg(round(sum("l_extendedprice"), 2))
+        .agg(rnd(sum("l_extendedprice"), 2))
         .withColumnsRenamed(Map("F" -> "rev_f", "O" -> "rev_o"))
         .orderBy("l_returnflag")
     }),
@@ -453,7 +467,7 @@ object SparkEntry {
         .select(
           col("doc_id"),
           TextAnalysis.tokenCountWhitespace(col("text")).as("n_tokens"),
-          // floor(x*1e6+0.5)/1e6 not round(): Spark rounds via BigDecimal
+          // floor(x*1e6+0.5)/1e6 not rnd(): Spark rounds via BigDecimal
           // HALF_UP on the decimal expansion, DuckDB via double math — they
           // disagree on ties (e.g. 0.7240624999…); this form is bit-identical
           // in both engines given the same IEEE double input.
@@ -509,7 +523,7 @@ object SparkEntry {
         Multimodal.packAsMedia(rd(s, dir, "documents"), "doc_id", "text", "text"))
         .toDF()
         .select(col("media_id"), col("dim"),
-          round(element_at(col("features"), 1), 6).as("f0"))
+          rnd(element_at(col("features"), 1), 6).as("f0"))
         .orderBy("media_id")
     }),
 
@@ -534,10 +548,10 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2 AS sum_qty,
+        |  floor((sum(l_extendedprice)) * 1e2 + 0.5) / 1e2 AS sum_base_price,
+        |  floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2 AS sum_disc_price,
+        |  floor((avg(l_quantity)) * 1e4 + 0.5) / 1e4 AS avg_qty,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -546,14 +560,14 @@ object SparkEntry {
 
     "q02_filter_project" ->
       """SELECT l_orderkey, l_linenumber,
-        |  round(l_extendedprice * l_discount, 4) AS disc_revenue
+        |  floor((l_extendedprice * l_discount) * 1e4 + 0.5) / 1e4 AS disc_revenue
         |FROM lineitem
         |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q03_broadcast_join" ->
       """SELECT r_name, count(*) AS n_customers,
-        |  round(avg(c_acctbal), 2) AS avg_acctbal
+        |  floor((avg(c_acctbal)) * 1e2 + 0.5) / 1e2 AS avg_acctbal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -561,7 +575,7 @@ object SparkEntry {
 
     "q04_join_agg" ->
       """SELECT o_orderpriority,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2 AS revenue,
         |  count(DISTINCT o_orderkey) AS n_orders
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
@@ -589,10 +603,10 @@ object SparkEntry {
 
     "q08_window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
-        |  round(sum(l_extendedprice * (1 - l_discount)) OVER (
+        |  floor((sum(l_extendedprice * (1 - l_discount)) OVER (
         |    PARTITION BY l_suppkey
         |    ORDER BY l_shipdate, l_orderkey, l_linenumber
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1e2 + 0.5) / 1e2
         |    AS running_revenue
         |FROM lineitem
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
@@ -625,7 +639,7 @@ object SparkEntry {
 
     "q12_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_customers,
-        |  round(sum(c_acctbal), 2) AS sum_acctbal
+        |  floor((sum(c_acctbal)) * 1e2 + 0.5) / 1e2 AS sum_acctbal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -634,7 +648,7 @@ object SparkEntry {
 
     "q13_explode_json" ->
       """SELECT event_type, count(*) AS n_events,
-        |  round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4)
+        |  floor((avg(CAST(json_extract_string(props, '$.k') AS INT))) * 1e4 + 0.5) / 1e4
         |    AS avg_prop_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
@@ -642,7 +656,7 @@ object SparkEntry {
       """SELECT CAST(year(o_orderdate) AS INT) AS year,
         |  CAST(month(o_orderdate) AS INT) AS month,
         |  count(*) AS n_orders,
-        |  round(sum(o_totalprice), 2) AS total_price
+        |  floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2 AS total_price
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q15_struct_to_json" ->
@@ -654,7 +668,7 @@ object SparkEntry {
     "q16_normalize_columns" ->
       """SELECT event_type, count(*) AS n,
         |  count(DISTINCT user_id) AS n_users,
-        |  round(sum(value), 2) AS total_value
+        |  floor((sum(value)) * 1e2 + 0.5) / 1e2 AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q17_validate" ->
@@ -697,7 +711,7 @@ object SparkEntry {
     "q20_time_window" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
         |  event_type, count(*) AS n_events,
-        |  round(sum(value), 2) AS total_value
+        |  floor((sum(value)) * 1e2 + 0.5) / 1e2 AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q27_percentile" ->
@@ -708,8 +722,8 @@ object SparkEntry {
 
     "q28_pivot" ->
       """SELECT l_returnflag,
-        |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice END), 2) AS rev_f,
-        |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_extendedprice END), 2) AS rev_o
+        |  floor((sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice END)) * 1e2 + 0.5) / 1e2 AS rev_f,
+        |  floor((sum(CASE WHEN l_linestatus = 'O' THEN l_extendedprice END)) * 1e2 + 0.5) / 1e2 AS rev_o
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q25_session_window" ->
