@@ -237,4 +237,19 @@ class LakePipelineSpec extends SparkSpec {
         s"bucketed join should not shuffle:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
+
+  test("L3 maxRecordsPerFile bounds rows per written file") {
+    import spark.implicits._
+    val df = (1L to 1000L).toDF("id").coalesce(1)
+    val path = s"$root/maxrec"
+    TableWriter.write(df, TableWriter.Spec(
+      layer = Layer.Clean, path = path, maxRecordsPerFile = 100L))
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 10) // 1000 rows / 100 per file
+    files.foreach { f =>
+      assert(spark.read.parquet(f.getPath).count() <= 100L)
+    }
+    assert(spark.read.parquet(path).count() === 1000L)
+  }
 }

@@ -64,4 +64,33 @@ class JsonOpsSpec extends SparkSpec {
     val out = df.explodeJsonColumn("j")
     assert(out.orderBy("id").as[(Long, String, String)].head() === ((1L, "5", "v")))
   }
+
+  test("explode ∘ to_json round-trips random flat string maps (property)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, to_json}
+    // lowercase keys: JSON extraction is case-SENSITIVE but Row.getAs
+    // resolves case-insensitively (spark.sql.caseSensitive=false), so
+    // case-colliding keys cannot be asserted through the Row API
+    val keyGen = org.scalacheck.Gen.nonEmptyListOf(
+      org.scalacheck.Gen.alphaLowerChar).map(_.mkString.take(8))
+    val entryGen = org.scalacheck.Gen.zip(
+      keyGen, org.scalacheck.Arbitrary.arbitrary[String])
+    val mapGen = org.scalacheck.Gen.mapOfN(3, entryGen)
+      .suchThat(_.nonEmpty)
+    val prop = org.scalacheck.Prop.forAll(mapGen) { m =>
+      val df = Seq(1L).toDF("id")
+        .withColumn("j", to_json(org.apache.spark.sql.functions.map(
+          m.toSeq.flatMap { case (k, v) =>
+            Seq(org.apache.spark.sql.functions.lit(k),
+              org.apache.spark.sql.functions.lit(v))
+          }: _*)))
+      val out = df.explodeJsonColumn("j",
+        schema = JsonSchema.Fields(m.keys.toSeq))
+      val row = out.head()
+      m.forall { case (k, v) => Option(row.getAs[String](k)).contains(v) }
+    }
+    assert(org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(30),
+      prop).passed)
+  }
 }
