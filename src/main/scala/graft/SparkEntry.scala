@@ -320,6 +320,19 @@ object SparkEntry {
         .orderBy("day", "event_type")
     }),
 
+    "q29_string_ops" -> ((s, dir) => {
+      // §2.8 scrape-adapter string surface: split / replace / contains
+      // (yahoo_finance.py:80-90's text munging, on engine-side columns)
+      rd(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          split(col("p_name"), " ").getItem(0).as("first_token"),
+          regexp_replace(col("p_brand"), "#", "").as("brand_clean"),
+          col("p_name").contains("cold").cast("int").as("has_cold"),
+          concat_ws("|", col("p_type"), col("p_size")).as("type_size"))
+        .orderBy("p_partkey")
+    }),
+
     "q27_percentile" -> ((s, dir) => {
       // exact interpolated percentiles (not approx — approx sketches are
       // engine-specific and would never hash-match an oracle)
@@ -713,6 +726,15 @@ object SparkEntry {
         |  event_type, count(*) AS n_events,
         |  floor((sum(value)) * 1e2 + 0.5) / 1e2 AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q29_string_ops" ->
+      """SELECT p_partkey,
+        |  split_part(p_name, ' ', 1) AS first_token,
+        |  replace(p_brand, '#', '') AS brand_clean,
+        |  CAST(CASE WHEN contains(p_name, 'cold') THEN 1 ELSE 0 END AS INT)
+        |    AS has_cold,
+        |  p_type || '|' || p_size AS type_size
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "q27_percentile" ->
       """SELECT l_returnflag,
