@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{GraftShim, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, UnaryMinus}
 
 import graft.functions._
 
@@ -79,6 +79,9 @@ object GraftExtensions {
   private def longArg(e: Expression, name: String): Long = e match {
     case Literal(v: Int, _)  => v.toLong
     case Literal(v: Long, _) => v
+    // SQL negative numbers parse as UnaryMinus(Literal) — constant folding
+    // has not run at function-resolution time
+    case UnaryMinus(inner, _) => -longArg(inner, name)
     case other => throw new IllegalArgumentException(
       s"$name must be an integer literal, got: $other")
   }

@@ -90,9 +90,12 @@ object Dedup {
     // Persisted: the group table is referenced by the band join, both
     // verify joins, and the intra-group branch of one output plan — without
     // persistence Spark re-runs the aggregation per reference (the
-    // broadcast wrappers differ, so ReusedExchange cannot kick in). The
-    // ContextCleaner reclaims the blocks once the result DataFrame is
-    // dropped (same pattern as Spark ML's LSH models).
+    // broadcast wrappers differ, so ReusedExchange cannot kick in).
+    // Lifecycle: the CacheManager keeps the entry until the session calls
+    // `spark.catalog.clearCache()` (or uncaches the plan); blocks are
+    // MEMORY_AND_DISK so storage pressure evicts them LRU rather than
+    // failing. Long-running sessions issuing many dedup calls should
+    // clearCache between jobs (Verify/Bench do).
     val groups = shingled
       .groupBy(md5(to_json(col("shingles"))).as("set_key"))
       .agg(

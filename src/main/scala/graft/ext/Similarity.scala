@@ -230,13 +230,18 @@ object Similarity {
     var centroids = Array.tabulate(nlist)(i =>
       sample(if (i < sample.length) i else rng.nextInt(sample.length)).clone())
 
+    // loops clamp to the shorter array (same policy as the NearestCells /
+    // HyperplaneBucketExpr kernels) so ragged vector lengths degrade to
+    // truncated math instead of an out-of-bounds crash on the driver
     def sqDist(a: Array[Float], b: Array[Float]): Double = {
+      val n = math.min(a.length, b.length)
       var s = 0.0; var i = 0
-      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
       s
     }
+    val dims = sample.head.length
     for (_ <- 0 until iterations) {
-      val sums = Array.fill(nlist)(new Array[Double](sample.head.length))
+      val sums = Array.fill(nlist)(new Array[Double](dims))
       val counts = new Array[Int](nlist)
       sample.foreach { v =>
         var best = 0; var bd = Double.MaxValue; var c = 0
@@ -245,7 +250,8 @@ object Similarity {
         }
         counts(best) += 1
         var i = 0
-        while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+        val m = math.min(v.length, dims)
+        while (i < m) { sums(best)(i) += v(i); i += 1 }
       }
       centroids = Array.tabulate(nlist)(c =>
         if (counts(c) == 0) centroids(c)
@@ -260,16 +266,18 @@ object Similarity {
   final val DefaultBruteForceMaxRows: Long = 50000L
 
   /** Exact all-pairs cosine — O(n²); verification scope only, enforced by
-    * `maxRows` (one cheap count action) rather than just documented.
+    * `maxRows`. The guard counts a LIMITed scan (maxRows+1 rows), so even
+    * on an oversized table it never pays a full pass just to fail.
     */
   def cosinePairsBruteForce(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       maxRows: Long = DefaultBruteForceMaxRows): DataFrame = {
-    val rows = df.count()
-    require(rows <= maxRows,
-      s"cosinePairsBruteForce: $rows rows exceeds maxRows=$maxRows " +
+    val cap = math.min(maxRows, Int.MaxValue - 1L).toInt
+    val rows = df.limit(cap + 1).count()
+    require(rows <= cap,
+      s"cosinePairsBruteForce: input exceeds maxRows=$maxRows " +
         "(O(n²) verification-only path; use cosinePairsLsh at scale)")
     val base = df.select(
       col(idCol).as("id"),

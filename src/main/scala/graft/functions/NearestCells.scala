@@ -53,11 +53,16 @@ case class NearestCells(
     val taken = new Array[Boolean](n)
     var p = 0
     while (p < nprobe) {
+      // seed `best` with the first untaken index so a NaN-poisoned score
+      // vector (every comparison false) still yields a deterministic cell
+      // instead of indexing taken(-1)
       var best = -1
       var bs = Double.NegativeInfinity
       var j = 0
       while (j < n) {
-        if (!taken(j) && scores(j) > bs) { bs = scores(j); best = j }
+        if (!taken(j) && (best < 0 || scores(j) > bs)) {
+          bs = scores(j); best = j
+        }
         j += 1
       }
       taken(best) = true

@@ -97,16 +97,20 @@ object TableWriter {
       spark: SparkSession,
       database: String,
       table: String,
-      spec: Spec): Unit = {
+      spec: Spec,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
     val fmt = StorageFormat.forLayer(spec.layer)
     spark.sql(s"CREATE DATABASE IF NOT EXISTS `$database`")
     spark.sql(s"DROP TABLE IF EXISTS `$database`.`$table`")
     // Spark requires an explicit column list when PARTITIONED BY names
-    // partition columns ([SPECIFY_PARTITION_IS_NOT_ALLOWED]); read the
-    // schema back from the written location (a footer read, not a scan) —
-    // partition columns come back from directory inference.
-    val written = spark.read.format(fmt.format).load(spec.path)
-    val ddlColumns = written.schema.fields
+    // partition columns ([SPECIFY_PARTITION_IS_NOT_ALLOWED]). Callers that
+    // just wrote the table KNOW the schema — pass it and registration is a
+    // pure metadata operation. The fallback reads it back from the written
+    // location: cheap for parquet (footers), but a full inference SCAN for
+    // the JSON raw layer — avoid there.
+    val ddlSchema = schema.getOrElse(
+      spark.read.format(fmt.format).load(spec.path).schema)
+    val ddlColumns = ddlSchema.fields
       .map(f => s"`${f.name}` ${f.dataType.sql}")
       .mkString(", ")
     val partClause =

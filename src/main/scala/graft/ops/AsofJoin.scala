@@ -117,7 +117,9 @@ object AsofJoin {
 
     // persisted: referenced by the bucket summary, the (key, bucket) seed,
     // and the main window — without it the union + scans re-run per
-    // reference (ContextCleaner reclaims the blocks with the result)
+    // reference. Held by the CacheManager until the session clears its
+    // cache (MEMORY_AND_DISK: evicted LRU under pressure, never fails);
+    // long-running sessions should clearCache between jobs.
     val tagged = l.unionByName(r).withColumn("_b", bucket(col("_t")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 

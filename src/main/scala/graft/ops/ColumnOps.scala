@@ -76,13 +76,23 @@ object ColumnOps {
         "month" -> lit(date.getMonthValue),
         "day" -> lit(date.getDayOfMonth)))
 
-    /** Append named columns in declared order as one Project node (there is
-      * no public `withColumns(Seq, Seq)` overload; N chained `withColumn`
-      * calls would stack N projections).
+    /** Add named columns in declared order as ONE Project node (N chained
+      * `withColumn` calls would stack N projections). Matches
+      * `withColumn(s)` semantics on name collision: an existing column of
+      * the same name is REPLACED in place, not duplicated (a duplicate
+      * would make every later by-name reference ambiguous).
       */
     private def appendColumns(
-        columns: Seq[(String, org.apache.spark.sql.Column)]): DataFrame =
-      df.select(col("*") +: columns.map { case (n, c) => c.as(n) }: _*)
+        columns: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+      val byName = columns.toMap
+      val existing = df.columns.toIndexedSeq
+      val replaced = existing.map(n =>
+        byName.get(n).map(_.as(n)).getOrElse(col(n)))
+      val appended = columns.collect {
+        case (n, c) if !existing.contains(n) => c.as(n)
+      }
+      df.select(replaced ++ appended: _*)
+    }
 
     private def mapFieldsOfType(
         pred: org.apache.spark.sql.types.DataType => Boolean,

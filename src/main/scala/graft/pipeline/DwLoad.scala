@@ -43,7 +43,8 @@ object DwLoad {
       layer = Layer.DwStaging,
       path = metastore.tablePath(Layer.DwStaging, spec.schema, spec.table))
     TableWriter.write(staged, stagingSpec)
-    TableWriter.registerExternalTable(spark, stagingDb, spec.table, stagingSpec)
+    TableWriter.registerExternalTable(spark, stagingDb, spec.table, stagingSpec,
+      schema = Some(staged.schema))
 
     // 2. validate_entity on the STAGED table (what actually landed)
     val stagedBack = spark.table(s"`$stagingDb`.`${spec.table}`")
@@ -60,7 +61,8 @@ object DwLoad {
     TableWriter.write(stagedBack, finalSpec)
 
     // 4. "COPY": register the final-schema files in the warehouse catalog
-    TableWriter.registerExternalTable(spark, finalDb, spec.table, finalSpec)
+    TableWriter.registerExternalTable(spark, finalDb, spec.table, finalSpec,
+      schema = Some(stagedBack.schema))
     spark.table(s"`$finalDb`.`${spec.table}`")
   }
 }

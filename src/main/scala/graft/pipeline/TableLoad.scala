@@ -64,7 +64,8 @@ object TableLoad {
 
     if (spec.registerTable) {
       val db = metastore.datalakeDatabase(spec.source, spec.targetLayer)
-      TableWriter.registerExternalTable(spark, db, spec.table, writerSpec)
+      TableWriter.registerExternalTable(spark, db, spec.table, writerSpec,
+        schema = Some(stamped.schema))
     }
     stamped
   }

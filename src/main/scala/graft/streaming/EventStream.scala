@@ -125,13 +125,22 @@ object EventStream {
             sorted.foreach { case (_, ts, v) =>
               val t = ts.getTime
               open match {
-                case Some(s) if t - s.end <= gapMs =>
-                  open = Some(s.copy(end = math.max(s.end, t),
+                // within the gap on EITHER side of the open session:
+                // merge, widening both boundaries (late-but-in-watermark
+                // events may precede the session start)
+                case Some(s) if t >= s.start - gapMs && t <= s.end + gapMs =>
+                  open = Some(s.copy(
+                    start = math.min(s.start, t), end = math.max(s.end, t),
                     n = s.n + 1, total = s.total + v))
-                case Some(s) =>
+                case Some(s) if t > s.end + gapMs =>
                   closed += UserSession(userId, new Timestamp(s.start),
                     new Timestamp(s.end), s.n, s.total)
                   open = Some(SessionState(t, t, 1L, v))
+                case Some(_) =>
+                  // more than a gap BEFORE the open session: it can never
+                  // merge with anything later, emit it as its own session
+                  closed += UserSession(userId, new Timestamp(t),
+                    new Timestamp(t), 1L, v)
                 case None =>
                   open = Some(SessionState(t, t, 1L, v))
               }

@@ -39,4 +39,16 @@ class GraftExtensionsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("graft_minhash"))
   }
+
+  test("negative integer literals work as SQL seeds") {
+    GraftExtensions.install(spark)
+    val r = spark.sql(
+      "SELECT graft_xxhash64_seeded('x', -1) AS a, " +
+        "graft_simhash64(array('a'), -7) AS b").head()
+    import org.apache.spark.sql.functions.lit
+    val viaApi = spark.range(1)
+      .select(graft.functions.HashFunctions.xxhash64_seeded(lit("x"), -1L))
+      .head().getLong(0)
+    assert(r.getLong(0) === viaApi)
+  }
 }

@@ -89,4 +89,18 @@ class ColumnOpsSpec extends SparkSpec {
     assert(fromCol === ((2024, 2, 29)))
     assert(fromLit === fromCol)
   }
+
+  test("P6/P7 replace an existing column in place instead of duplicating") {
+    import spark.implicits._
+    val df = Seq((1, "old")).toDF("id", "env")
+    val out = df.createColumnsFromSeq(Seq("env" -> "prod", "v" -> 7))
+    assert(out.columns.toSeq === Seq("id", "env", "v")) // no duplicate env
+    assert(out.select("env").as[String].head() === "prod")
+    // year/month/day over a frame that already has a year column
+    val dated = Seq(("2024-02-29", 1999)).toDF("d", "year")
+      .select(to_date(col("d")).as("d"), col("year"))
+      .withYearMonthDayFromColumn("d")
+    assert(dated.columns.count(_ == "year") === 1)
+    assert(dated.select("year").as[Int].head() === 2024) // replaced
+  }
 }

@@ -73,8 +73,12 @@ class JsonOpsSpec extends SparkSpec {
     // case-colliding keys cannot be asserted through the Row API
     val keyGen = org.scalacheck.Gen.nonEmptyListOf(
       org.scalacheck.Gen.alphaLowerChar).map(_.mkString.take(8))
-    val entryGen = org.scalacheck.Gen.zip(
-      keyGen, org.scalacheck.Arbitrary.arbitrary[String])
+    // unpaired UTF-16 surrogates cannot round-trip through UTF-8 JSON
+    // (they become replacement chars); quotes/backslashes/control chars
+    // remain in the generator and cover the escaping paths
+    val valueGen = org.scalacheck.Arbitrary.arbitrary[String]
+      .suchThat(s => !s.exists(Character.isSurrogate))
+    val entryGen = org.scalacheck.Gen.zip(keyGen, valueGen)
     val mapGen = org.scalacheck.Gen.mapOfN(3, entryGen)
       .suchThat(_.nonEmpty)
     val prop = org.scalacheck.Prop.forAll(mapGen) { m =>

@@ -128,4 +128,35 @@ class EventStreamSpec extends SparkSpec {
       assert(rows.contains((ts(25), 1L, 4.0))) // split by the 20m gap
     } finally q.stop()
   }
+
+  test("sessionization handles out-of-order events within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val sessions = EventStream.sessionizeStream(
+      input.toDS(), gapMs = 10L * 60 * 1000, lateness = "2 hours")
+    val q = sessions.writeStream.format("memory").queryName("ooo_sessions")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts(30), 1.0))
+      q.processAllAvailable()
+      // in-gap late event BEFORE the open session start: merges, start moves
+      input.addData((1L, ts(25), 2.0))
+      q.processAllAvailable()
+      // far-before late event: its own session, emitted immediately
+      input.addData((1L, ts(0), 4.0))
+      q.processAllAvailable()
+      // time out everything
+      input.addData((2L, Timestamp.valueOf("2024-03-01 23:00:00"), 0.0))
+      q.processAllAvailable()
+      input.addData((2L, Timestamp.valueOf("2024-03-01 23:59:00"), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("ooo_sessions")
+        .filter(col("user_id") === 1L)
+        .select("session_start", "n_events", "total_value")
+        .as[(Timestamp, Long, Double)].collect().toSet
+      assert(rows.contains((ts(0), 1L, 4.0)))  // isolated late event
+      assert(rows.contains((ts(25), 2L, 3.0))) // merged, start lowered to 10:25
+    } finally q.stop()
+  }
 }
