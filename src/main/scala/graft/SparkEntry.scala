@@ -155,11 +155,20 @@ object SparkEntry {
       val w = Window.partitionBy("l_suppkey")
         .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // A running sum of DOUBLEs is FP-order-sensitive: Spark accumulates
+      // sequentially while DuckDB uses segment-tree window aggregation, so
+      // the two drift by ulps over a long prefix and the final rounding
+      // flips near .005 boundaries. Sum exact integer cents instead — the
+      // floor form is bit-identical cross-engine and BIGINT addition is
+      // associative; the exact integer result divides back to an identical
+      // double on both sides.
+      val cents =
+        floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
+          .cast("long")
       rd(s, dir, "lineitem")
         .select(
           col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-          rnd(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .over(w), 2).as("running_revenue"))
+          (sum(cents).over(w).cast("double") / 100).as("running_revenue"))
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
     }),
 
@@ -616,10 +625,11 @@ object SparkEntry {
 
     "q08_window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
-        |  floor((sum(l_extendedprice * (1 - l_discount)) OVER (
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1e2 + 0.5)
+        |      AS BIGINT)) OVER (
         |    PARTITION BY l_suppkey
         |    ORDER BY l_shipdate, l_orderkey, l_linenumber
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1e2 + 0.5) / 1e2
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1e2
         |    AS running_revenue
         |FROM lineitem
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,

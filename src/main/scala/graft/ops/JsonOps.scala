@@ -57,11 +57,13 @@ object JsonOps {
 
       // json_tuple parses the JSON once per row for all fields (vs one
       // parse per field with get_json_object). Generator output columns
-      // arrive as c0..cN; rename them in the same projection's toDF.
-      val exploded = df
-        .select(col("*"), json_tuple(col(jsonColumn), fieldNames: _*))
-        .toDF((df.columns.toIndexedSeq ++ outNames): _*)
-      exploded.drop(jsonColumn)
+      // arrive as c0..cN; rename them in the same projection's toDF. The
+      // source column is excluded in this projection rather than dropped
+      // afterwards: a drop-by-name would also take out a generated field
+      // that happens to share the source column's name.
+      val keep = df.columns.toIndexedSeq.filterNot(_ == jsonColumn)
+      df.select(keep.map(col) :+ json_tuple(col(jsonColumn), fieldNames: _*): _*)
+        .toDF(keep ++ outNames: _*)
     }
   }
 
