@@ -222,20 +222,24 @@ object Dedup {
 
   // ---------------------------------------------------- embedding cosine
 
-  /** Embedding near-dup pairs with cosine ≥ `minCosine`, blocked by
-    * random-hyperplane LSH buckets (see [[Similarity.hyperplaneBucket]]) so
-    * the pair generation is an equi-join. High-cosine pairs agree on most
-    * hyperplane signs, so recall at 0.95+ cosine is near-perfect with
-    * 1-bit-flip probing.
+  /** Embedding near-dup pairs with cosine ≥ `minCosine`, blocked by banded
+    * multi-table hyperplane LSH (see [[Similarity.cosinePairsLsh]]) so the
+    * pair generation is an equi-join. (bands, planesPerBand) MUST be
+    * matched to `minCosine`: per-band collision probability is
+    * (1-acos(c)/π)^planesPerBand and recall is its L-band OR. The defaults
+    * (8, 8) target true near-dups (cosine ≥ 0.9, tight buckets, tiny
+    * candidate volume); a moderate threshold like 0.45 wants wide buckets —
+    * e.g. (12, 3) for ~98% per-pair recall at c = 0.45.
     */
   def nearDuplicatesEmbedding(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       minCosine: Double,
-      planes: Int = 8,
+      bands: Int = 8,
+      planesPerBand: Int = 8,
       seed: Long = 42L): DataFrame =
-    Similarity.cosinePairsLsh(df, idCol, vecCol, planes, seed)
+    Similarity.cosinePairsLsh(df, idCol, vecCol, bands, planesPerBand, seed)
       .filter(col("cosine") >= minCosine)
 
   /** Exact variant for verification/small scopes: all pairs via a single

@@ -31,8 +31,12 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
-  /** @param rightCols right columns to attach (null when no match).
-    * @param inner     drop left rows with no match when true.
+  /** @param rightCols   right columns to attach (null when no match).
+    * @param inner       drop left rows with no match when true.
+    * @param leftOutCols left columns to carry into the output (empty = all).
+    *                    The left payload struct rides through the shuffle and
+    *                    window — at scale, project it down to what the caller
+    *                    actually reads instead of shipping the full row.
     */
   def asof(
       left: DataFrame,
@@ -42,8 +46,10 @@ object AsofJoin {
       leftTs: String,
       rightTs: String,
       rightCols: Seq[String],
-      inner: Boolean = false): DataFrame = {
-    val leftCols = left.columns.toIndexedSeq
+      inner: Boolean = false,
+      leftOutCols: Seq[String] = Nil): DataFrame = {
+    val leftCols =
+      if (leftOutCols.isEmpty) left.columns.toIndexedSeq else leftOutCols.toIndexedSeq
     val l = left.select(
       col(leftKey).as("_k"),
       col(leftTs).as("_t"),
@@ -90,6 +96,10 @@ object AsofJoin {
     *               non-decreasing in ts), e.g.
     *               `t => date_trunc("month", t)` or for numeric epochs
     *               `t => floor(t / 86400)`.
+    * @param leftOutCols left columns to carry into the output (empty = all).
+    *               The left payload struct is persisted and crosses the
+    *               shuffle plus three passes — projecting it down to what
+    *               the caller reads is the dominant constant factor here.
     */
   def asofSalted(
       left: DataFrame,
@@ -100,8 +110,10 @@ object AsofJoin {
       rightTs: String,
       rightCols: Seq[String],
       bucket: Column => Column,
-      inner: Boolean = false): DataFrame = {
-    val leftCols = left.columns.toIndexedSeq
+      inner: Boolean = false,
+      leftOutCols: Seq[String] = Nil): DataFrame = {
+    val leftCols =
+      if (leftOutCols.isEmpty) left.columns.toIndexedSeq else leftOutCols.toIndexedSeq
     val l = left.select(
       col(leftKey).as("_k"),
       col(leftTs).as("_t"),

@@ -62,7 +62,7 @@ class SimilaritySpec extends SparkSpec {
         vectors, vectors, "vec_id", "embedding", k = 2)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val approx = Similarity.topKLsh(
-        vectors, "vec_id", "embedding", k = 2, planes = 4)
+        vectors, "vec_id", "embedding", k = 2, bands = 8, planesPerBand = 4)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.8, s"LSH recall $recall too low; exact=$exact approx=$approx")
@@ -75,14 +75,16 @@ class SimilaritySpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(exact === Set((0L, 6L)))
     val lsh = Dedup.nearDuplicatesEmbedding(
-        vectors, "vec_id", "embedding", minCosine = 0.99, planes = 4)
+        vectors, "vec_id", "embedding", minCosine = 0.99,
+        bands = 8, planesPerBand = 4)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(lsh === exact)
   }
 
   test("cosinePairsLsh emits each pair at most once") {
     import spark.implicits._
-    val pairs = Similarity.cosinePairsLsh(vectors, "vec_id", "embedding", planes = 4)
+    val pairs = Similarity.cosinePairsLsh(
+      vectors, "vec_id", "embedding", bands = 8, planesPerBand = 4)
       .select("id_a", "id_b").as[(Long, Long)].collect()
     assert(pairs.length === pairs.distinct.length)
     pairs.foreach { case (a, b) => assert(a < b) }

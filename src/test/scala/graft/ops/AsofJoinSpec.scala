@@ -89,6 +89,20 @@ class AsofJoinSpec extends SparkSpec {
     }
   }
 
+  test("leftOutCols projects the carried left payload without changing matches") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val plain = AsofJoin.asof(leftDf, rightDf, "k", "k", "t", "t", Seq("px"),
+      leftOutCols = Seq("t"))
+    assert(plain.columns.toSeq === Seq("t", "px"))
+    assert(plain.as[(Long, Option[Double])].collect().toSet ===
+      Set((5L, None), (10L, Some(1.0)), (20L, Some(2.0)), (100L, Some(4.0)),
+        (7L, None)))
+    val salted = AsofJoin.asofSalted(leftDf, rightDf, "k", "k", "t", "t",
+      Seq("px"), bucket = t => floor(t / 10), leftOutCols = Seq("t"))
+    assert(salted.collect().toSet === plain.collect().toSet)
+  }
+
   test("salted as-of inner=true drops unmatched left rows") {
     import org.apache.spark.sql.functions._
     val out = AsofJoin.asofSalted(leftDf, rightDf, "k", "k", "t", "t",
