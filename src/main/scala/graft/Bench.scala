@@ -8,8 +8,23 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // default 100 entries evicts early queries' generated classes before
+      // their timed run (~50 queries x several codegen stages), silently
+      // re-charging Janino compilation to the timed pass
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Between queries: drop persisted intermediates, then force a JVM GC.
+    // The GC is bench hygiene, not a speed hack — unpersist is async, and
+    // Spark's ContextCleaner only releases the previous query's shuffle
+    // files/broadcasts when their dependency objects are COLLECTED; on a
+    // large barely-collected heap that debris lands in whichever query runs
+    // next (measured: the query after the heaviest shuffle producer ran 5x
+    // its steady state).
+    def settle(): Unit = {
+      spark.catalog.clearCache()
+      System.gc()
+    }
     // Warm EVERY query once before timing: whole-stage codegen compilation
     // (Janino) and JIT dominate cold single-query latency at this data
     // scale (measured 3-7x the steady-state time) and are one-time costs a
@@ -17,7 +32,7 @@ object Bench {
     // execution, which is what scales with data.
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
-      spark.catalog.clearCache()
+      settle()
     }
     // (time, succeeded) per query; failures are reported as -1 and excluded
     // from the total so a broken query can never make the bench look faster.
@@ -31,7 +46,7 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       // operators may persist intermediates (minhash groups, asof unions);
       // drop them so queries are measured cold and don't pressure later ones
-      spark.catalog.clearCache()
+      settle()
       name -> (ok, dt)
     }
     val qs = results

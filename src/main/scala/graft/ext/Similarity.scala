@@ -112,26 +112,39 @@ object Similarity {
       seed: Long = 42L,
       dims: Int = InferDims): DataFrame = {
     val d = resolveDims(df, vecCol, dims)
-    val tabled = df.select(
+    // Signatures carry IDS ONLY through the band join and the pair dedup —
+    // the wide vectors attach once per UNIQUE candidate pair afterwards.
+    // A pair that collides in several bands would otherwise be scored (a
+    // dims-wide dot product) once per collision, and the dedup shuffle
+    // would move dims floats per row instead of two longs.
+    val sig = df.select(
       col(idCol).as("id"),
-      col(vecCol).as("v"),
-      vector_norm(col(vecCol)).as("n"),
       explode(bandedBuckets(col(vecCol), bands, planesPerBand, d, seed))
         .as("bb"))
-      .select(col("id"), col("v"), col("n"),
-        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+    val cand = sig.select(col("id").as("query_id"), col("band"), col("bucket"))
+      .join(sig.select(col("id").as("neighbor_id"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .distinct()
+
+    val vecs = df.select(
+      col(idCol).as("id"),
+      col(vecCol).as("v"),
+      vector_norm(col(vecCol)).as("n"))
 
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    tabled.select(col("id").as("query_id"), col("v").as("qv"),
-      col("n").as("qn"), col("band"), col("bucket"))
-      .join(tabled.select(col("id").as("neighbor_id"), col("v").as("cv"),
-        col("n").as("cn"), col("band"), col("bucket")), Seq("band", "bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+    cand
+      .join(vecs.select(col("id").as("query_id"), col("v").as("qv"),
+        col("n").as("qn")), Seq("query_id"))
+      .join(vecs.select(col("id").as("neighbor_id"), col("v").as("cv"),
+        col("n").as("cn")), Seq("neighbor_id"))
       .select(
         col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("qn"), col("cv"), col("cn")).as("cosine"))
-      .distinct()
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
@@ -151,22 +164,34 @@ object Similarity {
       seed: Long = 42L,
       dims: Int = InferDims): DataFrame = {
     val d = resolveDims(df, vecCol, dims)
-    val tabled = df.select(
+    // Same ids-first shape as [[topKLsh]]: dedup (id_a, id_b) candidates
+    // before the vectors are attached and scored.
+    val sig = df.select(
       col(idCol).as("id"),
-      col(vecCol).as("v"),
-      vector_norm(col(vecCol)).as("n"),
       explode(bandedBuckets(col(vecCol), bands, planesPerBand, d, seed))
         .as("bb"))
-      .select(col("id"), col("v"), col("n"),
-        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 
-    tabled.as("x")
-      .join(tabled.as("y"), Seq("band", "bucket"))
-      .filter(col("x.id") < col("y.id"))
-      .select(
-        col("x.id").as("id_a"), col("y.id").as("id_b"),
-        cosine(col("x.v"), col("x.n"), col("y.v"), col("y.n")).as("cosine"))
+    val cand = sig.select(col("id").as("id_a"), col("band"), col("bucket"))
+      .join(sig.select(col("id").as("id_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
       .distinct()
+
+    val vecs = df.select(
+      col(idCol).as("id"),
+      col(vecCol).as("v"),
+      vector_norm(col(vecCol)).as("n"))
+
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va"),
+        col("n").as("na")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb"),
+        col("n").as("nb")), Seq("id_b"))
+      .select(
+        col("id_a"), col("id_b"),
+        cosine(col("va"), col("na"), col("vb"), col("nb")).as("cosine"))
   }
 
   // ------------------------------------------------------------------ IVF
@@ -195,28 +220,36 @@ object Similarity {
       seed: Long = 42L): DataFrame = {
     val centroids = trainCentroids(df, idCol, vecCol, nlist, iterations, sampleSize, seed)
 
+    // Ids-only through the cell join (the wide vectors attach per candidate
+    // afterwards), and NO pair dedup: every neighbor lives in exactly one
+    // cell, so a (query, neighbor) pair can surface at most once — a
+    // distinct here would be a full extra shuffle of the candidate set.
     val base = df.select(
-      col(idCol).as("id"),
-      col(vecCol).as("v"),
-      vector_norm(col(vecCol)).as("n"),
+      col(idCol).as("neighbor_id"),
       nearestCells(col(vecCol), centroids, 1).getItem(0).as("cell"))
 
     val probes = df.select(
       col(idCol).as("query_id"),
-      col(vecCol).as("qv"),
-      vector_norm(col(vecCol)).as("qn"),
       explode(nearestCells(col(vecCol), centroids, nprobe)).as("cell"))
+
+    val vecs = df.select(
+      col(idCol).as("id"),
+      col(vecCol).as("v"),
+      vector_norm(col(vecCol)).as("n"))
 
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     probes
-      .join(base.select(col("id").as("neighbor_id"), col("v").as("cv"),
-        col("n").as("cn"), col("cell")), Seq("cell"))
+      .join(base, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .join(vecs.select(col("id").as("query_id"), col("v").as("qv"),
+        col("n").as("qn")), Seq("query_id"))
+      .join(vecs.select(col("id").as("neighbor_id"), col("v").as("cv"),
+        col("n").as("cn")), Seq("neighbor_id"))
       .select(
         col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("qn"), col("cv"), col("cn")).as("cosine"))
-      .distinct()
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }

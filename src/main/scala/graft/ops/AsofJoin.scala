@@ -127,13 +127,15 @@ object AsofJoin {
       lit(null).cast(structTypeOf(left, leftCols)).as("_l"),
       struct(rightCols.map(col): _*).as("_r"))
 
-    // persisted: referenced by the bucket summary, the (key, bucket) seed,
-    // and the main window — without it the union + scans re-run per
-    // reference. Held by the CacheManager until the session clears its
-    // cache (MEMORY_AND_DISK: evicted LRU under pressure, never fails);
-    // long-running sessions should clearCache between jobs.
+    // NOT persisted, deliberately: the three consumers below each re-derive
+    // what they need from the (lazy) union, and the optimizer prunes each
+    // derivation — the bucket summary filters `_side = 0`, which collapses
+    // the left branch of the union to empty (it scans ONLY the right
+    // source, column-pruned to (key, ts, payload)), and the carry seed
+    // scans two columns. Materializing the full-width union (an earlier
+    // revision persisted it) costs more than those pruned re-scans at any
+    // scale, and pins a 100 TB intermediate to executor storage.
     val tagged = l.unionByName(r).withColumn("_b", bucket(col("_t")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // per-(key, bucket) summary: the latest right row in the bucket as a
     // (ts, payload) ordering struct — max == the row [[asof]]'s window
