@@ -24,6 +24,10 @@ object Bench {
     def settle(): Unit = {
       spark.catalog.clearCache()
       System.gc()
+      // the GC is what queues shuffle/broadcast debris onto the
+      // ContextCleaner; give its thread a beat to delete files so the I/O
+      // lands here (untimed) instead of inside the next query
+      Thread.sleep(300)
     }
     // Warm EVERY query once before timing: whole-stage codegen compilation
     // (Janino) and JIT dominate cold single-query latency at this data

@@ -14,6 +14,7 @@ object Prof {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -23,24 +24,15 @@ object Prof {
       val r = f
       println(f"[prof] $name: ${(System.nanoTime() - t0) / 1e9}%.3f s -> $r")
     }
-    def run(n: String): Long = {
-      val c = SparkEntry.queries(n)(spark, dir).count()
-      spark.catalog.clearCache()
-      c
-    }
+    def settle(): Unit = { spark.catalog.clearCache(); System.gc(); Thread.sleep(300) }
+    def run(n: String): Long = SparkEntry.queries(n)(spark, dir).count()
 
-    val names = if (args.nonEmpty) args.toSeq else Seq("q18_asof_join", "q26_asof_salted")
+    val names = if (args.nonEmpty) args.toSeq else Seq("x2_dedup_minhash")
     names.foreach { n =>
-      time(s"$n warm")(run(n))
-      time(s"$n run1")(run(n))
-      time(s"$n run2")(run(n))
-    }
-    if (sys.env.contains("PROF_EXPLAIN")) {
-      names.foreach { n =>
-        println(s"===== $n =====")
-        SparkEntry.queries(n)(spark, dir).explain("formatted")
-        spark.catalog.clearCache()
-      }
+      time(s"$n warm")(run(n)); settle()
+      time(s"$n t1")(run(n)); settle()
+      time(s"$n t2")(run(n)); settle()
+      time(s"$n t3")(run(n)); settle()
     }
     spark.stop()
   }

