@@ -444,6 +444,20 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    "q32_window_analytics" -> ((s, dir) => { // §2.6: lag/lead/dense_rank/ntile
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      rd(s, dir, "orders")
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          lag("o_totalprice", 1).over(w).as("prev_price"),
+          lead("o_totalprice", 1).over(w).as("next_price"),
+          dense_rank().over(w).as("drank"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // ------------------------------------------------ LLM-pipeline: dedup
     "x1_dedup_exact" -> ((s, dir) => {
       Dedup.dedupExact(rd(s, dir, "documents"), "doc_id", "text")
@@ -915,6 +929,17 @@ object SparkEntry {
         |  count(DISTINCT l_partkey) AS n_exact,
         |  1 AS within_5pct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q32_window_analytics" ->
+      """SELECT o_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  CAST(dense_rank() OVER w AS INT) AS drank,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "y2r_knn_lsh_recall" ->
       """WITH e AS (SELECT vec_id, embedding,
