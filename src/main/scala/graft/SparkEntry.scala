@@ -158,17 +158,21 @@ object SparkEntry {
       // A running sum of DOUBLEs is FP-order-sensitive: Spark accumulates
       // sequentially while DuckDB uses segment-tree window aggregation, so
       // the two drift by ulps over a long prefix and the final rounding
-      // flips near .005 boundaries. Sum exact integer cents instead — the
-      // floor form is bit-identical cross-engine and BIGINT addition is
-      // associative; the exact integer result divides back to an identical
-      // double on both sides.
-      val cents =
-        floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
-          .cast("long")
+      // flips near .005 boundaries. Sum exact integers instead (BIGINT
+      // addition is associative). The integers must come from EACH FACTOR
+      // separately: floor(price*(1-disc)*100+0.5) is NOT cross-engine-safe
+      // because the fused product can land within an ulp of a .5 boundary
+      // (observed flipping one cent at sf0.1) — whereas price and discount
+      // are 2-decimal values, so floor(x*100+0.5) sits ~0.5 away from any
+      // boundary and is exact everywhere. Revenue in 1e-4 units =
+      // cents(price) * (100 - cents(discount)).
+      def c2(c: Column) = floor(c * 100 + 0.5).cast("long")
+      val units =
+        c2(col("l_extendedprice")) * (lit(100L) - c2(col("l_discount")))
       rd(s, dir, "lineitem")
         .select(
           col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-          (sum(cents).over(w).cast("double") / 100).as("running_revenue"))
+          (sum(units).over(w).cast("double") / 1e4).as("running_revenue"))
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
     }),
 
@@ -482,6 +486,36 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "x3r_simhash_recall" -> ((s, dir) => {
+      // value-checked guarantee for the engine-specific x3 hash family:
+      // token-SET-identical documents have identical SimHash signatures
+      // (the signature is a function of the set), i.e. hamming 0, and the
+      // pigeonhole chunk join always surfaces hamming <= 3 — so recall on
+      // set-identical pairs is exactly 1.0. The set-identical ground truth
+      // is hash-free and DuckDB-expressible.
+      val docs = rd(s, dir, "documents")
+      import graft.ext.Shingles.tokenSet
+      val exact = docs
+        .select(col("doc_id").as("id"), array_sort(tokenSet(col("text"))).as("ts"))
+        .groupBy("ts").agg(collect_list(col("id")).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(col("ids")).as("a"), col("ids"))
+        .select(col("a"), explode(col("ids")).as("b"))
+        .filter(col("a") < col("b"))
+        .select(col("a").as("id_a"), col("b").as("id_b"))
+      val sim = Dedup.nearDuplicatesSimhash(docs, "doc_id", "text", maxHamming = 3)
+        .select(col("id_a"), col("id_b"), lit(1L).as("_hit"))
+      exact.join(sim, Seq("id_a", "id_b"), "left")
+        .agg(
+          count(lit(1)).as("n_exact"),
+          (sum(coalesce(col("_hit"), lit(0L))).cast("double") / count(lit(1)))
+            .as("recall"))
+        .select(col("n_exact"),
+          // an empty ground truth is vacuously full recall (matches the
+          // oracle's literal 1)
+          (coalesce(col("recall"), lit(1.0)) >= 1.0).cast("int").as("recall_ok"))
+    }),
+
     "x4_dedup_ngram" -> ((s, dir) => {
       Dedup.nearDuplicatesNgram(
         rd(s, dir, "documents"), "doc_id", "text",
@@ -750,11 +784,11 @@ object SparkEntry {
 
     "q08_window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
-        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1e2 + 0.5)
-        |      AS BIGINT)) OVER (
+        |  CAST(sum(CAST(floor(l_extendedprice * 1e2 + 0.5) AS BIGINT)
+        |      * (100 - CAST(floor(l_discount * 1e2 + 0.5) AS BIGINT))) OVER (
         |    PARTITION BY l_suppkey
         |    ORDER BY l_shipdate, l_orderkey, l_linenumber
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1e2
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1e4
         |    AS running_revenue
         |FROM lineitem
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
@@ -966,6 +1000,15 @@ object SparkEntry {
         |      c.vec_id) AS INT) AS rank
         |  FROM e q JOIN e c ON q.vec_id < 100 AND c.vec_id <> q.vec_id) t
         |WHERE rank <= 5""".stripMargin,
+
+    "x3r_simhash_recall" ->
+      """WITH g AS (SELECT
+        |    list_sort(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS ts,
+        |    count(*) AS m
+        |  FROM documents GROUP BY 1)
+        |SELECT CAST(coalesce(sum(m * (m - 1) / 2), 0) AS BIGINT) AS n_exact,
+        |  1 AS recall_ok
+        |FROM g WHERE m > 1""".stripMargin,
 
     "x6r_embedding_lsh_recall" ->
       """WITH e AS (SELECT vec_id, embedding,
