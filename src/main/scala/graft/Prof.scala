@@ -27,6 +27,11 @@ object Prof {
     def settle(): Unit = { spark.catalog.clearCache(); System.gc(); Thread.sleep(300) }
     def run(n: String): Long = SparkEntry.queries(n)(spark, dir).count()
 
+    if (args.headOption.contains("entry")) {
+      time("entry rows")(SparkEntry.entry(spark).count())
+      spark.stop()
+      return
+    }
     val names = if (args.nonEmpty) args.toSeq else Seq("x2_dedup_minhash")
     names.foreach { n =>
       time(s"$n warm")(run(n)); settle()

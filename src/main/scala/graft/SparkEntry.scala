@@ -448,6 +448,25 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    "q33_approx_percentile" -> ((s, dir) => { // §2.5: t-digest-style sketch
+      // same oracle pattern as q31: the sketch is engine-specific, so the
+      // value check is the exact median plus a bounded-relative-error flag.
+      // accuracy 10000 bounds the RANK error at n/10000 (~60 rows per
+      // group at sf0.1); on this price distribution that is far inside 2%
+      // relative value error.
+      rd(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          (floor(expr("percentile(l_extendedprice, 0.5)") * 1e4 + 0.5) / 1e4)
+            .as("med_exact"),
+          expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("_med_approx"))
+        .select(
+          col("l_returnflag"), col("med_exact"),
+          (abs(col("_med_approx") - col("med_exact")) / col("med_exact") <= 0.02)
+            .cast("int").as("within_2pct"))
+        .orderBy("l_returnflag")
+    }),
+
     "q32_window_analytics" -> ((s, dir) => { // §2.6: lag/lead/dense_rank/ntile
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -962,6 +981,13 @@ object SparkEntry {
       """SELECT l_returnflag,
         |  count(DISTINCT l_partkey) AS n_exact,
         |  1 AS within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q33_approx_percentile" ->
+      """SELECT l_returnflag,
+        |  floor(quantile_cont(l_extendedprice, 0.5) * 1e4 + 0.5) / 1e4
+        |    AS med_exact,
+        |  1 AS within_2pct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q32_window_analytics" ->
