@@ -52,6 +52,27 @@ object SparkEntry {
     floor(c * p + 0.5) / p
   }
 
+  /** Shared scaffold of the *r recall queries: fraction of `exact`'s rows
+    * (unique on `keys`) found in `approx` (also unique on `keys` — a
+    * duplicate-emitting approx side would inflate the left join), emitted
+    * as `(n_exact, recall_ok)` for an oracle that knows the same exact
+    * count and a literal threshold. An empty ground truth is vacuously
+    * full recall.
+    */
+  private def recallCheck(
+      exact: DataFrame, approx: DataFrame, keys: Seq[String],
+      threshold: Double): DataFrame =
+    exact.select(keys.map(col): _*)
+      .join(approx.select(keys.map(col): _*).withColumn("_hit", lit(1L)),
+        keys, "left")
+      .agg(
+        count(lit(1)).as("n_exact"),
+        (sum(coalesce(col("_hit"), lit(0L))).cast("double") / count(lit(1)))
+          .as("recall"))
+      .select(col("n_exact"),
+        (coalesce(col("recall"), lit(1.0)) >= threshold).cast("int")
+          .as("recall_ok"))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Exercises the reference's headline pipeline end-to-end: JSON explode
     * (G1, full-inference parity mode) → snake_case (P2) → date-partition
@@ -522,17 +543,10 @@ object SparkEntry {
         .select(col("a"), explode(col("ids")).as("b"))
         .filter(col("a") < col("b"))
         .select(col("a").as("id_a"), col("b").as("id_b"))
-      val sim = Dedup.nearDuplicatesSimhash(docs, "doc_id", "text", maxHamming = 3)
-        .select(col("id_a"), col("id_b"), lit(1L).as("_hit"))
-      exact.join(sim, Seq("id_a", "id_b"), "left")
-        .agg(
-          count(lit(1)).as("n_exact"),
-          (sum(coalesce(col("_hit"), lit(0L))).cast("double") / count(lit(1)))
-            .as("recall"))
-        .select(col("n_exact"),
-          // an empty ground truth is vacuously full recall (matches the
-          // oracle's literal 1)
-          (coalesce(col("recall"), lit(1.0)) >= 1.0).cast("int").as("recall_ok"))
+      recallCheck(
+        exact,
+        Dedup.nearDuplicatesSimhash(docs, "doc_id", "text", maxHamming = 3),
+        Seq("id_a", "id_b"), threshold = 1.0)
     }),
 
     "x4_dedup_ngram" -> ((s, dir) => {
@@ -590,55 +604,33 @@ object SparkEntry {
     // exact count and a literal threshold.
     "y2r_knn_lsh_recall" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")
-      val exact = Similarity.topKBruteForce(
-        emb.filter(col("vec_id") < 100), emb, "vec_id", "embedding", k = 5)
-        .select("query_id", "neighbor_id")
-      val approx = Similarity.topKLsh(emb, "vec_id", "embedding", k = 5)
-        .filter(col("query_id") < 100)
-        .select(col("query_id"), col("neighbor_id"), lit(1L).as("_hit"))
-      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
-        .agg(
-          count(lit(1)).as("n_exact"),
-          (sum(coalesce(col("_hit"), lit(0L))).cast("double") / count(lit(1)))
-            .as("recall"))
-        .select(col("n_exact"),
-          (col("recall") >= 0.9).cast("int").as("recall_ok"))
+      recallCheck(
+        Similarity.topKBruteForce(
+          emb.filter(col("vec_id") < 100), emb, "vec_id", "embedding", k = 5),
+        Similarity.topKLsh(emb, "vec_id", "embedding", k = 5)
+          .filter(col("query_id") < 100),
+        Seq("query_id", "neighbor_id"), threshold = 0.9)
     }),
 
     "y3r_knn_ivf_recall" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")
-      val exact = Similarity.topKBruteForce(
-        emb.filter(col("vec_id") < 100), emb, "vec_id", "embedding", k = 5)
-        .select("query_id", "neighbor_id")
-      val approx = Similarity.topKIvf(emb, "vec_id", "embedding",
-        k = 5, nprobe = 10)
-        .filter(col("query_id") < 100)
-        .select(col("query_id"), col("neighbor_id"), lit(1L).as("_hit"))
-      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
-        .agg(
-          count(lit(1)).as("n_exact"),
-          (sum(coalesce(col("_hit"), lit(0L))).cast("double") / count(lit(1)))
-            .as("recall"))
-        .select(col("n_exact"),
-          (col("recall") >= 0.9).cast("int").as("recall_ok"))
+      recallCheck(
+        Similarity.topKBruteForce(
+          emb.filter(col("vec_id") < 100), emb, "vec_id", "embedding", k = 5),
+        Similarity.topKIvf(emb, "vec_id", "embedding", k = 5, nprobe = 10)
+          .filter(col("query_id") < 100),
+        Seq("query_id", "neighbor_id"), threshold = 0.9)
     }),
 
     "x6r_embedding_lsh_recall" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")
-      val exact = Dedup.nearDuplicatesEmbeddingExact(
-        emb, "vec_id", "embedding", minCosine = 0.45)
-        .select("id_a", "id_b")
-      val approx = Dedup.nearDuplicatesEmbedding(
-        emb, "vec_id", "embedding", minCosine = 0.45,
-        bands = 12, planesPerBand = 3)
-        .select(col("id_a"), col("id_b"), lit(1L).as("_hit"))
-      exact.join(approx, Seq("id_a", "id_b"), "left")
-        .agg(
-          count(lit(1)).as("n_exact"),
-          (sum(coalesce(col("_hit"), lit(0L))).cast("double") / count(lit(1)))
-            .as("recall"))
-        .select(col("n_exact"),
-          (col("recall") >= 0.9).cast("int").as("recall_ok"))
+      recallCheck(
+        Dedup.nearDuplicatesEmbeddingExact(
+          emb, "vec_id", "embedding", minCosine = 0.45),
+        Dedup.nearDuplicatesEmbedding(
+          emb, "vec_id", "embedding", minCosine = 0.45,
+          bands = 12, planesPerBand = 3),
+        Seq("id_a", "id_b"), threshold = 0.9)
     }),
 
     // ------------------------------------------------- LLM-pipeline: text
@@ -710,7 +702,11 @@ object SparkEntry {
       // histogram is deterministic byte math, so un-normalizing two bins
       // back to integer byte counts (bin k covers bytes [16k, 16k+16))
       // gives numbers a DuckDB oracle reproduces exactly. Integer compare
-      // — no float-vs-double rounding hazard.
+      // — no float-vs-double rounding hazard. Exactness bound: features
+      // are Float32 (24-bit mantissa), so the un-normalization is only
+      // exact while a single bin holds < 2^24 bytes (~16 MB per payload
+      // per bin) — far above any test payload; a production decoder would
+      // emit counts, not fractions, and not carry this bound.
       val packed = Multimodal.packAsMedia(
         rd(s, dir, "documents"), "doc_id", "text", "text")
       val meta = Multimodal.metadataOnly(packed)

@@ -97,9 +97,9 @@ object AsofJoin {
     *               `t => date_trunc("month", t)` or for numeric epochs
     *               `t => floor(t / 86400)`.
     * @param leftOutCols left columns to carry into the output (empty = all).
-    *               The left payload struct is persisted and crosses the
-    *               shuffle plus three passes — projecting it down to what
-    *               the caller reads is the dominant constant factor here.
+    *               The left payload struct crosses the big (key, bucket)
+    *               shuffle and the window — projecting it down to what the
+    *               caller reads is the dominant constant factor here.
     */
   def asofSalted(
       left: DataFrame,
