@@ -722,6 +722,21 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    "m4_resize" -> ((s, dir) => {
+      // value-checked end-to-end: every-3rd-byte downsample is expressible
+      // in DuckDB as a regex keep-1-of-3 on the (ASCII) packed text, so
+      // both the resized length AND an md5 over the resized bytes compare
+      // exactly — the payload content is verified, not just its size.
+      val packed = Multimodal.packAsMedia(
+        rd(s, dir, "documents"), "doc_id", "text", "text")
+      Multimodal.resize(s, packed, factor = 3)
+        .select(
+          col("media_id"),
+          length(col("payload")).as("resized_bytes"),
+          md5(col("payload")).as("resized_md5"))
+        .orderBy("media_id")
+    }),
+
     "m3_frame_sample" -> ((s, dir) => {
       // value-compared via per-media frame count + total sampled bytes
       // (pure arithmetic on payload length — engine-neutral)
@@ -1201,6 +1216,12 @@ object SparkEntry {
     "m1_multimodal_meta" ->
       """SELECT doc_id AS media_id, 'text' AS kind, 'raw' AS format,
         |  CAST(octet_length(encode(text)) AS INT) AS payload_bytes
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "m4_resize" ->
+      """SELECT doc_id AS media_id,
+        |  length(regexp_replace(text, '(.).{0,2}', '\1', 'g')) AS resized_bytes,
+        |  md5(regexp_replace(text, '(.).{0,2}', '\1', 'g')) AS resized_md5
         |FROM documents ORDER BY media_id""".stripMargin,
 
     "m3_frame_sample" ->

@@ -78,6 +78,33 @@ object Multimodal {
     }
   }
 
+  /** Resize STUB: keep every `factor`-th payload byte. Production: the
+    * real scaler (image resize / audio resample) runs inside the same
+    * batched loop — resize is a codec-boundary op, so it lives next to
+    * decode, not in a SQL expression. Payload shrinks ~`factor`x; metadata
+    * passes through unchanged (the stub's fake dims carry no geometry).
+    */
+  private def resizeStub(payload: Array[Byte], factor: Int): Array[Byte] = {
+    val out = new Array[Byte]((payload.length + factor - 1) / factor)
+    var i = 0
+    while (i < out.length) { out(i) = payload(i * factor); i += 1 }
+    out
+  }
+
+  /** Batched payload downsample over the binary payload column (same
+    * `mapPartitions` batch contract as [[extractFeatures]]).
+    */
+  def resize(
+      spark: SparkSession, media: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, s"resize factor must be >= 1, got $factor")
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { records =>
+      records.grouped(DecodeBatchSize).flatMap { batch =>
+        batch.map(r => r.copy(payload = resizeStub(r.payload, factor)))
+      }
+    }.toDF()
+  }
+
   /** Frame sampling STUB: pretends every `frameBytes` slice of the payload
     * is one video frame and keeps every `stride`-th — exercising the
     * explode/one-to-many shape (media row → frame rows) a real sampler has.

@@ -41,6 +41,22 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.map(_.features.toSeq).toSeq === again.map(_.features.toSeq).toSeq)
   }
 
+  test("resize keeps every factor-th payload byte, ceil-divided length") {
+    import spark.implicits._
+    val out = Multimodal.resize(spark, media, factor = 3)
+      .select(col("media_id"), decode(col("payload"), "UTF-8").as("p"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    // "short" -> indices 0,3 -> "sr"; 5 bytes -> ceil(5/3) = 2
+    assert(out(0) === ((1L, "sr")))
+    val full = "a considerably longer payload body here"
+    assert(out(1)._2 === full.indices.collect {
+      case i if i % 3 == 0 => full(i) }.mkString)
+    // factor 1 is the identity
+    val id = Multimodal.resize(spark, media, factor = 1)
+      .select(decode(col("payload"), "UTF-8")).as[String].collect().toSet
+    assert(id === Set("short", full))
+  }
+
   test("frame sampling explodes media rows into stride-spaced frames") {
     import spark.implicits._
     val frames = Multimodal.sampleFrames(media, frameBytes = 4, stride = 2)
