@@ -63,6 +63,14 @@ object GraftExtensions {
     make("graft_vector_norm", "L2 norm of array<float>",
       "graft_vector_norm(a)") {
       case Seq(a) => FloatVectorNorm(a)
+    },
+    // aggregate: the analyzer wraps a bare AggregateFunction in
+    // AggregateExpression(Complete) during resolution
+    make("graft_top_k",
+      "bounded top-k aggregate over struct(score double, id bigint); " +
+        "returns array<struct<score, id>> best first",
+      "graft_top_k(struct(score, id), k)") {
+      case Seq(pair, k) => TopKPairs(pair, intArg(k, "k"))
     })
 
   private def make(name: String, usage: String, example: String)(

@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions.{vector_dot, vector_norm}
@@ -63,17 +62,35 @@ object Similarity {
       col(vecCol).as("cv"),
       vector_norm(col(vecCol)).as("cn"))
 
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
     c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(
         col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("qn"), col("cv"), col("cn")).as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cosine")
+      .transform(rankTopK(k))
   }
+
+  /** Per-query top-k of `(query_id, neighbor_id, cosine)` candidates via
+    * the native bounded-heap aggregate ([[graft.functions.TopKPairs]]) —
+    * the partial phase collapses every partition to at most k entries per
+    * query BEFORE the exchange, so the shuffle carries O(queries x k)
+    * rows instead of every scored candidate, and nothing is sorted beyond
+    * each group's k survivors. Same output contract as the
+    * `row_number over (partitionBy query orderBy cosine desc, id)`
+    * formulation it replaces: `(query_id, neighbor_id, rank, cosine)`,
+    * ties to the smaller id.
+    */
+  private def rankTopK(k: Int)(scored: DataFrame): DataFrame =
+    scored
+      .groupBy("query_id")
+      .agg(graft.functions.TopKFunctions.top_k_pairs(
+        struct(col("cosine"), col("neighbor_id")), k).as("_top"))
+      .select(col("query_id"), posexplode(col("_top")))
+      .select(
+        col("query_id"),
+        col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.score").as("cosine"))
 
   /** Per-band (band, bucket) signatures: `bands` INDEPENDENT hyperplane
     * tables of `planesPerBand` planes each; two vectors are candidates when
@@ -135,8 +152,6 @@ object Similarity {
       col(vecCol).as("v"),
       vector_norm(col(vecCol)).as("n"))
 
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
     cand
       .join(vecs.select(col("id").as("query_id"), col("v").as("qv"),
         col("n").as("qn")), Seq("query_id"))
@@ -145,8 +160,7 @@ object Similarity {
       .select(
         col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("qn"), col("cv"), col("cn")).as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .transform(rankTopK(k))
   }
 
   /** All-pairs cosine via banded multi-table LSH buckets (for near-dup
@@ -237,8 +251,6 @@ object Similarity {
       col(vecCol).as("v"),
       vector_norm(col(vecCol)).as("n"))
 
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
     probes
       .join(base, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -250,8 +262,7 @@ object Similarity {
       .select(
         col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("qn"), col("cv"), col("cn")).as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .transform(rankTopK(k))
   }
 
   /** The `nprobe` nearest centroid ids for a vector, nearest first — a
