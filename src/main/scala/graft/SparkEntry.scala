@@ -63,7 +63,11 @@ object SparkEntry {
       exact: DataFrame, approx: DataFrame, keys: Seq[String],
       threshold: Double): DataFrame =
     exact.select(keys.map(col): _*)
-      .join(approx.select(keys.map(col): _*).withColumn("_hit", lit(1L)),
+      // distinct() makes the unique-on-keys invariant structural: an approx
+      // operator that ever emitted duplicate key rows would otherwise
+      // inflate recall past 1.0 and mask missed pairs.
+      .join(
+        approx.select(keys.map(col): _*).distinct().withColumn("_hit", lit(1L)),
         keys, "left")
       .agg(
         count(lit(1)).as("n_exact"),
@@ -727,8 +731,14 @@ object SparkEntry {
       // in DuckDB as a regex keep-1-of-3 on the (ASCII) packed text, so
       // both the resized length AND an md5 over the resized bytes compare
       // exactly — the payload content is verified, not just its size.
-      val packed = Multimodal.packAsMedia(
-        rd(s, dir, "documents"), "doc_id", "text", "text")
+      // The oracle strides CHARACTERS while we stride BYTES, so the
+      // equivalence needs single-byte text: assert it structurally (a
+      // multi-byte document fails the query instead of silently diverging).
+      val asciiOnly = rd(s, dir, "documents").withColumn("text",
+        when(octet_length(col("text")) === length(col("text")), col("text"))
+          .otherwise(raise_error(
+            lit("m4_resize cross-engine oracle requires ASCII text"))))
+      val packed = Multimodal.packAsMedia(asciiOnly, "doc_id", "text", "text")
       Multimodal.resize(s, packed, factor = 3)
         .select(
           col("media_id"),
@@ -755,6 +765,14 @@ object SparkEntry {
     * Omitted for x3/x6/y2/y3 (engine-specific hash families, approximate
     * recall) → driver records the weaker rows-only check; their RECALL is
     * value-checked instead by the x6r/y2r/y3r companion queries.
+    *
+    * Tokenization parity constraint: oracles that split on `\s+` rely on
+    * Java's `\s` (Spark) and RE2's `\s` (DuckDB) agreeing, which holds for
+    * plain ASCII whitespace but NOT for `\x0B` (vertical tab: in Java's
+    * class, not RE2's) or Unicode spaces. The generated testdata is
+    * verified newline-free ASCII with only ' ' and '\t' separators, so the
+    * engines agree; corpora with exotic whitespace would need an explicit
+    * `[ \t\n\r\f]+` class on both sides.
     */
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -1218,10 +1236,15 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS INT) AS payload_bytes
         |FROM documents ORDER BY media_id""".stripMargin,
 
+    // Cross-engine equivalence precondition: the Spark side downsamples raw
+    // UTF-8 payload BYTES while this oracle strides CHARACTERS, so the two
+    // agree only on single-byte text. `(?s)` makes '.' match newlines (RE2
+    // default does not); the ASCII requirement is asserted structurally on
+    // the Spark side (Multimodal resize query fails on multi-byte payloads).
     "m4_resize" ->
       """SELECT doc_id AS media_id,
-        |  length(regexp_replace(text, '(.).{0,2}', '\1', 'g')) AS resized_bytes,
-        |  md5(regexp_replace(text, '(.).{0,2}', '\1', 'g')) AS resized_md5
+        |  length(regexp_replace(text, '(?s)(.).{0,2}', '\1', 'g')) AS resized_bytes,
+        |  md5(regexp_replace(text, '(?s)(.).{0,2}', '\1', 'g')) AS resized_md5
         |FROM documents ORDER BY media_id""".stripMargin,
 
     "m3_frame_sample" ->

@@ -5,6 +5,7 @@ import java.nio.ByteBuffer
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftShim
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -22,9 +23,14 @@ final class TopKHeap(val k: Int) {
   val ids = new Array[Long](k)
   var n = 0
 
-  /** Is (sa, ia) worse than (sb, ib)? Heap order: parent worse than child. */
-  @inline private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
-    sa < sb || (sa == sb && ia > ib)
+  /** Is (sa, ia) worse than (sb, ib)? Heap order: parent worse than child.
+    * Total order via Double.compare so a NaN (ranked largest, as in SQL
+    * ORDER BY) can never wedge itself into an unevictable heap slot.
+    */
+  @inline private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean = {
+    val c = java.lang.Double.compare(sa, sb)
+    c < 0 || (c == 0 && ia > ib)
+  }
 
   def offer(s: Double, id: Long): Unit =
     if (n < k) {
@@ -98,6 +104,20 @@ case class TopKPairs(
 
   override def prettyName: String = "graft_top_k"
 
+  /** Reject anything but struct<double, bigint> at analysis time: the
+    * buffer reads raw words (`getDouble(0)`/`getLong(1)`), so a mistyped
+    * id column would silently corrupt ids instead of failing the query.
+    */
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StructType(Array(a, b))
+        if a.dataType == DoubleType && b.dataType == LongType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires struct<score: double, id: bigint> input, got " +
+          other.simpleString)
+  }
+
   override def dataType: DataType = ArrayType(
     StructType(Seq(
       StructField("score", DoubleType, nullable = false),
@@ -112,8 +132,12 @@ case class TopKPairs(
     val v = child.eval(input)
     if (v != null) {
       val row = v.asInstanceOf[InternalRow]
-      if (!row.isNullAt(0) && !row.isNullAt(1))
-        buffer.offer(row.getDouble(0), row.getLong(1))
+      if (!row.isNullAt(0) && !row.isNullAt(1)) {
+        val s = row.getDouble(0)
+        // NaN scores (e.g. cosine of a zero-norm vector) are not meaningful
+        // ranks: skip them rather than letting them occupy a top-k slot.
+        if (!s.isNaN) buffer.offer(s, row.getLong(1))
+      }
     }
     buffer
   }

@@ -70,6 +70,32 @@ class TopKPairsSpec extends SparkSpec {
         viaWindow.as[(Long, Long, Int)].collect().toSet)
   }
 
+  test("NaN scores never occupy a top-k slot") {
+    import spark.implicits._
+    // three real scores + one NaN (zero-norm-vector cosine shape): k=3 must
+    // return the three real entries, not strand a slot on the NaN
+    val out = Seq((1L, 1L, 0.2), (1L, 2L, Double.NaN), (1L, 3L, 0.9),
+      (1L, 4L, 0.5))
+      .toDF("g", "id", "s")
+      .groupBy("g")
+      .agg(TopKFunctions.top_k_pairs(struct(col("s"), col("id")), 3).as("t"))
+      .selectExpr("transform(t, x -> x.id) AS ids")
+      .as[Seq[Long]].head()
+    assert(out === Seq(3L, 4L, 1L))
+  }
+
+  test("mismatched input types fail at analysis, not with corrupt ids") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 0.5)).toDF("g", "id", "s")
+    val err = intercept[Exception] {
+      df.groupBy("g")
+        .agg(TopKFunctions.top_k_pairs(struct(col("s"), col("id")), 2))
+        .collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("struct<score: double, id: bigint>")
+      || err.getMessage.toLowerCase.contains("data type mismatch"))
+  }
+
   test("graft_top_k is callable from SQL") {
     import spark.implicits._
     graft.GraftExtensions.install(spark)
