@@ -567,12 +567,14 @@ object SparkEntry {
     }),
 
     "x6_dedup_embedding_lsh" -> ((s, dir) => { // rows-only: approximate recall
-      // (bands, planesPerBand) matched to the 0.45 threshold (wide buckets);
-      // the (8, 8) default targets true near-dups at cosine ≥ 0.9. Recall
-      // of this exact configuration is measured by x6r below.
+      // (bands, planesPerBand) matched to the 0.45 threshold; the (8, 8)
+      // default targets true near-dups at cosine ≥ 0.9. (12, 4) is the
+      // cheapest sweep point still clearing x6r's 0.9 recall bar at both
+      // sf0.01 (recall 1.0) and sf0.1 (0.944) — one plane narrower than
+      // r3's (12, 3) halves the candidate volume per band.
       Dedup.nearDuplicatesEmbedding(
         rd(s, dir, "embeddings"), "vec_id", "embedding", minCosine = 0.45,
-        bands = 12, planesPerBand = 3)
+        bands = 12, planesPerBand = 4)
         .orderBy("id_a", "id_b")
     }),
 
@@ -633,7 +635,7 @@ object SparkEntry {
           emb, "vec_id", "embedding", minCosine = 0.45),
         Dedup.nearDuplicatesEmbedding(
           emb, "vec_id", "embedding", minCosine = 0.45,
-          bands = 12, planesPerBand = 3),
+          bands = 12, planesPerBand = 4),
         Seq("id_a", "id_b"), threshold = 0.9)
     }),
 

@@ -243,8 +243,8 @@ object Dedup {
     * matched to `minCosine`: per-band collision probability is
     * (1-acos(c)/π)^planesPerBand and recall is its L-band OR. The defaults
     * (8, 8) target true near-dups (cosine ≥ 0.9, tight buckets, tiny
-    * candidate volume); a moderate threshold like 0.45 wants wide buckets —
-    * e.g. (12, 3) for ~98% per-pair recall at c = 0.45.
+    * candidate volume); a moderate threshold like 0.45 wants wider buckets —
+    * e.g. (12, 4) for ~94% measured recall at c = 0.45.
     */
   def nearDuplicatesEmbedding(
       df: DataFrame,
@@ -254,8 +254,10 @@ object Dedup {
       bands: Int = 8,
       planesPerBand: Int = 8,
       seed: Long = 42L): DataFrame =
-    Similarity.cosinePairsLsh(df, idCol, vecCol, bands, planesPerBand, seed)
-      .filter(col("cosine") >= minCosine)
+    // threshold passed INTO the LSH so the filter runs before the pair
+    // dedup exchange — the shuffle carries survivors, not candidates
+    Similarity.cosinePairsLsh(df, idCol, vecCol, bands, planesPerBand, seed,
+      minCosine = minCosine)
 
   /** Exact variant for verification/small scopes: all pairs via a single
     * self-join on a trivial key is O(n²) — only for bounded inputs (the

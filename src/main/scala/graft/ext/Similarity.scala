@@ -83,8 +83,14 @@ object Similarity {
   private def rankTopK(k: Int)(scored: DataFrame): DataFrame =
     scored
       .groupBy("query_id")
+      // dedupIds: a candidate may arrive once per colliding LSH band with
+      // an identical (deterministic) cosine; deduping inside the bounded
+      // heap lets callers feed the raw candidate stream with NO distinct()
+      // exchange ahead of ranking. Harmless for already-unique streams
+      // (brute force, IVF).
       .agg(graft.functions.TopKFunctions.top_k_pairs(
-        struct(col("cosine"), col("neighbor_id")), k).as("_top"))
+        struct(col("cosine"), col("neighbor_id")), k, dedupIds = true)
+        .as("_top"))
       .select(col("query_id"), posexplode(col("_top")))
       .select(
         col("query_id"),
@@ -103,6 +109,10 @@ object Similarity {
     * buckets (b=8, L=8); moderate thresholds (≈0.3–0.5, e.g. ANN over
     * loosely-correlated embeddings) want wide buckets (b=3–4, L=12–20).
     */
+  def bandedBucketsPublic(
+      vec: Column, bands: Int, planesPerBand: Int, dims: Int, seed: Long): Column =
+    bandedBuckets(vec, bands, planesPerBand, dims, seed)
+
   private def bandedBuckets(
       vec: Column, bands: Int, planesPerBand: Int, dims: Int, seed: Long): Column =
     array((0 until bands).map { b =>
@@ -131,9 +141,13 @@ object Similarity {
     val d = resolveDims(df, vecCol, dims)
     // Signatures carry IDS ONLY through the band join and the pair dedup —
     // the wide vectors attach once per UNIQUE candidate pair afterwards.
-    // A pair that collides in several bands would otherwise be scored (a
-    // dims-wide dot product) once per collision, and the dedup shuffle
-    // would move dims floats per row instead of two longs.
+    // Unlike the thresholded pair path ([[cosinePairsLsh]]), top-k has no
+    // selective filter to push below the dedup: every candidate must reach
+    // the ranking aggregate, so deduping EARLY on two-long rows (codegen
+    // hash aggregate) is cheaper than re-scoring each band collision and
+    // pushing the duplicates through the non-codegen ranking aggregate —
+    // measured both ways at sf0.1. The heap-side `dedupIds` in rankTopK
+    // stays on as a structural invariant, not the dedup mechanism.
     val sig = df.select(
       col(idCol).as("id"),
       explode(bandedBuckets(col(vecCol), bands, planesPerBand, d, seed))
@@ -164,10 +178,20 @@ object Similarity {
   }
 
   /** All-pairs cosine via banded multi-table LSH buckets (for near-dup
-    * filtering). Pairs surface once per shared (band, bucket), deduped.
-    * Output `(id_a, id_b, cosine)`, `id_a < id_b`. Same recall calculus as
-    * [[topKLsh]] — match (bands, planesPerBand) to the cosine threshold
-    * the caller filters at.
+    * filtering). Pairs surface once per shared (band, bucket); output is
+    * deduped: `(id_a, id_b, cosine)`, `id_a < id_b`, one row per pair.
+    * Same recall calculus as [[topKLsh]] — match (bands, planesPerBand) to
+    * the cosine threshold.
+    *
+    * `minCosine` pushes the caller's threshold INSIDE the operator: pairs
+    * are scored straight off the band join (once per colliding band — a
+    * dims-wide dot product against broadcast-joined vectors) and filtered
+    * BEFORE the dedup exchange, so the shuffle carries only surviving
+    * near-dup pairs instead of the full candidate set. For a selective
+    * threshold (the near-dup case: survivors are a sliver of candidates)
+    * this removes the dominant shuffle; the duplicate scores it re-pays
+    * are bounded by the band count. NaN cosines (zero-norm vectors) never
+    * pass the filter.
     */
   def cosinePairsLsh(
       df: DataFrame,
@@ -176,10 +200,9 @@ object Similarity {
       bands: Int = 8,
       planesPerBand: Int = 8,
       seed: Long = 42L,
-      dims: Int = InferDims): DataFrame = {
+      dims: Int = InferDims,
+      minCosine: Double = Double.NegativeInfinity): DataFrame = {
     val d = resolveDims(df, vecCol, dims)
-    // Same ids-first shape as [[topKLsh]]: dedup (id_a, id_b) candidates
-    // before the vectors are attached and scored.
     val sig = df.select(
       col(idCol).as("id"),
       explode(bandedBuckets(col(vecCol), bands, planesPerBand, d, seed))
@@ -191,14 +214,13 @@ object Similarity {
         Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-      .distinct()
 
     val vecs = df.select(
       col(idCol).as("id"),
       col(vecCol).as("v"),
       vector_norm(col(vecCol)).as("n"))
 
-    cand
+    val scored = cand
       .join(vecs.select(col("id").as("id_a"), col("v").as("va"),
         col("n").as("na")), Seq("id_a"))
       .join(vecs.select(col("id").as("id_b"), col("v").as("vb"),
@@ -206,6 +228,11 @@ object Similarity {
       .select(
         col("id_a"), col("id_b"),
         cosine(col("va"), col("na"), col("vb"), col("nb")).as("cosine"))
+    val thresholded =
+      if (minCosine == Double.NegativeInfinity) scored
+      else scored.filter(col("cosine") >= minCosine)
+    // one row per pair; duplicates are exact replays (deterministic score)
+    thresholded.dropDuplicates("id_a", "id_b")
   }
 
   // ------------------------------------------------------------------ IVF

@@ -18,10 +18,22 @@ import org.apache.spark.sql.types._
   * one root replacement + sift, O(log k), and memory is exactly k entries
   * in two primitive arrays (no boxing, no per-row allocation).
   */
-final class TopKHeap(val k: Int) {
+/** @param dedupIds skip an offered (score, id) when an entry with the same
+  *   id is already held — lets LSH callers feed the raw multi-band
+  *   candidate stream (one row per colliding band) without a distinct()
+  *   exchange first; the O(k) membership scan is only paid when enabled
+  *   and k is small for ranking workloads.
+  */
+final class TopKHeap(val k: Int, val dedupIds: Boolean = false) {
   val scores = new Array[Double](k)
   val ids = new Array[Long](k)
   var n = 0
+
+  private def contains(id: Long): Boolean = {
+    var i = 0
+    while (i < n) { if (ids(i) == id) return true; i += 1 }
+    false
+  }
 
   /** Is (sa, ia) worse than (sb, ib)? Heap order: parent worse than child.
     * Total order via Double.compare so a NaN (ranked largest, as in SQL
@@ -33,7 +45,8 @@ final class TopKHeap(val k: Int) {
   }
 
   def offer(s: Double, id: Long): Unit =
-    if (n < k) {
+    if (dedupIds && contains(id)) ()
+    else if (n < k) {
       var i = n
       scores(i) = s; ids(i) = id; n += 1
       // sift up: swap while this entry is worse than its parent
@@ -96,6 +109,7 @@ final class TopKHeap(val k: Int) {
 case class TopKPairs(
     child: Expression,
     k: Int,
+    dedupIds: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TopKHeap] with UnaryLike[Expression] {
@@ -126,7 +140,7 @@ case class TopKPairs(
 
   override def nullable: Boolean = false
 
-  override def createAggregationBuffer(): TopKHeap = new TopKHeap(k)
+  override def createAggregationBuffer(): TopKHeap = new TopKHeap(k, dedupIds)
 
   override def update(buffer: TopKHeap, input: InternalRow): TopKHeap = {
     val v = child.eval(input)
@@ -166,7 +180,7 @@ case class TopKPairs(
   override def deserialize(bytes: Array[Byte]): TopKHeap = {
     val bb = ByteBuffer.wrap(bytes)
     val m = bb.getInt()
-    val h = new TopKHeap(k)
+    val h = new TopKHeap(k, dedupIds)
     var i = 0
     while (i < m) { h.offer(bb.getDouble(), bb.getLong()); i += 1 }
     h
@@ -184,8 +198,17 @@ object TopKFunctions {
   /** Bounded top-k aggregate: `top_k_pairs(struct(score, id), k)` inside a
     * `groupBy(...).agg(...)`; returns `array<struct<score, id>>` best
     * first. `id` must be BIGINT, `score` DOUBLE.
+    *
+    * `dedupIds = true` additionally keeps at most one entry per id —
+    * PRECONDITION: within a group, every occurrence of an id carries the
+    * same score (true for deterministic similarity scores replayed once
+    * per LSH band collision). This lets candidate streams skip the
+    * distinct() exchange that would otherwise shuffle the full candidate
+    * set before ranking.
     */
-  def top_k_pairs(scoreAndId: Column, k: Int): Column =
+  def top_k_pairs(
+      scoreAndId: Column, k: Int, dedupIds: Boolean = false): Column =
     GraftShim.column(
-      TopKPairs(GraftShim.expression(scoreAndId), k).toAggregateExpression())
+      TopKPairs(GraftShim.expression(scoreAndId), k, dedupIds)
+        .toAggregateExpression())
 }
