@@ -27,6 +27,14 @@ object Prof {
     def settle(): Unit = { spark.catalog.clearCache(); System.gc(); Thread.sleep(300) }
     def run(n: String): Long = SparkEntry.queries(n)(spark, dir).count()
 
+    if (args.headOption.contains("explain")) {
+      args.drop(1).foreach { n =>
+        println(s"===== $n =====")
+        SparkEntry.queries(n)(spark, dir).explain("formatted")
+      }
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("entry")) {
       time("entry rows")(SparkEntry.entry(spark).count())
       spark.stop()

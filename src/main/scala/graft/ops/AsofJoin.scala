@@ -137,24 +137,36 @@ object AsofJoin {
     // scale, and pins a 100 TB intermediate to executor storage.
     val tagged = l.unionByName(r).withColumn("_b", bucket(col("_t")))
 
-    // per-(key, bucket) summary: the latest right row in the bucket as a
-    // (ts, payload) ordering struct — max == the row [[asof]]'s window
-    // would carry at bucket end (ties on ts resolve to the greatest
-    // payload struct, the same tie-break)
-    val bucketLast = tagged
-      .filter(col("_side") === 0)
-      .groupBy("_k", "_b")
-      .agg(max(struct(col("_t"), col("_r"))).as("_last"))
-
-    // carry-in per bucket: running max over strictly PRECEDING buckets of
-    // this key — O(keys × buckets) rows, the skew-free pass. Seeded from
-    // ALL (key, bucket) pairs present on either side: a left-only bucket
-    // still needs the carry from earlier right buckets.
+    // carry-in per bucket, ONE aggregation pass over the (column-pruned)
+    // union: group every (key, bucket) present on either side — a
+    // left-only bucket still needs the carry from earlier right buckets —
+    // and summarize the bucket's latest right row as a (ts, payload)
+    // ordering struct (max == the row [[asof]]'s window would carry at
+    // bucket end; ties on ts resolve to the greatest payload struct, the
+    // same tie-break; null when the bucket has no right rows). Then a
+    // running max over strictly PRECEDING buckets of the key yields each
+    // bucket's carry-in on O(keys × buckets) rows — the skew-free pass.
+    // (An earlier revision seeded the buckets with a distinct() and joined
+    // a separate right-side-only aggregate — two extra stages and a join
+    // for the same rows.)
     val carryW = Window.partitionBy("_k").orderBy(col("_b"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val carries = tagged.select("_k", "_b").distinct()
-      .join(bucketLast, Seq("_k", "_b"), "left")
+    val carries = tagged
+      // one exchange for the whole subtree: hash-partitioning on _k alone
+      // satisfies the (_k, _b) aggregation's clustering AND the carry
+      // window's partitioning, so agg and window share it
+      .repartition(col("_k"))
+      .groupBy("_k", "_b")
+      .agg(
+        max(when(col("_side") === 0, struct(col("_t"), col("_r"))))
+          .as("_last"),
+        max(col("_side")).as("_hasLeft"))
       .withColumn("_carry", max(col("_last")).over(carryW))
+      // only buckets that contain left rows consume a carry (right-only
+      // buckets already contributed their _last to the running max), and a
+      // null carry joins to the same result as no row — dropping both
+      // shrinks what ships to every executor
+      .filter(col("_hasLeft") === 1 && col("_carry").isNotNull)
       .select(col("_k"), col("_b"), col("_carry"))
 
     // within-bucket as-of (window on (key, bucket) — splittable), then
