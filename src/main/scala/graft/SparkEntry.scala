@@ -506,6 +506,53 @@ object SparkEntry {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    "q34_explode_json_sampled" -> ((s, dir) => { // G1 scale modes
+      // the 100 TB discovery paths of the flagship explode (SURVEY §7.4):
+      // InferSample reads a bounded limit(n) sample instead of the full
+      // column; Fields skips discovery entirely (schema contract). Both
+      // exploded derivations aggregate to the same numbers, and the oracle
+      // value-checks them side by side — field DISCOVERY differs from q13,
+      // results must not.
+      val ev = rd(s, dir, "events")
+      val sampled = ev
+        .explodeJsonColumn("props", prefix = "sp_",
+          schema = JsonSchema.InferSample(200))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          rnd(avg(col("sp_k").cast("int")), 4).as("avg_k_sampled"))
+      val declared = ev
+        .explodeJsonColumn("props", prefix = "dp_",
+          schema = JsonSchema.Fields(Seq("k")))
+        .groupBy("event_type")
+        .agg(rnd(avg(col("dp_k").cast("int")), 4).as("avg_k_declared"))
+      sampled.join(declared, Seq("event_type")).orderBy("event_type")
+    }),
+
+    "q35_sql_surface" -> ((s, dir) => { // SQL-only user path
+      // the registered native functions driven entirely through
+      // spark.sql(...) — including graft_top_k's literal-k extraction —
+      // reproducing y1's brute-force top-5 exactly (same kernels, same
+      // oracle). This is the path a SQL-only consumer of the library takes.
+      GraftExtensions.install(s)
+      rd(s, dir, "embeddings").createOrReplaceTempView("g35_embeddings")
+      s.sql(
+        """WITH e AS (SELECT vec_id, embedding,
+          |    graft_vector_norm(embedding) AS nrm
+          |  FROM g35_embeddings),
+          |t AS (SELECT q.vec_id AS query_id,
+          |    graft_top_k(struct(
+          |      graft_vector_dot(q.embedding, c.embedding) / (q.nrm * c.nrm),
+          |      c.vec_id), 5) AS top
+          |  FROM e q JOIN e c
+          |    ON q.vec_id < 50 AND c.vec_id <> q.vec_id
+          |  GROUP BY q.vec_id)
+          |SELECT query_id, x.col.id AS neighbor_id,
+          |  CAST(x.pos + 1 AS INT) AS rank, x.col.score AS cosine
+          |FROM t LATERAL VIEW posexplode(top) x AS pos, col
+          |ORDER BY query_id, rank""".stripMargin)
+    }),
+
     // ------------------------------------------------ LLM-pipeline: dedup
     "x1_dedup_exact" -> ((s, dir) => {
       Dedup.dedupExact(rd(s, dir, "documents"), "doc_id", "text")
@@ -1020,6 +1067,31 @@ object SparkEntry {
         |    AS med_exact,
         |  1 AS within_2pct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q34_explode_json_sampled" ->
+      """WITH g AS (SELECT event_type, count(*) AS n_events,
+        |    floor(avg(CAST(json_extract_string(props, '$.k') AS INT)) * 1e4
+        |      + 0.5) / 1e4 AS avg_k
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, n_events, avg_k AS avg_k_sampled,
+        |  avg_k AS avg_k_declared
+        |FROM g ORDER BY event_type""".stripMargin,
+
+    "q35_sql_surface" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
+        |  FROM embeddings)
+        |SELECT query_id, neighbor_id, rank, cosine FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * c.nrm) AS cosine,
+        |    CAST(row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |        x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * c.nrm) DESC,
+        |      c.vec_id) AS INT) AS rank
+        |  FROM e q JOIN e c ON q.vec_id < 50 AND c.vec_id <> q.vec_id) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q32_window_analytics" ->
       """SELECT o_custkey, o_orderkey,
