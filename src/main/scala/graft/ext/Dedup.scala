@@ -74,7 +74,42 @@ object Dedup {
       textCol: String,
       threshold: Double,
       numHashes: Int = 64,
-      bands: Int = 16): DataFrame = {
+      bands: Int = 16): DataFrame =
+    buildMinhashPairs(df, idCol, textCol, threshold, numHashes, bands)._1
+
+  /** Scoped form of [[nearDuplicatesMinhash]] that OWNS the persist
+    * lifecycle: builds the plan, hands the pair DataFrame to `f`, and
+    * unpersists the cached group table when `f` returns (or throws) — no
+    * CacheManager entry outlives the call. Use this from long-running
+    * sessions; the unscoped form leaves the cache to the caller (documented
+    * on the persist below) because the returned plan stays lazy.
+    * `f` must CONSUME the DataFrame (collect/write/count) before returning;
+    * a plan that escapes `f` unevaluated would recompute the group
+    * aggregation per downstream action once the cache is dropped.
+    */
+  def withNearDuplicatesMinhash[T](
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      numHashes: Int = 64,
+      bands: Int = 16)(f: DataFrame => T): T = {
+    val (pairs, cached) =
+      buildMinhashPairs(df, idCol, textCol, threshold, numHashes, bands)
+    try f(pairs)
+    finally cached.unpersist()
+  }
+
+  /** Returns (pair plan, the persisted intermediate whose lifecycle the
+    * caller controls).
+    */
+  private def buildMinhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      numHashes: Int,
+      bands: Int): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
 
@@ -167,7 +202,7 @@ object Dedup {
       .filter(col("a") < col("b"))
       .select(col("a").as("id_a"), col("b").as("id_b"), col("jaccard"))
 
-    cross.unionByName(intra)
+    (cross.unionByName(intra), groups)
   }
 
   // -------------------------------------------------------------- simhash

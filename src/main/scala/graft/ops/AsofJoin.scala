@@ -152,10 +152,12 @@ object AsofJoin {
     val carryW = Window.partitionBy("_k").orderBy(col("_b"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val carries = tagged
-      // one exchange for the whole subtree: hash-partitioning on _k alone
-      // satisfies the (_k, _b) aggregation's clustering AND the carry
-      // window's partitioning, so agg and window share it
-      .repartition(col("_k"))
+      // grouped on (_k, _b), NOT pre-partitioned by _k: partitioning the
+      // raw union on the key alone would serialize a hot key's rows into
+      // one aggregation task — the exact skew this operator exists to
+      // avoid (caught by the hot-key fixture spec). The (_k, _b) partial
+      // aggregation stays balanced, and the _k-partitioned carry window
+      // exchange only moves the aggregated O(keys x buckets) rows.
       .groupBy("_k", "_b")
       .agg(
         max(when(col("_side") === 0, struct(col("_t"), col("_r"))))

@@ -52,6 +52,33 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("withNearDuplicatesMinhash leaves no cache entry behind, twice over") {
+    import spark.implicits._
+    // earlier tests use the unscoped form, whose cache is caller-managed
+    spark.catalog.clearCache()
+    val cm = spark.sharedState.cacheManager
+    (1 to 2).foreach { _ =>
+      val pairs = Dedup.withNearDuplicatesMinhash(
+        df, "doc_id", "text", threshold = 0.5) { p =>
+        p.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      }
+      assert(pairs.contains((1L, 2L)))
+      assert(cm.isEmpty, "cache entry outlived the scoped dedup call")
+    }
+  }
+
+  test("withNearDuplicatesMinhash unpersists when the body throws") {
+    spark.catalog.clearCache()
+    val cm = spark.sharedState.cacheManager
+    intercept[RuntimeException] {
+      Dedup.withNearDuplicatesMinhash(df, "doc_id", "text", 0.5) { p =>
+        p.count()
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(cm.isEmpty)
+  }
+
   test("x3 simhash: identical token sets at hamming 0; unrelated text apart") {
     import spark.implicits._
     val pairs = Dedup.nearDuplicatesSimhash(df, "doc_id", "text", maxHamming = 3)
