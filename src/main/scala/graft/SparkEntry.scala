@@ -177,8 +177,17 @@ object SparkEntry {
     }),
 
     "q08_window_running" -> ((s, dir) => {
+      // The ORDER BY must be a total order on the CONTRIBUTION, not just
+      // "nearly unique": (l_orderkey, l_linenumber) has duplicates in the
+      // synthetic lineitem, and at sf0.1 one (suppkey, shipdate, okey,
+      // lineno) tie exists — a ROWS frame then includes the tied rows in
+      // engine-dependent order and the running sum becomes
+      // nondeterministic (observed: DuckDB itself flips run-to-run).
+      // Appending the two value factors makes any remaining ties carry
+      // EQUAL contributions, so swapping them cannot change the result.
       val w = Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("l_discount"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       // A running sum of DOUBLEs is FP-order-sensitive: Spark accumulates
       // sequentially while DuckDB uses segment-tree window aggregation, so
@@ -884,7 +893,8 @@ object SparkEntry {
         |  CAST(sum(CAST(floor(l_extendedprice * 1e2 + 0.5) AS BIGINT)
         |      * (100 - CAST(floor(l_discount * 1e2 + 0.5) AS BIGINT))) OVER (
         |    PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber,
+        |      l_extendedprice, l_discount
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1e4
         |    AS running_revenue
         |FROM lineitem
