@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Shingles, Similarity, TextAnalysis}
+import graft.ext.{Curation, Dedup, Multimodal, Shingles, Similarity, TextAnalysis}
 import graft.ops.AsofJoin
 import graft.ops.ColumnOps._
 import graft.ops.JsonOps._
@@ -562,6 +562,35 @@ object SparkEntry {
           |ORDER BY query_id, rank""".stripMargin)
     }),
 
+    "q36_token_pack" -> ((s, dir) => { // training-batch sequence packing
+      // greedy token-budget packing via the DISTRIBUTED two-phase prefix
+      // scan (Curation.packTokenBudget) — the oracle recomputes the same
+      // bins with one flat window, proving the distributed scan equals the
+      // sequential semantics. Compared per bin: doc count, token total,
+      // id range.
+      Curation.packTokenBudget(
+        rd(s, dir, "documents"), "doc_id", "text", budgetTokens = 2048)
+        .groupBy("bin")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tokens").cast("long").as("bin_tokens"),
+          min("id").as("first_doc"),
+          max("id").as("last_doc"))
+        .orderBy("bin")
+    }),
+
+    "q37_stratified_sample" -> ((s, dir) => { // reproducible corpus sample
+      // md5-hex-threshold stratified sampling: membership is a pure
+      // function of (doc_id, salt, stratum fraction), so the oracle
+      // reproduces the EXACT row set — not just counts — with the same
+      // string comparison.
+      Curation.stratifiedSample(
+        rd(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1), salt = "g37")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
     // ------------------------------------------------ LLM-pipeline: dedup
     "x1_dedup_exact" -> ((s, dir) => {
       Dedup.dedupExact(rd(s, dir, "documents"), "doc_id", "text")
@@ -1102,6 +1131,28 @@ object SparkEntry {
         |      c.vec_id) AS INT) AS rank
         |  FROM e q JOIN e c ON q.vec_id < 50 AND c.vec_id <> q.vec_id) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q36_token_pack" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |p AS (SELECT doc_id, n_tokens,
+        |    CAST(floor(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      / 2048.0) AS BIGINT) AS bin
+        |  FROM d)
+        |SELECT bin, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM p GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "q37_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR) || 'g37'), 1, 8) <
+        |  CASE lang WHEN 'en' THEN '80000000' WHEN 'de' THEN '40000000'
+        |    WHEN 'fr' THEN '1999999a' ELSE '00000000' END
+        |ORDER BY doc_id""".stripMargin,
 
     "q32_window_analytics" ->
       """SELECT o_custkey, o_orderkey,

@@ -154,12 +154,21 @@ object Similarity {
         .as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 
-    val cand = sig.select(col("id").as("query_id"), col("band"), col("bucket"))
-      .join(sig.select(col("id").as("neighbor_id"), col("band"), col("bucket")),
+    // UNORDERED pairs (a < b) through the join and the dedup — half the
+    // band-join output and half the distinct's shuffle vs emitting both
+    // directions — then mirror the deduped survivors so every vector ranks
+    // its neighbors. The two mirror branches share the distinct's exchange
+    // (ReusedExchange), so the halved shuffle is paid once.
+    val half = sig.select(col("id").as("id_a"), col("band"), col("bucket"))
+      .join(sig.select(col("id").as("id_b"), col("band"), col("bucket")),
         Seq("band", "bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
       .distinct()
+    val cand = half
+      .select(col("id_a").as("query_id"), col("id_b").as("neighbor_id"))
+      .unionByName(half
+        .select(col("id_b").as("query_id"), col("id_a").as("neighbor_id")))
 
     val vecs = df.select(
       col(idCol).as("id"),
