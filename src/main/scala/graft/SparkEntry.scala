@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Curation, Dedup, Multimodal, Shingles, Similarity, TextAnalysis}
+import graft.ext.{Clusters, Curation, Dedup, Multimodal, Shingles, Similarity, TextAnalysis}
 import graft.ops.AsofJoin
 import graft.ops.ColumnOps._
 import graft.ops.JsonOps._
@@ -663,6 +663,30 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "x7_dup_clusters" -> ((s, dir) => {
+      // pairs → connected components: "A~B, B~C" collapses to one cluster
+      // with a deterministic min-id canonical label. k=128/b=32 as in x2 so
+      // the LSH pair set provably equals the exact-Jaccard pair set and the
+      // recursive-CTE oracle walks identical edges. The scoped form owns
+      // the minhash persist; connectedComponents' eager first checkpoint
+      // consumes the pairs before the cache is dropped.
+      Dedup.withNearDuplicatesMinhash(
+        rd(s, dir, "documents"), "doc_id", "text", threshold = 0.8,
+        numHashes = 128, bands = 32) { pairs =>
+        Clusters.connectedComponents(pairs, "id_a", "id_b")
+      }.orderBy("id")
+    }),
+
+    "x8_keep_canonical" -> ((s, dir) => {
+      // the dedup DECISION on the exact-cosine pair graph: keep each
+      // cluster's min-id member plus every row in no duplicate pair
+      val emb = rd(s, dir, "embeddings")
+      val pairs = Dedup.nearDuplicatesEmbeddingExact(
+        emb, "vec_id", "embedding", minCosine = 0.45)
+      Clusters.keepCanonical(emb, "vec_id", pairs, "id_a", "id_b")
+        .select("vec_id").orderBy("vec_id")
+    }),
+
     // ------------------------------------------- LLM-pipeline: similarity
     "y1_knn_brute" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")
@@ -1263,6 +1287,44 @@ object SparkEntry {
         |WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
         |    x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (a.nrm * b.nrm) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // transitive closure of the x2 pair set: min-label reachability via a
+    // recursive CTE (UNION dedups, so the fixpoint is finite); cluster_id =
+    // smallest reachable doc_id, matching connectedComponents' contract
+    "x7_dup_clusters" ->
+      """WITH RECURSIVE d AS (SELECT doc_id,
+        |    list_distinct(regexp_split_to_array(trim(text), '\s+')) AS ws
+        |  FROM documents),
+        |p AS (SELECT a.doc_id AS u, b.doc_id AS v
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.ws, b.ws))::DOUBLE
+        |      / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.8),
+        |e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+        |reach(id, r) AS (
+        |  SELECT u, u FROM e
+        |  UNION
+        |  SELECT reach.id, e.v FROM reach JOIN e ON reach.r = e.u),
+        |cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+        |SELECT id, cluster_id FROM cc ORDER BY id""".stripMargin,
+
+    "x8_keep_canonical" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
+        |  FROM embeddings),
+        |p AS (SELECT a.vec_id AS u, b.vec_id AS v
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (a.nrm * b.nrm) >= 0.45),
+        |s AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+        |reach(id, r) AS (
+        |  SELECT u, u FROM s
+        |  UNION
+        |  SELECT reach.id, s.v FROM reach JOIN s ON reach.r = s.u),
+        |cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+        |SELECT vec_id FROM embeddings
+        |WHERE vec_id NOT IN (SELECT id FROM cc WHERE id <> cluster_id)
+        |ORDER BY vec_id""".stripMargin,
 
     "y1_knn_brute" ->
       """WITH e AS (SELECT vec_id, embedding,

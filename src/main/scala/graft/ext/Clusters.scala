@@ -1,0 +1,125 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster resolution: turn the PAIR output of the dedup
+  * operators ([[Dedup.nearDuplicatesMinhash]] and friends, reference
+  * etl_projects dedup semantics per SURVEY.md §7.5) into connected
+  * components, so "A~B, B~C" collapses into one cluster {A, B, C} with a
+  * single canonical representative — the last step an LLM-corpus dedup
+  * actually needs (pairs alone can't answer "which docs do I drop?").
+  *
+  * Algorithm: alternating large-star / small-star contraction (Kiveris,
+  * Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected Components in
+  * MapReduce and Beyond", SoCC 2014). Each round is two shuffles of the
+  * CURRENT edge set (a groupBy-min plus an equi-join back — never a cross
+  * join, never whole-graph state on one task), and the edge set only
+  * shrinks toward stars, so a round's cost is O(|E|) regardless of
+  * component shape. Rounds to converge are O(log² n) in theory and 2–4 in
+  * practice on dedup graphs (near-clique components). That bound is what
+  * makes this the 100 TB answer; naive min-label propagation converges in
+  * O(diameter) rounds — fine for cliques, pathological on chain-shaped
+  * drift clusters (doc A ~ A' ~ A'' ~ …) which real crawl corpora do form.
+  *
+  * Iteration hygiene at scale: every round truncates lineage with an eager
+  * `localCheckpoint` — without it the logical plan doubles per round and
+  * analysis cost explodes by iteration ~15. On a multi-tenant cluster
+  * prefer a reliable `checkpoint` dir (executor loss under localCheckpoint
+  * forces a job restart); the semantics here don't change.
+  */
+object Clusters {
+
+  /** Connected components of the undirected pair graph.
+    *
+    * @param pairs one row per edge; direction and duplicates are ignored.
+    * @return `(id, cluster_id)` — one row per DISTINCT node appearing in
+    *         `pairs`, `cluster_id` = smallest node id reachable from `id`
+    *         (deterministic). Nodes never mentioned in `pairs` are absent
+    *         by contract: the caller unions singletons back if needed
+    *         (see [[keepCanonical]]).
+    * @param maxIterations hard stop: throws rather than silently returning
+    *         a partially-contracted (WRONG) clustering. The O(log² n)
+    *         bound makes the default unreachable for any real input.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIterations: Int = 25): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+
+    // canonical undirected edges, self-loops and duplicates dropped
+    var edges = pairs.select(
+      least(col(aCol), col(bCol)).as("u"),
+      greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIterations) {
+      // large-star: every node connects its LARGER neighbors to the
+      // minimum of its neighborhood (incl. itself). Operates on the
+      // symmetric view; emitted edges keep (min, larger) orientation.
+      val sym = edges.select(col("u"), col("v"))
+        .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      val large = sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("m").as("u"), col("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+
+      // small-star: every node connects its SMALLER-or-equal neighbors
+      // (and itself) to the neighborhood minimum. Input edges are already
+      // (small, large) oriented, so the "smaller neighbors of u" view is
+      // just the edge list read as (large → small).
+      val symLE = large.select(col("v").as("u"), col("u").as("v"))
+      val minsS = symLE.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      val small = symLE.join(minsS, "u")
+        .select(col("m").as("nu"), col("v"))
+        .unionAll(minsS.select(col("m").as("nu"), col("u").as("v")))
+        .select(col("nu").as("u"), col("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(true)
+
+      // exact fixpoint test (counts + one-sided except on the checkpointed
+      // sets): equal counts and an empty difference ⇒ identical edge sets.
+      // One extra bounded job per round, no checksum false-positives.
+      val nPrev = edges.count()
+      val nCurr = small.count()
+      converged = nPrev == nCurr &&
+        small.exceptAll(edges).limit(1).isEmpty
+      edges = small
+      it += 1
+    }
+    require(converged,
+      s"connectedComponents: no fixpoint after $maxIterations rounds " +
+        "(raise maxIterations; expected O(log^2 n) rounds)")
+
+    // fixpoint edges form stars rooted at each component's minimum
+    edges.select(col("v").as("id"), col("u").as("cluster_id"))
+      .unionAll(edges.select(col("u").as("id"), col("u").as("cluster_id")))
+      .distinct()
+  }
+
+  /** The dedup DECISION: keep each cluster's canonical (minimum-id) member
+    * plus every document not in any duplicate pair. One anti-join against
+    * the (small — one row per clustered doc) component table.
+    */
+  def keepCanonical(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      aCol: String = "id_a",
+      bCol: String = "id_b"): DataFrame = {
+    val drop = connectedComponents(pairs, aCol, bCol)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+}

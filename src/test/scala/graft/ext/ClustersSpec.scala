@@ -1,0 +1,77 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ClustersSpec extends SparkSpec {
+
+  private def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Clusters.connectedComponents(pairs.toDF("id_a", "id_b"), "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+  }
+
+  test("two cliques bridged by one edge collapse into one cluster") {
+    val clique = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L))
+    assert(cc(clique) ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
+    assert(cc(clique :+ (3L, 10L)) ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 11L -> 1L, 12L -> 1L))
+  }
+
+  test("chain components converge (the pathological diameter case)") {
+    // a 200-link path: naive propagation needs 200 rounds, star
+    // contraction must finish inside the default budget
+    val chain = (0L until 200L).map(i => (i, i + 1))
+    val got = cc(chain)
+    assert(got.size === 201)
+    assert(got.values.toSet === Set(0L))
+  }
+
+  test("direction, duplicates, and self-loops in the pair input are ignored") {
+    val messy = Seq((5L, 2L), (2L, 5L), (2L, 5L), (7L, 7L), (5L, 9L))
+    assert(cc(messy) === Map(2L -> 2L, 5L -> 2L, 9L -> 2L))
+  }
+
+  test("empty pair set yields an empty clustering") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Clusters.connectedComponents(empty, "id_a", "id_b").count() === 0L)
+  }
+
+  test("matches union-find on a pinned random graph") {
+    import spark.implicits._
+    val rng = new scala.util.Random(graft.Check.PinnedSeed)
+    val n = 400
+    val pairs = Seq.fill(300)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+      .filter(p => p._1 != p._2)
+
+    // reference union-find with path compression
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x; while (parent(r) != r) r = parent(r)
+      var c = x; while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    // canonical = min node id of the component among PRESENT nodes
+    val expected = nodes.groupBy(id => find(id.toInt)).values
+      .flatMap(ids => ids.map(_ -> ids.min)).toMap
+
+    assert(cc(pairs) === expected)
+  }
+
+  test("keepCanonical keeps cluster minima and untouched rows") {
+    import spark.implicits._
+    val docs = (0L until 10L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val kept = Clusters.keepCanonical(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(0L, 1L, 4L, 5L, 6L, 7L, 9L))
+  }
+}
