@@ -687,6 +687,22 @@ object SparkEntry {
         .select("vec_id").orderBy("vec_id")
     }),
 
+    "x9_dedup_incremental" -> ((s, dir) => {
+      // the daily-crawl shape: 80% of the corpus (doc_id % 10 < 8) is a
+      // prebuilt minhash INDEX — its text is never re-read — and the
+      // remaining 20% arrives as the new batch, deduped against it.
+      // k=128/b=32 as in x2 keeps the LSH pair set provably equal to the
+      // exact cross-split Jaccard pairs the oracle computes.
+      val docs = rd(s, dir, "documents")
+      val idx = Dedup.minhashIndex(
+        docs.filter(pmod(col("doc_id"), lit(10)) < 8), "doc_id", "text",
+        numHashes = 128, bands = 32)
+      Dedup.nearDuplicatesAgainstIndex(
+        idx, docs.filter(pmod(col("doc_id"), lit(10)) >= 8),
+        "doc_id", "text", threshold = 0.8, numHashes = 128, bands = 32)
+        .orderBy("corpus_id", "new_id")
+    }),
+
     // ------------------------------------------- LLM-pipeline: similarity
     "y1_knn_brute" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")
@@ -1287,6 +1303,19 @@ object SparkEntry {
         |WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
         |    x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (a.nrm * b.nrm) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "x9_dedup_incremental" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_distinct(regexp_split_to_array(trim(text), '\s+')) AS ws
+        |  FROM documents)
+        |SELECT a.doc_id AS corpus_id, b.doc_id AS new_id,
+        |  len(list_intersect(a.ws, b.ws))::DOUBLE
+        |    / len(list_distinct(list_concat(a.ws, b.ws))) AS jaccard
+        |FROM d a JOIN d b
+        |  ON a.doc_id % 10 < 8 AND b.doc_id % 10 >= 8
+        |WHERE len(list_intersect(a.ws, b.ws))::DOUBLE
+        |    / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.8
+        |ORDER BY corpus_id, new_id""".stripMargin,
 
     // transitive closure of the x2 pair set: min-label reachability via a
     // recursive CTE (UNION dedups, so the fixpoint is finite); cluster_id =

@@ -99,11 +99,14 @@ object Curation {
       .withColumn("_off", coalesce(sum("_total").over(offW), lit(0L)))
       .select("_p", "_off")
 
+    // integer DIV, not floor(double /): the exclusive prefix is a
+    // non-negative long, so `div` is exact at any corpus size — a double
+    // quotient would lose ulps once prefixes pass 2^53 tokens
     local.join(broadcast(offsets), Seq("_p"))
       .select(
         col("id"),
         col("n_tokens"),
-        floor((col("_off") + col("_cum") - col("n_tokens")) /
-          budgetTokens.toDouble).cast("long").as("bin"))
+        expr(s"(_off + _cum - n_tokens) DIV $budgetTokens")
+          .cast("long").as("bin"))
   }
 }

@@ -24,6 +24,12 @@ object Dedup {
     * how many executors exist. Round-robin up to the cluster's default
     * parallelism — a no-op when the scan already yields enough splits (the
     * 100 TB case), a cheap shuffle of (id, text) rows when it doesn't.
+    *
+    * Caveat (API wart, accepted): `df.rdd.getNumPartitions` plans the
+    * input PHYSICALLY at call time — no job runs, but an expensive
+    * upstream plan pays its analysis/optimization cost here rather than
+    * at the first action. Callers who care should pre-repartition and
+    * arrive with >= defaultParallelism partitions, making this a no-op.
     */
   private def ensureParallelism(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
@@ -203,6 +209,107 @@ object Dedup {
       .select(col("a").as("id_a"), col("b").as("id_b"), col("jaccard"))
 
     (cross.unionByName(intra), groups)
+  }
+
+  // ------------------------------------------------ incremental (indexed)
+
+  /** Persistable minhash index of a corpus — the INCREMENTAL dedup shape.
+    * One row per document: `(id, nsh, shingles, bands)` where `bands` is
+    * `array<struct<band:int, bucket:long>>`. Build it once per corpus
+    * snapshot, write it to parquet, and dedup each new crawl batch with
+    * [[nearDuplicatesAgainstIndex]] — the corpus TEXT is never touched
+    * again, which is the property that matters when the corpus is 100 TB
+    * and the daily batch is 0.1% of it.
+    *
+    * Storage: signatures live unexploded (bands explode at query time after
+    * column pruning), so the index is O(docs), not O(docs × bands). The
+    * token-set-collapse trick of [[nearDuplicatesMinhash]] applies here too
+    * if the corpus is duplicate-heavy — collapse before indexing and
+    * re-expand matches afterwards; this index stays doc-level for a
+    * contract a plain parquet reader can consume.
+    */
+  def minhashIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    ensureParallelism(df.select(col(idCol), col(textCol)))
+      .select(
+        col(idCol).as("id"),
+        array_sort(tokenSet(col(textCol))).as("shingles"))
+      .withColumn("sig", minhash_signature(col("shingles"), numHashes))
+      .select(
+        col("id"),
+        size(col("shingles")).as("nsh"),
+        col("shingles"),
+        transform(
+          sequence(lit(0), lit(bands - 1)),
+          j => struct(
+            j.cast("int").as("band"),
+            hash(slice(col("sig"), j * rows + 1, lit(rows))).as("bucket")))
+          .as("bands"))
+  }
+
+  /** Near-duplicates of a NEW batch against an existing [[minhashIndex]]:
+    * candidates come from the `(band, bucket)` equi-join of the batch's
+    * banded signatures against the index's (ids-only rows cross the
+    * shuffle), size-ratio-pruned exactly as in [[nearDuplicatesMinhash]],
+    * then verified with exact Jaccard on the sorted shingle arrays both
+    * sides already carry. Emits `(corpus_id, new_id, jaccard)`.
+    *
+    * Contract: id spaces of index and batch are disjoint (a recrawled doc
+    * gets a new id; dedup is what finds the old one). Pairs WITHIN the new
+    * batch are [[nearDuplicatesMinhash]] on the batch alone — run both and
+    * union for full coverage. `numHashes`/`bands` must match the values
+    * the index was built with (bucket hashes are parameter-dependent).
+    *
+    * The batch plan is referenced twice (band join + verify attach); for a
+    * large batch, persist or checkpoint `minhashIndex(batch...)` and pass
+    * it via `preIndexedBatch`.
+    */
+  def nearDuplicatesAgainstIndex(
+      index: DataFrame,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      preIndexedBatch: Option[DataFrame] = None): DataFrame = {
+    val batch = preIndexedBatch.getOrElse(
+      minhashIndex(newDocs, idCol, textCol, numHashes, bands))
+
+    def exploded(ix: DataFrame, side: String): DataFrame = ix
+      .select(
+        col("id").as(s"${side}_id"),
+        col("nsh").as(s"${side}_nsh"),
+        explode(col("bands")).as("bb"))
+      .select(
+        col(s"${side}_id"), col(s"${side}_nsh"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+    val candidates = exploded(index, "corpus")
+      .join(exploded(batch, "new"), Seq("band", "bucket"))
+      .filter(
+        least(col("corpus_nsh"), col("new_nsh")).cast("double") >=
+          greatest(col("corpus_nsh"), col("new_nsh")) * threshold)
+      .select(col("corpus_id"), col("new_id"))
+      .distinct()
+
+    candidates
+      .join(
+        index.select(col("id").as("corpus_id"), col("shingles").as("sh_a")),
+        Seq("corpus_id"))
+      .join(
+        batch.select(col("id").as("new_id"), col("shingles").as("sh_b")),
+        Seq("new_id"))
+      .select(
+        col("corpus_id"), col("new_id"),
+        jaccard_sorted(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   // -------------------------------------------------------------- simhash

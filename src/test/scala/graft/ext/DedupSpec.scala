@@ -106,6 +106,63 @@ class DedupSpec extends SparkSpec {
     assert(!crossPairs.exists(p => p._1 == 1L || p._2 == 1L))
   }
 
+  test("incremental: index + batch finds exactly the cross-split exact-Jaccard pairs") {
+    import spark.implicits._
+    // corpus = docs 1-3, batch = docs 6-8 (6 ~ 1 exact set-dup, 7 ~ 3 near,
+    // 8 unrelated); ground truth = brute-force exact Jaccard across splits
+    val corpus = df.filter(col("doc_id") <= 3)
+    val batch = Seq(
+      (6L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (7L, "the quick brown fox jumps over a lazy cat near the river bank today"),
+      (8L, "unrelated content on columnar storage formats and shuffle services"))
+      .toDF("doc_id", "text")
+
+    val idx = Dedup.minhashIndex(corpus, "doc_id", "text",
+      numHashes = 128, bands = 32)
+    val got = Dedup.nearDuplicatesAgainstIndex(idx, batch, "doc_id", "text",
+      threshold = 0.5, numHashes = 128, bands = 32)
+      .select("corpus_id", "new_id").as[(Long, Long)].collect().toSet
+
+    // mirrors Shingles.tokenSet: trim + whitespace split, NO lowercasing
+    val ts = (d: String) => d.trim.split("\\s+").toSet
+    val want = (for {
+      (cid, ctext) <- docs.filter(_._1 <= 3)
+      (nid, ntext) <- Seq(
+        6L -> "the quick brown fox jumps over the lazy dog near the river bank today",
+        7L -> "the quick brown fox jumps over a lazy cat near the river bank today",
+        8L -> "unrelated content on columnar storage formats and shuffle services")
+      a = ts(ctext); b = ts(ntext)
+      j = a.intersect(b).size.toDouble / a.union(b).size
+      if j >= 0.5
+    } yield (cid, nid)).toSet
+    assert(got === want)
+    assert(want.contains((1L, 6L)) && want.contains((3L, 7L))) // non-trivial
+  }
+
+  test("incremental: index survives a parquet roundtrip; preIndexedBatch agrees") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mhidx").toString
+    val corpus = df.filter(col("doc_id") <= 4)
+    val batch = df.filter(col("doc_id") === 5)
+      .unionByName(Seq((9L, "the quick brown fox jumps over the lazy dog near the river bank now"))
+        .toDF("doc_id", "text"))
+
+    Dedup.minhashIndex(corpus, "doc_id", "text").write.parquet(s"$dir/idx")
+    val idx = spark.read.parquet(s"$dir/idx")
+    val direct = Dedup.nearDuplicatesAgainstIndex(
+      idx, batch, "doc_id", "text", threshold = 0.5)
+      .select("corpus_id", "new_id", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val pre = Dedup.nearDuplicatesAgainstIndex(
+      idx, batch, "doc_id", "text", threshold = 0.5,
+      preIndexedBatch = Some(Dedup.minhashIndex(batch, "doc_id", "text")))
+      .select("corpus_id", "new_id", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(direct === pre)
+    assert(direct.nonEmpty) // 9 is a near-dup of 1/2/4
+    direct.foreach { case (_, _, j) => assert(j >= 0.5 && j <= 1.0) }
+  }
+
   test("jaccard is within [0,1] and 1 for identical sets (property)") {
     import spark.implicits._
     assert(graft.Check.holds2 { (xs: List[String], ys: List[String]) =>
