@@ -51,6 +51,10 @@ object GraftExtensions {
       "graft_xxhash64_seeded(s, seed)") {
       case Seq(s, seed) => XxHash64Seeded(s, longArg(seed, "seed"))
     },
+    make("graft_nfc", "Unicode NFC (canonical composition) of a string",
+      "graft_nfc(s)") {
+      case Seq(s) => NfcNormalize(s)
+    },
     make("graft_jaccard_sorted",
       "Jaccard of two sorted distinct array<string>",
       "graft_jaccard_sorted(a, b)") {

@@ -821,6 +821,21 @@ object SparkEntry {
         .orderBy("lang_pred")
     }),
 
+    "t7_clean_text" -> ((s, dir) => {
+      // canonical cleanup (NFC + control→space + space-collapse + trim)
+      // compared as the FULL cleaned string: both engines must agree on
+      // every byte. NFC is identity on this ASCII testdata (the oracle
+      // proves strip/collapse/trim parity; TextAnalysisSpec proves NFC on
+      // planted combining marks), and the oracle calls nfc_normalize too
+      // so a non-ASCII regeneration would keep the comparison honest.
+      rd(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextAnalysis.cleanText(col("text")).as("clean"))
+        .withColumn("n_chars", length(col("clean")))
+        .orderBy("doc_id")
+    }),
+
     // ------------------------------------------- LLM-pipeline: multimodal
     "m1_multimodal_meta" -> ((s, dir) => {
       Multimodal.metadataOnly(
@@ -1456,6 +1471,14 @@ object SparkEntry {
         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
         |  floor(avg(quality) * 1e4 + 0.5) / 1e4 AS avg_quality
         |FROM q GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
+
+    "t7_clean_text" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(nfc_normalize(text),
+        |    '[\x00-\x1f\x7f]', ' ', 'g'), ' +', ' ', 'g')) AS clean,
+        |  CAST(length(trim(regexp_replace(regexp_replace(nfc_normalize(text),
+        |    '[\x00-\x1f\x7f]', ' ', 'g'), ' +', ' ', 'g'))) AS INT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "m1_multimodal_meta" ->
       """SELECT doc_id AS media_id, 'text' AS kind, 'raw' AS format,

@@ -18,6 +18,22 @@ object TextAnalysis {
     */
   final val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
+  /** Canonical text cleanup for crawled corpora, in fixed order:
+    * Unicode NFC composition (native expression — composition-form noise
+    * would defeat exact fingerprints and skew shingle sets), control
+    * characters → space (words stay split where a C0/DEL separated them),
+    * space runs collapsed, ends trimmed. After the control strip the only
+    * whitespace left IS the space character, so the collapse uses the
+    * explicit `' +'` class — exactly reproducible in any regex engine
+    * (Java `\s` and RE2 `\s` disagree on `\x0B`, see the q08/x3r notes).
+    */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        graft.functions.NfcFunctions.nfc_normalize(text),
+        "[\\x00-\\x1F\\x7F]", " "),
+      " +", " "))
+
   /** Whitespace token count. */
   def tokenCountWhitespace(text: Column): Column = size(tokens(text))
 

@@ -16,6 +16,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(bpe === 8)
   }
 
+  test("cleanText: NFC composition, control strip, collapse, trim") {
+    import spark.implicits._
+    val decomposed = "cafe\u0301 menu" // e + COMBINING ACUTE ACCENT
+    val composed = "caf\u00e9 menu"    // precomposed LATIN SMALL E ACUTE
+    val messy = "  a\tb\r\ncd   e  "
+    val rows = Seq(decomposed, messy, null.asInstanceOf[String])
+      .toDF("t")
+      .select(TextAnalysis.cleanText(col("t")).as("c"))
+      .as[String].collect()
+    assert(rows(0) === composed)           // NFC composes the accent
+    assert(rows(1) === "a b cd e")         // tab/CR/LF -> single spaces
+    assert(rows(2) === null)               // null-safe
+    // idempotent: cleaning cleaned text is a no-op
+    val twice = Seq(decomposed).toDF("t")
+      .select(TextAnalysis.cleanText(TextAnalysis.cleanText(col("t"))))
+      .as[String].head()
+    assert(twice === composed)
+  }
+
+  test("graft_nfc is callable from SQL and matches the Scala path") {
+    import spark.implicits._
+    graft.GraftExtensions.install(spark)
+    // i + COMBINING DIAERESIS composes to \u00ef
+    Seq("nai\u0308ve test").toDF("t").createOrReplaceTempView("t7nfc")
+    val viaSql = spark.sql("SELECT graft_nfc(t) FROM t7nfc").as[String].head()
+    assert(viaSql === "na\u00efve test")
+  }
+
   test("language ID picks the right stopword profile") {
     import spark.implicits._
     val d = Seq(
