@@ -32,6 +32,9 @@ object Dedup {
     * arrive with >= defaultParallelism partitions, making this a no-op.
     */
   private def ensureParallelism(df: DataFrame): DataFrame = {
+    // streaming plans can't be inspected via .rdd (and micro-batch
+    // parallelism is the source's concern) — pass them through untouched
+    if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
   }

@@ -87,6 +87,65 @@ object EventStream {
       .dropDuplicatesWithinWatermark("_fp")
       .drop("_fp")
 
+  /** Streaming near-duplicate detection against a STATIC corpus index —
+    * the streaming twin of [[graft.ext.Dedup.nearDuplicatesAgainstIndex]]:
+    * each arriving document is shingled and banded with the SAME
+    * expressions the batch path uses, stream-static-joined against the
+    * exploded [[graft.ext.Dedup.minhashIndex]] on `(band, bucket)`, and
+    * verified with exact Jaccard. Emits `(corpus_id, new_id, jaccard)`
+    * rows as documents arrive.
+    *
+    * Scale shape: a stream-static equi-join is STATELESS — no watermark,
+    * no state store; each micro-batch joins against the (broadcast or
+    * shuffled) index and forgets. That is exactly what a crawl-ingest
+    * near-dup filter needs: the corpus index updates on snapshot cadence
+    * (re-read per batch via the lazily re-planned static side), while the
+    * stream only ever holds the current micro-batch.
+    *
+    * `numHashes`/`bands` must match the index's build parameters.
+    *
+    * Output multiplicity: a pair colliding in several bands emits one row
+    * per colliding band (a streaming `distinct` would mean unbounded state
+    * — and since each document arrives in exactly ONE micro-batch,
+    * duplicates are strictly intra-batch). Callers wanting unique pairs
+    * dedupe per batch: `.writeStream.foreachBatch((b, _) => b.dropDuplicates
+    * ("corpus_id", "new_id")...)` — batch-scoped, zero cross-batch state.
+    */
+  def nearDupAgainstIndexStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: DataFrame,
+      threshold: Double,
+      numHashes: Int = 64,
+      bands: Int = 16): DataFrame = {
+    import graft.ext.Dedup
+    val batchSigs = Dedup.minhashIndex(docs, idCol, textCol, numHashes, bands)
+    val streamSide = batchSigs
+      .select(
+        col("id").as("new_id"), col("nsh").as("new_nsh"),
+        col("shingles").as("sh_b"), explode(col("bands")).as("bb"))
+      .select(
+        col("new_id"), col("new_nsh"), col("sh_b"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val staticSide = index
+      .select(
+        col("id").as("corpus_id"), col("nsh").as("corpus_nsh"),
+        col("shingles").as("sh_a"), explode(col("bands")).as("bb"))
+      .select(
+        col("corpus_id"), col("corpus_nsh"), col("sh_a"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    streamSide.join(staticSide, Seq("band", "bucket"))
+      .filter(
+        least(col("corpus_nsh"), col("new_nsh")).cast("double") >=
+          greatest(col("corpus_nsh"), col("new_nsh")) * threshold)
+      .select(
+        col("corpus_id"), col("new_id"),
+        graft.functions.JaccardFunctions.jaccard_sorted(
+          col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Custom-state sessionization via `flatMapGroupsWithState`: one state
     * record per user holds the open session; an event later than
     * `gapMs` after the session's end closes it (emit) and opens a new one;

@@ -82,6 +82,48 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup against a static minhash index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river"),
+      (2L, "completely different text about spark query engines and joins"))
+      .toDF("doc_id", "text")
+    val index = graft.ext.Dedup.minhashIndex(
+      corpus, "doc_id", "text", numHashes = 128, bands = 32)
+
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val pairs = EventStream.nearDupAgainstIndexStream(
+      docs, "doc_id", "text", index, threshold = 0.5,
+      numHashes = 128, bands = 32)
+    // per-batch uniqueness, the documented foreachBatch pattern
+    val seen = scala.collection.mutable.Set[(Long, Long, Double)]()
+    val q = pairs.writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.dropDuplicates("corpus_id", "new_id")
+          .collect().foreach(r =>
+            seen += ((r.getLong(0), r.getLong(1), r.getDouble(2))))
+        ()
+      }.start()
+    try {
+      // batch 1: near-dup of corpus doc 1 (one word changed) + unrelated
+      input.addData(
+        (10L, "the quick brown fox jumps over the lazy cat near the river"),
+        (11L, "totally unrelated sentence with no shared vocabulary at all"))
+      q.processAllAvailable()
+      // batch 2: exact token-set dup of corpus doc 2
+      input.addData(
+        (12L, "completely different text about spark query engines and joins"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(seen.map(p => (p._1, p._2)) === Set((1L, 10L), (2L, 12L)))
+    val exact = seen.find(_._2 == 12L).get
+    assert(exact._3 === 1.0) // identical token set
+    assert(seen.forall(_._3 >= 0.5))
+  }
+
   test("availableNow run lands parquet exactly once and is idempotent") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-stream-").toString
