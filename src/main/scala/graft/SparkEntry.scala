@@ -836,6 +836,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "t8_pii_scrub" -> ((s, dir) => {
+      // testdata carries no PII, so the query PLANTS deterministic
+      // doc_id-derived PII into every document on BOTH engines — the
+      // masked output and per-class counts then exercise the full regex
+      // surface cross-engine (patterns restricted to Java∩RE2 syntax).
+      val dirty = concat(
+        col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com ssn 123-45-6789 phone 555-123-4567" +
+          " host 10.0.0."),
+        (pmod(col("doc_id"), lit(200)) + 1).cast("string"), lit(" end"))
+      rd(s, dir, "documents")
+        .select(col("doc_id"), dirty.as("_dirty"))
+        .select(
+          col("doc_id"),
+          TextAnalysis.scrubPii(col("_dirty")).as("clean"),
+          TextAnalysis.piiCounts(col("_dirty")).as("_pii"))
+        .select(
+          col("doc_id"), col("clean"),
+          col("_pii.n_emails").as("n_emails"),
+          col("_pii.n_ssns").as("n_ssns"),
+          col("_pii.n_phones").as("n_phones"),
+          col("_pii.n_ips").as("n_ips"))
+        .orderBy("doc_id")
+    }),
+
     // ------------------------------------------- LLM-pipeline: multimodal
     "m1_multimodal_meta" -> ((s, dir) => {
       Multimodal.metadataOnly(
@@ -1334,7 +1359,13 @@ object SparkEntry {
 
     // transitive closure of the x2 pair set: min-label reachability via a
     // recursive CTE (UNION dedups, so the fixpoint is finite); cluster_id =
-    // smallest reachable doc_id, matching connectedComponents' contract
+    // smallest reachable doc_id, matching connectedComponents' contract.
+    // SCALE BOUND: full reachability is O(Σ size²) rows and the iteration
+    // join is O(Σ size³) — sound at the sf0.01 gate (largest cluster ~10²),
+    // infeasible at sf0.1 (one 3,728-doc near-clique). For larger-SF
+    // cross-checks use tools/cc_check.py: union-find over the ALREADY
+    // cross-engine-verified x2 pair output. The Spark operator itself has
+    // no such bound — star contraction is O(|E|) per round.
     "x7_dup_clusters" ->
       """WITH RECURSIVE d AS (SELECT doc_id,
         |    list_distinct(regexp_split_to_array(trim(text), '\s+')) AS ws
@@ -1479,6 +1510,32 @@ object SparkEntry {
         |  CAST(length(trim(regexp_replace(regexp_replace(nfc_normalize(text),
         |    '[\x00-\x1f\x7f]', ' ', 'g'), ' +', ' ', 'g'))) AS INT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t8_pii_scrub" ->
+      """WITH d AS (SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@mail.example.com ssn 123-45-6789 phone 555-123-4567 host 10.0.0.'
+        |      || CAST(doc_id % 200 + 1 AS VARCHAR) || ' end' AS dirty
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, dirty, regexp_replace(dirty,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS a1
+        |  FROM d),
+        |s2 AS (SELECT *, regexp_replace(a1,
+        |    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g') AS a2 FROM s1),
+        |s3 AS (SELECT *, regexp_replace(a2,
+        |    '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g') AS a3 FROM s2)
+        |SELECT doc_id,
+        |  regexp_replace(a3,
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS clean,
+        |  CAST(len(regexp_extract_all(dirty,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(a1,
+        |    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ssns,
+        |  CAST(len(regexp_extract_all(a2,
+        |    '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(a3,
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips
+        |FROM s3 ORDER BY doc_id""".stripMargin,
 
     "m1_multimodal_meta" ->
       """SELECT doc_id AS media_id, 'text' AS kind, 'raw' AS format,

@@ -34,6 +34,49 @@ object TextAnalysis {
         "[\\x00-\\x1F\\x7F]", " "),
       " +", " "))
 
+  /** PII patterns, deliberately restricted to syntax Java regex and RE2
+    * agree on (no lookarounds, no backrefs; `\b` and explicit classes
+    * only) so a DuckDB/Trino/etc. oracle can reproduce the scrub exactly.
+    * Masking order is part of the contract (longest/most-specific first):
+    * email → SSN → phone → IPv4 — e.g. an SSN must be consumed before the
+    * phone pattern could claim its tail.
+    */
+  final val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  final val SsnPattern = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+  final val PhonePattern = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+  final val Ipv4Pattern =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Mask PII spans with typed placeholder tokens (the form most
+    * anonymization pipelines feed to training: the MODEL should see that
+    * an email stood there, not the address). Pure regexp_replace chain —
+    * codegen'd, order fixed per the pattern contract above.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, EmailPattern, "<EMAIL>"),
+          SsnPattern, "<SSN>"),
+        PhonePattern, "<PHONE>"),
+      Ipv4Pattern, "<IP>")
+
+  /** Per-document PII hit counts (audit/reporting companion to
+    * [[scrubPii]]): struct of match counts per pattern class, counted on
+    * the SAME masking order (each count sees the previous classes already
+    * masked, so a span is attributed to exactly one class).
+    */
+  def piiCounts(text: Column): Column = {
+    val afterEmail = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val afterSsn = regexp_replace(afterEmail, SsnPattern, "<SSN>")
+    val afterPhone = regexp_replace(afterSsn, PhonePattern, "<PHONE>")
+    struct(
+      regexp_count(text, lit(EmailPattern)).cast("long").as("n_emails"),
+      regexp_count(afterEmail, lit(SsnPattern)).cast("long").as("n_ssns"),
+      regexp_count(afterSsn, lit(PhonePattern)).cast("long").as("n_phones"),
+      regexp_count(afterPhone, lit(Ipv4Pattern)).cast("long").as("n_ips"))
+  }
+
   /** Whitespace token count. */
   def tokenCountWhitespace(text: Column): Column = size(tokens(text))
 

@@ -44,6 +44,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(viaSql === "na\u00efve test")
   }
 
+  test("scrubPii masks typed spans; counts attribute each span once") {
+    import spark.implicits._
+    val d = Seq(
+      "mail a.user+tag@sub.example.org now",
+      "ssn 123-45-6789 then phone 555-123-4567 at 192.168.0.1",
+      "no pii here at all",
+      "dots 1.2.3.4 and 10.20.30.40").toDF("t")
+      .select(
+        TextAnalysis.scrubPii(col("t")).as("c"),
+        TextAnalysis.piiCounts(col("t")).as("p"))
+      .select(col("c"), col("p.n_emails"), col("p.n_ssns"),
+        col("p.n_phones"), col("p.n_ips"))
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(d(0) === (("mail <EMAIL> now", 1L, 0L, 0L, 0L)))
+    // the SSN is consumed before the phone pattern could claim its tail
+    assert(d(1) === (("ssn <SSN> then phone <PHONE> at <IP>", 0L, 1L, 1L, 1L)))
+    assert(d(2) === (("no pii here at all", 0L, 0L, 0L, 0L)))
+    assert(d(3) === (("dots <IP> and <IP>", 0L, 0L, 0L, 2L)))
+  }
+
   test("language ID picks the right stopword profile") {
     import spark.implicits._
     val d = Seq(
