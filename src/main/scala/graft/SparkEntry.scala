@@ -821,6 +821,18 @@ object SparkEntry {
         .orderBy("lang_pred")
     }),
 
+    "t9_repetition" -> ((s, dir) => {
+      // duplicate-n-gram boilerplate signal: 1 − distinct/total per doc.
+      // The division is one int/int IEEE op — exact cross-engine (the
+      // jaccard precedent), no rounding needed.
+      rd(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextAnalysis.repetitionScore(col("text"), 2).as("rep2"),
+          TextAnalysis.repetitionScore(col("text"), 3).as("rep3"))
+        .orderBy("doc_id")
+    }),
+
     "t7_clean_text" -> ((s, dir) => {
       // canonical cleanup (NFC + control→space + space-collapse + trim)
       // compared as the FULL cleaned string: both engines must agree on
@@ -1510,6 +1522,28 @@ object SparkEntry {
         |  CAST(length(trim(regexp_replace(regexp_replace(nfc_normalize(text),
         |    '[\x00-\x1f\x7f]', ' ', 'g'), ' +', ' ', 'g'))) AS INT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t9_repetition" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS a
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    CASE WHEN len(a) >= 2 THEN
+        |      list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])
+        |      ELSE [] END AS g2,
+        |    CASE WHEN len(a) >= 3 THEN
+        |      list_transform(range(1, len(a) - 1),
+        |        i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])
+        |      ELSE [] END AS g3
+        |  FROM d)
+        |SELECT doc_id,
+        |  CASE WHEN len(g2) > 0
+        |    THEN 1.0 - len(list_distinct(g2))::DOUBLE / len(g2)
+        |    ELSE 0.0 END AS rep2,
+        |  CASE WHEN len(g3) > 0
+        |    THEN 1.0 - len(list_distinct(g3))::DOUBLE / len(g3)
+        |    ELSE 0.0 END AS rep3
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     "t8_pii_scrub" ->
       """WITH d AS (SELECT doc_id,

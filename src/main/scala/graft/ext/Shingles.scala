@@ -15,20 +15,24 @@ object Shingles {
   /** Distinct whitespace tokens (the unigram shingle set). */
   def tokenSet(text: Column): Column = array_distinct(tokens(text))
 
-  /** Distinct word n-grams joined by a single space. Empty when the
-    * document has fewer than n tokens (guarded: `sequence(1, 0)` would
-    * otherwise count DOWN in Spark).
+  /** ALL word n-grams in order, duplicates kept (the multiset view —
+    * repetition analysis needs the duplicates that [[wordNGrams]] drops).
+    * Empty when the document has fewer than n tokens (guarded:
+    * `sequence(1, 0)` would otherwise count DOWN in Spark).
     */
-  def wordNGrams(text: Column, n: Int): Column = {
+  def wordNGramsAll(text: Column, n: Int): Column = {
     val toks = tokens(text)
     val count = size(toks) - (n - 1)
     when(count >= 1,
-      array_distinct(
-        transform(
-          sequence(lit(1), count),
-          i => concat_ws(" ", slice(toks, i, lit(n))))))
+      transform(
+        sequence(lit(1), count),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** Distinct word n-grams joined by a single space. */
+  def wordNGrams(text: Column, n: Int): Column =
+    array_distinct(wordNGramsAll(text, n))
 
   /** Distinct character n-grams of the raw text. Robust to word reordering
     * (intra-word grams survive a shuffle of the words), which is the planted

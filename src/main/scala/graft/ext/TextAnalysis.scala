@@ -77,6 +77,20 @@ object TextAnalysis {
       regexp_count(afterPhone, lit(Ipv4Pattern)).cast("long").as("n_ips"))
   }
 
+  /** Duplicate word-n-gram fraction — the Gopher/C4-style boilerplate
+    * signal: `1 − distinct/total` over the n-gram MULTISET, 0.0 for
+    * documents shorter than n tokens. Crawled boilerplate (nav bars,
+    * cookie banners, templated listings) repeats phrases; prose doesn't.
+    * Pure int arithmetic + one division — the 100 TB sweep is a scan.
+    */
+  def repetitionScore(text: Column, n: Int = 2): Column = {
+    val all = Shingles.wordNGramsAll(text, n)
+    val total = size(all)
+    when(total > 0,
+      lit(1.0) - size(array_distinct(all)).cast("double") / total)
+      .otherwise(lit(0.0))
+  }
+
   /** Whitespace token count. */
   def tokenCountWhitespace(text: Column): Column = size(tokens(text))
 

@@ -64,6 +64,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(d(3) === (("dots <IP> and <IP>", 0L, 0L, 0L, 2L)))
   }
 
+  test("repetitionScore: duplicate-ngram fraction, 0 for short docs") {
+    import spark.implicits._
+    val r = Seq(
+      "a b a b a",            // bigrams: ab,ba,ab,ba -> 2/4 duplicated
+      "all distinct words here",
+      "one").toDF("t")
+      .select(TextAnalysis.repetitionScore(col("t"), 2).as("s"))
+      .as[Double].collect()
+    assert(r(0) === 0.5)
+    assert(r(1) === 0.0)
+    assert(r(2) === 0.0) // shorter than n -> defined as 0
+  }
+
   test("language ID picks the right stopword profile") {
     import spark.implicits._
     val d = Seq(
