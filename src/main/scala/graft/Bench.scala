@@ -38,27 +38,48 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
       settle()
     }
-    // (time, succeeded) per query; failures are reported as -1 and excluded
-    // from the total so a broken query can never make the bench look faster.
+    // Median-of-3 per query: single-shot timings on a 32-thread local JVM
+    // drift ±25% run-to-run (GC pauses, shuffle-file cleanup, JIT
+    // recompiles), which is the same order as a real regression on a
+    // sub-second query — the median filters the one-off stalls, and the
+    // recorded spread says how much to trust each number. Failures are
+    // reported as -1 and excluded from the total so a broken query can
+    // never make the bench look faster.
+    val passes = 3
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
-        }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // operators may persist intermediates (minhash groups, asof unions);
-      // drop them so queries are measured cold and don't pressure later ones
-      settle()
-      name -> (ok, dt)
+      val times = (1 to passes).flatMap { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // operators may persist intermediates (minhash groups, asof
+        // unions); drop them so every pass is measured cold and doesn't
+        // pressure the next query
+        settle()
+        if (ok) Some(dt) else None
+      }
+      val median =
+        if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2)
+      // relative spread (max-min)/median: ≤0.1 means the median is solid;
+      // larger means re-run before treating a delta as a regression
+      val spread =
+        if (times.isEmpty || median <= 0) -1.0
+        else (times.max - times.min) / median
+      name -> (times.nonEmpty, median, spread)
     }
-    val qs = results
-      .map { case (k, (ok, v)) => "\"" + k + "\":" + (if (ok) v else -1.0) }
+    def jmap(f: ((String, (Boolean, Double, Double))) => Double) = results
+      .map { case kv @ (k, (ok, _, _)) =>
+        "\"" + k + "\":" + (if (ok) f(kv) else -1.0)
+      }
       .mkString("{", ",", "}")
-    val failed = results.count { case (_, (ok, _)) => !ok }
-    val total = results.collect { case (_, (true, v)) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val qs = jmap { case (_, (_, med, _)) => med }
+    val spreads = jmap { case (_, (_, _, sp)) => math.rint(sp * 1000) / 1000 }
+    val failed = results.count { case (_, (ok, _, _)) => !ok }
+    val total = results.collect { case (_, (true, v, _)) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"passes":$passes,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

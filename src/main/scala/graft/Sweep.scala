@@ -36,7 +36,7 @@ object Sweep {
       }
       val sig = emb.select(
         col("vec_id").as("id"),
-        explode(graft.ext.Similarity.bandedBucketsPublic(
+        explode(graft.ext.Similarity.bandedBuckets(
           col("embedding"), 18, 4, d, 42L)).as("bb"))
         .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
       time("sig only")(sig.count())

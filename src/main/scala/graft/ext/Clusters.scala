@@ -94,6 +94,12 @@ object Clusters {
       val nCurr = small.count()
       converged = nPrev == nCurr &&
         small.exceptAll(edges).limit(1).isEmpty
+      // `small` is EAGERLY checkpointed and the fixpoint test above is the
+      // last read of the previous round's edges — release its pinned blocks
+      // now, or 2-4 copies of the edge set sit in executor storage until
+      // driver GC happens to collect the DataFrames (at 100 TB that is the
+      // difference between fitting and spilling every later round).
+      unpersistCheckpoint(edges)
       edges = small
       it += 1
     }
@@ -101,11 +107,27 @@ object Clusters {
       s"connectedComponents: no fixpoint after $maxIterations rounds " +
         "(raise maxIterations; expected O(log^2 n) rounds)")
 
-    // fixpoint edges form stars rooted at each component's minimum
+    // fixpoint edges form stars rooted at each component's minimum.
+    // (The FINAL round's checkpoint stays pinned on purpose — the returned
+    // plan reads it lazily; it is released by the session's ContextCleaner
+    // once the caller drops the result.)
     edges.select(col("v").as("id"), col("u").as("cluster_id"))
       .unionAll(edges.select(col("u").as("id"), col("u").as("cluster_id")))
       .distinct()
   }
+
+  /** Release the storage blocks behind a `localCheckpoint(eager = true)`d
+    * DataFrame. `Dataset.unpersist` only clears CacheManager entries
+    * (`.persist`/`.cache`), NOT checkpoint blocks — those are pinned on the
+    * RDD the checkpoint wrapped in the plan's `LogicalRDD`, so that is what
+    * must be unpersisted. Non-blocking: the blocks drop asynchronously.
+    */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** The dedup DECISION: keep each cluster's canonical (minimum-id) member
     * plus every document not in any duplicate pair. One anti-join against

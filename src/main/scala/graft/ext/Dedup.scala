@@ -218,7 +218,8 @@ object Dedup {
 
   /** Persistable minhash index of a corpus — the INCREMENTAL dedup shape.
     * One row per document: `(id, nsh, shingles, bands)` where `bands` is
-    * `array<struct<band:int, bucket:long>>`. Build it once per corpus
+    * `array<struct<band:int, bucket:int>>` (bucket = Murmur3 of the band's
+    * signature slice — 32-bit by construction). Build it once per corpus
     * snapshot, write it to parquet, and dedup each new crawl batch with
     * [[nearDuplicatesAgainstIndex]] — the corpus TEXT is never touched
     * again, which is the property that matters when the corpus is 100 TB

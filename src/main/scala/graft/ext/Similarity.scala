@@ -30,9 +30,17 @@ object Similarity {
     Seq.fill(p)(Seq.fill(dims)((rng.nextDouble() * 2 - 1).toFloat))
   }
 
-  /** Cosine similarity given precomputed norms (fast custom expressions). */
+  /** Cosine similarity given precomputed norms (fast custom expressions).
+    * `try_divide`, not `/`: a zero-norm vector has divisor 0, which under
+    * Spark 4's default ANSI mode would FAIL the whole query
+    * (DIVIDE_BY_ZERO) and under legacy mode yields NaN — which Spark ranks
+    * ABOVE every double, turning the zero vector into a "near-dup" of every
+    * candidate. `try_divide` gives null in both modes; every consumer
+    * (threshold filters here, the [[graft.functions.TopKPairs]] heap)
+    * skips null scores.
+    */
   private def cosine(va: Column, na: Column, vb: Column, nb: Column): Column =
-    vector_dot(va, vb) / (na * nb)
+    try_divide(vector_dot(va, vb), na * nb)
 
   /** LSH bucket id: bit i = sign of dot(vec, plane_i). One compact
     * expression ([[graft.functions.HyperplaneBucketExpr]]) — the plane
@@ -108,12 +116,12 @@ object Similarity {
     * similarity threshold: near-dup work at cosine ≥ 0.9 wants narrow
     * buckets (b=8, L=8); moderate thresholds (≈0.3–0.5, e.g. ANN over
     * loosely-correlated embeddings) want wide buckets (b=3–4, L=12–20).
+    *
+    * `private[graft]`, not public: the signature layout is an internal LSH
+    * detail (the dev-only [[graft.Sweep]] tool reaches it for stage
+    * decomposition; library callers use [[topKLsh]]/[[cosinePairsLsh]]).
     */
-  def bandedBucketsPublic(
-      vec: Column, bands: Int, planesPerBand: Int, dims: Int, seed: Long): Column =
-    bandedBuckets(vec, bands, planesPerBand, dims, seed)
-
-  private def bandedBuckets(
+  private[graft] def bandedBuckets(
       vec: Column, bands: Int, planesPerBand: Int, dims: Int, seed: Long): Column =
     array((0 until bands).map { b =>
       struct(
@@ -207,8 +215,11 @@ object Similarity {
     * near-dup pairs instead of the full candidate set. For a selective
     * threshold (the near-dup case: survivors are a sliver of candidates)
     * this removes the dominant shuffle; the duplicate scores it re-pays
-    * are bounded by the band count. NaN cosines (zero-norm vectors) never
-    * pass the filter.
+    * are bounded by the band count. Zero-norm vectors score null (see
+    * [[cosine]]) and are dropped explicitly — a bare `>= minCosine` over a
+    * NaN-producing division would have emitted a zero-norm vector as a
+    * near-dup of every band collision partner (Spark ranks NaN above every
+    * double), or failed outright under ANSI mode.
     */
   def cosinePairsLsh(
       df: DataFrame,
@@ -247,7 +258,9 @@ object Similarity {
         cosine(col("va"), col("na"), col("vb"), col("nb")).as("cosine"))
     val thresholded =
       if (minCosine == Double.NegativeInfinity) scored
-      else scored.filter(col("cosine") >= minCosine)
+      else scored.filter(
+        col("cosine").isNotNull && !isnan(col("cosine")) &&
+          col("cosine") >= minCosine)
     // one row per pair; duplicates are exact replays (deterministic score)
     thresholded.dropDuplicates("id_a", "id_b")
   }

@@ -73,7 +73,11 @@ object VectorFunctions {
   def vector_norm(a: Column): Column =
     column(FloatVectorNorm(expression(a)))
 
-  /** Cosine similarity of two `array<float>` columns. */
+  /** Cosine similarity of two `array<float>` columns. Null (not a
+    * DIVIDE_BY_ZERO failure under ANSI mode, not NaN under legacy mode)
+    * when either vector has zero norm — see `graft.ext.Similarity.cosine`.
+    */
   def vector_cosine(a: Column, b: Column): Column =
-    vector_dot(a, b) / (vector_norm(a) * vector_norm(b))
+    org.apache.spark.sql.functions.try_divide(
+      vector_dot(a, b), vector_norm(a) * vector_norm(b))
 }

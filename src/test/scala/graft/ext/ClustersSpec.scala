@@ -66,6 +66,23 @@ class ClustersSpec extends SparkSpec {
     assert(cc(pairs) === expected)
   }
 
+  test("connectedComponents releases intermediate checkpoints (one pinned set)") {
+    // Each round localCheckpoints the contracted edge set; previous rounds'
+    // blocks must be unpersisted as soon as the next round materializes —
+    // otherwise 2-4 copies of a 100 TB-scale edge set stay pinned. A chain
+    // graph forces several contraction rounds; afterwards at most ONE new
+    // persistent RDD (the final fixpoint set) may remain.
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val chain = (0L until 64L).sliding(2).map(w => (w(0), w(1))).toSeq
+      .toDF("id_a", "id_b")
+    val out = Clusters.connectedComponents(chain, "id_a", "id_b").collect()
+    assert(out.length === 64 && out.forall(_.getLong(1) == 0L))
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 1,
+      s"expected at most 1 pinned checkpoint, found ${after - before}")
+  }
+
   test("keepCanonical keeps cluster minima and untouched rows") {
     import spark.implicits._
     val docs = (0L until 10L).map(i => (i, s"doc$i")).toDF("doc_id", "text")

@@ -90,6 +90,33 @@ class SimilaritySpec extends SparkSpec {
     pairs.foreach { case (a, b) => assert(a < b) }
   }
 
+  test("cosinePairsLsh drops zero-norm vectors (null cosine) under minCosine") {
+    // A zero-norm vector's cosine divides by zero: under Spark 4's default
+    // ANSI mode a raw `/` FAILS the whole query (DIVIDE_BY_ZERO, observed),
+    // and under legacy mode it yields NaN — which Spark ranks ABOVE every
+    // double, so a bare `>= minCosine` would emit the zero vector as a
+    // near-dup of every band collision partner. The operator scores with
+    // try_divide (null in both modes) and filters nulls explicitly.
+    import spark.implicits._
+    val dims = 4
+    // two identical unit vectors (a real near-dup pair) + a zero vector
+    val rows = Seq(
+      (0L, Seq.fill(dims)(1.0f)),
+      (1L, Seq.fill(dims)(1.0f)),
+      (2L, Seq.fill(dims)(0.0f))) // zero norm -> NaN cosine with everything
+    val df = rows.toDF("vec_id", "embedding")
+    // one band of zero planes would be ideal to force collision; with
+    // seeded planes the zero vector's dot products are all 0 -> sign bits
+    // all 0 -> it lands in SOME bucket; brute-force the band space by
+    // using 1 plane per band so buckets are coarse (2 buckets/band) and
+    // collisions with the real vectors are guaranteed in at least one band
+    val pairs = Similarity.cosinePairsLsh(
+        df, "vec_id", "embedding", bands = 8, planesPerBand = 1,
+        minCosine = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 1L))) // the zero vector appears in NO pair
+  }
+
   test("y3 IVF top-k: high recall vs brute force, deterministic") {
     import spark.implicits._
     val exact = Similarity.topKBruteForce(
