@@ -609,6 +609,34 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "x2p_dedup_minhash_prod" -> ((s, dir) => { // rows-only: approximate recall
+      // the PRODUCTION default (k=64/b=16, r=4): per-pair miss probability
+      // at the J=0.8 boundary is (1-0.8^4)^16 ≈ 1.4e-2 and falls steeply
+      // above it (2e-4 at J=0.85) — the cheap setting a 100 TB dedup run
+      // would use, at roughly half x2's signature cost. Its recall claim is
+      // MEASURED (not asserted) by the x2pr companion against x2's
+      // provably-exact k=128/b=32 pair set.
+      Dedup.nearDuplicatesMinhash(
+        rd(s, dir, "documents"), "doc_id", "text", threshold = 0.8)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "x2pr_minhash_prod_recall" -> ((s, dir) => {
+      // ground truth = the k=128/b=32 pair set, which the x2 oracle proves
+      // ≡ exact Jaccard ≥ 0.8 (miss 5e-8); the oracle recomputes n_exact
+      // with DuckDB's exact Jaccard, so the compare also re-proves that
+      // equivalence. Bar 0.95: generous against the planted near-dup pool
+      // (most pairs sit well above the 1.4e-2-miss threshold boundary)
+      // while still catching any real banding bug.
+      val docs = rd(s, dir, "documents")
+      recallCheck(
+        Dedup.nearDuplicatesMinhash(
+          docs, "doc_id", "text", threshold = 0.8,
+          numHashes = 128, bands = 32),
+        Dedup.nearDuplicatesMinhash(docs, "doc_id", "text", threshold = 0.8),
+        Seq("id_a", "id_b"), threshold = 0.95)
+    }),
+
     "x3_dedup_simhash" -> ((s, dir) => { // rows-only: hash family differs across engines
       Dedup.nearDuplicatesSimhash(
         rd(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
@@ -1301,6 +1329,15 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
         |    x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (a.nrm * b.nrm) >= 0.45""".stripMargin,
+
+    "x2pr_minhash_prod_recall" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_distinct(regexp_split_to_array(trim(text), '\s+')) AS ws
+        |  FROM documents)
+        |SELECT count(*) AS n_exact, 1 AS recall_ok
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.ws, b.ws))::DOUBLE
+        |    / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.8""".stripMargin,
 
     "m2_multimodal_features" ->
       """SELECT doc_id AS media_id, 16 AS dim,
