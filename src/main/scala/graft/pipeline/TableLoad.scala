@@ -2,6 +2,8 @@ package graft.pipeline
 
 import java.time.LocalDate
 
+import scala.concurrent.duration._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.lake.{Layer, Metastore, TableWriter}
@@ -76,4 +78,69 @@ object TableLoad {
       metastore: Metastore,
       specs: Seq[Spec]): Seq[DataFrame] =
     specs.map(run(spark, metastore, _))
+
+  /** The reference's per-task retry knobs, defaults included: every DAG
+    * task runs with `retries=3`, `retry_delay=3 min`, and a 2-hour
+    * `execution_timeout` (etl_projects/base/orchestration/base_dag.py:9-14;
+    * the Databricks REST poll layer retries with the same shape,
+    * databricks_plugin.py:87-93,297-303).
+    *
+    * `timeout` here is a DEADLINE ON STARTING ATTEMPTS, not a hard kill:
+    * once `timeout` has elapsed since the first attempt began, no further
+    * retry starts and the last failure propagates. Pre-empting a running
+    * Spark job mid-flight is the orchestrator's job (Airflow kills the
+    * task process; in-process that would mean job-group cancellation with
+    * a partially-written target) — and every load is idempotent anyway:
+    * targets are written with overwrite / dynamic-partition-overwrite, so
+    * a re-run after a mid-write failure converges.
+    */
+  final case class RetryPolicy(
+      retries: Int = 3,
+      delay: FiniteDuration = 3.minutes,
+      timeout: FiniteDuration = 2.hours)
+
+  /** [[run]] under [[RetryPolicy]] — the §3.2 load with the reference's
+    * fault tolerance. A transient failure (lost executor wave, catalog
+    * hiccup, eventually-consistent listing) is retried after `delay`, up
+    * to `retries` additional attempts within the `timeout` deadline.
+    */
+  def runWithRetry(
+      spark: SparkSession,
+      metastore: Metastore,
+      spec: Spec,
+      policy: RetryPolicy = RetryPolicy(),
+      sleep: FiniteDuration => Unit = d => Thread.sleep(d.toMillis)): DataFrame =
+    retry(policy, sleep)(run(spark, metastore, spec))
+
+  /** Retry harness behind [[runWithRetry]], package-visible so specs can
+    * drive it with an injected failing body and a recording `sleep` (no
+    * real three-minute waits in tests). Fatal errors (OOM, linkage) are
+    * not retried — rethrown immediately via `NonFatal`.
+    */
+  private[pipeline] def retry[T](
+      policy: RetryPolicy,
+      sleep: FiniteDuration => Unit)(body: => T): T = {
+    val deadline = policy.timeout.fromNow
+    var attempt = 0
+    var last: Throwable = null
+    while (attempt <= policy.retries) {
+      if (attempt > 0) sleep(policy.delay)
+      try return body
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          last = e
+          attempt += 1
+          if (attempt > policy.retries)
+            throw new RuntimeException(
+              s"TableLoad: failed after ${attempt} attempts " +
+                s"(retries=${policy.retries})", e)
+          if (deadline.isOverdue())
+            throw new RuntimeException(
+              s"TableLoad: attempt ${attempt} failed and the " +
+                s"${policy.timeout} execution deadline has passed; " +
+                "not retrying", e)
+      }
+    }
+    throw last // unreachable: loop exits only via return/throw
+  }
 }
