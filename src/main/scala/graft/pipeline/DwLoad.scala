@@ -30,7 +30,50 @@ object DwLoad {
       table: String,
       stagingQuery: String,
       rules: Seq[FieldRule] = Nil,
-      minCount: Long = 0L)
+      minCount: Long = 0L,
+      // when set, step 4 ALSO lands the final rows in this JDBC warehouse
+      // (the Redshift-copy parity path); the catalog registration still
+      // happens so lake-side readers see the same table
+      jdbcUrl: Option[String] = None)
+
+  /** Step 4 as a REAL warehouse copy: land the final-schema rows in a
+    * JDBC database. This is the reference's Redshift `COPY`
+    * (dw_sub_dag_builder.py:93-108) re-expressed as Spark's JDBC batch
+    * writer — every executor opens its own connection and streams its
+    * partition (`batchsize` rows per round trip), so the copy distributes
+    * exactly like the parquet write; the driver never materializes the
+    * table. `numPartitions` caps writer-side connections: a 1000-task
+    * write would otherwise open 1000 simultaneous connections against a
+    * warehouse that typically admits far fewer.
+    *
+    * Overwrite mode truncates-or-recreates then inserts, keeping the
+    * re-run idempotence every other sink in this pipeline has.
+    */
+  def toJdbc(
+      df: DataFrame,
+      url: String,
+      table: String,
+      properties: java.util.Properties = new java.util.Properties(),
+      numPartitions: Int = 8,
+      batchSize: Int = 10000): Unit =
+    df.coalesce(numPartitions) // cap warehouse connections, not a shuffle
+      .write
+      .format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("batchsize", batchSize)
+      .options(scala.jdk.CollectionConverters.PropertiesHasAsScala(properties)
+        .asScala.toMap)
+      .mode("overwrite")
+      .save()
+
+  /** Read a warehouse table back (round-trip verification / reverse ETL). */
+  def fromJdbc(
+      spark: SparkSession,
+      url: String,
+      table: String,
+      properties: java.util.Properties = new java.util.Properties()): DataFrame =
+    spark.read.jdbc(url, table, properties)
 
   /** Run one DW table load; returns the final-schema DataFrame. */
   def run(spark: SparkSession, metastore: Metastore, spec: Spec): DataFrame = {
@@ -60,9 +103,12 @@ object DwLoad {
       path = metastore.tablePath(Layer.Dw, spec.schema, spec.table))
     TableWriter.write(stagedBack, finalSpec)
 
-    // 4. "COPY": register the final-schema files in the warehouse catalog
+    // 4. "COPY": register the final-schema files in the warehouse catalog,
+    // and when a JDBC url is configured, stream them into the warehouse too
     TableWriter.registerExternalTable(spark, finalDb, spec.table, finalSpec,
       schema = Some(stagedBack.schema))
+    spec.jdbcUrl.foreach(url =>
+      toJdbc(stagedBack, url, s"${spec.schema}_${spec.table}"))
     spark.table(s"`$finalDb`.`${spec.table}`")
   }
 }

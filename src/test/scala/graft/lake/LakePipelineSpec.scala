@@ -213,6 +213,35 @@ class LakePipelineSpec extends SparkSpec {
     assert(!spark.catalog.tableExists("`dw_finance`.`payments_bad`"))
   }
 
+  test("S10 step-4 JDBC copy round-trips through an in-process warehouse") {
+    import spark.implicits._
+    // Derby embedded (on the Spark classpath) stands in for the
+    // reference's Redshift: a real JDBC database, zero network. The same
+    // toJdbc call against a cluster url is the production path.
+    val url = "jdbc:derby:memory:graftdw;create=true"
+    Seq((10L, "us", 1.5), (20L, "eu", 2.5), (30L, "us", 4.0))
+      .toDF("order_id", "market", "amount").createOrReplaceTempView("jdbc_src")
+
+    val out = graft.pipeline.DwLoad.run(spark, metastore,
+      graft.pipeline.DwLoad.Spec(
+        schema = "sales", table = "orders_jdbc",
+        stagingQuery = "SELECT * FROM jdbc_src",
+        jdbcUrl = Some(url)))
+    assert(out.count() === 3)
+
+    val back = graft.pipeline.DwLoad.fromJdbc(spark, url, "sales_orders_jdbc")
+    assert(back.schema.fieldNames.toSeq.sorted
+      === Seq("amount", "market", "order_id"))
+    assert(back.count() === 3)
+    assert(back.agg(sum("amount")).head().getDouble(0) === 8.0)
+
+    // overwrite mode keeps the copy idempotent: re-running the same load
+    // must not duplicate warehouse rows
+    graft.pipeline.DwLoad.toJdbc(out, url, "sales_orders_jdbc")
+    assert(graft.pipeline.DwLoad.fromJdbc(spark, url, "sales_orders_jdbc")
+      .count() === 3)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     import spark.implicits._
     val facts = (1L to 1000L).map(i => (i % 100, i, i * 1.5)).toDF("k", "id", "v")
