@@ -288,8 +288,27 @@ object Similarity {
       nprobe: Int = 4,
       iterations: Int = 5,
       sampleSize: Int = 1024,
-      seed: Long = 42L): DataFrame = {
-    val centroids = trainCentroids(df, idCol, vecCol, nlist, iterations, sampleSize, seed)
+      seed: Long = 42L): DataFrame =
+    topKIvfWithCentroids(df, idCol, vecCol, k,
+      trainCentroids(df, idCol, vecCol, nlist, iterations, sampleSize, seed),
+      nprobe)
+
+  /** [[topKIvf]] against a PREBUILT codebook — the build-once/reuse shape
+    * (mirroring [[graft.ext.Dedup.minhashIndex]]): a production pipeline
+    * trains centroids once per corpus snapshot ([[trainCentroids]]),
+    * persists them ([[centroidsToDF]] → parquet), and every later query
+    * run loads ([[centroidsFromDF]]) instead of re-running Lloyd's — which
+    * also pins cell assignments across runs, so results stay comparable
+    * release-to-release while the corpus is stable.
+    */
+  def topKIvfWithCentroids(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Seq[Array[Float]],
+      nprobe: Int = 4): DataFrame = {
+    require(centroids.nonEmpty, "topKIvfWithCentroids: empty codebook")
 
     // Ids-only through the cell join (the wide vectors attach per candidate
     // afterwards), and NO pair dedup: every neighbor lives in exactly one
@@ -332,10 +351,36 @@ object Similarity {
     graft.functions.CellFunctions.nearest_cells(
       vec, centroids.map(_.toSeq), nprobe)
 
+  /** The IVF codebook as a DataFrame `(cell:int, centroid:array<float>)`
+    * — write it to parquet to persist a trained quantizer. The codebook is
+    * nlist rows by construction, so this stays trivially small however
+    * large the corpus that trained it.
+    */
+  def centroidsToDF(
+      spark: org.apache.spark.sql.SparkSession,
+      centroids: Seq[Array[Float]]): DataFrame = {
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+  }
+
+  /** Load a codebook persisted via [[centroidsToDF]], in cell order. The
+    * collect is bounded by nlist (the codebook is driver-sized by design,
+    * same posture as training's capped sample).
+    */
+  def centroidsFromDF(df: DataFrame): Seq[Array[Float]] =
+    df.select(col("cell"), col("centroid"))
+      .collect()
+      .sortBy(_.getInt(0))
+      .map(_.getSeq[Float](1).toArray)
+      .toSeq
+
   /** Lloyd's algorithm on a bounded, deterministic sample (smallest ids —
     * reproducible run-to-run). Empty cells keep their previous centroid.
+    * Public as the build-once half of [[topKIvfWithCentroids]].
     */
-  private def trainCentroids(
+  def trainCentroids(
       df: DataFrame,
       idCol: String,
       vecCol: String,

@@ -132,4 +132,30 @@ class SimilaritySpec extends SparkSpec {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     assert(again === ivf) // seeded training: reproducible run-to-run
   }
+
+  test("IVF codebook persists: parquet round-trip gives identical results") {
+    import spark.implicits._
+    // build-once/reuse: a pipeline trains per corpus snapshot, persists
+    // the codebook, and later query runs must behave as if freshly trained
+    val trained = Similarity.trainCentroids(
+      vectors, "vec_id", "embedding", nlist = 2, iterations = 5,
+      sampleSize = 1024, seed = 42L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-").toString
+    Similarity.centroidsToDF(spark, trained).write.mode("overwrite").parquet(dir)
+    val loaded = Similarity.centroidsFromDF(spark.read.parquet(dir))
+
+    assert(loaded.length === trained.length)
+    loaded.zip(trained).foreach { case (l, t) => assert(l.toSeq === t.toSeq) }
+
+    def run(cb: Seq[Array[Float]]) = Similarity.topKIvfWithCentroids(
+        vectors, "vec_id", "embedding", k = 2, cb, nprobe = 1)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(run(loaded) === run(trained))
+    // and the one-shot API is exactly train + search with the same params
+    assert(run(trained) === Similarity.topKIvf(
+        vectors, "vec_id", "embedding", k = 2, nlist = 2, nprobe = 1)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect().toSet)
+  }
 }
