@@ -22,21 +22,28 @@ object Dedup {
     * single-row-group parquet table arrives as one partition, which would
     * serialize the signature/shingle computation onto one core no matter
     * how many executors exist. Round-robin up to the cluster's default
-    * parallelism — a no-op when the scan already yields enough splits (the
-    * 100 TB case), a cheap shuffle of (id, text) rows when it doesn't.
+    * parallelism when the input is SMALL — a pass-through when it isn't
+    * (the 100 TB case: a big scan already yields plenty of splits, and
+    * the repartition would be a pointless full shuffle).
     *
-    * Caveat (API wart, accepted): `df.rdd.getNumPartitions` plans the
-    * input PHYSICALLY at call time — no job runs, but an expensive
-    * upstream plan pays its analysis/optimization cost here rather than
-    * at the first action. Callers who care should pre-repartition and
-    * arrive with >= defaultParallelism partitions, making this a no-op.
+    * "Small" is decided from optimizer statistics (`sizeInBytes` of the
+    * optimized plan), NOT from `df.rdd.getNumPartitions`: the latter
+    * physically plans the whole upstream query at call time (an earlier
+    * revision did this — a per-call driver cost that grows with plan
+    * complexity), while stats stop at logical optimization. The threshold
+    * is one scan split (`files.maxPartitionBytes`, default 128 MB) per
+    * target slot: any input at least that big yields >= target partitions
+    * from the scan itself, so only inputs too small to matter shuffle.
     */
   private def ensureParallelism(df: DataFrame): DataFrame = {
-    // streaming plans can't be inspected via .rdd (and micro-batch
-    // parallelism is the source's concern) — pass them through untouched
+    // streaming plans have no stats (and micro-batch parallelism is the
+    // source's concern) — pass them through untouched
     if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    val splitBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (size >= BigInt(splitBytes) * target) df else df.repartition(target)
   }
 
   // ---------------------------------------------------------------- exact
