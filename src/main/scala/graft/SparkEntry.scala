@@ -40,6 +40,17 @@ object SparkEntry {
         .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     } else s.read.parquet(s"$dir/$name.parquet")
 
+  /** Structural single-byte-text assertion shared by the codec round-trip
+    * queries (m4–m7): their DuckDB oracles do CHARACTER math while the
+    * Spark side does BYTE math, so the two agree only on single-byte text.
+    * Multi-byte payloads must fail the query loudly, not silently diverge.
+    */
+  private def asciiGuard(df: DataFrame, q: String): DataFrame =
+    df.withColumn("text",
+      when(octet_length(col("text")) === length(col("text")), col("text"))
+        .otherwise(raise_error(
+          lit(s"$q cross-engine oracle requires single-byte text"))))
+
   /** Cross-engine-stable rounding: floor(x*10^d + 0.5)/10^d on BOTH the
     * Spark side and the DuckDB oracle. Spark's round() goes through
     * BigDecimal HALF_UP on the decimal expansion while DuckDB rounds in
@@ -941,11 +952,8 @@ object SparkEntry {
       // The oracle strides CHARACTERS while we stride BYTES, so the
       // equivalence needs single-byte text: assert it structurally (a
       // multi-byte document fails the query instead of silently diverging).
-      val asciiOnly = rd(s, dir, "documents").withColumn("text",
-        when(octet_length(col("text")) === length(col("text")), col("text"))
-          .otherwise(raise_error(
-            lit("m4_resize cross-engine oracle requires ASCII text"))))
-      val packed = Multimodal.packAsMedia(asciiOnly, "doc_id", "text", "text")
+      val packed = Multimodal.packAsMedia(
+        asciiGuard(rd(s, dir, "documents"), "m4_resize"), "doc_id", "text", "text")
       Multimodal.resize(s, packed, factor = 3)
         .select(
           col("media_id"),
@@ -965,6 +973,43 @@ object SparkEntry {
           count(lit(1)).as("n_frames_sampled"),
           sum(length(col("frame_payload"))).cast("long").as("frame_bytes"))
         .orderBy("media_id")
+    }),
+
+    "m5_image_decode" -> ((s, dir) => {
+      // REAL codec, oracle-proven: pack each doc's first 64 bytes as an
+      // actual 8x8 grayscale 24-bit BMP, decode it through javax.imageio,
+      // and emit the codec-reported dims + exact per-channel pixel sums.
+      // The oracle recomputes the sums as plain byte math over the text
+      // (ascii(substr) = byte value only for single-byte text — asserted
+      // structurally, same contract as m4).
+      Multimodal.decodeImages(s,
+        Multimodal.packAsBmp(s, asciiGuard(rd(s, dir, "documents"),
+          "m5_image_decode"), "doc_id", "text", w = 8, h = 8))
+        .toDF().orderBy("media_id")
+    }),
+
+    "m6_image_resize_decode" -> ((s, dir) => {
+      // REAL codec round trip: BMP-encode -> imageio decode -> exact 2x
+      // pixel subsample -> PNG re-encode -> imageio decode again. The
+      // final sums must equal byte math over the strided source positions
+      // (y,x even), proving both codec passes AND the resize pixel map.
+      Multimodal.decodeImages(s,
+        Multimodal.resizeImages(s,
+          Multimodal.packAsBmp(s, asciiGuard(rd(s, dir, "documents"),
+            "m6_image_resize_decode"), "doc_id", "text", w = 8, h = 8),
+          factor = 2))
+        .toDF().orderBy("media_id")
+    }),
+
+    "m7_audio_decode" -> ((s, dir) => {
+      // REAL codec, oracle-proven: pack each doc's first 64 bytes as an
+      // actual RIFF/WAVE 16-bit PCM mono file (sample = (byte-128)*256),
+      // decode through javax.sound.sampled, and emit the codec-reported
+      // format/frames/duration + the inverse-mapped byte sum.
+      Multimodal.decodeAudio(s,
+        Multimodal.packAsWav(s, asciiGuard(rd(s, dir, "documents"),
+          "m7_audio_decode"), "doc_id", "text", rate = 8000, nSamples = 64))
+        .toDF().orderBy("media_id")
     })
   )
 
@@ -1633,6 +1678,41 @@ object SparkEntry {
         |  CAST(len(range(0, nf, 2)) AS BIGINT) AS n_frames_sampled,
         |  CAST(list_sum(list_transform(range(0, nf, 2),
         |    i -> least(32, L - i * 32))) AS BIGINT) AS frame_bytes
-        |FROM f ORDER BY media_id""".stripMargin
+        |FROM f ORDER BY media_id""".stripMargin,
+
+    // m5–m7 prove the REAL JDK codecs (javax.imageio / javax.sound.sampled)
+    // value-exactly: the packed pixel/sample values are a known function of
+    // the text bytes, so the oracle recomputes the decoded sums as byte
+    // math. ascii(substr(text,i,1)) = byte i only for single-byte text
+    // (asserted structurally Spark-side via asciiGuard, as in m4); padded
+    // positions read ascii('') = 0, matching the Spark side's zero-pad.
+    "m5_image_decode" ->
+      """WITH s AS (SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> ascii(substr(text, i, 1)))) AS BIGINT) AS lum
+        |  FROM documents)
+        |SELECT doc_id AS media_id, 8 AS width, 8 AS height,
+        |  lum AS sum_r, lum AS sum_g, lum AS sum_b
+        |FROM s ORDER BY media_id""".stripMargin,
+
+    // 2x subsample keeps source pixels (x,y) with x,y even: byte index
+    // y*8+x -> substr position yy*16 + xx*2 + 1 for yy,xx in [0,4)
+    "m6_image_resize_decode" ->
+      """WITH s AS (SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(0, 4), yy ->
+        |      list_sum(list_transform(range(0, 4), xx ->
+        |        ascii(substr(text, yy * 16 + xx * 2 + 1, 1)))))) AS BIGINT)
+        |      AS lum
+        |  FROM documents)
+        |SELECT doc_id AS media_id, 4 AS width, 4 AS height,
+        |  lum AS sum_r, lum AS sum_g, lum AS sum_b
+        |FROM s ORDER BY media_id""".stripMargin,
+
+    "m7_audio_decode" ->
+      """SELECT doc_id AS media_id, 8000 AS sample_rate, 1 AS channels,
+        |  CAST(64 AS BIGINT) AS n_frames, CAST(8 AS BIGINT) AS duration_ms,
+        |  CAST(list_sum(list_transform(range(1, 65),
+        |    i -> ascii(substr(text, i, 1)))) AS BIGINT) AS byte_sum
+        |FROM documents ORDER BY media_id""".stripMargin
   )
 }

@@ -7,11 +7,14 @@ import org.apache.spark.sql.functions._
   * `binary` payloads with typed metadata, plus batched feature extraction.
   *
   * The Spark-side plumbing — schema, partitioning, batch shape, typed
-  * pipeline — is real and tested. The codec step is a STUB: this container
-  * ships no image/audio libraries, so `decodeStub` produces a deterministic
-  * fake feature vector (a normalized byte histogram) where a production
-  * build would call the real decoder inside the same `mapPartitions` batch
-  * loop. Swap `decodeStub` for a JNI/FFM codec call and nothing else moves.
+  * pipeline — is real and tested, and so are the IMAGE and AUDIO codecs:
+  * [[decodeImages]] / [[resizeImages]] run `javax.imageio` (BMP/PNG/JPEG/
+  * GIF, JDK-built-in) and [[decodeAudio]] runs `javax.sound.sampled` (RIFF/
+  * WAVE PCM, JDK-built-in) inside the batched `mapPartitions` loop — no
+  * external libraries. Only VIDEO decode remains a STUB ([[decodeStub]]'s
+  * deterministic byte histogram): the JDK ships no video codec, so the
+  * fake stands in behind the identical batch contract; swap it for a
+  * JNI/FFM codec call and nothing else moves.
   *
   * Scale notes: payloads stay opaque binary end-to-end (parquet binary
   * columns — no base64 inflation); feature extraction is `mapPartitions`
@@ -49,9 +52,11 @@ object Multimodal {
         lit(0).as("height"),
         lit(0L).as("durationMs")).as("meta"))
 
-  /** STUB decoder: deterministic 16-bin byte histogram, L1-normalized.
-    * Production: replace the body with the real image/audio decode +
-    * model-forward pass; signature and batching stay identical.
+  /** STUB decoder (video-only since the real image/audio codecs landed —
+    * see [[decodeImages]]/[[decodeAudio]]): deterministic 16-bin byte
+    * histogram, L1-normalized. Production: replace the body with the real
+    * video decode + model-forward pass; signature and batching stay
+    * identical.
     */
   private def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
     val counts = new Array[Float](dim)
@@ -127,4 +132,219 @@ object Multimodal {
       col("media_id"), col("kind"),
       col("meta.format").as("format"),
       length(col("payload")).as("payload_bytes"))
+
+  // ------------------------------------------------------------------
+  // REAL codecs (JDK-only: javax.imageio + javax.sound.sampled).
+  //
+  // The sandbox ships no media files, so [[packAsBmp]]/[[packAsWav]]
+  // synthesize REAL payloads (a well-formed 24-bit BMP / RIFF-WAVE
+  // 16-bit PCM) deterministically from a table's text bytes; decode then
+  // runs the actual JDK codec on them. Because the pixel/sample values
+  // are a known function of the source bytes, a SQL oracle can verify
+  // the full encode→codec-decode round trip value-exactly — the decoder
+  // output is PROVEN against byte math, not just shape-checked. At
+  // production scale the pack step disappears (payloads arrive in
+  // parquet binary columns) and the decode path is unchanged.
+  // ------------------------------------------------------------------
+
+  /** Decoded-image summary: dims from the codec plus exact per-channel
+    * pixel sums (for grayscale sources all three equal the byte sum).
+    */
+  final case class DecodedImage(
+      media_id: Long, width: Int, height: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Decoded-audio summary: format fields from the codec plus the exact
+    * sample-derived byte sum (inverse of [[packAsWav]]'s sample map).
+    */
+  final case class DecodedAudio(
+      media_id: Long, sample_rate: Int, channels: Int,
+      n_frames: Long, duration_ms: Long, byte_sum: Long)
+
+  /** Build a well-formed 24-bit uncompressed BMP from grayscale values
+    * (one byte per pixel, row-major top-down; BMP stores rows bottom-up
+    * with 4-byte row padding — both handled here).
+    */
+  private[ext] def encodeBmp24(w: Int, h: Int, gray: Array[Byte]): Array[Byte] = {
+    val rowBytes = w * 3
+    val pad = (4 - rowBytes % 4) % 4
+    val stride = rowBytes + pad
+    val dataSize = stride * h
+    val out = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize).putInt(0).putInt(54)
+    out.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = h - 1
+    while (y >= 0) {
+      var x = 0
+      while (x < w) {
+        val i = y * w + x
+        val v: Byte = if (i < gray.length) gray(i) else 0
+        out.put(v).put(v).put(v)
+        x += 1
+      }
+      var p = 0
+      while (p < pad) { out.put(0: Byte); p += 1 }
+      y -= 1
+    }
+    out.array()
+  }
+
+  /** Build a well-formed RIFF/WAVE file: 16-bit PCM mono, little-endian,
+    * `sample(i) = (byte(i) - 128) * 256` over the first `nSamples` input
+    * bytes (zero-padded — pad byte 0 maps to sample -32768).
+    */
+  private[ext] def encodeWavPcm16(
+      rate: Int, nSamples: Int, bytes: Array[Byte]): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(44 + nSamples * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + nSamples * 2)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val b = if (i < bytes.length) bytes(i) & 0xFF else 0
+      out.putShort(((b - 128) * 256).toShort)
+      i += 1
+    }
+    out.array()
+  }
+
+  /** Pack a text column's first `w*h` UTF-8 bytes into a REAL grayscale
+    * 24-bit BMP payload (zero-padded). Runs in the batched codec loop;
+    * exists only because the sandbox has no media files to read.
+    */
+  def packAsBmp(
+      spark: SparkSession, df: DataFrame, idCol: String, textCol: String,
+      w: Int, h: Int): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.grouped(DecodeBatchSize).flatMap(_.map { case (id, text) =>
+          val bytes = Option(text).getOrElse("").getBytes("UTF-8")
+          MediaRecord(id, "image", encodeBmp24(w, h, bytes.take(w * h)),
+            MediaMeta("bmp", w, h, 0L))
+        })
+      }.toDF()
+  }
+
+  /** Pack a text column's first `nSamples` UTF-8 bytes into a REAL
+    * RIFF/WAVE 16-bit PCM mono payload (see [[encodeWavPcm16]]).
+    */
+  def packAsWav(
+      spark: SparkSession, df: DataFrame, idCol: String, textCol: String,
+      rate: Int, nSamples: Int): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.grouped(DecodeBatchSize).flatMap(_.map { case (id, text) =>
+          val bytes = Option(text).getOrElse("").getBytes("UTF-8")
+          MediaRecord(id, "audio", encodeWavPcm16(rate, nSamples, bytes),
+            MediaMeta("wav", 0, 0, nSamples.toLong * 1000L / rate))
+        })
+      }.toDF()
+  }
+
+  /** REAL image decode: `javax.imageio.ImageIO` (BMP/PNG/JPEG/GIF are
+    * JDK-built-in readers) inside the batched `mapPartitions` loop.
+    * Returns codec-reported dimensions plus exact per-channel pixel sums —
+    * value-verifiable against the source bytes for [[packAsBmp]] payloads.
+    * Scale: cost is linear in payload bytes, no shuffle; reader instances
+    * are per-call (ImageIO readers are not thread-safe to share).
+    */
+  def decodeImages(spark: SparkSession, media: DataFrame): Dataset[DecodedImage] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { records =>
+      records.grouped(DecodeBatchSize).flatMap(_.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        require(img != null, s"media_id=${r.media_id}: undecodable image payload")
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
+            x += 1
+          }
+          y += 1
+        }
+        DecodedImage(r.media_id, img.getWidth, img.getHeight, sr, sg, sb)
+      })
+    }
+  }
+
+  /** REAL image resize: codec-decode, subsample every `factor`-th pixel in
+    * both axes (exact nearest-pixel semantics — oracle-reproducible, unlike
+    * interpolating scalers), then codec-RE-ENCODE to `format` (default
+    * lossless PNG). Payload out is a real image file; metadata dims update.
+    */
+  def resizeImages(
+      spark: SparkSession, media: DataFrame, factor: Int,
+      format: String = "png"): DataFrame = {
+    require(factor >= 1, s"resize factor must be >= 1, got $factor")
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { records =>
+      records.grouped(DecodeBatchSize).flatMap(_.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        require(img != null, s"media_id=${r.media_id}: undecodable image payload")
+        val nw = math.max((img.getWidth + factor - 1) / factor, 1)
+        val nh = math.max((img.getHeight + factor - 1) / factor, 1)
+        val out = new java.awt.image.BufferedImage(
+          nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < nh) {
+          var x = 0
+          while (x < nw) {
+            out.setRGB(x, y, img.getRGB(x * factor, y * factor))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, format, bos)
+        r.copy(payload = bos.toByteArray,
+          meta = r.meta.copy(format = format, width = nw, height = nh))
+      })
+    }.toDF()
+  }
+
+  /** REAL audio decode: `javax.sound.sampled.AudioSystem` (RIFF/WAVE PCM is
+    * JDK-built-in) inside the batched loop. Reports the codec's format
+    * fields and frame count, plus `byte_sum` — the sum of samples mapped
+    * back through the inverse of [[packAsWav]]'s sample function, exact for
+    * 16-bit PCM — so a SQL oracle verifies the decode value-exactly.
+    */
+  def decodeAudio(spark: SparkSession, media: DataFrame): Dataset[DecodedAudio] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { records =>
+      records.grouped(DecodeBatchSize).flatMap(_.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        try {
+          val f = ais.getFormat
+          require(f.getSampleSizeInBits == 16 && f.getChannels == 1,
+            s"media_id=${r.media_id}: expected 16-bit mono PCM, got $f")
+          val nFrames = ais.getFrameLength
+          val pcm = ais.readAllBytes()
+          var (i, sum) = (0, 0L)
+          while (i + 1 < pcm.length) {
+            val s = (pcm(i) & 0xFF) | (pcm(i + 1).toInt << 8)
+            sum += (s / 256) + 128
+            i += 2
+          }
+          DecodedAudio(r.media_id, f.getSampleRate.toInt, f.getChannels,
+            nFrames, nFrames * 1000L / f.getSampleRate.toInt, sum)
+        } finally ais.close()
+      })
+    }
+  }
 }

@@ -70,4 +70,85 @@ class MultimodalSpec extends SparkSpec {
     val lens = frames.selectExpr("length(frame_payload)").as[Int].collect()
     assert(lens.forall(_ <= 4))
   }
+
+  // ---------------------------------------------- REAL codecs (JDK-only)
+
+  private def textRows = {
+    import spark.implicits._
+    // 64+ byte ASCII payload and a short one (exercises zero-padding)
+    Seq(
+      (1L, ('a' to 'z').mkString + ('A' to 'Z').mkString + "0123456789!?"),
+      (2L, "tiny"))
+      .toDF("id", "body")
+  }
+
+  private def byteSum(s: String, n: Int): Long =
+    s.getBytes("UTF-8").take(n).map(_ & 0xFFL).sum
+
+  test("packAsBmp produces a real BMP that javax.imageio decodes exactly") {
+    val decoded = Multimodal.decodeImages(spark,
+      Multimodal.packAsBmp(spark, textRows, "id", "body", w = 8, h = 8))
+      .collect().sortBy(_.media_id)
+    assert(decoded.map(d => (d.width, d.height)).toSeq === Seq((8, 8), (8, 8)))
+    // grayscale: all three channel sums equal the source byte sum (zero-pad
+    // beyond the text contributes nothing)
+    val texts = Map(
+      1L -> (('a' to 'z').mkString + ('A' to 'Z').mkString + "0123456789!?"),
+      2L -> "tiny")
+    decoded.foreach { d =>
+      val e = byteSum(texts(d.media_id), 64)
+      assert((d.sum_r, d.sum_g, d.sum_b) === ((e, e, e)),
+        s"media_id=${d.media_id}")
+    }
+  }
+
+  test("resizeImages: codec decode -> exact 2x subsample -> PNG re-encode") {
+    val resized = Multimodal.resizeImages(spark,
+      Multimodal.packAsBmp(spark, textRows, "id", "body", w = 8, h = 8),
+      factor = 2)
+    // metadata dims update and the payload is a real PNG (magic bytes)
+    val metas = resized.selectExpr(
+        "media_id", "meta.format", "meta.width", "meta.height",
+        "substring(payload, 2, 3)")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getInt(3), new String(r.getAs[Array[Byte]](4), "US-ASCII")))
+    metas.foreach { case (_, fmt, w, h, magic) =>
+      assert((fmt, w, h, magic) === (("png", 4, 4, "PNG")))
+    }
+    // decode the PNG back: sums must equal byte math over strided positions
+    val decoded = Multimodal.decodeImages(spark, resized)
+      .collect().sortBy(_.media_id)
+    val texts = Map(
+      1L -> (('a' to 'z').mkString + ('A' to 'Z').mkString + "0123456789!?"),
+      2L -> "tiny")
+    decoded.foreach { d =>
+      val bytes = texts(d.media_id).getBytes("UTF-8")
+      var e = 0L
+      for (yy <- 0 until 4; xx <- 0 until 4) {
+        val i = yy * 16 + xx * 2
+        if (i < bytes.length) e += bytes(i) & 0xFFL
+      }
+      assert((d.width, d.height) === ((4, 4)))
+      assert((d.sum_r, d.sum_g, d.sum_b) === ((e, e, e)),
+        s"media_id=${d.media_id}")
+    }
+  }
+
+  test("packAsWav produces a real RIFF/WAVE that javax.sound decodes exactly") {
+    val decoded = Multimodal.decodeAudio(spark,
+      Multimodal.packAsWav(spark, textRows, "id", "body",
+        rate = 8000, nSamples = 64))
+      .collect().sortBy(_.media_id)
+    val texts = Map(
+      1L -> (('a' to 'z').mkString + ('A' to 'Z').mkString + "0123456789!?"),
+      2L -> "tiny")
+    decoded.foreach { d =>
+      assert((d.sample_rate, d.channels, d.n_frames, d.duration_ms) ===
+        ((8000, 1, 64L, 8L)))
+      // inverse sample map recovers the byte sum; zero-pad maps to sample
+      // -32768 -> byte 0, contributing nothing
+      assert(d.byte_sum === byteSum(texts(d.media_id), 64),
+        s"media_id=${d.media_id}")
+    }
+  }
 }

@@ -1,0 +1,36 @@
+#!/usr/bin/env python3
+"""Re-run record of the sf0.1 cross-check: parse tools/compare.py output
+into CORRECTNESS_sf0.1.json (same shape the round-4 record used).
+
+Usage: python3 tools/compare.py <sfDir> <outDir> | python3 tools/record_sf01.py <note>
+"""
+import sys, json, datetime
+
+note = sys.argv[1] if len(sys.argv) > 1 else ""
+queries = {}
+for line in sys.stdin:
+    line = line.rstrip()
+    if line.startswith("PASS "):
+        queries[line[5:]] = "pass"
+    elif line.startswith("FAIL "):
+        name = line[5:].split(":")[0]
+        queries[name] = "FAIL: " + line[5 + len(name) + 1:].strip()
+npass = sum(1 for v in queries.values() if v == "pass")
+out = {
+    "_meta": {
+        "sf_dir": "/root/testdata/sf0.1",
+        "date": datetime.date.today().isoformat(),
+        "method": ("graft.Verify at sf0.1 + tools/compare.py (local replica of "
+                   "the driver's DuckDB rows/schema/hash compare); queries "
+                   "without an oracleSql entry (x3, x6, y2, y3 - engine-specific "
+                   "hash families) are covered by their oracle-checked recall "
+                   "companions"),
+        "note": note,
+    },
+    "pass": npass,
+    "total": len(queries),
+    "queries": dict(sorted(queries.items())),
+}
+with open("CORRECTNESS_sf0.1.json", "w") as f:
+    json.dump(out, f, indent=1)
+print(f"recorded {npass}/{len(queries)} -> CORRECTNESS_sf0.1.json")
