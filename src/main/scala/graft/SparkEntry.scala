@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ext.{Clusters, Curation, Dedup, Multimodal, Shingles, Similarity, TextAnalysis}
 import graft.ops.AsofJoin
+import graft.pipeline.{Cdc, Scd2}
 import graft.ops.ColumnOps._
 import graft.ops.JsonOps._
 import graft.ops.ValidateOps._
@@ -1010,6 +1011,79 @@ object SparkEntry {
         Multimodal.packAsWav(s, asciiGuard(rd(s, dir, "documents"),
           "m7_audio_decode"), "doc_id", "text", rate = 8000, nSamples = 64))
         .toDF().orderBy("media_id")
+    }),
+
+    "m8_image_features" -> ((s, dir) => {
+      // REAL feature extraction: luminance histogram over codec-DECODED
+      // pixels (the MediaFeatures shape ext.Similarity consumes). Same
+      // un-normalization trick as m2: bins are count/64 (exact in Float32),
+      // so floor(f*64+0.5) recovers integer pixel counts the oracle
+      // reproduces as byte math — zero-pad pixels land in bin 0.
+      Multimodal.imageFeatures(s,
+        Multimodal.packAsBmp(s, asciiGuard(rd(s, dir, "documents"),
+          "m8_image_features"), "doc_id", "text", w = 8, h = 8), dim = 16)
+        .toDF()
+        .select(col("media_id"), col("dim"),
+          floor(element_at(col("features"), 1).cast("double") * 64 + 0.5)
+            .cast("long").as("bin0_px"),
+          floor(element_at(col("features"), 7).cast("double") * 64 + 0.5)
+            .cast("long").as("bin6_px"))
+        .orderBy("media_id")
+    }),
+
+    "q38_scd2_merge" -> ((s, dir) => {
+      // type-2 dimension merge (pipeline.Scd2): current = every customer
+      // open since 1995 plus a closed 1990-95 version for key%7==0;
+      // updates = the even keys (acctbal bumped when key%3==0, so key%6==0
+      // is the changed set) plus brand-new key%5==0 entities. The merge
+      // must close the changed opens, insert their new versions, insert
+      // the new keys, and pass everything else through untouched.
+      val c = rd(s, dir, "customer")
+      val open = c.select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        lit("1995-01-01").cast("date").as("valid_from"),
+        lit(null).cast("date").as("valid_to"),
+        lit(true).as("is_current"))
+      val closedHist = c.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"), col("c_name"),
+          (col("c_acctbal") - 50).as("c_acctbal"),
+          lit("1990-01-01").cast("date").as("valid_from"),
+          lit("1995-01-01").cast("date").as("valid_to"),
+          lit(false).as("is_current"))
+      val updates = c.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), col("c_name"),
+          when(col("c_custkey") % 3 === 0, col("c_acctbal") + 100)
+            .otherwise(col("c_acctbal")).as("c_acctbal"))
+        .unionByName(c.filter(col("c_custkey") % 5 === 0)
+          .select((col("c_custkey") + 10000000L).as("c_custkey"),
+            concat(lit("NEW "), col("c_name")).as("c_name"),
+            col("c_acctbal")))
+      Scd2.merge(open.unionByName(closedHist), updates, Seq("c_custkey"),
+          lit("2000-01-01"))
+        .orderBy("c_custkey", "valid_from")
+    }),
+
+    "q39_cdc_apply" -> ((s, dir) => {
+      // CDC fold (pipeline.Cdc): per key latest-seq change wins — the
+      // %4 keys get two updates (seq 1 then 2; only +10 must survive),
+      // the %9 keys a final delete (seq 3, beating their seq-2 update
+      // when both apply), and %10 spawns brand-new inserted keys.
+      val c = rd(s, dir, "customer")
+      val base = c.select("c_custkey", "c_name", "c_acctbal")
+      def ch(flt: Column, seq: Long, op: String, key: Column, name: Column,
+          bal: Column) =
+        c.filter(flt).select(key.as("c_custkey"), lit(seq).as("seq"),
+          lit(op).as("op"), name.as("c_name"), bal.as("c_acctbal"))
+      val k = col("c_custkey")
+      val changes = ch(k % 4 === 0, 1L, "U", k, col("c_name"),
+          col("c_acctbal") + 5)
+        .unionByName(ch(k % 4 === 0, 2L, "U", k, col("c_name"),
+          col("c_acctbal") + 10))
+        .unionByName(ch(k % 9 === 0, 3L, "D", k, col("c_name"),
+          col("c_acctbal")))
+        .unionByName(ch(k % 10 === 0, 1L, "I", k + 20000000L,
+          concat(lit("NEW "), col("c_name")), col("c_acctbal")))
+      Cdc.applyChanges(base, changes, Seq("c_custkey"), "seq", "op")
+        .orderBy("c_custkey")
     })
   )
 
@@ -1713,6 +1787,54 @@ object SparkEntry {
         |  CAST(64 AS BIGINT) AS n_frames, CAST(8 AS BIGINT) AS duration_ms,
         |  CAST(list_sum(list_transform(range(1, 65),
         |    i -> ascii(substr(text, i, 1)))) AS BIGINT) AS byte_sum
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // bin k holds pixels with luminance in [16k, 16k+16); grayscale lum =
+    // source byte, and the 64 - min(len, 64) zero-pad pixels land in bin 0
+    "m8_image_features" ->
+      """SELECT doc_id AS media_id, 16 AS dim,
+        |  CAST(length(regexp_replace(substr(text, 1, 64),
+        |      '[^\x00-\x0f]', '', 'g'))
+        |    + 64 - least(length(text), 64) AS BIGINT) AS bin0_px,
+        |  CAST(length(regexp_replace(substr(text, 1, 64),
+        |      '[^\x60-\x6f]', '', 'g')) AS BIGINT) AS bin6_px
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // the SCD2 merge outcome, derived case-by-case: changed set is
+    // key%6==0 (in the update batch AND value-bumped), new keys %5==0
+    "q38_scd2_merge" ->
+      """SELECT c_custkey, c_name, c_acctbal - 50 AS c_acctbal,
+        |    DATE '1990-01-01' AS valid_from, DATE '1995-01-01' AS valid_to,
+        |    false AS is_current
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal, DATE '1995-01-01', NULL, true
+        |  FROM customer WHERE c_custkey % 6 <> 0
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal, DATE '1995-01-01',
+        |    DATE '2000-01-01', false
+        |  FROM customer WHERE c_custkey % 6 = 0
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal + 100, DATE '2000-01-01',
+        |    NULL, true
+        |  FROM customer WHERE c_custkey % 6 = 0
+        |UNION ALL
+        |SELECT c_custkey + 10000000, 'NEW ' || c_name, c_acctbal,
+        |    DATE '2000-01-01', NULL, true
+        |  FROM customer WHERE c_custkey % 5 = 0
+        |ORDER BY c_custkey, valid_from""".stripMargin,
+
+    // CDC outcome case-by-case: %9 deleted, surviving %4 updated to +10
+    // (the seq-1 +5 update is superseded), %10 inserted as new keys
+    "q39_cdc_apply" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |  WHERE c_custkey % 9 <> 0 AND c_custkey % 4 <> 0
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal + 10 FROM customer
+        |  WHERE c_custkey % 9 <> 0 AND c_custkey % 4 = 0
+        |UNION ALL
+        |SELECT c_custkey + 20000000, 'NEW ' || c_name, c_acctbal
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |ORDER BY c_custkey""".stripMargin
   )
 }

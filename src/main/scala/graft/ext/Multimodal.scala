@@ -317,6 +317,40 @@ object Multimodal {
     }.toDF()
   }
 
+  /** REAL image feature extraction: codec-decode, then a `dim`-bin
+    * luminance histogram over the DECODED pixels ((r+g+b)/3 per pixel),
+    * L1-normalized — the [[MediaFeatures]] shape the similarity/dedup
+    * stack consumes (`ext.Similarity` cosine / LSH over the vector), so
+    * decode → featurize → near-dup composes end-to-end. For grayscale
+    * sources the luminance equals the source byte, making the histogram
+    * oracle-reproducible as byte math.
+    */
+  def imageFeatures(
+      spark: SparkSession, media: DataFrame, dim: Int = 16): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { records =>
+      records.grouped(DecodeBatchSize).flatMap(_.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        require(img != null, s"media_id=${r.media_id}: undecodable image payload")
+        val counts = new Array[Float](dim)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
+            counts((lum * dim) / 256) += 1f
+            x += 1
+          }
+          y += 1
+        }
+        val total = math.max(img.getWidth * img.getHeight, 1).toFloat
+        MediaFeatures(r.media_id, r.kind, dim, counts.map(_ / total))
+      })
+    }
+  }
+
   /** REAL audio decode: `javax.sound.sampled.AudioSystem` (RIFF/WAVE PCM is
     * JDK-built-in) inside the batched loop. Reports the codec's format
     * fields and frame count, plus `byte_sum` — the sum of samples mapped

@@ -214,6 +214,81 @@ object EventStream {
         })
   }
 
+  /** Watermarked stream-stream interval join: match each left event to
+    * right events with the same key whose timestamp falls in
+    * `[leftTs - before, leftTs + after]` — the streaming twin of the batch
+    * range join (q19) for enrich-with-nearby-context shapes (impression ×
+    * click, quote × trade).
+    *
+    * Both sides carry a watermark and the join condition bounds the time
+    * distance in BOTH directions, which is what lets Spark evict state:
+    * each side buffers only the interval-plus-lateness horizon, so state
+    * is O(rate × horizon), not O(stream). Without the two-sided bound the
+    * state store would grow forever — this helper makes the bounded shape
+    * the only one expressible.
+    *
+    * Column names must be disjoint across the two sides (standard
+    * stream-stream join requirement); `leftKey`/`rightKey` equality plus
+    * the interval is the whole condition.
+    */
+  def intervalJoinStream(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      before: String = "10 minutes",
+      after: String = "10 minutes",
+      lateness: String = "10 minutes"): DataFrame =
+    left.withWatermark(leftTs, lateness)
+      .join(
+        right.withWatermark(rightTs, lateness),
+        expr(s"""$leftKey = $rightKey AND
+                 $rightTs >= $leftTs - interval '$before' AND
+                 $rightTs <= $leftTs + interval '$after'"""))
+
+  /** Streaming CDC upsert: fold each micro-batch of keyed I/U/D changes
+    * into a parquet-backed table via [[graft.pipeline.Cdc.applyChanges]] —
+    * the streaming twin of the batch CDC fold (q39).
+    *
+    * `foreachBatch` is at-least-once: after a crash between sink commit
+    * and checkpoint advance, a batch can be REDELIVERED. That is exactly
+    * why the fold delegates to `Cdc.applyChanges`, whose latest-wins
+    * semantics make re-applying an already-applied batch a no-op (the
+    * CdcSpec idempotence property) — at-least-once delivery composes with
+    * an idempotent fold into effectively-once table state.
+    *
+    * The table swap is write-next → delete-current → rename (the parquet
+    * snapshot is re-read each batch, so the fold never overwrites a path
+    * it is lazily reading). On an object store you'd land each snapshot
+    * under a new prefix and flip a pointer instead; a transactional table
+    * format would make the swap atomic — out of sandbox scope, the fold
+    * logic is unchanged either way.
+    */
+  def cdcSink(
+      changes: DataFrame,
+      tablePath: String,
+      checkpoint: String,
+      keys: Seq[String],
+      seqCol: String,
+      opCol: String): DataStreamWriter[Row] =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val cur = new org.apache.hadoop.fs.Path(tablePath)
+        val next = new org.apache.hadoop.fs.Path(tablePath + "._next")
+        val base =
+          if (fs.exists(cur)) spark.read.parquet(tablePath)
+          else batch.drop(seqCol, opCol).limit(0)
+        graft.pipeline.Cdc.applyChanges(base, batch, keys, seqCol, opCol)
+          .write.mode("overwrite").parquet(next.toString)
+        fs.delete(cur, true)
+        fs.rename(next, cur)
+        ()
+      }
+
   /** Parquet sink into a lake layer path, checkpointed; exactly-once via
     * the file-sink commit log. Caller `.start()`s (and picks a trigger —
     * `Trigger.AvailableNow()` for incremental-batch semantics).

@@ -134,6 +134,38 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("imageFeatures: luminance histogram over codec-decoded pixels") {
+    val feats = Multimodal.imageFeatures(spark,
+      Multimodal.packAsBmp(spark, textRows, "id", "body", w = 8, h = 8),
+      dim = 16).collect().sortBy(_.media_id)
+    val texts = Map(
+      1L -> (('a' to 'z').mkString + ('A' to 'Z').mkString + "0123456789!?"),
+      2L -> "tiny")
+    feats.foreach { f =>
+      assert(f.features.length === 16)
+      assert(math.abs(f.features.map(_.toDouble).sum - 1.0) < 1e-5)
+      // histogram equals byte math on the 64-byte zero-padded source
+      val bytes = texts(f.media_id).getBytes("UTF-8").padTo(64, 0.toByte)
+      val expect = new Array[Float](16)
+      bytes.foreach(b => expect(((b & 0xFF) * 16) / 256) += 1f / 64)
+      assert(f.features.toSeq === expect.toSeq, s"media_id=${f.media_id}")
+    }
+    // the features compose with the similarity stack: an exact image
+    // duplicate (same payload, new id) scores cosine 1 through the same
+    // vector ops the ANN/dedup paths use
+    import spark.implicits._
+    val withDup = textRows.union(
+      Seq((3L, ('a' to 'z').mkString + ('A' to 'Z').mkString + "0123456789!?"))
+        .toDF("id", "body"))
+    val fdf = Multimodal.imageFeatures(spark,
+      Multimodal.packAsBmp(spark, withDup, "id", "body", w = 8, h = 8),
+      dim = 16).toDF()
+      .selectExpr("media_id AS id", "features AS embedding")
+    val pairs = Similarity.cosinePairsBruteForce(fdf, "id", "embedding")
+      .where("cosine >= 0.9999").collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 3L)))
+  }
+
   test("packAsWav produces a real RIFF/WAVE that javax.sound decodes exactly") {
     val decoded = Multimodal.decodeAudio(spark,
       Multimodal.packAsWav(spark, textRows, "id", "body",

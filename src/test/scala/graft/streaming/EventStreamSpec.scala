@@ -201,4 +201,57 @@ class EventStreamSpec extends SparkSpec {
       assert(rows.contains((ts(25), 2L, 3.0))) // merged, start lowered to 10:25
     } finally q.stop()
   }
+
+  test("stream-stream interval join matches within the bound, not beyond") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val joined = EventStream.intervalJoinStream(
+      imps.toDF().toDF("imp_user", "imp_ts"),
+      clicks.toDF().toDF("click_user", "click_ts"),
+      "imp_user", "click_user", "imp_ts", "click_ts",
+      before = "0 minutes", after = "10 minutes", lateness = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ij")
+      .outputMode("append").start()
+    try {
+      imps.addData((1L, ts(0)), (2L, ts(0)))
+      clicks.addData(
+        (1L, ts(5)),  // in [imp, imp+10m]: match
+        (1L, ts(20)), // beyond the bound: no match
+        (3L, ts(5)))  // no impression for this user
+      q.processAllAvailable()
+      val rows = spark.table("ij")
+        .select("imp_user", "imp_ts", "click_ts")
+        .as[(Long, Timestamp, Timestamp)].collect().toSet
+      rows shouldBe Set((1L, ts(0), ts(5)))
+    } finally q.stop()
+  }
+
+  test("cdc sink folds micro-batches into a parquet table across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("cdc_sink").toString
+    val input = MemoryStream[(Long, Long, String, String, Double)]
+    val writer = EventStream.cdcSink(
+      input.toDF().toDF("id", "seq", "op", "name", "bal"),
+      s"$dir/table", s"$dir/ckpt", Seq("id"), "seq", "op")
+    val q = writer.start()
+    try {
+      // batch 1: two inserts
+      input.addData((1L, 1L, "I", "alice", 100.0), (2L, 2L, "I", "bob", 200.0))
+      q.processAllAvailable()
+      spark.read.parquet(s"$dir/table").count() shouldBe 2
+      // batch 2: update 1, delete 2, insert 3 — folds into the snapshot
+      input.addData(
+        (1L, 3L, "U", "alice", 150.0),
+        (2L, 4L, "D", "bob", 0.0),
+        (3L, 5L, "I", "carol", 300.0))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(s"$dir/table")
+        .select("id", "name", "bal")
+        .as[(Long, String, Double)].collect().toSet
+      rows shouldBe Set((1L, "alice", 150.0), (3L, "carol", 300.0))
+    } finally q.stop()
+  }
 }
