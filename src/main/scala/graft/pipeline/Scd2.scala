@@ -50,6 +50,15 @@ object Scd2 {
     * @param keys     business-key column names
     * @param asOf     effective bound for versions opened/closed by this
     *                 batch; cast to the `validFrom` column's type
+    * @param broadcastUpdates plan for a SMALL batch against a HUGE
+    *                 dimension: the open slice meets the batch in a
+    *                 broadcast LEFT-outer join (no shuffle of the open
+    *                 slice at all), and brand-new keys are found by a
+    *                 separate anti join that shuffles only a keys-only
+    *                 projection of the open slice — the dimension's full
+    *                 width never crosses the wire. The default full-outer
+    *                 plan reads `updates` once and is right when the
+    *                 batch is shuffle-scale too.
     */
   def merge(
       current: DataFrame,
@@ -59,7 +68,8 @@ object Scd2 {
       validFrom: String = "valid_from",
       validTo: String = "valid_to",
       isCurrent: String = "is_current",
-      closeMissing: Boolean = false): DataFrame = {
+      closeMissing: Boolean = false,
+      broadcastUpdates: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "scd2: at least one key column")
     val tracked = updates.columns.toSeq.filterNot(keys.contains)
     require(tracked.nonEmpty, "scd2: updates carry no tracked attributes")
@@ -75,12 +85,14 @@ object Scd2 {
       current.filter(!col(isCurrent)).select(outCols.map(col): _*)
 
     // prefix the update side so the join output has unambiguous names
-    val u = updates.select(
-      (keys ++ tracked).map(c => col(c).as(s"_u_$c")) :+
-        lit(true).as("_has_upd"): _*)
+    val uCols = (keys ++ tracked).map(c => col(c).as(s"_u_$c")) :+
+      lit(true).as("_has_upd")
+    val u0 = updates.select(uCols: _*)
+    val u = if (broadcastUpdates) broadcast(u0) else u0
     val o = open.withColumn("_has_cur", lit(true))
+    val joinType = if (broadcastUpdates) "left_outer" else "full_outer"
     val joined = o.join(
-      u, keys.map(k => o(k) === u(s"_u_$k")).reduce(_ && _), "full_outer")
+      u, keys.map(k => o(k) === u(s"_u_$k")).reduce(_ && _), joinType)
 
     val hasCur = coalesce(col("_has_cur"), lit(false))
     val hasUpd = coalesce(col("_has_upd"), lit(false))
@@ -108,6 +120,31 @@ object Scd2 {
         array(keptOpen, closedNow, newOpen), _.isNotNull)).as("_v"))
       .select(outCols.map(c => col(s"_v.$c")): _*)
 
-    merged.unionByName(closedHistory)
+    // the left-outer body never sees keys that exist only in the batch;
+    // recover them with a keys-only anti join (narrow shuffle of open)
+    val withNew =
+      if (!broadcastUpdates) merged
+      else merged.unionByName(
+        updates.join(open.select(keys.map(col): _*), keys, "left_anti")
+          .select(keys.map(col) ++ tracked.map(col) ++ Seq(
+            ts.as(validFrom), lit(null).cast(toType).as(validTo),
+            lit(true).as(isCurrent)): _*))
+
+    withNew.unionByName(closedHistory)
+  }
+
+  /** Time-travel read: the version of each entity active at `at` —
+    * `valid_from <= at < valid_to` with an open `valid_to` meaning
+    * "still active". A pure filter: partition/file pruning on the
+    * version bounds applies untouched.
+    */
+  def asOfView(
+      scd2: DataFrame,
+      at: Column,
+      validFrom: String = "valid_from",
+      validTo: String = "valid_to"): DataFrame = {
+    val t = at.cast(scd2.schema(validFrom).dataType)
+    scd2.filter(
+      col(validFrom) <= t && (col(validTo).isNull || col(validTo) > t))
   }
 }

@@ -82,4 +82,42 @@ class Scd2Spec extends SparkSpec {
     // exactly one join in the whole merge
     "(?i)join".r.findAllIn(plan).size shouldBe 1
   }
+
+  test("broadcastUpdates mode: identical result, broadcast body join") {
+    val out = Scd2.merge(current, updates, Seq("id"), lit("2000-01-01"),
+        broadcastUpdates = true)
+      .orderBy("id", "valid_from")
+      .as[(Long, String, Double, Date, Option[Date], Boolean)]
+      .collect().toSeq
+    out shouldBe run(closeMissing = false)
+
+    val closeAll = Scd2.merge(current, updates, Seq("id"), lit("2000-01-01"),
+        closeMissing = true, broadcastUpdates = true)
+      .orderBy("id", "valid_from")
+      .as[(Long, String, Double, Date, Option[Date], Boolean)]
+      .collect().toSeq
+    closeAll shouldBe run(closeMissing = true)
+
+    // the open slice meets the batch in a broadcast join, so the
+    // dimension's full width never shuffles
+    val physical = Scd2.merge(current, updates, Seq("id"),
+        lit("2000-01-01"), broadcastUpdates = true)
+      .queryExecution.executedPlan.toString()
+    physical should include("BroadcastHashJoin")
+  }
+
+  test("asOfView returns the version active at a point in time") {
+    val merged = Scd2.merge(current, updates, Seq("id"), lit("2000-01-01"))
+    // between the k1 versions: the 1995 version is the active one
+    Scd2.asOfView(merged, lit("1997-06-01"))
+      .filter($"id" === 1L).select("bal").as[Double].collect().toSeq shouldBe
+      Seq(150.0)
+    // after the merge: the new version
+    Scd2.asOfView(merged, lit("2001-01-01"))
+      .filter($"id" === 1L).select("bal").as[Double].collect().toSeq shouldBe
+      Seq(175.0)
+    // before any version existed: nothing
+    Scd2.asOfView(merged, lit("1980-01-01"))
+      .filter($"id" === 1L).count() shouldBe 0L
+  }
 }
