@@ -1084,6 +1084,20 @@ object SparkEntry {
           concat(lit("NEW "), col("c_name")), col("c_acctbal")))
       Cdc.applyChanges(base, changes, Seq("c_custkey"), "seq", "op")
         .orderBy("c_custkey")
+    }),
+
+    "q40_contamination" -> ((s, dir) => {
+      // eval-set decontamination (ext.Curation.contamination): the eval
+      // set is every 50th document verbatim, so each eval doc must flag
+      // (at least) its own corpus copy plus any planted near-dups that
+      // share a 13-gram run
+      val docs = rd(s, dir, "documents")
+      Curation.contamination(
+        docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("eval_id"), col("text")),
+        "eval_id", "text", n = 13)
+        .orderBy("doc_id")
     })
   )
 
@@ -1835,6 +1849,22 @@ object SparkEntry {
         |UNION ALL
         |SELECT c_custkey + 20000000, 'NEW ' || c_name, c_acctbal
         |  FROM customer WHERE c_custkey % 10 = 0
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+
+    // distinct word 13-grams per doc (t5's tokenization), eval = every
+    // 50th doc; a corpus doc is contaminated iff it shares a gram
+    "q40_contamination" ->
+      """WITH tok AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS a FROM documents),
+        |  g AS (SELECT doc_id, unnest(list_distinct(
+        |      list_transform(range(1, len(a) - 11),
+        |        i -> array_to_string(a[i:i+12], ' ')))) AS gram
+        |    FROM tok WHERE len(a) >= 13),
+        |  e AS (SELECT doc_id AS eval_id, gram FROM g WHERE doc_id % 50 = 0)
+        |SELECT g.doc_id,
+        |  CAST(count(DISTINCT g.gram) AS BIGINT) AS n_hit_ngrams,
+        |  CAST(count(DISTINCT e.eval_id) AS BIGINT) AS n_eval_docs
+        |FROM g JOIN e ON g.gram = e.gram
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
   )
 }

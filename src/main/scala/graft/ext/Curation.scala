@@ -109,4 +109,45 @@ object Curation {
         expr(s"(_off + _cum - n_tokens) DIV $budgetTokens")
           .cast("long").as("bin"))
   }
+
+  // ------------------------------------------- eval-set contamination
+
+  /** Benchmark-contamination detection: flag corpus documents sharing any
+    * word `n`-gram with a held-out eval set — the decontamination step
+    * every training-data pipeline runs before a corpus ships (n = 13 is
+    * the community-standard window for exact-substring contamination).
+    *
+    * Returns one row per contaminated document:
+    * `(idCol, n_hit_ngrams, n_eval_docs)` — how many distinct n-grams of
+    * the document appear anywhere in the eval set, and how many distinct
+    * eval documents it collides with. Clean documents are absent; callers
+    * drop them with a left-anti join on the result.
+    *
+    * Scale shape: both sides reduce to DISTINCT n-grams ([[Shingles]]
+    * expressions — no UDFs), and the corpus meets the eval set in an
+    * equi-join on the gram. Eval sets are small by nature, so the default
+    * broadcasts the eval grams: the corpus then never shuffles at all
+    * until the final narrow `(id, gram-hit)` aggregation, whose map-side
+    * partial collapses to one row per (doc, gram). With
+    * `broadcastEval = false` the join shuffles both sides on the gram —
+    * the right plan if the "eval set" is itself corpus-scale (e.g.
+    * cross-corpus contamination).
+    */
+  def contamination(
+      docs: DataFrame, idCol: String, textCol: String,
+      evalDocs: DataFrame, evalIdCol: String, evalTextCol: String,
+      n: Int = 13,
+      broadcastEval: Boolean = true): DataFrame = {
+    val corpusGrams = docs.select(
+      col(idCol), explode(Shingles.wordNGrams(col(textCol), n)).as("_gram"))
+    val evalGrams0 = evalDocs.select(
+      col(evalIdCol).as("_eval_id"),
+      explode(Shingles.wordNGrams(col(evalTextCol), n)).as("_gram"))
+    val evalGrams = if (broadcastEval) broadcast(evalGrams0) else evalGrams0
+    corpusGrams.join(evalGrams, "_gram")
+      .groupBy(col(idCol))
+      .agg(
+        countDistinct(col("_gram")).as("n_hit_ngrams"),
+        countDistinct(col("_eval_id")).as("n_eval_docs"))
+  }
 }

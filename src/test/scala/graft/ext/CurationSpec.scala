@@ -63,4 +63,38 @@ class CurationSpec extends SparkSpec {
     assert(Curation.stratifiedSample(df, "doc_id", "lang",
       Map("en" -> 1.0)).count() === 200L)
   }
+
+  test("contamination flags shared n-grams, counts grams and eval docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // = eval 10
+      (2L, "a b quick brown fox jumps c d"), // shares one 5-gram with eval 10
+      (3L, "completely different text with no overlap at all"),
+      (4L, "the quick brown fox jumps over the lazy dog today") // 2 hits
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "over the lazy dog today and tomorrow x")
+    ).toDF("eval_id", "text")
+    val out = Curation.contamination(
+      docs, "doc_id", "text", eval, "eval_id", "text", n = 5)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // doc 1 == eval 10: all 5 of its 5-grams hit, one eval doc
+    // doc 2: only 4 consecutive eval tokens survive ("quick brown fox
+    //   jumps"), never 5 — clean, so absent from the result
+    // doc 4: doc 1 plus "today" — its 6 grams hit eval 10 (first five)
+    //   and eval 11 ("over the lazy dog today"), so 2 eval docs
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(1L)._2 === 5L && byId(1L)._3 === 1L)
+    assert(!byId.contains(2L))
+    assert(!byId.contains(3L))
+    assert(byId(4L)._2 === 6L && byId(4L)._3 === 2L)
+
+    // shuffle-join path returns the identical result
+    val wide = Curation.contamination(
+      docs, "doc_id", "text", eval, "eval_id", "text", n = 5,
+      broadcastEval = false)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(wide === out)
+  }
 }
