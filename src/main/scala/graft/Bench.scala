@@ -4,14 +4,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val spark = Scratch.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       // default 100 entries evicts early queries' generated classes before
       // their timed run (~50 queries x several codegen stages), silently
       // re-charging Janino compilation to the timed pass
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.codegen.cache.maxEntries", "5000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Between queries: drop persisted intermediates, then force a JVM GC.
