@@ -13,8 +13,8 @@ for line in sys.stdin:
     if line.startswith("PASS "):
         queries[line[5:]] = "pass"
     elif line.startswith("FAIL "):
-        name = line[5:].split(":")[0]
-        queries[name] = "FAIL: " + line[5 + len(name) + 1:].strip()
+        name, _, msg = line[5:].partition(":")
+        queries[name.strip()] = "FAIL: " + msg.strip()
 npass = sum(1 for v in queries.values() if v == "pass")
 out = {
     "_meta": {
