@@ -28,8 +28,12 @@ import org.apache.spark.sql.functions._
   * in a co-partitioned left-anti join on the same key, and surviving
   * upserts are unioned on — base attributes are never widened through a
   * shuffle, and a small change batch broadcasts into the anti join.
-  * Struct ordering compares fields left-to-right, so equal-`seqCol` ties
-  * fall through to (op, attrs) deterministically rather than picking an
+  * Struct ordering compares fields left-to-right; a delete-marker flag
+  * sits right after `seqCol`, so equal-`seqCol` ties resolve DELETE-WINS
+  * (redundant CDC feeds can replay an update alongside the delete that
+  * superseded it with the same sequence number — resurrecting the key on
+  * such a tie would be the surprising outcome), and remaining ties fall
+  * through to (op, attrs) deterministically rather than picking an
   * arbitrary row; give `seqCol` unique values per key for full control.
   *
   * Precondition: `changes` carries every `base` column plus `seqCol` and
@@ -49,7 +53,9 @@ object Cdc {
     val latest = changes
       .groupBy(keys.map(col): _*)
       .agg(max(struct(
-        col(seqCol) +: col(opCol) +: attrs.map(col): _*)).as("_c"))
+        col(seqCol) +:
+          when(col(opCol) === deleteOp, 1).otherwise(0).as("_del") +:
+          col(opCol) +: attrs.map(col): _*)).as("_c"))
       .select(keys.map(col) ++
         Seq(col(s"_c.$opCol").as(opCol)) ++
         attrs.map(a => col(s"_c.$a").as(a)): _*)

@@ -256,9 +256,13 @@ object EventStream {
     * CdcSpec idempotence property) — at-least-once delivery composes with
     * an idempotent fold into effectively-once table state.
     *
-    * The table swap is write-next → delete-current → rename (the parquet
-    * snapshot is re-read each batch, so the fold never overwrites a path
-    * it is lazily reading). On an object store you'd land each snapshot
+    * The table swap is crash-recoverable: write `._next`, rename current
+    * → `._bak`, rename `._next` → current, drop `._bak` — every rename's
+    * return value is require()d, and each batch first recovers a missing
+    * current table from `._bak` (a crash can only land between the two
+    * renames, at which point `._bak` is the complete pre-batch snapshot;
+    * the batch whose fold was lost is REDELIVERED by the checkpoint and
+    * re-applied idempotently). On an object store you'd land each snapshot
     * under a new prefix and flip a pointer instead; a transactional table
     * format would make the swap atomic — out of sandbox scope, the fold
     * logic is unchanged either way.
@@ -279,13 +283,23 @@ object EventStream {
           spark.sparkContext.hadoopConfiguration)
         val cur = new org.apache.hadoop.fs.Path(tablePath)
         val next = new org.apache.hadoop.fs.Path(tablePath + "._next")
+        val bak = new org.apache.hadoop.fs.Path(tablePath + "._bak")
+        // recover from a crash inside a previous swap: current is missing
+        // exactly when the crash hit between rename(cur→bak) and
+        // rename(next→cur), so bak holds the intact pre-batch table
+        if (!fs.exists(cur) && fs.exists(bak))
+          require(fs.rename(bak, cur), s"cdcSink: recovery rename $bak -> $cur failed")
         val base =
           if (fs.exists(cur)) spark.read.parquet(tablePath)
           else batch.drop(seqCol, opCol).limit(0)
         graft.pipeline.Cdc.applyChanges(base, batch, keys, seqCol, opCol)
           .write.mode("overwrite").parquet(next.toString)
-        fs.delete(cur, true)
-        fs.rename(next, cur)
+        if (fs.exists(cur)) {
+          fs.delete(bak, true)
+          require(fs.rename(cur, bak), s"cdcSink: rename $cur -> $bak failed")
+        }
+        require(fs.rename(next, cur), s"cdcSink: rename $next -> $cur failed")
+        fs.delete(bak, true)
         ()
       }
 

@@ -48,6 +48,19 @@ class CdcSpec extends SparkSpec {
       once.orderBy("id").as[(Long, String, Double)].collect().toSeq
   }
 
+  test("equal-seq ties resolve delete-wins (redundant feed replay)") {
+    // a redundant feed replays the update alongside the delete that
+    // superseded it, with the SAME sequence number — the key must stay
+    // deleted, not resurrect because 'U' sorts above 'D'
+    val changes = Seq(
+      (2L, 5L, "U", "bob", 999.0),
+      (2L, 5L, "D", "bob", 200.0)
+    ).toDF("id", "seq", "op", "name", "bal")
+    val out = Cdc.applyChanges(base, changes, Seq("id"), "seq", "op")
+      .orderBy("id").as[(Long, String, Double)].collect().toSeq
+    out shouldBe Seq((1L, "alice", 100.0), (3L, "carol", 300.0))
+  }
+
   test("latest-change reduction is an aggregate, not a window sort") {
     val changes = Seq((1L, 1L, "U", "a", 1.0))
       .toDF("id", "seq", "op", "name", "bal")
