@@ -64,6 +64,41 @@ object SparkEntry {
     floor(c * p + 0.5) / p
   }
 
+  /** Shared scaffold of q38/q38b/q41 — the type-2 dimension merge
+    * (pipeline.Scd2): current = every customer open since 1995 plus a
+    * closed 1990-95 version for key%7==0; updates = the even keys
+    * (acctbal bumped when key%3==0, so key%6==0 is the changed set) plus
+    * brand-new key%5==0 entities. The merge must close the changed opens,
+    * insert their new versions, insert the new keys, and pass everything
+    * else through untouched. `broadcastUpdates` selects the small-batch
+    * plan (broadcast left-outer + keys-only anti join) — same result by
+    * construction, so q38 and q38b share one oracle.
+    */
+  private def scd2Demo(
+      s: SparkSession, dir: String, broadcastUpdates: Boolean): DataFrame = {
+    val c = rd(s, dir, "customer")
+    val open = c.select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+      lit("1995-01-01").cast("date").as("valid_from"),
+      lit(null).cast("date").as("valid_to"),
+      lit(true).as("is_current"))
+    val closedHist = c.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"), col("c_name"),
+        (col("c_acctbal") - 50).as("c_acctbal"),
+        lit("1990-01-01").cast("date").as("valid_from"),
+        lit("1995-01-01").cast("date").as("valid_to"),
+        lit(false).as("is_current"))
+    val updates = c.filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey"), col("c_name"),
+        when(col("c_custkey") % 3 === 0, col("c_acctbal") + 100)
+          .otherwise(col("c_acctbal")).as("c_acctbal"))
+      .unionByName(c.filter(col("c_custkey") % 5 === 0)
+        .select((col("c_custkey") + 10000000L).as("c_custkey"),
+          concat(lit("NEW "), col("c_name")).as("c_name"),
+          col("c_acctbal")))
+    Scd2.merge(open.unionByName(closedHist), updates, Seq("c_custkey"),
+      lit("2000-01-01"), broadcastUpdates = broadcastUpdates)
+  }
+
   /** Shared scaffold of the *r recall queries: fraction of `exact`'s rows
     * (unique on `keys`) found in `approx` (also unique on `keys` — a
     * duplicate-emitting approx side would inflate the left join), emitted
@@ -921,8 +956,9 @@ object SparkEntry {
     }),
 
     "m2_multimodal_features" -> ((s, dir) => {
-      // value-checked despite the stubbed decoder: the stub's 16-bin byte
-      // histogram is deterministic byte math, so un-normalizing two bins
+      // value-checked: the byte-level 16-bin histogram (the codec-free
+      // signature over RAW payload bytes; decoded-pixel features are m8)
+      // is deterministic byte math, so un-normalizing two bins
       // back to integer byte counts (bin k covers bytes [16k, 16k+16))
       // gives numbers a DuckDB oracle reproduces exactly. Integer compare
       // — no float-vs-double rounding hazard. Exactness bound: features
@@ -1031,36 +1067,39 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
-    "q38_scd2_merge" -> ((s, dir) => {
-      // type-2 dimension merge (pipeline.Scd2): current = every customer
-      // open since 1995 plus a closed 1990-95 version for key%7==0;
-      // updates = the even keys (acctbal bumped when key%3==0, so key%6==0
-      // is the changed set) plus brand-new key%5==0 entities. The merge
-      // must close the changed opens, insert their new versions, insert
-      // the new keys, and pass everything else through untouched.
-      val c = rd(s, dir, "customer")
-      val open = c.select(col("c_custkey"), col("c_name"), col("c_acctbal"),
-        lit("1995-01-01").cast("date").as("valid_from"),
-        lit(null).cast("date").as("valid_to"),
-        lit(true).as("is_current"))
-      val closedHist = c.filter(col("c_custkey") % 7 === 0)
-        .select(col("c_custkey"), col("c_name"),
-          (col("c_acctbal") - 50).as("c_acctbal"),
-          lit("1990-01-01").cast("date").as("valid_from"),
-          lit("1995-01-01").cast("date").as("valid_to"),
-          lit(false).as("is_current"))
-      val updates = c.filter(col("c_custkey") % 2 === 0)
-        .select(col("c_custkey"), col("c_name"),
-          when(col("c_custkey") % 3 === 0, col("c_acctbal") + 100)
-            .otherwise(col("c_acctbal")).as("c_acctbal"))
-        .unionByName(c.filter(col("c_custkey") % 5 === 0)
-          .select((col("c_custkey") + 10000000L).as("c_custkey"),
-            concat(lit("NEW "), col("c_name")).as("c_name"),
-            col("c_acctbal")))
-      Scd2.merge(open.unionByName(closedHist), updates, Seq("c_custkey"),
-          lit("2000-01-01"))
-        .orderBy("c_custkey", "valid_from")
+    "m9_video_decode" -> ((s, dir) => {
+      // REAL video path, oracle-proven: pack 4 consecutive 64-byte text
+      // windows as a motion-image stream (concatenated BMP frames — the
+      // MJPEG shape with a lossless per-frame codec), demux by the
+      // container's own framing, decode every frame through javax.imageio,
+      // and emit codec-reported dims + exact per-channel sums per frame.
+      // The oracle recomputes frame k's sums as byte math over text
+      // positions [k*64+1, k*64+64] (zero-pad positions read ascii('')=0).
+      Multimodal.decodeVideo(s,
+        Multimodal.packAsVideo(s, asciiGuard(rd(s, dir, "documents"),
+          "m9_video_decode"), "doc_id", "text", w = 8, h = 8, nFrames = 4))
+        .toDF().orderBy("media_id", "frame_idx")
     }),
+
+    "q38_scd2_merge" -> ((s, dir) =>
+      scd2Demo(s, dir, broadcastUpdates = false)
+        .orderBy("c_custkey", "valid_from")),
+
+    // the SAME merge through the small-batch plan: the open slice meets a
+    // BROADCAST update batch (dimension width never shuffles) and new keys
+    // arrive via a keys-only anti join — same oracle, second plan proven
+    "q38b_scd2_broadcast" -> ((s, dir) =>
+      scd2Demo(s, dir, broadcastUpdates = true)
+        .orderBy("c_custkey", "valid_from")),
+
+    // time travel over the merged dimension: versions active at 1997-06-01
+    // are the 1995-opened rows — for the %6==0 changed keys that is the
+    // version the merge CLOSED at 2000 (old balance), so the filter is
+    // checked against post-merge bounds, not pass-through rows
+    "q41_scd2_asof" -> ((s, dir) =>
+      Scd2.asOfView(scd2Demo(s, dir, broadcastUpdates = false),
+          lit("1997-06-01"))
+        .orderBy("c_custkey")),
 
     "q39_cdc_apply" -> ((s, dir) => {
       // CDC fold (pipeline.Cdc): per key latest-seq change wins — the
@@ -1098,8 +1137,47 @@ object SparkEntry {
           .select(col("doc_id").as("eval_id"), col("text")),
         "eval_id", "text", n = 13)
         .orderBy("doc_id")
+    }),
+
+    // the SAME contamination check through the corpus-scale plan: both
+    // gram sides shuffle-join instead of broadcasting the eval grams —
+    // the right shape when the "eval set" is itself a corpus. Result is
+    // plan-independent, so q40 and q40b share one oracle.
+    "q40b_contamination_shuffle" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      Curation.contamination(
+        docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("eval_id"), col("text")),
+        "eval_id", "text", n = 13, broadcastEval = false)
+        .orderBy("doc_id")
     })
   )
+
+  /** The q38/q38b merge outcome as plain SQL (see [[scd2Demo]]) — one
+    * oracle, two physical plans.
+    */
+  private val scd2MergeOracle: String =
+    """SELECT c_custkey, c_name, c_acctbal - 50 AS c_acctbal,
+      |    DATE '1990-01-01' AS valid_from, DATE '1995-01-01' AS valid_to,
+      |    false AS is_current
+      |  FROM customer WHERE c_custkey % 7 = 0
+      |UNION ALL
+      |SELECT c_custkey, c_name, c_acctbal, DATE '1995-01-01', NULL, true
+      |  FROM customer WHERE c_custkey % 6 <> 0
+      |UNION ALL
+      |SELECT c_custkey, c_name, c_acctbal, DATE '1995-01-01',
+      |    DATE '2000-01-01', false
+      |  FROM customer WHERE c_custkey % 6 = 0
+      |UNION ALL
+      |SELECT c_custkey, c_name, c_acctbal + 100, DATE '2000-01-01',
+      |    NULL, true
+      |  FROM customer WHERE c_custkey % 6 = 0
+      |UNION ALL
+      |SELECT c_custkey + 10000000, 'NEW ' || c_name, c_acctbal,
+      |    DATE '2000-01-01', NULL, true
+      |  FROM customer WHERE c_custkey % 5 = 0
+      |ORDER BY c_custkey, valid_from""".stripMargin
 
   /** DuckDB-equivalent SQL per query (same tables, same column aliases).
     * Omitted for x3/x6/y2/y3 (engine-specific hash families, approximate
@@ -1814,29 +1892,39 @@ object SparkEntry {
         |      '[^\x60-\x6f]', '', 'g')) AS BIGINT) AS bin6_px
         |FROM documents ORDER BY media_id""".stripMargin,
 
+    // frame k of the motion stream covers text bytes [k*64+1, k*64+64];
+    // beyond-length positions are zero-padded pixels (ascii('') = 0)
+    "m9_video_decode" ->
+      """WITH fr AS (SELECT CAST(unnest(range(0, 4)) AS INT) AS f),
+        |  s AS (SELECT doc_id, f,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> ascii(substr(text, f * 64 + i, 1)))) AS BIGINT) AS lum
+        |  FROM documents, fr)
+        |SELECT doc_id AS media_id, f AS frame_idx, 8 AS width, 8 AS height,
+        |  lum AS sum_r, lum AS sum_g, lum AS sum_b
+        |FROM s ORDER BY media_id, frame_idx""".stripMargin,
+
     // the SCD2 merge outcome, derived case-by-case: changed set is
     // key%6==0 (in the update batch AND value-bumped), new keys %5==0
-    "q38_scd2_merge" ->
-      """SELECT c_custkey, c_name, c_acctbal - 50 AS c_acctbal,
-        |    DATE '1990-01-01' AS valid_from, DATE '1995-01-01' AS valid_to,
-        |    false AS is_current
-        |  FROM customer WHERE c_custkey % 7 = 0
-        |UNION ALL
-        |SELECT c_custkey, c_name, c_acctbal, DATE '1995-01-01', NULL, true
+    // (q38b runs the broadcast-plan merge — same outcome by construction,
+    // so both point at this SQL)
+    "q38_scd2_merge" -> scd2MergeOracle,
+    "q38b_scd2_broadcast" -> scd2MergeOracle,
+
+    // time travel at 1997-06-01: the %7 closed-1990-95 history and every
+    // version opened at the 2000 merge are out of range; what remains is
+    // each customer's 1995 version — CLOSED at 2000 for the %6==0 changed
+    // keys, still open otherwise
+    "q41_scd2_asof" ->
+      """SELECT c_custkey, c_name, c_acctbal,
+        |    DATE '1995-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+        |    true AS is_current
         |  FROM customer WHERE c_custkey % 6 <> 0
         |UNION ALL
         |SELECT c_custkey, c_name, c_acctbal, DATE '1995-01-01',
         |    DATE '2000-01-01', false
         |  FROM customer WHERE c_custkey % 6 = 0
-        |UNION ALL
-        |SELECT c_custkey, c_name, c_acctbal + 100, DATE '2000-01-01',
-        |    NULL, true
-        |  FROM customer WHERE c_custkey % 6 = 0
-        |UNION ALL
-        |SELECT c_custkey + 10000000, 'NEW ' || c_name, c_acctbal,
-        |    DATE '2000-01-01', NULL, true
-        |  FROM customer WHERE c_custkey % 5 = 0
-        |ORDER BY c_custkey, valid_from""".stripMargin,
+        |ORDER BY c_custkey""".stripMargin,
 
     // CDC outcome case-by-case: %9 deleted, surviving %4 updated to +10
     // (the seq-1 +5 update is superseded), %10 inserted as new keys
@@ -1853,18 +1941,23 @@ object SparkEntry {
 
     // distinct word 13-grams per doc (t5's tokenization), eval = every
     // 50th doc; a corpus doc is contaminated iff it shares a gram
-    "q40_contamination" ->
-      """WITH tok AS (SELECT doc_id,
-        |    regexp_split_to_array(trim(text), '\s+') AS a FROM documents),
-        |  g AS (SELECT doc_id, unnest(list_distinct(
-        |      list_transform(range(1, len(a) - 11),
-        |        i -> array_to_string(a[i:i+12], ' ')))) AS gram
-        |    FROM tok WHERE len(a) >= 13),
-        |  e AS (SELECT doc_id AS eval_id, gram FROM g WHERE doc_id % 50 = 0)
-        |SELECT g.doc_id,
-        |  CAST(count(DISTINCT g.gram) AS BIGINT) AS n_hit_ngrams,
-        |  CAST(count(DISTINCT e.eval_id) AS BIGINT) AS n_eval_docs
-        |FROM g JOIN e ON g.gram = e.gram
-        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+    // (q40b runs the shuffle-join plan — result is plan-independent, so
+    // both point at this SQL)
+    "q40_contamination" -> contaminationOracle,
+    "q40b_contamination_shuffle" -> contaminationOracle
   )
+
+  private lazy val contaminationOracle: String =
+    """WITH tok AS (SELECT doc_id,
+      |    regexp_split_to_array(trim(text), '\s+') AS a FROM documents),
+      |  g AS (SELECT doc_id, unnest(list_distinct(
+      |      list_transform(range(1, len(a) - 11),
+      |        i -> array_to_string(a[i:i+12], ' ')))) AS gram
+      |    FROM tok WHERE len(a) >= 13),
+      |  e AS (SELECT doc_id AS eval_id, gram FROM g WHERE doc_id % 50 = 0)
+      |SELECT g.doc_id,
+      |  CAST(count(DISTINCT g.gram) AS BIGINT) AS n_hit_ngrams,
+      |  CAST(count(DISTINCT e.eval_id) AS BIGINT) AS n_eval_docs
+      |FROM g JOIN e ON g.gram = e.gram
+      |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
 }

@@ -7,14 +7,15 @@ import org.apache.spark.sql.functions._
   * `binary` payloads with typed metadata, plus batched feature extraction.
   *
   * The Spark-side plumbing — schema, partitioning, batch shape, typed
-  * pipeline — is real and tested, and so are the IMAGE and AUDIO codecs:
+  * pipeline — is real and tested, and so are ALL THREE codec paths:
   * [[decodeImages]] / [[resizeImages]] run `javax.imageio` (BMP/PNG/JPEG/
-  * GIF, JDK-built-in) and [[decodeAudio]] runs `javax.sound.sampled` (RIFF/
-  * WAVE PCM, JDK-built-in) inside the batched `mapPartitions` loop — no
-  * external libraries. Only VIDEO decode remains a STUB ([[decodeStub]]'s
-  * deterministic byte histogram): the JDK ships no video codec, so the
-  * fake stands in behind the identical batch contract; swap it for a
-  * JNI/FFM codec call and nothing else moves.
+  * GIF, JDK-built-in), [[decodeAudio]] runs `javax.sound.sampled` (RIFF/
+  * WAVE PCM, JDK-built-in), and [[decodeVideo]] demuxes a motion-image
+  * elementary stream (concatenated per-frame image files, the MJPEG shape)
+  * and decodes every frame through the same ImageIO path — all inside the
+  * batched `mapPartitions` loop, no external libraries. A production
+  * inter-frame codec (H.264 via JNI/FFM) would replace only the demux+
+  * per-frame decode body; the batch contract and frame-row schema hold.
   *
   * Scale notes: payloads stay opaque binary end-to-end (parquet binary
   * columns — no base64 inflation); feature extraction is `mapPartitions`
@@ -52,13 +53,12 @@ object Multimodal {
         lit(0).as("height"),
         lit(0L).as("durationMs")).as("meta"))
 
-  /** STUB decoder (video-only since the real image/audio codecs landed —
-    * see [[decodeImages]]/[[decodeAudio]]): deterministic 16-bin byte
-    * histogram, L1-normalized. Production: replace the body with the real
-    * video decode + model-forward pass; signature and batching stay
-    * identical.
+  /** Payload-level feature: `dim`-bin byte histogram, L1-normalized —
+    * a codec-free signature over the RAW bytes (compression fingerprints,
+    * format drift detection, cheap near-dup blocking on binary columns).
+    * Codec-aware features live in [[imageFeatures]] (decoded pixels).
     */
-  private def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
+  private def byteHistogram(payload: Array[Byte], dim: Int): Array[Float] = {
     val counts = new Array[Float](dim)
     var i = 0
     while (i < payload.length) {
@@ -69,7 +69,9 @@ object Multimodal {
     counts.map(_ / total)
   }
 
-  /** Batched feature extraction over the binary payload column. */
+  /** Batched byte-level feature extraction over the binary payload column
+    * (see [[byteHistogram]]; decoded-pixel features are [[imageFeatures]]).
+    */
   def extractFeatures(
       spark: SparkSession, media: DataFrame, dim: Int = 16): Dataset[MediaFeatures] = {
     import spark.implicits._
@@ -77,19 +79,20 @@ object Multimodal {
       records.grouped(DecodeBatchSize).flatMap { batch =>
         // one "decoder session" per batch (amortized init in production)
         batch.map { r =>
-          MediaFeatures(r.media_id, r.kind, dim, decodeStub(r.payload, dim))
+          MediaFeatures(r.media_id, r.kind, dim, byteHistogram(r.payload, dim))
         }
       }
     }
   }
 
-  /** Resize STUB: keep every `factor`-th payload byte. Production: the
-    * real scaler (image resize / audio resample) runs inside the same
-    * batched loop — resize is a codec-boundary op, so it lives next to
-    * decode, not in a SQL expression. Payload shrinks ~`factor`x; metadata
-    * passes through unchanged (the stub's fake dims carry no geometry).
+  /** Byte-stride downsample: keep every `factor`-th payload byte — the
+    * codec-FREE shrink for opaque payloads (raw sensor dumps, capped
+    * previews). The codec-aware scaler is [[resizeImages]] (decode →
+    * pixel subsample → re-encode); both run in the same batched loop
+    * because resizing is a codec-boundary op, not a SQL expression.
+    * Payload shrinks ~`factor`x; metadata passes through unchanged.
     */
-  private def resizeStub(payload: Array[Byte], factor: Int): Array[Byte] = {
+  private def byteStride(payload: Array[Byte], factor: Int): Array[Byte] = {
     val out = new Array[Byte]((payload.length + factor - 1) / factor)
     var i = 0
     while (i < out.length) { out(i) = payload(i * factor); i += 1 }
@@ -105,7 +108,7 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { records =>
       records.grouped(DecodeBatchSize).flatMap { batch =>
-        batch.map(r => r.copy(payload = resizeStub(r.payload, factor)))
+        batch.map(r => r.copy(payload = byteStride(r.payload, factor)))
       }
     }.toDF()
   }
@@ -310,7 +313,10 @@ object Multimodal {
           y += 1
         }
         val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(out, format, bos)
+        // write() returns false (without throwing) when no writer handles
+        // the format — that would silently emit a zero-byte payload
+        require(javax.imageio.ImageIO.write(out, format, bos),
+          s"media_id=${r.media_id}: no ImageIO writer for format=$format")
         r.copy(payload = bos.toByteArray,
           meta = r.meta.copy(format = format, width = nw, height = nh))
       })
@@ -357,6 +363,86 @@ object Multimodal {
     * back through the inverse of [[packAsWav]]'s sample function, exact for
     * 16-bit PCM — so a SQL oracle verifies the decode value-exactly.
     */
+  /** One decoded video frame as emitted by [[decodeVideo]]. */
+  final case class DecodedFrame(
+      media_id: Long, frame_idx: Int, width: Int, height: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Pack consecutive `w*h`-byte windows of a text column into a REAL
+    * motion-image elementary stream: `nFrames` well-formed BMP files
+    * back-to-back (the MJPEG container shape with a lossless per-frame
+    * codec, so the decode is byte-math verifiable — JPEG frames would
+    * drop into the same demux/decode path but defeat an exact oracle).
+    */
+  def packAsVideo(
+      spark: SparkSession, df: DataFrame, idCol: String, textCol: String,
+      w: Int, h: Int, nFrames: Int): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.grouped(DecodeBatchSize).flatMap(_.map { case (id, text) =>
+          val bytes = Option(text).getOrElse("").getBytes("UTF-8")
+          val bos = new java.io.ByteArrayOutputStream()
+          var k = 0
+          while (k < nFrames) {
+            bos.write(encodeBmp24(w, h,
+              bytes.slice(k * w * h, (k + 1) * w * h)))
+            k += 1
+          }
+          MediaRecord(id, "video", bos.toByteArray,
+            MediaMeta("bmpseq", w, h, nFrames * 40L)) // 25 fps
+        })
+      }.toDF()
+  }
+
+  /** REAL video decode: demux the concatenated-frame stream (each frame's
+    * length is its BMP header's file-size field — the container carries
+    * its own framing, nothing is assumed about frame dimensions) and
+    * decode every frame through the SAME `javax.imageio` path as
+    * [[decodeImages]], emitting one row per frame. One media row → many
+    * frame rows is the shape a production sampler feeds feature
+    * extraction; an inter-frame codec would swap only this body.
+    */
+  def decodeVideo(spark: SparkSession, media: DataFrame): Dataset[DecodedFrame] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { records =>
+      records.grouped(DecodeBatchSize).flatMap(_.flatMap { r =>
+        val p = r.payload
+        val frames = Iterator.unfold(0) { off =>
+          if (off >= p.length) None
+          else {
+            require(off + 6 <= p.length && p(off) == 'B' && p(off + 1) == 'M',
+              s"media_id=${r.media_id}: bad frame magic at offset $off")
+            val size = (p(off + 2) & 0xFF) | ((p(off + 3) & 0xFF) << 8) |
+              ((p(off + 4) & 0xFF) << 16) | ((p(off + 5) & 0xFF) << 24)
+            require(size > 0 && off + size <= p.length,
+              s"media_id=${r.media_id}: frame at $off overruns payload ($size)")
+            Some(((off, size), off + size))
+          }
+        }
+        frames.zipWithIndex.map { case ((off, size), idx) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(p, off, size))
+          require(img != null,
+            s"media_id=${r.media_id}: undecodable frame $idx at offset $off")
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+          DecodedFrame(r.media_id, idx, img.getWidth, img.getHeight, sr, sg, sb)
+        }
+      })
+    }
+  }
+
   def decodeAudio(spark: SparkSession, media: DataFrame): Dataset[DecodedAudio] = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { records =>

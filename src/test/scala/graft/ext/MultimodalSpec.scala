@@ -166,6 +166,39 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 3L)))
   }
 
+  test("packAsVideo + decodeVideo: demux by container framing, codec-exact") {
+    val decoded = Multimodal.decodeVideo(spark,
+      Multimodal.packAsVideo(spark, textRows, "id", "body",
+        w = 4, h = 4, nFrames = 3))
+      .collect().sortBy(d => (d.media_id, d.frame_idx))
+    val texts = Map(
+      1L -> (('a' to 'z').mkString + ('A' to 'Z').mkString + "0123456789!?"),
+      2L -> "tiny")
+    // 2 media x 3 frames, codec-reported dims
+    assert(decoded.length === 6)
+    assert(decoded.forall(d => d.width == 4 && d.height == 4))
+    assert(decoded.map(_.frame_idx).toSeq === Seq(0, 1, 2, 0, 1, 2))
+    // frame k covers source bytes [k*16, k*16+16); zero-pad beyond length
+    decoded.foreach { d =>
+      val e = texts(d.media_id).getBytes("UTF-8")
+        .slice(d.frame_idx * 16, d.frame_idx * 16 + 16).map(_ & 0xFFL).sum
+      assert((d.sum_r, d.sum_g, d.sum_b) === ((e, e, e)),
+        s"media_id=${d.media_id} frame=${d.frame_idx}")
+    }
+  }
+
+  test("decodeVideo rejects a corrupt stream loudly (bad frame magic)") {
+    import spark.implicits._
+    val junk = Seq(Multimodal.MediaRecord(9L, "video",
+      Array[Byte]('X', 'Y', 1, 2, 3, 4), Multimodal.MediaMeta("bmpseq", 4, 4, 0L)))
+      .toDS().toDF()
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeVideo(spark, junk).collect()
+    }
+    assert(e.getMessage.contains("bad frame magic") ||
+      Option(e.getCause).exists(_.getMessage.contains("bad frame magic")))
+  }
+
   test("packAsWav produces a real RIFF/WAVE that javax.sound decodes exactly") {
     val decoded = Multimodal.decodeAudio(spark,
       Multimodal.packAsWav(spark, textRows, "id", "body",
