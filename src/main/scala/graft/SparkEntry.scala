@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ext.{Clusters, Curation, Dedup, Multimodal, Shingles, Similarity, TextAnalysis}
-import graft.ops.AsofJoin
+import graft.ops.{AsofJoin, RuntimeFilter}
 import graft.pipeline.{Cdc, Scd2}
 import graft.ops.ColumnOps._
 import graft.ops.JsonOps._
@@ -1151,6 +1151,28 @@ object SparkEntry {
           .select(col("doc_id").as("eval_id"), col("text")),
         "eval_id", "text", n = 13, broadcastEval = false)
         .orderBy("doc_id")
+    }),
+
+    "q42_bloom_prejoin" -> ((s, dir) => {
+      // explicit runtime filter (ops.RuntimeFilter): the urgent-orders key
+      // set is aggregated into a bloom filter and pruned off lineitem as a
+      // narrow codegen'd filter BEFORE lineitem's shuffle — at 100 TB the
+      // probe rows that no build key matches (~80% here) never cross the
+      // wire. False positives survive the pre-filter but the real join
+      // removes them, so the result is byte-identical to the plain join:
+      // one oracle proves the optimized plan.
+      val urgent = rd(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_orderpriority")
+      val pruned = RuntimeFilter.preJoinFilter(
+        rd(s, dir, "lineitem"), "l_orderkey", urgent, "o_orderkey")
+      pruned.join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n_lines"),
+          rnd(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy("l_returnflag")
     })
   )
 
@@ -1941,6 +1963,18 @@ object SparkEntry {
 
     // distinct word 13-grams per doc (t5's tokenization), eval = every
     // 50th doc; a corpus doc is contaminated iff it shares a gram
+    // the bloom pre-filter only ever drops rows the join would drop anyway
+    // (false NEGATIVES are impossible), so the plain join IS the oracle
+    // for the runtime-filtered plan
+    "q42_bloom_prejoin" ->
+      """SELECT l_returnflag, count(*) AS n_lines,
+        |  floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2
+        |    AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     // (q40b runs the shuffle-join plan — result is plan-independent, so
     // both point at this SQL)
     "q40_contamination" -> contaminationOracle,

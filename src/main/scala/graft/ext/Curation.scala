@@ -138,8 +138,11 @@ object Curation {
       evalDocs: DataFrame, evalIdCol: String, evalTextCol: String,
       n: Int = 13,
       broadcastEval: Boolean = true): DataFrame = {
-    val corpusGrams = docs.select(
-      col(idCol), explode(Shingles.wordNGrams(col(textCol), n)).as("_gram"))
+    // a small-file corpus scan can collapse to one split; the gram explode
+    // is the CPU-heavy stage, so spread it across the executors first
+    val corpusGrams = Dedup.ensureParallelism(
+        docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(Shingles.wordNGrams(col(textCol), n)).as("_gram"))
     val evalGrams0 = evalDocs.select(
       col(evalIdCol).as("_eval_id"),
       explode(Shingles.wordNGrams(col(evalTextCol), n)).as("_gram"))

@@ -35,7 +35,7 @@ object Dedup {
     * target slot: any input at least that big yields >= target partitions
     * from the scan itself, so only inputs too small to matter shuffle.
     */
-  private def ensureParallelism(df: DataFrame): DataFrame = {
+  private[ext] def ensureParallelism(df: DataFrame): DataFrame = {
     // streaming plans have no stats (and micro-batch parallelism is the
     // source's concern) — pass them through untouched
     if (df.isStreaming) return df

@@ -17,36 +17,34 @@ object Shingles {
 
   /** ALL word n-grams in order, duplicates kept (the multiset view —
     * repetition analysis needs the duplicates that [[wordNGrams]] drops).
-    * Empty when the document has fewer than n tokens (guarded:
-    * `sequence(1, 0)` would otherwise count DOWN in Spark).
+    * Empty when the document has fewer than n tokens, or is null (the
+    * original composed form's `when`/`otherwise` fell through to empty on
+    * null — preserved here via coalesce).
+    *
+    * Native [[graft.functions.WordNGrams]] under the hood: the composed
+    * `transform(sequence, i => concat_ws(slice(split...)))` form
+    * re-evaluates the split per output gram in Spark's interpreted
+    * higher-order path — O(words × len) per document, minutes of
+    * single-task CPU on a real 13-gram contamination sweep.
     */
-  def wordNGramsAll(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    val count = size(toks) - (n - 1)
-    when(count >= 1,
-      transform(
-        sequence(lit(1), count),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def wordNGramsAll(text: Column, n: Int): Column =
+    coalesce(graft.functions.NGrams.wordNGramsAll(text, n),
+      array().cast("array<string>"))
 
   /** Distinct word n-grams joined by a single space. */
   def wordNGrams(text: Column, n: Int): Column =
-    array_distinct(wordNGramsAll(text, n))
+    coalesce(graft.functions.NGrams.wordNGrams(text, n),
+      array().cast("array<string>"))
 
   /** Distinct character n-grams of the raw text. Robust to word reordering
     * (intra-word grams survive a shuffle of the words), which is the planted
     * near-dup pattern in LLM training corpora: same content, new order.
+    * Native [[graft.functions.CharNGrams]]: the composed `substr(text, i,
+    * n)` form pays an O(i) code-point seek per position — O(len²)/doc.
     */
-  def charNGrams(text: Column, n: Int): Column = {
-    val count = length(text) - (n - 1)
-    when(count >= 1,
-      array_distinct(
-        transform(
-          sequence(lit(1), count),
-          i => text.substr(i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def charNGrams(text: Column, n: Int): Column =
+    coalesce(graft.functions.NGrams.charNGrams(text, n),
+      array().cast("array<string>"))
 
   /** Exact Jaccard similarity of two array columns (set semantics). */
   def jaccard(a: Column, b: Column): Column = {

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Interpreted/codegen-shared kernels for graft's custom expressions.
   *
@@ -109,5 +110,106 @@ object ExprRuntimes {
       j += 1
     }
     sig
+  }
+
+  /** `split(trim(text), "\\s+")` — the exact composed form the n-gram
+    * kernels replace: UTF8String.trim (space-only, like Spark's `trim()`)
+    * then the same `Pattern.split(_, -1)` Spark's `StringSplit` runs. Kept
+    * bit-identical so the native kernels can never drift from the oracle
+    * semantics the composed expressions established.
+    */
+  private val Whitespace = java.util.regex.Pattern.compile("\\s+")
+
+  /** All word n-grams in order (duplicates kept unless `distinct`), each
+    * joined by a single space — one split for the whole document.
+    *
+    * The composed form (`transform(sequence(...), i => concat_ws(" ",
+    * slice(split(...), i, n)))`) re-evaluates the SPLIT once per output
+    * element in Spark's interpreted higher-order path — O(words × len)
+    * per document, which a 13-gram contamination sweep over real corpus
+    * documents turns into minutes of single-task CPU. This kernel is
+    * O(len + output) and lives inside whole-stage codegen.
+    */
+  def wordNGrams(text: UTF8String, n: Int, distinct: Boolean): ArrayData = {
+    val toks = Whitespace.split(text.trim().toString, -1)
+    val count = toks.length - (n - 1)
+    if (count < 1) return new GenericArrayData(Array.empty[Any])
+    if (!distinct) {
+      val out = new Array[Any](count)
+      var i = 0
+      while (i < count) {
+        out(i) = UTF8String.fromString(joinGram(toks, i, n))
+        i += 1
+      }
+      new GenericArrayData(out)
+    } else {
+      // LinkedHashSet = array_distinct semantics: first occurrence wins,
+      // encounter order preserved
+      val seen = new java.util.LinkedHashSet[String](count * 2)
+      var i = 0
+      while (i < count) {
+        seen.add(joinGram(toks, i, n))
+        i += 1
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var j = 0
+      while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  private def joinGram(toks: Array[String], start: Int, n: Int): String = {
+    if (n == 1) return toks(start)
+    val sb = new java.lang.StringBuilder(32)
+    var k = 0
+    while (k < n) {
+      if (k > 0) sb.append(' ')
+      sb.append(toks(start + k))
+      k += 1
+    }
+    sb.toString
+  }
+
+  /** Distinct character n-grams — one byte walk for the whole document.
+    *
+    * The composed form (`transform(sequence(...), i => substr(text, i,
+    * n))`) pays an O(i) code-point seek per position — O(len²) per
+    * document. Here one pass records every UTF-8 char start, then each
+    * gram is a byte-range slice at exactly the boundaries `substr`'s
+    * code-point arithmetic would pick — O(len + output), codegen-resident.
+    */
+  def charNGrams(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    // char starts = non-continuation bytes (0b10xxxxxx are continuations)
+    var nChars = 0
+    var i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xC0) != 0x80) nChars += 1
+      i += 1
+    }
+    val count = nChars - (n - 1)
+    if (count < 1) return new GenericArrayData(Array.empty[Any])
+    val starts = new Array[Int](nChars + 1)
+    var c = 0
+    i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xC0) != 0x80) { starts(c) = i; c += 1 }
+      i += 1
+    }
+    starts(nChars) = bytes.length
+    val seen = new java.util.LinkedHashSet[UTF8String](count * 2)
+    var p = 0
+    while (p < count) {
+      val from = starts(p)
+      val until = starts(p + n)
+      seen.add(UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, from, until)))
+      p += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
   }
 }

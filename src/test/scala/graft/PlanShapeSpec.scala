@@ -62,4 +62,8 @@ class PlanShapeSpec extends SparkSpec {
   // contamination: corpus grams meet BROADCAST eval grams, then one
   // narrow aggregation — the corpus never pre-shuffles
   checkShape("q40_contamination", maxExchanges = 3, minBroadcastJoins = 1)
+  // bloom pre-join: the runtime filter is a narrow codegen'd Filter (the
+  // probe side never shuffles unjoined rows), the dim join broadcasts,
+  // and only the agg + orderBy exchange
+  checkShape("q42_bloom_prejoin", maxExchanges = 2, minBroadcastJoins = 1)
 }
