@@ -70,7 +70,10 @@ object Similarity {
       col(vecCol).as("cv"),
       vector_norm(col(vecCol)).as("cn"))
 
-    c.crossJoin(broadcast(q))
+    // the corpus side carries the O(corpus x queries) dot-product work; a
+    // small-file scan otherwise collapses it to ONE task (measured: a
+    // single thread grinding 18+ CPU-minutes while 31 cores idled)
+    Dedup.ensureParallelism(c).crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(
         col("query_id"), col("neighbor_id"),
@@ -448,7 +451,10 @@ object Similarity {
       col(idCol).as("id"),
       col(vecCol).as("v"),
       vector_norm(col(vecCol)).as("n"))
-    base.as("x").crossJoin(base.as("y"))
+    // spread the O(n²) stream side across the executors — a small-file
+    // scan otherwise leaves the whole quadratic loop on one task (the
+    // other side auto-broadcasts under the BNLJ threshold either way)
+    Dedup.ensureParallelism(base).as("x").crossJoin(base.as("y"))
       .filter(col("x.id") < col("y.id"))
       .select(
         col("x.id").as("id_a"), col("y.id").as("id_b"),

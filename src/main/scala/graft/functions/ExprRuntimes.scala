@@ -15,26 +15,33 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object ExprRuntimes {
 
-  /** Dot product of two float arrays; caller checks length equality. */
+  /** Dot product of two float arrays; caller checks length equality.
+    * Element accessors, not `toFloatArray()`: the bulk form allocates and
+    * copies BOTH arrays per invocation — on an all-pairs scorer that is
+    * two heap copies per pair, and the copy traffic (not the FMAs)
+    * dominated a profiled brute-force run. `getFloat` on UnsafeArrayData
+    * is a single unsafe read, and the call site is monomorphic enough for
+    * the JIT to inline.
+    */
   def vectorDot(a: ArrayData, b: ArrayData): Double = {
-    val x = a.toFloatArray()
-    val y = b.toFloatArray()
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
-    while (i < x.length) {
-      acc += x(i).toDouble * y(i).toDouble
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
       i += 1
     }
     acc
   }
 
-  /** L2 norm of a float array. */
+  /** L2 norm of a float array (element accessors — see [[vectorDot]]). */
   def vectorNorm(a: ArrayData): Double = {
-    val x = a.toFloatArray()
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
-    while (i < x.length) {
-      acc += x(i).toDouble * x(i).toDouble
+    while (i < n) {
+      val v = a.getFloat(i).toDouble
+      acc += v * v
       i += 1
     }
     math.sqrt(acc)
