@@ -33,12 +33,18 @@ object SparkEntry {
 
   private def rd(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-      // ([PARQUET_TYPE_ILLEGAL]); read it as long nanos and convert. The
-      // generator emits whole-microsecond values, so `DIV 1000` is lossless.
+      // events.ts has shipped as parquet TIMESTAMP(NANOS) in some testdata
+      // generations — which Spark 4 rejects ([PARQUET_TYPE_ILLEGAL]) — and
+      // as plain TIMESTAMP(MICROS) in others. Read nanos as long and
+      // convert (the generator emits whole-microsecond values, so
+      // `DIV 1000` is lossless); pass native timestamps through untouched.
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      val df = s.read.parquet(s"$dir/$name.parquet")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        case _ => df
+      }
     } else s.read.parquet(s"$dir/$name.parquet")
 
   /** Structural single-byte-text assertion shared by the codec round-trip
