@@ -7,6 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ext.{Clusters, Curation, Dedup, Multimodal, Shingles, Similarity, TextAnalysis}
+import graft.lake.ZOrder
 import graft.ops.{AsofJoin, RuntimeFilter}
 import graft.pipeline.{Cdc, Scd2}
 import graft.ops.ColumnOps._
@@ -1179,6 +1180,21 @@ object SparkEntry {
           rnd(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
             .as("revenue"))
         .orderBy("l_returnflag")
+    }),
+
+    "q43_zorder" -> ((s, dir) => {
+      // the z-order curve math itself (lake.ZOrder.interleave): raw keys
+      // masked to 8 bits, bit-interleaved with the magic-mask spread, and
+      // ranked along the curve. The layout effect (per-file bounding
+      // boxes shrinking vs round-robin) is asserted in ZOrderSpec; this
+      // query cross-proves the curve against DuckDB evaluating the same
+      // shift/mask algebra.
+      rd(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          ZOrder.interleave(Seq(col("l_partkey"), col("l_suppkey")), 8)
+            .as("zval"))
+        .orderBy(col("zval"), col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
     })
   )
 
@@ -1984,7 +2000,28 @@ object SparkEntry {
     // (q40b runs the shuffle-join plan — result is plan-independent, so
     // both point at this SQL)
     "q40_contamination" -> contaminationOracle,
-    "q40b_contamination_shuffle" -> contaminationOracle
+    "q40b_contamination_shuffle" -> contaminationOracle,
+
+    // DuckDB evaluates the identical magic-mask Morton algebra: mask to 8
+    // bits, spread each key's bits to even positions in 4 shift-or-mask
+    // steps, interleave, rank along the curve
+    "q43_zorder" ->
+      """WITH m AS (SELECT l_orderkey, l_linenumber,
+        |    l_partkey & 255 AS a, l_suppkey & 255 AS b FROM lineitem),
+        |  s1 AS (SELECT l_orderkey, l_linenumber,
+        |    (a | (a << 8)) & 16711935 AS a, (b | (b << 8)) & 16711935 AS b
+        |    FROM m),
+        |  s2 AS (SELECT l_orderkey, l_linenumber,
+        |    (a | (a << 4)) & 252645135 AS a, (b | (b << 4)) & 252645135 AS b
+        |    FROM s1),
+        |  s3 AS (SELECT l_orderkey, l_linenumber,
+        |    (a | (a << 2)) & 858993459 AS a, (b | (b << 2)) & 858993459 AS b
+        |    FROM s2),
+        |  s4 AS (SELECT l_orderkey, l_linenumber,
+        |    (a | (a << 1)) & 1431655765 AS a, (b | (b << 1)) & 1431655765 AS b
+        |    FROM s3)
+        |SELECT l_orderkey, l_linenumber, a | (b << 1) AS zval
+        |FROM s4 ORDER BY zval, l_orderkey, l_linenumber LIMIT 100""".stripMargin
   )
 
   private lazy val contaminationOracle: String =
