@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ext.{Clusters, Curation, Dedup, Multimodal, Shingles, Similarity, TextAnalysis}
 import graft.lake.ZOrder
-import graft.ops.{AsofJoin, RuntimeFilter}
+import graft.ops.{AsofJoin, Profile, RuntimeFilter}
 import graft.pipeline.{Cdc, Scd2}
 import graft.ops.ColumnOps._
 import graft.ops.JsonOps._
@@ -1195,7 +1195,26 @@ object SparkEntry {
             .as("zval"))
         .orderBy(col("zval"), col("l_orderkey"), col("l_linenumber"))
         .limit(100)
-    })
+    }),
+
+    "q44_profile" -> ((s, dir) => {
+      // one-pass long-format column profile (ops.Profile): every stat for
+      // every column lands in a single partial-agg/final-agg pair; exact
+      // ndv here because the oracle compares values, approx is the scale
+      // default
+      Profile.profile(
+        rd(s, dir, "lineitem")
+          .select("l_orderkey", "l_quantity", "l_returnflag"),
+        exactNdv = true)
+        .orderBy("column")
+    }),
+
+    "q45_skew" -> ((s, dir) =>
+      // key-skew sketch: heaviest keys, their row share, and the integer
+      // salt factor a 32-task stage would need — the pre-flight check
+      // that decides salting before a 100 TB join hits the hot key
+      Profile.keySkew(rd(s, dir, "events"), "user_id",
+        topK = 20, tasks = 32))
   )
 
   /** The q38/q38b merge outcome as plain SQL (see [[scd2Demo]]) — one
@@ -2021,7 +2040,40 @@ object SparkEntry {
         |    (a | (a << 1)) & 1431655765 AS a, (b | (b << 1)) & 1431655765 AS b
         |    FROM s3)
         |SELECT l_orderkey, l_linenumber, a | (b << 1) AS zval
-        |FROM s4 ORDER BY zval, l_orderkey, l_linenumber LIMIT 100""".stripMargin
+        |FROM s4 ORDER BY zval, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+
+    "q44_profile" ->
+      """SELECT 'l_orderkey' AS "column", count(*) AS n_rows,
+        |    count(l_orderkey) AS n_nonnull,
+        |    count(DISTINCT l_orderkey) AS ndv,
+        |    CAST(min(l_orderkey) AS DOUBLE) AS min_num,
+        |    CAST(max(l_orderkey) AS DOUBLE) AS max_num,
+        |    CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        |  FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity', count(*), count(l_quantity),
+        |    count(DISTINCT l_quantity),
+        |    CAST(min(l_quantity) AS DOUBLE), CAST(max(l_quantity) AS DOUBLE),
+        |    NULL, NULL
+        |  FROM lineitem
+        |UNION ALL
+        |SELECT 'l_returnflag', count(*), count(l_returnflag),
+        |    count(DISTINCT l_returnflag), NULL, NULL,
+        |    min(l_returnflag), max(l_returnflag)
+        |  FROM lineitem
+        |ORDER BY "column"""".stripMargin,
+
+    // integer-exact salt suggestion: ceil(cnt*tasks/total) in pure bigint
+    // math on both engines; share is one IEEE binary64 division
+    "q45_skew" ->
+      """WITH g AS (SELECT user_id, count(*) AS cnt FROM events
+        |    GROUP BY user_id),
+        |  t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM g)
+        |SELECT user_id, cnt,
+        |    CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+        |    CAST(greatest(1, (cnt * 32 + total - 1) // total) AS BIGINT)
+        |      AS salt
+        |FROM g, t ORDER BY cnt DESC, user_id LIMIT 20""".stripMargin
   )
 
   private lazy val contaminationOracle: String =

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val df = Seq[(java.lang.Long, java.lang.Double, String)](
+    (1L, 1.5, "a"), (2L, null, "b"), (3L, 2.5, null), (3L, -1.0, "a"))
+    .toDF("k", "v", "s")
+
+  test("profile: one row per column with family-typed min/max") {
+    val p = Profile.profile(df, exactNdv = true)
+      .orderBy("column").collect()
+    p.map(_.getString(0)) shouldBe Array("k", "s", "v")
+
+    val k = p(0)
+    (k.getLong(1), k.getLong(2), k.getLong(3)) shouldBe ((4L, 4L, 3L))
+    (k.getDouble(4), k.getDouble(5)) shouldBe ((1.0, 3.0))
+    assert(k.isNullAt(6) && k.isNullAt(7))
+
+    val s = p(1)
+    (s.getLong(2), s.getLong(3)) shouldBe ((3L, 2L))
+    assert(s.isNullAt(4) && s.isNullAt(5))
+    (s.getString(6), s.getString(7)) shouldBe (("a", "b"))
+
+    val v = p(2)
+    (v.getLong(2), v.getLong(3)) shouldBe ((3L, 3L))
+    (v.getDouble(4), v.getDouble(5)) shouldBe ((-1.0, 2.5))
+  }
+
+  test("profile: column subset and approx ndv stays within HLL error") {
+    val big = spark.range(10000).toDF("id")
+      .withColumn("m", col("id") % 1000)
+    val p = Profile.profile(big, cols = Seq("m")).collect()
+    p.length shouldBe 1
+    val ndv = p.head.getLong(3)
+    // HLL++ at default rsd 5%
+    assert(math.abs(ndv - 1000) <= 150, s"approx ndv $ndv too far from 1000")
+  }
+
+  test("profile is a single aggregation (no join, one pair of exchanges)") {
+    val plan = Profile.profile(df).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("keySkew: counts, shares, and integer salt suggestions") {
+    // 64 rows of 'hot', 8 of 'warm', 1 each of 4 cold keys
+    val rows = Seq.fill(64)("hot") ++ Seq.fill(8)("warm") ++
+      Seq("c1", "c2", "c3", "c4")
+    val out = Profile.keySkew(rows.toDF("k"), "k", topK = 3, tasks = 4)
+      .collect()
+    out.map(_.getString(0)) shouldBe Array("hot", "warm", "c1")
+    out.map(_.getLong(1)) shouldBe Array(64L, 8L, 1L)
+    // total = 76; hot: ceil(64*4/76) = ceil(3.37) = 4; warm: ceil(8*4/76)=1
+    out.map(_.getLong(3)) shouldBe Array(4L, 1L, 1L)
+    out.head.getDouble(2) shouldBe (64.0 / 76.0) +- 1e-12
+  }
+
+  test("keySkew: deterministic tie-break on the key value") {
+    val rows = Seq("b", "b", "a", "a", "c")
+    val out = Profile.keySkew(rows.toDF("k"), "k", topK = 3).collect()
+    out.map(_.getString(0)) shouldBe Array("a", "b", "c")
+  }
+}
