@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Clusters, Curation, Dedup, Multimodal, Shingles, Similarity, TextAnalysis}
+import graft.ext.{Bpe, Clusters, Curation, Dedup, Multimodal, Shingles, Similarity, TextAnalysis}
 import graft.lake.ZOrder
 import graft.ops.{AsofJoin, Profile, RuntimeFilter}
 import graft.pipeline.{Cdc, Scd2}
@@ -955,6 +955,43 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "t10_bpe_chars" -> ((s, dir) =>
+      // the BPE machinery with zero merges: every non-whitespace code
+      // point is its own token, so DuckDB can compute the exact count —
+      // proving the tokenizer's word boundaries, code-point splitting,
+      // and counting before t11 layers merges on top
+      rd(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          Bpe.charModel.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .orderBy("doc_id")),
+
+    "t11_bpe_roundtrip" -> ((s, dir) => {
+      // end-to-end trained-BPE invariants, corpus-wide: training is the
+      // distributed word-count pass + driver merge loop; the checks are
+      // (a) every doc's tokens concatenate back to its whitespace-stripped
+      // text (merges never cross word boundaries), (b) the exact corpus
+      // code-point total (DuckDB recomputes it), (c) 200 merges actually
+      // compress (sum tokens strictly below sum chars)
+      val docs = rd(s, dir, "documents").filter(col("text").isNotNull)
+      val m = Bpe.train(docs, "text", numMerges = 200)
+      docs
+        .select(
+          m.encode(col("text")).as("toks"),
+          regexp_replace(col("text"), "\\s+", "").as("squashed"))
+        .select(
+          size(col("toks")).cast("long").as("n_tokens"),
+          length(col("squashed")).cast("long").as("n_chars"),
+          (concat_ws("", col("toks")) === col("squashed"))
+            .cast("long").as("rt_ok"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("rt_ok")).as("n_roundtrip"),
+          sum(col("n_chars")).as("sum_chars"),
+          (sum(col("n_tokens")) < sum(col("n_chars")))
+            .cast("int").as("compressed"))
+    }),
+
     // ------------------------------------------- LLM-pipeline: multimodal
     "m1_multimodal_meta" -> ((s, dir) => {
       Multimodal.metadataOnly(
@@ -1881,6 +1918,22 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(a3,
         |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips
         |FROM s3 ORDER BY doc_id""".stripMargin,
+
+    "t10_bpe_chars" ->
+      """SELECT doc_id,
+        |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT)
+        |    AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the roundtrip/compression flags are Spark-proven invariants; the
+    // oracle independently recomputes the doc count and the exact corpus
+    // code-point total, and pins the flags' expected values
+    "t11_bpe_roundtrip" ->
+      """SELECT count(*) AS n_docs, count(*) AS n_roundtrip,
+        |  CAST(sum(length(regexp_replace(text, '\s+', '', 'g'))) AS BIGINT)
+        |    AS sum_chars,
+        |  1 AS compressed
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
 
     "m1_multimodal_meta" ->
       """SELECT doc_id AS media_id, 'text' AS kind, 'raw' AS format,
