@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ext.{Bpe, Clusters, Curation, Dedup, Multimodal, Shingles, Similarity, TextAnalysis}
 import graft.lake.ZOrder
-import graft.ops.{AsofJoin, Profile, RuntimeFilter}
+import graft.ops.{AsofJoin, Profile, RuntimeFilter, SkewJoin}
 import graft.pipeline.{Cdc, Scd2}
 import graft.ops.ColumnOps._
 import graft.ops.JsonOps._
@@ -1251,7 +1251,24 @@ object SparkEntry {
       // salt factor a 32-task stage would need — the pre-flight check
       // that decides salting before a 100 TB join hits the hot key
       Profile.keySkew(rd(s, dir, "events"), "user_id",
-        topK = 20, tasks = 32))
+        topK = 20, tasks = 32)),
+
+    "q46_skew_join" -> ((s, dir) => {
+      // hybrid skew join (ops.SkewJoin): hot probe keys split off to a
+      // broadcast plan, cold keys shuffle as usual, union — the output is
+      // a partition-exact re-assembly of the plain join, so the plain
+      // join IS the oracle (the q42 pattern: one oracle proves the
+      // optimized plan). tasks=64 forces a real hot set on this data.
+      SkewJoin.join(
+        rd(s, dir, "events"), "user_id",
+        rd(s, dir, "customer"), "c_custkey",
+        topK = 50, tasks = 64)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          rnd(sum(col("value")), 4).as("sum_value"))
+        .orderBy("c_mktsegment", "event_type")
+    })
   )
 
   /** The q38/q38b merge outcome as plain SQL (see [[scd2Demo]]) — one
@@ -2126,7 +2143,16 @@ object SparkEntry {
         |    CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share,
         |    CAST(greatest(1, (cnt * 32 + total - 1) // total) AS BIGINT)
         |      AS salt
-        |FROM g, t ORDER BY cnt DESC, user_id LIMIT 20""".stripMargin
+        |FROM g, t ORDER BY cnt DESC, user_id LIMIT 20""".stripMargin,
+
+    // the hybrid hot/cold split re-assembles the plain join exactly, so
+    // the plain join is the oracle for the skew-optimized plan
+    "q46_skew_join" ->
+      """SELECT c_mktsegment, event_type, count(*) AS n,
+        |  floor(sum(value) * 1e4 + 0.5) / 1e4 AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment, event_type
+        |ORDER BY c_mktsegment, event_type""".stripMargin
   )
 
   private lazy val contaminationOracle: String =
