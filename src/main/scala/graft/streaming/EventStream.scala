@@ -303,6 +303,96 @@ object EventStream {
         ()
       }
 
+  /** Streaming materialized summary view: fold each micro-batch into a
+    * parquet-backed [[graft.pipeline.IncrementalAgg]] summary table — the
+    * streaming twin of incremental aggregate maintenance (q47). Each
+    * trigger costs `summarize(batch)` + a merge against O(groups)
+    * summary rows; the base data is never rescanned, which is what makes
+    * a continuously-maintained 100 TB rollup affordable.
+    *
+    * Unlike the CDC fold, additive aggregation is NOT naturally
+    * idempotent — a redelivered batch would double-count. The sink
+    * therefore records the applied `batchId` INSIDE the summary table
+    * directory (written before the crash-recoverable swap, same
+    * `._next`/`._bak` protocol as [[cdcSink]]), and skips any batch at
+    * or below the recorded id: at-least-once delivery × applied-id
+    * fencing = effectively-once totals
+    * (`EventStreamSpec`/`IncrementalAggSpec` pin both halves).
+    */
+  def summarySink(
+      events: DataFrame,
+      tablePath: String,
+      checkpoint: String,
+      groupCols: Seq[String],
+      sumCols: Seq[String] = Nil,
+      rangeCols: Seq[String] = Nil,
+      ndvCols: Seq[String] = Nil): DataStreamWriter[Row] =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applySummaryBatch(batch, batchId, tablePath,
+          groupCols, sumCols, rangeCols, ndvCols)
+        ()
+      }
+
+  /** One summary-fold transaction; factored out so idempotence under
+    * batch redelivery is directly testable. Returns true if the batch
+    * was applied, false if fenced as already-applied.
+    */
+  private[graft] def applySummaryBatch(
+      batch: DataFrame, batchId: Long, tablePath: String,
+      groupCols: Seq[String], sumCols: Seq[String],
+      rangeCols: Seq[String], ndvCols: Seq[String]): Boolean = {
+    val spark = batch.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val cur = new org.apache.hadoop.fs.Path(tablePath)
+    val next = new org.apache.hadoop.fs.Path(tablePath + "._next")
+    val bak = new org.apache.hadoop.fs.Path(tablePath + "._bak")
+    val marker = "_applied_batch"
+    if (!fs.exists(cur) && fs.exists(bak))
+      require(fs.rename(bak, cur),
+        s"summarySink: recovery rename $bak -> $cur failed")
+
+    def appliedId(dir: org.apache.hadoop.fs.Path): Long = {
+      val m = new org.apache.hadoop.fs.Path(dir, marker)
+      if (!fs.exists(m)) -1L
+      else {
+        val in = fs.open(m)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        finally in.close()
+      }
+    }
+
+    if (fs.exists(cur) && appliedId(cur) >= batchId) false
+    else {
+      val batchSummary = graft.pipeline.IncrementalAgg.summarize(
+        batch, groupCols, sumCols, rangeCols, ndvCols)
+      val folded =
+        if (fs.exists(cur))
+          graft.pipeline.IncrementalAgg.merge(
+            Seq(spark.read.parquet(tablePath), batchSummary),
+            groupCols, sumCols, rangeCols, ndvCols)
+        else batchSummary
+      folded.write.mode("overwrite").parquet(next.toString)
+      // the marker travels inside the directory, so table + fence swap
+      // as one unit
+      val out = fs.create(new org.apache.hadoop.fs.Path(next, marker), true)
+      try out.write(batchId.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (fs.exists(cur)) {
+        fs.delete(bak, true)
+        require(fs.rename(cur, bak), s"summarySink: rename $cur -> $bak failed")
+      }
+      require(fs.rename(next, cur), s"summarySink: rename $next -> $cur failed")
+      fs.delete(bak, true)
+      true
+    }
+  }
+
   /** Parquet sink into a lake layer path, checkpointed; exactly-once via
     * the file-sink commit log. Caller `.start()`s (and picks a trigger —
     * `Trigger.AvailableNow()` for incremental-batch semantics).

@@ -145,6 +145,48 @@ class EventStreamSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/out").count() === 2)
   }
 
+  test("summarySink maintains a materialized rollup across triggers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft-summary-").toString
+    val table = s"$root/summary"
+    val input = MemoryStream[(String, Double, Long)]
+    val q = EventStream.summarySink(
+      input.toDF().toDF("event_type", "value", "user_id"),
+      table, s"$root/ckpt", Seq("event_type"),
+      sumCols = Seq("value"), ndvCols = Seq("user_id"))
+      .start()
+    try {
+      input.addData(("click", 1.0, 1L), ("click", 2.0, 2L), ("view", 5.0, 1L))
+      q.processAllAvailable()
+      input.addData(("click", 4.0, 1L), ("view", 1.0, 3L))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = graft.pipeline.IncrementalAgg.estimate(
+      spark.read.parquet(table), Seq("user_id"))
+      .orderBy("event_type").collect()
+    got.map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))) shouldBe
+      Array(("click", 3L, 7.0, 2L), ("view", 2L, 6.0, 2L))
+  }
+
+  test("summarySink fences a redelivered batch (no double counting)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-fence-").toString
+    val table = s"$root/summary"
+    val batch = Seq(("click", 1.0, 1L), ("view", 2.0, 2L))
+      .toDF("event_type", "value", "user_id")
+    def apply(id: Long) = EventStream.applySummaryBatch(
+      batch, id, table, Seq("event_type"), Seq("value"), Nil, Seq("user_id"))
+
+    apply(0L) shouldBe true
+    apply(0L) shouldBe false // redelivery of the same batch: fenced
+    apply(1L) shouldBe true  // a genuinely new batch still folds
+    val n = spark.read.parquet(table)
+      .agg(sum("n"), sum("sum_value")).head()
+    (n.getLong(0), n.getDouble(1)) shouldBe ((4L, 6.0))
+  }
+
   test("stateful sessionization: gap split, accumulation, timeout close") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
