@@ -66,4 +66,12 @@ class PlanShapeSpec extends SparkSpec {
   // probe side never shuffles unjoined rows), the dim join broadcasts,
   // and only the agg + orderBy exchange
   checkShape("q42_bloom_prejoin", maxExchanges = 2, minBroadcastJoins = 1)
+  // hybrid skew join: THE contract — the hot slice meets a broadcast of
+  // the hot-filtered dim (those rows never shuffle); exchanges belong to
+  // the cold join + the final agg/sort only
+  checkShape("q46_skew_join", maxExchanges = 5, minBroadcastJoins = 1)
+  // incremental-agg fold: two slice summaries + the union-merge + the
+  // exact-ndv check side; every agg is partial-combinable, the join of
+  // folded vs exact broadcasts at summary size
+  checkShape("q47_incr_agg", maxExchanges = 6, minBroadcastJoins = 1)
 }
