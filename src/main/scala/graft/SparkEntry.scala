@@ -1302,7 +1302,19 @@ object SparkEntry {
           (abs(col("ndv_user_id") - col("__exact_ndv"))
             <= col("__exact_ndv") * 0.05).cast("int").as("ndv_ok"))
         .orderBy("event_type")
-    })
+    }),
+
+    "q48_chunking" -> ((s, dir) =>
+      // sliding-window chunk prep (ext.Curation.chunkDocuments): a narrow
+      // row-local projection — no shuffle at any corpus size; the oracle
+      // re-derives every chunk boundary and md5 in SQL
+      Curation.chunkDocuments(rd(s, dir, "documents"), "doc_id", "text",
+        chunkChars = 256, overlapChars = 40)
+        .select(
+          col("doc_id"), col("chunk_idx"),
+          md5(col("chunk")).as("chunk_md5"),
+          length(col("chunk")).as("chunk_len"))
+        .orderBy("doc_id", "chunk_idx"))
   )
 
   /** The q38/q38b merge outcome as plain SQL (see [[scd2Demo]]) — one
@@ -2197,7 +2209,21 @@ object SparkEntry {
         |  floor(min(value) * 1e4 + 0.5) / 1e4 AS min_value,
         |  floor(max(value) * 1e4 + 0.5) / 1e4 AS max_value,
         |  1 AS ndv_ok
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // chunk=256 overlap=40 step=216; greatest(1, ...) keeps short docs
+    "q48_chunking" ->
+      """WITH n AS (SELECT doc_id, text,
+        |    greatest(1, CAST(ceil((length(text) - 40)::DOUBLE / 216) AS INT))
+        |      AS nc
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |  c AS (SELECT doc_id, text,
+        |    unnest(generate_series(0, nc - 1)) AS chunk_idx FROM n)
+        |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+        |  md5(substr(text, CAST(chunk_idx AS INT) * 216 + 1, 256)) AS chunk_md5,
+        |  CAST(length(substr(text, CAST(chunk_idx AS INT) * 216 + 1, 256)) AS INT)
+        |    AS chunk_len
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
   )
 
   private lazy val contaminationOracle: String =

@@ -153,4 +153,41 @@ object Curation {
         countDistinct(col("_gram")).as("n_hit_ngrams"),
         countDistinct(col("_eval_id")).as("n_eval_docs"))
   }
+
+  /** Sliding-window document chunking: split each document into
+    * `chunkChars`-character windows stepping `chunkChars - overlapChars`,
+    * one output row per chunk with its index and text — the
+    * context-window prep step before packing/tokenization. Row-local
+    * (`sequence` → `transform` → `posexplode`), so it's a narrow
+    * projection with NO shuffle at any scale; chunk counts are
+    * `ceil((len - overlap) / step)` so consecutive chunks share exactly
+    * `overlapChars` characters and every character is covered. Empty and
+    * null documents produce no chunks (there is nothing to train on).
+    *
+    * Character-based windows keep the operation engine-exact (q48's
+    * oracle re-derives every chunk in SQL); token-budgeted TRAINING
+    * windows come from composing this with [[Bpe.Model.tokenCount]] over
+    * the chunks, or from [[packTokenBudget]] downstream.
+    */
+  def chunkDocuments(
+      docs: DataFrame, idCol: String, textCol: String,
+      chunkChars: Int, overlapChars: Int = 0): DataFrame = {
+    require(chunkChars >= 1, s"chunkChars must be >= 1, got $chunkChars")
+    require(overlapChars >= 0 && overlapChars < chunkChars,
+      s"need 0 <= overlap < chunk, got overlap=$overlapChars chunk=$chunkChars")
+    val step = chunkChars - overlapChars
+    val len = length(col(textCol))
+    // greatest(1, …): a nonempty doc no longer than the overlap still
+    // yields its one (short) chunk instead of vanishing
+    val nChunks = greatest(lit(1),
+      ceil((len - overlapChars).cast("double") / step).cast("int"))
+    docs
+      .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(
+        col(idCol),
+        posexplode(transform(
+          sequence(lit(0), nChunks - 1),
+          i => substring(col(textCol), i * step + 1, lit(chunkChars))))
+          .as(Seq("chunk_idx", "chunk")))
+  }
 }

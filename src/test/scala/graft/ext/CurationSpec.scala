@@ -97,4 +97,38 @@ class CurationSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(wide === out)
   }
+
+  test("chunkDocuments: coverage, overlap, and edge lengths") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abcdefghij"), // 10 chars
+      (2L, "abcd"),       // exactly one chunk
+      (3L, "a"),          // shorter than the overlap: still one chunk
+      (4L, ""),           // empty: no chunks
+      (5L, null)          // null: no chunks
+    ).toDF("doc_id", "text")
+    val got = Curation.chunkDocuments(docs, "doc_id", "text",
+      chunkChars = 4, overlapChars = 1)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Int, String)].collect().toSeq
+    got shouldBe Seq(
+      (1L, 0, "abcd"), (1L, 1, "defg"), (1L, 2, "ghij"),
+      (2L, 0, "abcd"),
+      (3L, 0, "a"))
+    // consecutive chunks share exactly the overlap
+    got.filter(_._1 == 1L).sliding(2).foreach {
+      case Seq((_, _, a), (_, _, b)) => a.takeRight(1) shouldBe b.take(1)
+      case _ =>
+    }
+  }
+
+  test("chunkDocuments with zero overlap tiles the document exactly") {
+    import spark.implicits._
+    val doc = (1L, "x" * 1003)
+    val got = Curation.chunkDocuments(Seq(doc).toDF("doc_id", "text"),
+      "doc_id", "text", chunkChars = 100)
+      .agg(count(lit(1)), sum(expr("length(chunk)"))).head()
+    got.getLong(0) shouldBe 11L   // ceil(1003/100)
+    got.getLong(1) shouldBe 1003L // no char duplicated, none lost
+  }
 }
