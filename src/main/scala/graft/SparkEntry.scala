@@ -1314,7 +1314,19 @@ object SparkEntry {
           col("doc_id"), col("chunk_idx"),
           md5(col("chunk")).as("chunk_md5"),
           length(col("chunk")).as("chunk_len"))
-        .orderBy("doc_id", "chunk_idx"))
+        .orderBy("doc_id", "chunk_idx")),
+
+    "q49_source_cap" -> ((s, dir) =>
+      // per-source contribution cap (ext.Curation.capPerKey): the salted
+      // two-stage top-n must equal the naive single window — DuckDB runs
+      // the naive window as the oracle. Order key = (md5(doc_id), doc_id):
+      // deterministic, engine-identical, and content-blind.
+      Curation.capPerKey(
+        rd(s, dir, "documents"), "source", maxPerKey = 10,
+        orderCols = Seq(md5(col("doc_id").cast("string")), col("doc_id")),
+        saltBuckets = 8)
+        .select("doc_id", "source")
+        .orderBy("doc_id"))
   )
 
   /** The q38/q38b merge outcome as plain SQL (see [[scd2Demo]]) — one
@@ -2223,7 +2235,15 @@ object SparkEntry {
         |  md5(substr(text, CAST(chunk_idx AS INT) * 216 + 1, 256)) AS chunk_md5,
         |  CAST(length(substr(text, CAST(chunk_idx AS INT) * 216 + 1, 256)) AS INT)
         |    AS chunk_len
-        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q49_source_cap" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (
+        |      PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10 ORDER BY doc_id""".stripMargin
   )
 
   private lazy val contaminationOracle: String =

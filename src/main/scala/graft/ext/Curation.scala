@@ -154,6 +154,44 @@ object Curation {
         countDistinct(col("_eval_id")).as("n_eval_docs"))
   }
 
+  /** Per-key contribution cap: keep at most `maxPerKey` rows per value of
+    * `keyCol`, chosen by `orderCols` (which must totally order rows
+    * within a key — include a unique id last) — the per-domain/source cap
+    * every web-scale corpus applies so no single origin dominates
+    * training.
+    *
+    * Exact, and skew-safe by construction: a naive
+    * `row_number().over(partitionBy(key))` puts a mega-domain on ONE
+    * task. Here rows are first capped within `(key, salt)` slices (salt =
+    * hash of the order key, so slicing is deterministic), which bounds
+    * every first-stage task at slice size; the survivors — at most
+    * `maxPerKey × saltBuckets` rows per key, regardless of how huge the
+    * key is — then take the exact per-key cap. Two shuffles, both
+    * bounded. The result is identical to the naive window (any row in
+    * the true per-key top-n is necessarily in its slice's top-n), which
+    * is exactly what q49's single-window oracle proves.
+    */
+  def capPerKey(
+      df: DataFrame, keyCol: String, maxPerKey: Int,
+      orderCols: Seq[Column], saltBuckets: Int = 16): DataFrame = {
+    require(maxPerKey >= 1, s"maxPerKey must be >= 1, got $maxPerKey")
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
+    val rn = "__graft_cap_rn"
+    val saltC = "__graft_cap_salt"
+    val sliced = df
+      .withColumn(saltC, pmod(hash(orderCols: _*), lit(saltBuckets)))
+      .withColumn(rn, row_number().over(
+        Window.partitionBy(col(keyCol), col(saltC))
+          .orderBy(orderCols: _*)))
+      .filter(col(rn) <= maxPerKey)
+      .drop(rn, saltC)
+    sliced
+      .withColumn(rn, row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)))
+      .filter(col(rn) <= maxPerKey)
+      .drop(rn)
+  }
+
   /** Sliding-window document chunking: split each document into
     * `chunkChars`-character windows stepping `chunkChars - overlapChars`,
     * one output row per chunk with its index and text — the

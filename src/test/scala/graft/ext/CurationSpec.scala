@@ -98,6 +98,29 @@ class CurationSpec extends SparkSpec {
     assert(wide === out)
   }
 
+  test("capPerKey equals the naive single-window cap (exactness)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    // skewed: key "big" has 500 rows, others 1..20
+    val rows = (1 to 500).map(i => ("big", i.toLong)) ++
+      (1 to 19).flatMap(k => (1 to k).map(i => (s"k$k", (1000 * k + i).toLong)))
+    val df = rnd.shuffle(rows).toDF("src", "id").repartition(7)
+    val order = Seq(md5(col("id").cast("string")), col("id"))
+
+    val capped = Curation.capPerKey(df, "src", 5, order, saltBuckets = 4)
+      .select("src", "id").as[(String, Long)].collect().toSet
+    val naive = df
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("src")).orderBy(order: _*)))
+      .filter(col("rn") <= 5).select("src", "id")
+      .as[(String, Long)].collect().toSet
+    capped shouldBe naive
+    // the cap binds: big contributes exactly 5, small keys keep all rows
+    capped.count(_._1 == "big") shouldBe 5
+    capped.count(_._1 == "k3") shouldBe 3
+  }
+
   test("chunkDocuments: coverage, overlap, and edge lengths") {
     import spark.implicits._
     val docs = Seq(
