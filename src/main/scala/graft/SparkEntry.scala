@@ -835,6 +835,27 @@ object SparkEntry {
         Seq("query_id", "neighbor_id"), threshold = 0.9)
     }),
 
+    "y4_knn_int8" -> ((s, dir) => {
+      // two-stage int8 retrieval: quantized full scan (4x less bandwidth,
+      // integer MACs), exact float rescore of the k x 4 survivors — final
+      // scores are EXACT cosines, quantization only risks candidate
+      // recall (measured by y4r)
+      val emb = rd(s, dir, "embeddings")
+      Similarity.topKQuantized(
+        emb.filter(col("vec_id") < 100), emb, "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    "y4r_knn_int8_recall" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      recallCheck(
+        Similarity.topKBruteForce(
+          emb.filter(col("vec_id") < 100), emb, "vec_id", "embedding", k = 5),
+        Similarity.topKQuantized(
+          emb.filter(col("vec_id") < 100), emb, "vec_id", "embedding", k = 5),
+        Seq("query_id", "neighbor_id"), threshold = 0.95)
+    }),
+
     "x6r_embedding_lsh_recall" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")
       recallCheck(
@@ -1672,6 +1693,21 @@ object SparkEntry {
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "y2r_knn_lsh_recall" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
+        |  FROM embeddings)
+        |SELECT count(*) AS n_exact, 1 AS recall_ok FROM (
+        |  SELECT CAST(row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |        x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * c.nrm) DESC,
+        |      c.vec_id) AS INT) AS rank
+        |  FROM e q JOIN e c ON q.vec_id < 100 AND c.vec_id <> q.vec_id) t
+        |WHERE rank <= 5""".stripMargin,
+
+    // same exact-top-k ground truth as y2r/y3r: the int8 stage must not
+    // lose true neighbors past the measured bar
+    "y4r_knn_int8_recall" ->
       """WITH e AS (SELECT vec_id, embedding,
         |    sqrt(list_sum(list_transform(embedding,
         |      x -> x::DOUBLE * x::DOUBLE))) AS nrm

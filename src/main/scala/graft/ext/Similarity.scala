@@ -461,6 +461,69 @@ object Similarity {
         cosine(col("x.v"), col("x.n"), col("y.v"), col("y.n")).as("cosine"))
   }
 
+  /** Two-stage int8 retrieval: quantized first pass, exact float rescore.
+    *
+    * Stage 1 scores EVERY (query, candidate) pair on int8 vectors
+    * ([[graft.functions.QuantizeInt8]] / [[graft.functions.Int8Dot]] —
+    * 4× less memory bandwidth than float32, integer multiply-adds), and
+    * keeps each query's top `k × rescoreFactor` by approximate cosine
+    * (`int8dot · scaleQ · scaleC / (normQ · normC)`, with EXACT float
+    * norms). Stage 2 rejoins float vectors for those O(queries × k ×
+    * rescoreFactor) survivors only and re-ranks by exact cosine — so
+    * quantization error can only cost recall at the candidate boundary,
+    * never scoring precision of the final ranking. The y4r companion
+    * measures that recall against the float brute force.
+    *
+    * At corpus scale the first stage is the only full scan, and it reads
+    * a quarter of the bytes; the float column is touched for candidates
+    * alone (ids travel, vectors rejoin once). Same output contract as
+    * [[topKBruteForce]].
+    */
+  def topKQuantized(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      rescoreFactor: Int = 4): DataFrame = {
+    require(k >= 1 && rescoreFactor >= 1,
+      s"k=$k rescoreFactor=$rescoreFactor must be >= 1")
+    import graft.functions.VectorFunctions.{vector_int8_dot, vector_max_abs, vector_quantize_int8}
+    val q = queries.select(
+      col(idCol).as("query_id"),
+      vector_quantize_int8(col(vecCol)).as("qb"),
+      (vector_max_abs(col(vecCol)) / 127d).as("qs"),
+      vector_norm(col(vecCol)).as("qn"))
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"),
+      vector_quantize_int8(col(vecCol)).as("cb"),
+      (vector_max_abs(col(vecCol)) / 127d).as("cs"),
+      vector_norm(col(vecCol)).as("cn"))
+    val candidates = Dedup.ensureParallelism(c).crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"), col("neighbor_id"),
+        try_divide(
+          vector_int8_dot(col("qb"), col("cb")) * col("qs") * col("cs"),
+          col("qn") * col("cn")).as("cosine"))
+      .transform(rankTopK(k * rescoreFactor))
+      .select("query_id", "neighbor_id")
+    // exact rescore: float vectors rejoin for the survivors only
+    val qv = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("qv"),
+      vector_norm(col(vecCol)).as("qn"))
+    val cv = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      vector_norm(col(vecCol)).as("cn"))
+    candidates
+      .join(broadcast(qv), "query_id")
+      .join(cv, "neighbor_id")
+      .select(
+        col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("qn"), col("cv"), col("cn")).as("cosine"))
+      .transform(rankTopK(k))
+  }
+
   /** Sentinel: infer dimensionality from the first row (one tiny job). */
   final val InferDims: Int = -1
 

@@ -47,6 +47,46 @@ object ExprRuntimes {
     math.sqrt(acc)
   }
 
+  /** Largest |component| of a float vector. */
+  def vectorMaxAbs(a: ArrayData): Double = {
+    val n = a.numElements()
+    var m = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(a.getFloat(i).toDouble)
+      if (v > m) m = v
+      i += 1
+    }
+    m
+  }
+
+  /** Symmetric int8 quantization: round(v / (maxabs/127)), clamped. */
+  def quantizeInt8(a: ArrayData): Array[Byte] = {
+    val n = a.numElements()
+    val out = new Array[Byte](n)
+    val m = vectorMaxAbs(a)
+    if (m == 0.0) return out
+    val inv = 127.0 / m
+    var i = 0
+    while (i < n) {
+      val q = Math.round(a.getFloat(i).toDouble * inv)
+      out(i) = (if (q > 127) 127 else if (q < -127) -127 else q).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Integer dot of two equal-length int8 vectors. */
+  def int8Dot(a: Array[Byte], b: Array[Byte]): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < a.length) {
+      acc += a(i).toLong * b(i).toLong
+      i += 1
+    }
+    acc
+  }
+
   /** Jaccard of two sorted, distinct string arrays via merge walk. */
   def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements()

@@ -158,4 +158,45 @@ class SimilaritySpec extends SparkSpec {
       .select("query_id", "neighbor_id", "cosine")
       .as[(Long, Long, Double)].collect().toSet)
   }
+
+  test("int8 quantization kernels: round-trip error, scale, zero vector") {
+    import spark.implicits._
+    val rows = Seq(
+      Seq(1.0f, -0.5f, 0.25f, 0.0f),
+      Seq(0.0f, 0.0f, 0.0f, 0.0f),
+      Seq(-2.0f, 2.0f, 1.0f, -1.0f))
+    val got = rows.toDF("v")
+      .select(
+        vector_quantize_int8(col("v")).as("qb"),
+        vector_max_abs(col("v")).as("m"))
+      .collect()
+    // maxabs
+    got.map(_.getDouble(1)) shouldBe Array(1.0, 0.0, 2.0)
+    // component-wise: round(v * 127 / maxabs), Math.round half-up
+    // (-63.5 -> -63)
+    got(0).getAs[Array[Byte]](0) shouldBe Array[Byte](127, -63, 32, 0)
+    got(1).getAs[Array[Byte]](0) shouldBe Array[Byte](0, 0, 0, 0)
+    got(2).getAs[Array[Byte]](0) shouldBe Array[Byte](-127, 127, 64, -63)
+    // integer dot of the quantized forms
+    val dot = rows.take(1).map(_ => (rows(0), rows(2))).toDF("a", "b")
+      .select(vector_int8_dot(
+        vector_quantize_int8(col("a")), vector_quantize_int8(col("b"))))
+      .head().getLong(0)
+    dot shouldBe (127L * -127 + -63L * 127 + 32L * 64 + 0)
+  }
+
+  test("y4 two-stage int8 top-k matches the float brute force here") {
+    import spark.implicits._
+    val exact = Similarity.topKBruteForce(
+      vectors, vectors, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val quant = Similarity.topKQuantized(
+      vectors, vectors, "vec_id", "embedding", k = 3, rescoreFactor = 2)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    // final ranking is by EXACT cosine, so on this small set (where the
+    // widened candidate stage cannot miss) the results are identical
+    quant shouldBe exact
+  }
 }
