@@ -60,6 +60,11 @@ object Clusters {
 
     var converged = false
     var it = 0
+    // the previous round's edge count, carried across rounds — recounting
+    // the checkpointed set every round would re-pay one whole job of
+    // driver round-trip latency per iteration (the loop is latency-bound,
+    // not work-bound: measured identical wall time at 4 and 32 threads)
+    var prevCount = -1L
     while (!converged && it < maxIterations) {
       // large-star: every node connects its LARGER neighbors to the
       // minimum of its neighborhood (incl. itself). Operates on the
@@ -90,8 +95,9 @@ object Clusters {
       // exact fixpoint test (counts + one-sided except on the checkpointed
       // sets): equal counts and an empty difference ⇒ identical edge sets.
       // One extra bounded job per round, no checksum false-positives.
-      val nPrev = edges.count()
+      val nPrev = if (prevCount >= 0) prevCount else edges.count()
       val nCurr = small.count()
+      prevCount = nCurr
       converged = nPrev == nCurr &&
         small.exceptAll(edges).limit(1).isEmpty
       // `small` is EAGERLY checkpointed and the fixpoint test above is the
