@@ -68,6 +68,20 @@ object GraftExtensions {
       "graft_vector_norm(a)") {
       case Seq(a) => FloatVectorNorm(a)
     },
+    make("graft_vector_quantize_int8",
+      "symmetric int8 quantization of array<float> to binary",
+      "graft_vector_quantize_int8(v)") {
+      case Seq(v) => QuantizeInt8(v)
+    },
+    make("graft_vector_max_abs", "largest |component| of array<float>",
+      "graft_vector_max_abs(v)") {
+      case Seq(v) => VectorMaxAbs(v)
+    },
+    make("graft_vector_int8_dot",
+      "integer dot of two int8-quantized (binary) vectors as bigint",
+      "graft_vector_int8_dot(a, b)") {
+      case Seq(a, b) => Int8Dot(a, b)
+    },
     make("graft_word_ngrams",
       "word n-grams of a string (single whitespace-split per document); " +
         "distinct=true keeps first occurrences",

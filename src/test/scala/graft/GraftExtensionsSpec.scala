@@ -40,6 +40,25 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(e.getMessage.contains("graft_minhash"))
   }
 
+  test("n-gram and int8 kernels are callable from SQL") {
+    GraftExtensions.install(spark)
+    val row = spark.sql(
+      """SELECT
+        |  graft_word_ngrams('a b c', 2) AS wg,
+        |  graft_char_ngrams('abc', 2) AS cg,
+        |  graft_vector_max_abs(array(CAST(-3 AS FLOAT), CAST(2 AS FLOAT)))
+        |    AS ma,
+        |  graft_vector_int8_dot(
+        |    graft_vector_quantize_int8(array(CAST(1 AS FLOAT), CAST(0 AS FLOAT))),
+        |    graft_vector_quantize_int8(array(CAST(1 AS FLOAT), CAST(0 AS FLOAT))))
+        |    AS dot
+        |""".stripMargin).head()
+    assert(row.getSeq[String](0) === Seq("a b", "b c"))
+    assert(row.getSeq[String](1) === Seq("ab", "bc"))
+    assert(row.getDouble(2) === 3.0)
+    assert(row.getLong(3) === 127L * 127L)
+  }
+
   test("negative integer literals work as SQL seeds") {
     GraftExtensions.install(spark)
     val r = spark.sql(
