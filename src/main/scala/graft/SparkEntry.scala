@@ -1347,7 +1347,22 @@ object SparkEntry {
         orderCols = Seq(md5(col("doc_id").cast("string")), col("doc_id")),
         saltBuckets = 8)
         .select("doc_id", "source")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    "q50_unpivot" -> ((s, dir) =>
+      // wide→long reshaping via the native unpivot operator (an Expand
+      // node — one pass, rows×metrics output, no shuffle beyond the agg)
+      rd(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          rnd(sum("l_quantity"), 2).as("quantity"),
+          rnd(sum("l_extendedprice"), 2).as("extendedprice"),
+          rnd(sum("l_tax"), 2).as("tax"))
+        .unpivot(
+          Array(col("l_returnflag")),
+          Array(col("quantity"), col("extendedprice"), col("tax")),
+          "metric", "total")
+        .orderBy("l_returnflag", "metric"))
   )
 
   /** The q38/q38b merge outcome as plain SQL (see [[scd2Demo]]) — one
@@ -2279,7 +2294,17 @@ object SparkEntry {
         |      PARTITION BY source
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents)
-        |WHERE rn <= 10 ORDER BY doc_id""".stripMargin
+        |WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+
+    "q50_unpivot" ->
+      """WITH w AS (SELECT l_returnflag,
+        |    floor(sum(l_quantity) * 1e2 + 0.5) / 1e2 AS quantity,
+        |    floor(sum(l_extendedprice) * 1e2 + 0.5) / 1e2 AS extendedprice,
+        |    floor(sum(l_tax) * 1e2 + 0.5) / 1e2 AS tax
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, metric, total
+        |FROM w UNPIVOT (total FOR metric IN (quantity, extendedprice, tax))
+        |ORDER BY l_returnflag, metric""".stripMargin
   )
 
   private lazy val contaminationOracle: String =
