@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Bpe, Clusters, Curation, Dedup, Multimodal, Shingles, Similarity, TextAnalysis}
+import graft.ext.{Bpe, Clusters, Curation, Dedup, Keyword, Multimodal, Shingles, Similarity, TextAnalysis}
 import graft.lake.ZOrder
 import graft.ops.{AsofJoin, Profile, RuntimeFilter, SkewJoin}
 import graft.pipeline.{Cdc, IncrementalAgg, Scd2}
@@ -1362,7 +1362,26 @@ object SparkEntry {
           Array(col("l_returnflag")),
           Array(col("quantity"), col("extendedprice"), col("tax")),
           "metric", "total")
-        .orderBy("l_returnflag", "metric"))
+        .orderBy("l_returnflag", "metric")),
+
+    "q51_bm25" -> ((s, dir) => {
+      // BM25 keyword retrieval (ext.Keyword): postings + docfreq built in
+      // one agg each, scoring = query-term equi-join (document text never
+      // re-read at query time). Queries = every 101st doc's first 5
+      // words; ranking on the rounded score (cross-engine-stable), ties
+      // by doc_id. DuckDB re-derives the full formula.
+      val docs = rd(s, dir, "documents")
+      val queries = docs
+        .filter(col("text").isNotNull && pmod(col("doc_id"), lit(101)) === 0)
+        .select(
+          col("doc_id").as("qid"),
+          concat_ws(" ",
+            slice(split(trim(col("text")), "\\s+"), 1, 5)).as("qtext"))
+      Keyword.searchBM25(docs, "doc_id", "text",
+        queries, "qid", "qtext", k = 5)
+        .select("query_id", "rank", "doc_id", "score")
+        .orderBy("query_id", "rank")
+    })
   )
 
   /** The q38/q38b merge outcome as plain SQL (see [[scd2Demo]]) — one
@@ -2304,7 +2323,36 @@ object SparkEntry {
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, metric, total
         |FROM w UNPIVOT (total FOR metric IN (quantity, extendedprice, tax))
-        |ORDER BY l_returnflag, metric""".stripMargin
+        |ORDER BY l_returnflag, metric""".stripMargin,
+
+    // full BM25 re-derivation: k1=1.2, b=0.75, idf=ln((N-df+.5)/(df+.5)+1);
+    // stats over docs with >=1 nonempty posting (matching the Spark build)
+    "q51_bm25" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |    FROM documents WHERE text IS NOT NULL),
+        |  dd AS (SELECT doc_id, w, len(w)::DOUBLE AS dl FROM d WHERE len(w) > 0),
+        |  post AS (SELECT doc_id, dl, unnest(w) AS term FROM dd),
+        |  tf AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM post
+        |    WHERE length(term) > 0 GROUP BY 1, 2, 3),
+        |  dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+        |  stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl
+        |    FROM (SELECT DISTINCT doc_id, dl FROM tf)),
+        |  q AS (SELECT query_id, term FROM (SELECT doc_id AS query_id,
+        |      unnest(list_distinct(w[1:5])) AS term FROM dd
+        |      WHERE doc_id % 101 = 0) WHERE length(term) > 0),
+        |  sc AS (SELECT q.query_id, tf.doc_id,
+        |      sum(ln((n - df + 0.5) / (df + 0.5) + 1)
+        |        * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+        |        AS s
+        |    FROM q JOIN tf USING (term) JOIN dfreq USING (term), stats
+        |    GROUP BY 1, 2),
+        |  r AS (SELECT query_id, doc_id,
+        |      floor(s * 1e4 + 0.5) / 1e4 AS score,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY floor(s * 1e4 + 0.5) / 1e4 DESC, doc_id) AS rank
+        |    FROM sc)
+        |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   )
 
   private lazy val contaminationOracle: String =

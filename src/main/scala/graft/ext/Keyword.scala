@@ -1,0 +1,94 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** BM25 keyword retrieval (Robertson/Spärck Jones) — the lexical half of
+  * hybrid search next to [[Similarity]]'s embedding ANN.
+  *
+  * The index is two relational artifacts, both one-aggregation builds
+  * over the corpus and both O(postings), not O(corpus²):
+  * `(doc, term, tf, doclen)` postings and `(term, df)` document
+  * frequencies. Scoring is an equi-join of query terms against the
+  * postings (ids and terms travel — document text is never re-read at
+  * query time), a per-(query, doc) sum, and a bounded per-query top-k.
+  * Everything is deterministic double arithmetic, so DuckDB re-derives
+  * the exact scores for the oracle.
+  *
+  * Tokenization is byte-identical to the rest of the text stack (`trim`
+  * + `\s+`, the t-family contract); no stemming/lowercasing — those are
+  * corpus-policy transforms a caller applies beforehand if wanted.
+  */
+object Keyword {
+
+  /** Postings: one row per (doc, term) with term frequency and the
+    * document's token length (carried on every posting so scoring never
+    * rejoins the corpus).
+    */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs
+      .filter(col(textCol).isNotNull)
+      .select(
+        col(idCol).as("doc_id"),
+        split(trim(col(textCol)), "\\s+").as("_w"))
+      .filter(size(col("_w")) > 0)
+      .select(col("doc_id"), size(col("_w")).as("doclen"),
+        explode(col("_w")).as("term"))
+      .filter(length(col("term")) > 0)
+    toks.groupBy("doc_id", "doclen", "term")
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  /** Document frequency per term — one aggregation over the postings. */
+  def docFreq(postings: DataFrame): DataFrame =
+    postings.groupBy("term").agg(count(lit(1)).as("df"))
+
+  /** BM25 top-`k` documents per query. `queries` is `(query_id,
+    * queryText)`; query terms are de-duplicated (standard bag-of-words
+    * query semantics). Corpus stats (N, avgdl) come from one tiny agg
+    * broadcast into the score expression.
+    */
+  def searchBM25(
+      docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val post = postings(docs, idCol, textCol)
+    val df = docFreq(post)
+    val stats = post.select(col("doc_id"), col("doclen")).distinct()
+      .agg(count(lit(1)).cast("double").as("n"),
+        avg(col("doclen")).as("avgdl"))
+
+    val qTerms = queries
+      .select(
+        col(queryIdCol).as("query_id"),
+        explode(array_distinct(split(trim(col(queryTextCol)), "\\s+")))
+          .as("term"))
+      .filter(length(col("term")) > 0)
+
+    // idf = ln((N - df + 0.5)/(df + 0.5) + 1)  (the non-negative variant)
+    // tf component = tf(k1+1) / (tf + k1(1 - b + b·dl/avgdl))
+    val scored = qTerms
+      .join(post, "term")
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .select(
+        col("query_id"), col("doc_id"),
+        (log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("doclen") / col("avgdl"))))
+          .as("s"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("s")).as("s"))
+      // cross-engine-stable ranking: rank on the ROUNDED score (summation
+      // order and libm-vs-JVM ln can differ in the last ulps), ties by id
+      .select(col("query_id"), col("doc_id"),
+        (floor(col("s") * 1e4 + 0.5) / 1e4).as("score"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+  }
+}

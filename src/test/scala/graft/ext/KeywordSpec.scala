@@ -1,0 +1,67 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class KeywordSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "apple banana apple"),
+    (2L, "banana cherry"),
+    (3L, "durian durian durian durian")
+  ).toDF("doc_id", "text")
+
+  test("postings carry tf and doclen; empty docs and tokens drop") {
+    val p = Keyword.postings(
+      corpus.union(Seq((4L, "   "), (5L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text")),
+      "doc_id", "text")
+      .orderBy("doc_id", "term").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    p shouldBe Array(
+      (1L, 3, "apple", 2L), (1L, 3, "banana", 1L),
+      (2L, 2, "banana", 1L), (2L, 2, "cherry", 1L),
+      (3L, 4, "durian", 4L))
+  }
+
+  test("docFreq counts documents, not occurrences") {
+    val df = Keyword.docFreq(Keyword.postings(corpus, "doc_id", "text"))
+      .orderBy("term").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    df shouldBe Array(("apple", 1L), ("banana", 2L), ("cherry", 1L), ("durian", 1L))
+  }
+
+  test("searchBM25 matches the hand formula and ranks rare terms higher") {
+    val queries = Seq((100L, "apple banana")).toDF("qid", "qtext")
+    val got = Keyword.searchBM25(corpus, "doc_id", "text",
+      queries, "qid", "qtext", k = 3)
+      .orderBy("rank")
+      .select("doc_id", "score", "rank").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+
+    // hand BM25: N=3, avgdl=3; k1=1.2, b=0.75
+    def idf(dfc: Double) = math.log((3 - dfc + 0.5) / (dfc + 0.5) + 1)
+    def tfc(tf: Double, dl: Double) =
+      tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / 3))
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val d1 = r4(idf(1) * tfc(2, 3) + idf(2) * tfc(1, 3)) // apple + banana
+    val d2 = r4(idf(2) * tfc(1, 2))                      // banana only
+
+    got.map(_._1) shouldBe Array(1L, 2L) // doc 3 matches nothing
+    got(0)._2 shouldBe d1 +- 1e-9
+    got(1)._2 shouldBe d2 +- 1e-9
+    // the doc matching the RARE term (apple, df=1) outranks common-only
+    assert(got(0)._2 > got(1)._2)
+  }
+
+  test("duplicate query terms score once (bag-of-words query)") {
+    val q1 = Seq((1L, "banana")).toDF("qid", "qtext")
+    val q2 = Seq((1L, "banana banana banana")).toDF("qid", "qtext")
+    def run(q: org.apache.spark.sql.DataFrame) =
+      Keyword.searchBM25(corpus, "doc_id", "text", q, "qid", "qtext", k = 5)
+        .select("doc_id", "score").orderBy("doc_id").collect().toSeq
+    run(q1) shouldBe run(q2)
+  }
+}
