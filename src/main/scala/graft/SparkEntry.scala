@@ -1381,6 +1381,38 @@ object SparkEntry {
         queries, "qid", "qtext", k = 5)
         .select("query_id", "rank", "doc_id", "score")
         .orderBy("query_id", "rank")
+    }),
+
+    "q52_hybrid_rrf" -> ((s, dir) => {
+      // hybrid search: BM25 (lexical) + exact embedding kNN fused by
+      // reciprocal-rank (ext.Keyword.rrfFuse) — rank-only fusion needs no
+      // score calibration and its arithmetic is engine-exact, so DuckDB
+      // re-derives the whole two-retriever pipeline. Query set = every
+      // 101st doc that has both tokens and an embedding.
+      val docs = rd(s, dir, "documents")
+      val emb = rd(s, dir, "embeddings")
+      val qids = docs
+        .filter(col("text").isNotNull &&
+          size(split(trim(col("text")), "\\s+")) > 0 &&
+          pmod(col("doc_id"), lit(101)) === 0)
+        .join(emb.select(col("vec_id")), col("doc_id") === col("vec_id"),
+          "leftsemi")
+        .select("doc_id", "text")
+      val bm = Keyword.searchBM25(docs, "doc_id", "text",
+        qids.select(
+          col("doc_id").as("qid"),
+          concat_ws(" ",
+            slice(split(trim(col("text")), "\\s+"), 1, 5)).as("qtext")),
+        "qid", "qtext", k = 20)
+        .select("query_id", "doc_id", "rank")
+      val kn = Similarity.topKBruteForce(
+        emb.join(qids.select(col("doc_id")),
+          col("vec_id") === col("doc_id"), "leftsemi"),
+        emb, "vec_id", "embedding", k = 20)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      Keyword.rrfFuse(Seq(bm, kn), k = 5)
+        .select("query_id", "rank", "doc_id", "rrf")
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -2352,6 +2384,60 @@ object SparkEntry {
         |        ORDER BY floor(s * 1e4 + 0.5) / 1e4 DESC, doc_id) AS rank
         |    FROM sc)
         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // the whole two-retriever hybrid pipeline re-derived: BM25 CTEs as in
+    // q51 (query set restricted to docs WITH embeddings), exact-cosine kNN
+    // as in y2r, reciprocal-rank fusion 1/(60+rank), fused top-5
+    "q52_hybrid_rrf" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |    FROM documents WHERE text IS NOT NULL),
+        |  dd AS (SELECT doc_id, w, len(w)::DOUBLE AS dl FROM d WHERE len(w) > 0),
+        |  qids AS (SELECT doc_id FROM dd WHERE doc_id % 101 = 0
+        |    AND doc_id IN (SELECT vec_id FROM embeddings)),
+        |  post AS (SELECT doc_id, dl, unnest(w) AS term FROM dd),
+        |  tf AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM post
+        |    WHERE length(term) > 0 GROUP BY 1, 2, 3),
+        |  dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+        |  stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl
+        |    FROM (SELECT DISTINCT doc_id, dl FROM tf)),
+        |  q AS (SELECT query_id, term FROM (SELECT doc_id AS query_id,
+        |      unnest(list_distinct(w[1:5])) AS term FROM dd
+        |      WHERE doc_id IN (SELECT doc_id FROM qids))
+        |    WHERE length(term) > 0),
+        |  sc AS (SELECT q.query_id, tf.doc_id,
+        |      sum(ln((n - df + 0.5) / (df + 0.5) + 1)
+        |        * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+        |        AS s
+        |    FROM q JOIN tf USING (term) JOIN dfreq USING (term), stats
+        |    GROUP BY 1, 2),
+        |  bm AS (SELECT query_id, doc_id, row_number() OVER (
+        |      PARTITION BY query_id
+        |      ORDER BY floor(s * 1e4 + 0.5) / 1e4 DESC, doc_id) AS rank
+        |    FROM sc),
+        |  e AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> x::DOUBLE * x::DOUBLE))) AS nrm FROM embeddings),
+        |  kn AS (SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |          x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * c.nrm) DESC,
+        |        c.vec_id) AS rank
+        |    FROM e q JOIN e c ON c.vec_id <> q.vec_id
+        |    WHERE q.vec_id IN (SELECT doc_id FROM qids)),
+        |  contrib AS (
+        |    SELECT query_id, doc_id, 1.0 / (60 + rank) AS c FROM bm
+        |      WHERE rank <= 20
+        |    UNION ALL
+        |    SELECT query_id, doc_id, 1.0 / (60 + rank) FROM kn
+        |      WHERE rank <= 20),
+        |  fused AS (SELECT query_id, doc_id,
+        |      floor(sum(c) * 1e6 + 0.5) / 1e6 AS rrf
+        |    FROM contrib GROUP BY 1, 2),
+        |  r AS (SELECT query_id, doc_id, rrf, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
+        |    FROM fused)
+        |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, rrf
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   )
 

@@ -91,4 +91,34 @@ object Keyword {
           .orderBy(col("score").desc, col("doc_id"))))
       .filter(col("rank") <= k)
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard way to
+    * combine heterogeneous retrievers (BM25 + embedding ANN = hybrid
+    * search) without score calibration: each system contributes
+    * `1 / (kRrf + rank)` per (query, doc), contributions sum, and the
+    * fused top-`k` re-ranks on that. Rank-only fusion means the systems'
+    * score scales never need reconciling, and the arithmetic is
+    * engine-exact (reciprocals of small integers).
+    *
+    * Input frames need `(query_id, doc_id, rank)`; a doc absent from a
+    * system simply contributes nothing. Cost is a union of the (already
+    * tiny, top-k-bounded) result sets + one aggregation — nothing
+    * touches corpus data.
+    */
+  def rrfFuse(results: Seq[DataFrame], k: Int, kRrf: Int = 60): DataFrame = {
+    require(results.nonEmpty, "rrfFuse needs at least one result set")
+    require(k >= 1 && kRrf >= 0, s"bad k=$k kRrf=$kRrf")
+    results
+      .map(_.select(col("query_id"), col("doc_id"),
+        (lit(1.0) / (lit(kRrf) + col("rank"))).as("c")))
+      .reduce(_ unionAll _)
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("c")).as("s"))
+      .select(col("query_id"), col("doc_id"),
+        (floor(col("s") * 1e6 + 0.5) / 1e6).as("rrf"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+  }
 }

@@ -56,6 +56,21 @@ class KeywordSpec extends SparkSpec {
     assert(got(0)._2 > got(1)._2)
   }
 
+  test("rrfFuse: hand-computed fusion, one-system docs, determinism") {
+    val sysA = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "doc_id", "rank")
+    val sysB = Seq((1L, 11L, 1), (1L, 12L, 2)).toDF("query_id", "doc_id", "rank")
+    val got = Keyword.rrfFuse(Seq(sysA, sysB), k = 3, kRrf = 60)
+      .orderBy("rank")
+      .select("doc_id", "rrf", "rank").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // doc 11: in both (rank 2 + rank 1) beats doc 10 (single rank 1)
+    got.map(_._1) shouldBe Array(11L, 10L, 12L)
+    got(0)._2 shouldBe r6(1.0 / 62 + 1.0 / 61)
+    got(1)._2 shouldBe r6(1.0 / 61)
+    got(2)._2 shouldBe r6(1.0 / 62)
+  }
+
   test("duplicate query terms score once (bag-of-words query)") {
     val q1 = Seq((1L, "banana")).toDF("qid", "qtext")
     val q2 = Seq((1L, "banana banana banana")).toDF("qid", "qtext")
