@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ext.{Bpe, Clusters, Curation, Dedup, Keyword, Multimodal, Shingles, Similarity, TextAnalysis}
 import graft.lake.ZOrder
-import graft.ops.{AsofJoin, Profile, RuntimeFilter, SkewJoin}
+import graft.ops.{AsofJoin, Ids, Profile, RuntimeFilter, SkewJoin}
 import graft.pipeline.{Cdc, IncrementalAgg, Scd2}
 import graft.ops.ColumnOps._
 import graft.ops.JsonOps._
@@ -1413,7 +1413,18 @@ object SparkEntry {
       Keyword.rrfFuse(Seq(bm, kn), k = 5)
         .select("query_id", "rank", "doc_id", "rrf")
         .orderBy("query_id", "rank")
-    })
+    }),
+
+    "q53_global_ids" -> ((s, dir) =>
+      // contiguous order-respecting ids without the single-task global
+      // window (ops.Ids): range shuffle + in-partition sort +
+      // zipWithIndex offsets. The oracle IS the single-task formulation —
+      // row_number over the same total order — proving the distributed
+      // assignment is identical.
+      Ids.withGlobalIds(
+        rd(s, dir, "documents"), Seq(col("source"), col("doc_id")))
+        .select("doc_id", "source", "gid")
+        .orderBy("gid"))
   )
 
   /** The q38/q38b merge outcome as plain SQL (see [[scd2Demo]]) — one
@@ -2438,7 +2449,12 @@ object SparkEntry {
         |      PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
         |    FROM fused)
         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, rrf
-        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q53_global_ids" ->
+      """SELECT doc_id, source,
+        |  row_number() OVER (ORDER BY source, doc_id) - 1 AS gid
+        |FROM documents ORDER BY gid""".stripMargin
   )
 
   private lazy val contaminationOracle: String =
