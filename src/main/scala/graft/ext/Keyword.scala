@@ -52,9 +52,23 @@ object Keyword {
   def searchBM25(
       docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    searchBM25Indexed(postings(docs, idCol, textCol),
+      queries, queryIdCol, queryTextCol, k, k1, b)
+
+  /** Search against a PREBUILT postings frame — the production shape: at
+    * corpus scale the index is built once ([[postings]]) and persisted
+    * as a table, and every query batch reads the artifact instead of
+    * re-tokenizing the corpus. (The convenience one-shot overload above
+    * derives docfreq and corpus stats from the same in-plan postings
+    * subtree, which Catalyst scans twice — fine for a single ad-hoc
+    * run, wasteful as a serving path.)
+    */
+  def searchBM25Indexed(
+      post: DataFrame,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val post = postings(docs, idCol, textCol)
     val df = docFreq(post)
     val stats = post.select(col("doc_id"), col("doclen")).distinct()
       .agg(count(lit(1)).cast("double").as("n"),

@@ -56,6 +56,22 @@ class KeywordSpec extends SparkSpec {
     assert(got(0)._2 > got(1)._2)
   }
 
+  test("searchBM25Indexed over a persisted postings table matches one-shot") {
+    val queries = Seq((100L, "apple banana"), (101L, "durian")).toDF("qid", "qtext")
+    val oneShot = Keyword.searchBM25(corpus, "doc_id", "text",
+      queries, "qid", "qtext", k = 3)
+      .select("query_id", "doc_id", "rank", "score")
+      .collect().map(_.toSeq).toSet
+    // round-trip the index through parquet, as a serving path would
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25-").toString
+    Keyword.postings(corpus, "doc_id", "text").write.parquet(s"$dir/post")
+    val served = Keyword.searchBM25Indexed(
+      spark.read.parquet(s"$dir/post"), queries, "qid", "qtext", k = 3)
+      .select("query_id", "doc_id", "rank", "score")
+      .collect().map(_.toSeq).toSet
+    served shouldBe oneShot
+  }
+
   test("rrfFuse: hand-computed fusion, one-system docs, determinism") {
     val sysA = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "doc_id", "rank")
     val sysB = Seq((1L, 11L, 1), (1L, 12L, 2)).toDF("query_id", "doc_id", "rank")
