@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ext.{Bpe, Clusters, Curation, Dedup, Keyword, Multimodal, Shingles, Similarity, TextAnalysis}
 import graft.lake.ZOrder
-import graft.ops.{AsofJoin, Ids, Profile, RuntimeFilter, SkewJoin}
+import graft.ops.{AsofJoin, FuzzyJoin, Ids, Profile, RuntimeFilter, SkewJoin}
 import graft.pipeline.{Cdc, IncrementalAgg, Scd2}
 import graft.ops.ColumnOps._
 import graft.ops.JsonOps._
@@ -1424,7 +1424,20 @@ object SparkEntry {
       Ids.withGlobalIds(
         rd(s, dir, "documents"), Seq(col("source"), col("doc_id")))
         .select("doc_id", "source", "gid")
-        .orderBy("gid"))
+        .orderBy("gid")),
+
+    "q54_fuzzy_join" -> ((s, dir) => {
+      // blocked edit-distance self-join (ops.FuzzyJoin) on a 12-char key
+      // prefix: FastSS deletion-hash candidates + exact levenshtein
+      // verify. The oracle IS the naive all-pairs definition — DuckDB's
+      // own levenshtein over the cross join — so the compare proves the
+      // deletion-neighborhood blocking is complete at d=2.
+      FuzzyJoin.selfJoin(
+        rd(s, dir, "documents")
+          .select(col("doc_id"), substring(col("text"), 1, 12).as("k")),
+        "doc_id", "k", maxDist = 2)
+        .orderBy("id_a", "id_b")
+    })
   )
 
   /** The q38/q38b merge outcome as plain SQL (see [[scd2Demo]]) — one
@@ -2454,7 +2467,15 @@ object SparkEntry {
     "q53_global_ids" ->
       """SELECT doc_id, source,
         |  row_number() OVER (ORDER BY source, doc_id) - 1 AS gid
-        |FROM documents ORDER BY gid""".stripMargin
+        |FROM documents ORDER BY gid""".stripMargin,
+
+    "q54_fuzzy_join" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 12) AS k FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.k, b.k) AS INT) AS dist
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.k, b.k) <= 2
+        |ORDER BY id_a, id_b""".stripMargin
   )
 
   private lazy val contaminationOracle: String =

@@ -259,4 +259,60 @@ object ExprRuntimes {
     while (it.hasNext) { out(j) = it.next(); j += 1 }
     new GenericArrayData(out)
   }
+
+  private final val DeletionSeed = 0x6de1e7e5L
+
+  /** Distinct 64-bit hashes of every variant of `text` with up to `d`
+    * characters deleted (d ∈ {1, 2}), the original included — the FastSS
+    * deletion neighborhood. Two strings within Levenshtein distance d
+    * share at least one neighborhood member (delete each edit's touched
+    * position from whichever side carries it), so an equi-join on these
+    * hashes is a COMPLETE candidate generator for an edit-distance join;
+    * false positives are removed by the exact `levenshtein` verify.
+    *
+    * Hashes, not variant strings, cross the wire: 8 bytes per candidate
+    * key instead of a near-full copy of the document key. Variants are
+    * deduplicated (equal characters at different positions collide), and
+    * deletions index UTF-16 code units — consistent on both sides of the
+    * join, which is all completeness needs (astral-plane text can only
+    * add false candidates, never drop true ones, and the verify is exact).
+    *
+    * Cost: O(n²) variants of O(n) hashing each at d=2 — sized for join
+    * KEYS (tens of characters), not whole documents; callers key long
+    * text on a bounded prefix/normalized form.
+    */
+  def deletionHashes(text: UTF8String, d: Int): ArrayData = {
+    val s = text.toString
+    val n = s.length
+    val set = new java.util.TreeSet[java.lang.Long]()
+    @inline def add(v: String): Unit = {
+      set.add(XXH64.hashUTF8String(UTF8String.fromString(v), DeletionSeed))
+      ()
+    }
+    add(s)
+    if (d >= 1) {
+      var i = 0
+      while (i < n) {
+        add(s.substring(0, i) + s.substring(i + 1))
+        i += 1
+      }
+    }
+    if (d >= 2) {
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) {
+          // delete positions i and j (i < j): three untouched segments
+          add(s.substring(0, i) + s.substring(i + 1, j) + s.substring(j + 1))
+          j += 1
+        }
+        i += 1
+      }
+    }
+    val out = new Array[Any](set.size)
+    val it = set.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next().longValue(); k += 1 }
+    new GenericArrayData(out)
+  }
 }
