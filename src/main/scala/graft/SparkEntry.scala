@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ext.{Bpe, Clusters, Curation, Dedup, Keyword, Multimodal, Shingles, Similarity, TextAnalysis}
 import graft.lake.ZOrder
-import graft.ops.{AsofJoin, FuzzyJoin, Ids, Profile, RuntimeFilter, SkewJoin}
+import graft.ops.{AsofJoin, Funnel, FuzzyJoin, Ids, Profile, RuntimeFilter, SkewJoin}
 import graft.pipeline.{Cdc, IncrementalAgg, Scd2}
 import graft.ops.ColumnOps._
 import graft.ops.JsonOps._
@@ -1437,6 +1437,16 @@ object SparkEntry {
           .select(col("doc_id"), substring(col("text"), 1, 12).as("k")),
         "doc_id", "k", maxDist = 2)
         .orderBy("id_a", "id_b")
+    }),
+
+    "q55_funnel" -> ((s, dir) => {
+      // per-user conversion funnel signup → click → purchase within 7
+      // days (ops.Funnel, chain-of-minima semantics): one sorted fold per
+      // user; the oracle re-derives the same chain as three joined min()
+      // aggregations
+      Funnel.funnel(rd(s, dir, "events"), "user_id", "ts", "event_type",
+        Seq("signup", "click", "purchase"), windowMicros = 7L * 86400000000L)
+        .orderBy("user_id")
     })
   )
 
@@ -2475,7 +2485,29 @@ object SparkEntry {
         |  CAST(levenshtein(a.k, b.k) AS INT) AS dist
         |FROM d a JOIN d b ON a.doc_id < b.doc_id
         |WHERE levenshtein(a.k, b.k) <= 2
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q55_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS ts_1 FROM events
+        |    WHERE event_type = 'signup' GROUP BY user_id),
+        |  s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS ts_2 FROM events e
+        |    JOIN s1 ON e.user_id = s1.user_id
+        |    WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.ts_1
+        |    GROUP BY e.user_id),
+        |  s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS ts_3 FROM events e
+        |    JOIN s2 ON e.user_id = s2.user_id
+        |    WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.ts_2
+        |    GROUP BY e.user_id),
+        |  u AS (SELECT DISTINCT user_id FROM events
+        |    WHERE event_type IN ('signup', 'click', 'purchase'))
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN ts_3 IS NOT NULL THEN 3 WHEN ts_2 IS NOT NULL THEN 2
+        |    WHEN ts_1 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS stages_completed,
+        |  ts_1, ts_2, ts_3,
+        |  COALESCE(ts_3 - ts_1 <= 604800000000, false) AS completed
+        |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |  LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin
   )
 
   private lazy val contaminationOracle: String =
