@@ -1447,6 +1447,18 @@ object SparkEntry {
       Funnel.funnel(rd(s, dir, "events"), "user_id", "ts", "event_type",
         Seq("signup", "click", "purchase"), windowMicros = 7L * 86400000000L)
         .orderBy("user_id")
+    }),
+
+    "q56_weighted_sample" -> ((s, dir) => {
+      // deterministic weighted Bernoulli thinning (ext.Curation): keep
+      // probability n_chars/400 (≥400-char docs always kept), decided by
+      // an ALL-INTEGER comparison on md5 bits — the oracle reproduces the
+      // exact row set, not just its size
+      Curation.weightedSample(
+        rd(s, dir, "documents"), "doc_id", "n_chars",
+        capWeight = 400L, salt = "g56")
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
     })
   )
 
@@ -2507,7 +2519,14 @@ object SparkEntry {
         |  COALESCE(ts_3 - ts_1 <= 604800000000, false) AS completed
         |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
         |  LEFT JOIN s3 USING (user_id)
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+
+    "q56_weighted_sample" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'g56'), 1, 5)
+        |    AS BIGINT) * 400
+        |  < least(n_chars, 400) * 1048576
+        |ORDER BY doc_id""".stripMargin
   )
 
   private lazy val contaminationOracle: String =

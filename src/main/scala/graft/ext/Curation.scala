@@ -54,6 +54,36 @@ object Curation {
         < threshold)
   }
 
+  /** Deterministic WEIGHTED Bernoulli thinning: keep each row with
+    * probability `weight / capWeight` (rows at or above `capWeight`
+    * always kept, non-positive weights always dropped) — the
+    * quality-weighted corpus downsampling shape, where `weight` is a
+    * quality/importance score and high-quality documents survive at full
+    * rate while low-quality ones are thinned proportionally.
+    *
+    * Like [[stratifiedSample]], membership is a pure function of
+    * `(id, salt, weight)`: the keep test is
+    * `u * capWeight < min(weight, capWeight) * 2^20` with `u` the first
+    * 20 bits of `md5(id || salt)` — ALL-INTEGER arithmetic (no float
+    * division anywhere), so the q56 oracle reproduces the exact row set
+    * on any engine. A projection + filter; no shuffle, no RNG state.
+    * Probability resolution is 2^-20 (~1e-6).
+    */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      capWeight: Long,
+      salt: String = ""): DataFrame = {
+    require(capWeight > 0 && capWeight <= (1L << 40),
+      s"capWeight out of (0, 2^40]: $capWeight")
+    val u = conv(
+      substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 5),
+      16, 10).cast("long")
+    val w = least(col(weightCol).cast("long"), lit(capWeight))
+    df.filter(u * capWeight < w * 1048576L)
+  }
+
   // --------------------------------------------- token-budget bin packing
 
   /** Greedy sequence packing for pre-training batches: documents in

@@ -154,4 +154,32 @@ class CurationSpec extends SparkSpec {
     got.getLong(0) shouldBe 11L   // ceil(1003/100)
     got.getLong(1) shouldBe 1003L // no char duplicated, none lost
   }
+
+  test("weightedSample: cap always kept, zero never, rate tracks weight") {
+    import spark.implicits._
+    val df = (1L to 4000L).map { i =>
+      (i, if (i % 4 == 0) 0L else if (i % 4 == 1) 400L else if (i % 4 == 2) 100L else 200L)
+    }.toDF("id", "w")
+    val kept = Curation.weightedSample(df, "id", "w", capWeight = 400L)
+      .as[(Long, Long)].collect().toSeq
+    // weight >= cap: kept with certainty; weight <= 0: dropped with certainty
+    kept.count(_._2 == 400L) shouldBe 1000
+    kept.count(_._2 == 0L) shouldBe 0
+    // thinned strata keep ~w/400 of their 1000 rows (md5-uniform; ±5σ)
+    kept.count(_._2 == 100L).toDouble shouldBe 250.0 +- 70.0
+    kept.count(_._2 == 200L).toDouble shouldBe 500.0 +- 80.0
+  }
+
+  test("weightedSample is deterministic and salt-sensitive") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (i, i)).toDF("id", "w")
+    val a = Curation.weightedSample(df, "id", "w", 500L, salt = "s1")
+      .as[(Long, Long)].collect().toSet
+    val b = Curation.weightedSample(df, "id", "w", 500L, salt = "s1")
+      .as[(Long, Long)].collect().toSet
+    val c = Curation.weightedSample(df, "id", "w", 500L, salt = "s2")
+      .as[(Long, Long)].collect().toSet
+    a shouldBe b
+    a should not be c
+  }
 }
