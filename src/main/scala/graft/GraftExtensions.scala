@@ -101,6 +101,13 @@ object GraftExtensions {
         "returns array<struct<score, id>> best first",
       "graft_top_k(struct(score, id), k)") {
       case Seq(pair, k) => TopKPairs(pair, intArg(k, "k"))
+    },
+    make("graft_heavy_hitters",
+      "mergeable Misra-Gries heavy-hitters aggregate over a string item " +
+        "column; returns array<struct<item, est, err>> sorted by estimate " +
+        "descending, est <= true <= est + err",
+      "graft_heavy_hitters(item, capacity)") {
+      case Seq(item, cap) => HeavyHitters(item, intArg(cap, "capacity"))
     })
 
   private def make(name: String, usage: String, example: String)(

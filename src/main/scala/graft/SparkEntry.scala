@@ -1459,6 +1459,22 @@ object SparkEntry {
         capWeight = 400L, salt = "g56")
         .select("doc_id", "n_chars")
         .orderBy("doc_id")
+    }),
+
+    "q57_heavy_hitters" -> ((s, dir) => {
+      // per-language heaviest sources via the mergeable Misra-Gries
+      // aggregate (functions.HeavyHitters). Capacity 64 > the column's
+      // ndv, so no decrement round ever fires and the summary is EXACT
+      // (err = 0) — the regime a SQL oracle can check; the approximate
+      // regime's one-sided bounds are property-tested in FreqSketchSpec.
+      rd(s, dir, "documents")
+        .groupBy("lang")
+        .agg(graft.functions.FreqFunctions.heavyHitters(col("source"), 64)
+          .as("hh"))
+        .select(col("lang"), explode(col("hh")).as("e"))
+        .select(col("lang"), col("e.item").as("item"),
+          col("e.est").as("cnt"), col("e.err").as("err"))
+        .orderBy("lang", "item")
     })
   )
 
@@ -2526,7 +2542,13 @@ object SparkEntry {
         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'g56'), 1, 5)
         |    AS BIGINT) * 400
         |  < least(n_chars, 400) * 1048576
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q57_heavy_hitters" ->
+      """SELECT lang, source AS item, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(0 AS BIGINT) AS err
+        |FROM documents GROUP BY lang, source
+        |ORDER BY lang, item""".stripMargin
   )
 
   private lazy val contaminationOracle: String =
