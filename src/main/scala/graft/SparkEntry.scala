@@ -867,6 +867,31 @@ object SparkEntry {
         Seq("id_a", "id_b"), threshold = 0.9)
     }),
 
+    "x10_dedup_semantic" -> ((s, dir) => { // rows-only: approximate recall
+      // SemDeDup shape: IVF cells cluster the embedding space, pairs are
+      // exact-cosine-verified within (home ∪ probed) cells. Deterministic
+      // given the seed but engine-specific (k-means + cell assignment), so
+      // the oracle-checked claim is x10r's measured recall. (8, 4) from
+      // the semdedup sweep: recall 1.00 at sf0.01 / 0.95 at sf0.1 vs the
+      // exact twin; finer quantizers (nlist 16/32) fragment the 0.45-
+      // threshold boundary pairs across cells and miss the 0.9 bar.
+      Dedup.nearDuplicatesSemantic(
+        rd(s, dir, "embeddings"), "vec_id", "embedding", minCosine = 0.45,
+        nlist = 8, nprobe = 4)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "x10r_semantic_recall" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      recallCheck(
+        Dedup.nearDuplicatesEmbeddingExact(
+          emb, "vec_id", "embedding", minCosine = 0.45),
+        Dedup.nearDuplicatesSemantic(
+          emb, "vec_id", "embedding", minCosine = 0.45,
+          nlist = 8, nprobe = 4),
+        Seq("id_a", "id_b"), threshold = 0.9)
+    }),
+
     // ------------------------------------------------- LLM-pipeline: text
     "t1_lang_id" -> ((s, dir) => {
       rd(s, dir, "documents")
@@ -1871,6 +1896,16 @@ object SparkEntry {
         |FROM g WHERE m > 1""".stripMargin,
 
     "x6r_embedding_lsh_recall" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
+        |  FROM embeddings)
+        |SELECT count(*) AS n_exact, 1 AS recall_ok
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |    x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (a.nrm * b.nrm) >= 0.45""".stripMargin,
+
+    "x10r_semantic_recall" ->
       """WITH e AS (SELECT vec_id, embedding,
         |    sqrt(list_sum(list_transform(embedding,
         |      x -> x::DOUBLE * x::DOUBLE))) AS nrm

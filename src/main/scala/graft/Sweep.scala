@@ -24,6 +24,26 @@ object Sweep {
 
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
 
+    if (args.headOption.contains("semdedup")) {
+      // x10 parameter sweep: IVF-cell near-dup recall vs the exact twin
+      val exact = Dedup.nearDuplicatesEmbeddingExact(
+          emb, "vec_id", "embedding", 0.45)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      for (nlist <- Seq(8, 16, 32); nprobe <- Seq(2, 3, 4)) {
+        settle()
+        val t0 = System.nanoTime()
+        val got = Dedup.nearDuplicatesSemantic(
+            emb, "vec_id", "embedding", 0.45, nlist = nlist, nprobe = nprobe)
+          .select("id_a", "id_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[sweep] nlist=$nlist%2d nprobe=$nprobe recall=${
+          (exact & got).size.toDouble / exact.size}%.3f pairs=${got.size} $dt%5.2fs")
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("stages")) {
       // decompose the current y2 config: where do the seconds go?
       import graft.functions.VectorFunctions.{vector_dot, vector_norm}

@@ -412,6 +412,25 @@ object Dedup {
     Similarity.cosinePairsLsh(df, idCol, vecCol, bands, planesPerBand, seed,
       minCosine = minCosine)
 
+  /** SemDeDup-style semantic near-dup: candidates from the IVF coarse
+    * quantizer's cells (data-dependent clustering of the embedding space,
+    * + `nprobe` boundary probes) instead of data-independent hyperplane
+    * bands — see [[graft.ext.Similarity.cosinePairsIvf]]. Same contract
+    * as [[nearDuplicatesEmbedding]]: exact-cosine-verified pairs, recall
+    * measured by the x10r companion.
+    */
+  def nearDuplicatesSemantic(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCosine: Double,
+      nlist: Int = 16,
+      nprobe: Int = 2,
+      seed: Long = 42L,
+      centroids: Option[Seq[Array[Float]]] = None): DataFrame =
+    Similarity.cosinePairsIvf(df, idCol, vecCol, minCosine,
+      nlist = nlist, nprobe = nprobe, seed = seed, centroids = centroids)
+
   /** Exact variant for verification/small scopes: all pairs via a single
     * self-join on a trivial key is O(n²) — only for bounded inputs (the
     * sf-scale oracle); the LSH path above is the 100 TB path. `maxRows`

@@ -344,6 +344,76 @@ object Similarity {
       .transform(rankTopK(k))
   }
 
+  /** SemDeDup-style semantic near-dup pairs: the IVF coarse quantizer
+    * clusters the embedding space, and candidate pairs are vectors
+    * meeting in a cell — each vector lives in its top-1 cell and
+    * additionally PROBES its `nprobe` nearest cells (the boundary-straddle
+    * mitigation: a pair split across adjacent cells still meets when
+    * either side probes the other's home). Exact cosine then verifies
+    * every candidate, so precision is exact and only recall is
+    * approximate — measured, not asserted, by the x10r companion against
+    * the brute-force twin.
+    *
+    * Complements [[cosinePairsLsh]] the same way [[topKIvf]] complements
+    * [[topKLsh]]: the quantizer adapts to the corpus's cluster structure,
+    * so at equal candidate volume the data-dependent cells catch more
+    * true pairs on clustered embeddings (which real document embeddings
+    * are — that clustering is the premise of SemDeDup).
+    *
+    * Scale shape: training is the same bounded driver sample as
+    * [[topKIvf]] (or pass a persisted codebook via `centroids`);
+    * candidates come from ONE equi-join on cell id carrying ids only;
+    * vectors attach per surviving candidate. Duplicate candidate pairs
+    * (both sides probing each other) are exact score replays, deduped
+    * after the threshold filter — bounded by nprobe per vector.
+    */
+  def cosinePairsIvf(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCosine: Double,
+      nlist: Int = 16,
+      nprobe: Int = 2,
+      iterations: Int = 5,
+      sampleSize: Int = 1024,
+      seed: Long = 42L,
+      centroids: Option[Seq[Array[Float]]] = None): DataFrame = {
+    require(nprobe >= 1, s"cosinePairsIvf: nprobe must be >= 1, got $nprobe")
+    val cb = centroids.getOrElse(
+      trainCentroids(df, idCol, vecCol, nlist, iterations, sampleSize, seed))
+
+    val home = df.select(
+      col(idCol).as("id"),
+      nearestCells(col(vecCol), cb, 1).getItem(0).as("cell"))
+    val probes = df.select(
+      col(idCol).as("id"),
+      explode(nearestCells(col(vecCol), cb, nprobe)).as("cell"))
+
+    // normalize to id_a < id_b BEFORE scoring: a pair found through
+    // either side's probe must land on one canonical ordering
+    val cand = probes.select(col("id").as("pid"), col("cell"))
+      .join(home.select(col("id").as("hid"), col("cell")), Seq("cell"))
+      .filter(col("pid") =!= col("hid"))
+      .select(least(col("pid"), col("hid")).as("id_a"),
+        greatest(col("pid"), col("hid")).as("id_b"))
+
+    val vecs = df.select(
+      col(idCol).as("id"),
+      col(vecCol).as("v"),
+      vector_norm(col(vecCol)).as("n"))
+
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va"),
+        col("n").as("na")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb"),
+        col("n").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("va"), col("na"), col("vb"), col("nb")).as("cosine"))
+      .filter(col("cosine").isNotNull && !isnan(col("cosine")) &&
+        col("cosine") >= minCosine)
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** The `nprobe` nearest centroid ids for a vector, nearest first — a
     * single compact expression ([[graft.functions.NearestCells]]); the
     * codebook rides along as a reference object instead of nlist × dims

@@ -81,6 +81,31 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("x10 semantic (IVF-cell) near-dup finds the planted pair exactly once") {
+    import spark.implicits._
+    val sem = Dedup.nearDuplicatesSemantic(
+      vectors, "vec_id", "embedding", minCosine = 0.99,
+      nlist = 4, nprobe = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(sem.length === sem.distinct.length)
+    sem.foreach { case (a, b) => assert(a < b) }
+    assert(sem.toSet === Set((0L, 6L)))
+  }
+
+  test("cosinePairsIvf with a persisted codebook matches the trained run") {
+    import spark.implicits._
+    val cb = Similarity.trainCentroids(
+      vectors, "vec_id", "embedding", nlist = 4, iterations = 5,
+      sampleSize = 16, seed = 42L)
+    val roundTrip = Similarity.centroidsFromDF(
+      Similarity.centroidsToDF(spark, cb))
+    def run(c: Option[Seq[Array[Float]]]) = Similarity.cosinePairsIvf(
+      vectors, "vec_id", "embedding", minCosine = 0.5,
+      nlist = 4, nprobe = 2, centroids = c)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(run(Some(roundTrip)) === run(None))
+  }
+
   test("cosinePairsLsh emits each pair at most once") {
     import spark.implicits._
     val pairs = Similarity.cosinePairsLsh(
