@@ -1500,6 +1500,22 @@ object SparkEntry {
         .select(col("lang"), col("e.item").as("item"),
           col("e.est").as("cnt"), col("e.err").as("err"))
         .orderBy("lang", "item")
+    }),
+
+    "q58_outliers" -> ((s, dir) => {
+      // robust per-group anomaly flags (ops.Profile.robustOutliers):
+      // median/MAD so the spikes being hunted cannot poison the baseline.
+      // exact=true is the oracle-comparable verification setting; the
+      // production default is the mergeable approx_percentile sketch.
+      // Both the filter and the emitted score go through rnd() so a
+      // last-ulp percentile difference between engines cannot flip a
+      // boundary row.
+      Profile.robustOutliers(rd(s, dir, "events"),
+        Seq("event_type"), "value", k = 3.5, exact = true)
+        .filter(rnd(abs(col("robust_z")), 6) > 3.5)
+        .select(col("event_id"), col("event_type"), col("value"),
+          rnd(col("robust_z"), 6).as("z"))
+        .orderBy("event_id")
     })
   )
 
@@ -2583,7 +2599,23 @@ object SparkEntry {
       """SELECT lang, source AS item, CAST(count(*) AS BIGINT) AS cnt,
         |  CAST(0 AS BIGINT) AS err
         |FROM documents GROUP BY lang, source
-        |ORDER BY lang, item""".stripMargin
+        |ORDER BY lang, item""".stripMargin,
+
+    "q58_outliers" ->
+      """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |    FROM events GROUP BY event_type),
+        |  d AS (SELECT e.event_id, e.event_type, e.value, m.med
+        |    FROM events e JOIN m USING (event_type)),
+        |  md AS (SELECT event_type, quantile_cont(abs(value - med), 0.5)
+        |      AS mad
+        |    FROM d GROUP BY event_type),
+        |  z AS (SELECT d.event_id, d.event_type, d.value,
+        |      (d.value - d.med) / (1.4826 * md.mad) AS zr
+        |    FROM d JOIN md USING (event_type) WHERE md.mad <> 0)
+        |SELECT event_id, event_type, value,
+        |  floor(zr * 1e6 + 0.5) / 1e6 AS z
+        |FROM z WHERE floor(abs(zr) * 1e6 + 0.5) / 1e6 > 3.5
+        |ORDER BY event_id""".stripMargin
   )
 
   private lazy val contaminationOracle: String =

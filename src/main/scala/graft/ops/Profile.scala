@@ -96,4 +96,49 @@ object Profile {
       .orderBy(col("cnt").desc, col(key))
       .limit(topK)
   }
+
+  /** Robust per-group outlier scoring: each row gets
+    * `robust_z = (value − median) / (1.4826 · MAD)` computed within its
+    * group (MAD = median absolute deviation; 1.4826 scales it to σ under
+    * normality) and `is_outlier = |robust_z| > k`. Median/MAD instead of
+    * mean/stddev because the rows being hunted are exactly the ones that
+    * poison moment-based statistics — a single 1e9 spike shifts a mean
+    * past any threshold but leaves the median untouched.
+    *
+    * Groups where MAD = 0 (over half the group shares one value) score
+    * null and flag false — a zero denominator marks a degenerate group,
+    * not an infinite outlier.
+    *
+    * 100 TB shape: two grouped aggregations over the data plus two
+    * broadcast joins of O(groups) stat rows — the data never shuffles.
+    * The default `exact = false` uses `approx_percentile` (a mergeable
+    * sketch with map-side partials, accuracy 1/10000); `exact = true`
+    * switches to exact `percentile`, which buffers each group's values in
+    * executor memory — the verification-scope setting q58's oracle
+    * compare runs, same posture as the brute-force similarity paths.
+    */
+  def robustOutliers(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valCol: String,
+      k: Double = 3.5,
+      exact: Boolean = false): DataFrame = {
+    require(keyCols.nonEmpty, "robustOutliers: at least one key column")
+    require(k > 0, s"robustOutliers: threshold must be positive, got $k")
+    val pct = if (exact) "percentile" else "approx_percentile"
+    val keys = keyCols.map(col)
+    val med = df.groupBy(keys: _*)
+      .agg(expr(s"$pct($valCol, 0.5)").as("_med"))
+    val withMed = df.join(broadcast(med), keyCols)
+    val mad = withMed.groupBy(keys: _*)
+      .agg(expr(s"$pct(abs($valCol - _med), 0.5)").as("_mad"))
+    withMed.join(broadcast(mad), keyCols)
+      .withColumn("robust_z",
+        when(col("_mad") =!= 0.0,
+          (col(valCol) - col("_med")) / (lit(1.4826) * col("_mad"))))
+      .withColumn("is_outlier",
+        coalesce(abs(col("robust_z")) > k, lit(false)))
+      .withColumnRenamed("_med", "group_median")
+      .withColumnRenamed("_mad", "group_mad")
+  }
 }

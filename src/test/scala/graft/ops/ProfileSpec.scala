@@ -64,4 +64,48 @@ class ProfileSpec extends SparkSpec {
     val out = Profile.keySkew(rows.toDF("k"), "k", topK = 3).collect()
     out.map(_.getString(0)) shouldBe Array("a", "b", "c")
   }
+
+  test("robustOutliers: spike flagged, bulk not, stats are median/MAD") {
+    // group g: values 1..9 (median 5, MAD 2) plus a 1e6 spike
+    val data = ((1 to 9).map(v => ("g", v.toDouble)) :+ ("g", 1e6))
+      .toDF("k", "v")
+    val out = Profile.robustOutliers(data, Seq("k"), "v", k = 3.5,
+      exact = true).collect()
+    val byV = out.map(r => r.getDouble(1) ->
+      (r.getDouble(2), r.getDouble(3), r.getBoolean(5))).toMap
+    // median of 1..9,1e6 = 5.5; MAD = median(|v-5.5|) = 2.5
+    val (med, mad, _) = byV(1e6)
+    med shouldBe 5.5 +- 1e-9
+    mad shouldBe 2.5 +- 1e-9
+    byV(1e6)._3 shouldBe true
+    (1 to 9).foreach(v => byV(v.toDouble)._3 shouldBe false)
+    // the spike cannot poison the baseline: a mean/stddev z-score of the
+    // same spike is ~3.0 (below threshold) because it inflates sigma
+    val n = 10.0
+    val mean = ((1 to 9).sum + 1e6) / n
+    val sd = math.sqrt(
+      (((1 to 9).map(v => math.pow(v - mean, 2)).sum) +
+        math.pow(1e6 - mean, 2)) / n)
+    ((1e6 - mean) / sd) should be < 3.5
+  }
+
+  test("robustOutliers: MAD=0 group scores null and flags nothing") {
+    val data = (Seq.fill(6)(7.0) :+ 100.0).map(("g", _)).toDF("k", "v")
+    val out = Profile.robustOutliers(data, Seq("k"), "v", exact = true)
+      .collect()
+    out.foreach { r =>
+      r.isNullAt(4) shouldBe true // robust_z
+      r.getBoolean(5) shouldBe false
+    }
+  }
+
+  test("robustOutliers: groups are scored independently") {
+    val data = (Seq.fill(9)(("a", 1.0)) ++ Seq(("a", 2.0)) ++
+      (1 to 9).map(v => ("b", v.toDouble)) :+ (("b", 1000.0)))
+      .toDF("k", "v")
+    val out = Profile.robustOutliers(data, Seq("k"), "v", exact = true)
+      .filter(col("is_outlier")).collect()
+    out.map(r => (r.getString(0), r.getDouble(1))).toSet shouldBe
+      Set(("b", 1000.0))
+  }
 }
