@@ -74,4 +74,17 @@ class PlanShapeSpec extends SparkSpec {
   // exact-ndv check side; every agg is partial-combinable, the join of
   // folded vs exact broadcasts at summary size
   checkShape("q47_incr_agg", maxExchanges = 6, minBroadcastJoins = 1)
+  // fuzzy join: the FastSS variant-hash candidate join must stay an
+  // equi-join (the whole point of the blocking); key text rejoins by
+  // broadcast at this scale
+  checkShape("q54_fuzzy_join", maxExchanges = 6, minBroadcastJoins = 1)
+  // funnel: ONE data shuffle (the per-entity groupBy) + the orderBy range
+  // exchange; no join anywhere in the plan
+  checkShape("q55_funnel", maxExchanges = 2, minBroadcastJoins = 0)
+  // semantic near-dup: cell equi-join carries ids only, vectors rejoin
+  // by broadcast at this scale
+  checkShape("x10_dedup_semantic", maxExchanges = 4, minBroadcastJoins = 1)
+  // robust outliers: two grouped aggs over the data; the O(groups) stats
+  // attach by broadcast — the event rows themselves never hash-shuffle
+  checkShape("q58_outliers", maxExchanges = 4, minBroadcastJoins = 2)
 }
