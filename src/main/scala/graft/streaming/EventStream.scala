@@ -23,6 +23,18 @@ final case class UserSession(
 /** Open-session state for [[EventStream.sessionizeStream]]. */
 final case class SessionState(start: Long, end: Long, n: Long, total: Double)
 
+/** A completed funnel as emitted by [[EventStream.funnelStream]]. */
+final case class FunnelHit(
+    user_id: Long,
+    ts_first: Timestamp,
+    ts_last: Timestamp,
+    duration_ms: Long)
+
+/** Per-user funnel progress state for [[EventStream.funnelStream]]:
+  * epoch-millis of each stage reached so far, in stage order.
+  */
+final case class FunnelState(chain: Seq[Long])
+
 /** Structured Streaming extension (SURVEY.md §2.9 declares the reference
   * batch-only; this module is the engine's declared extension beyond
   * parity): the same event pipeline shapes as the batch operators, expressed
@@ -210,6 +222,109 @@ object EventStream {
               state.setTimeoutTimestamp(s.end + gapMs)
             }
             closed.result().iterator
+          }
+        })
+  }
+
+  /** Windowed heavy hitters: the streaming twin of q57 — the mergeable
+    * Misra-Gries aggregate ([[graft.functions.HeavyHitters]]) inside a
+    * watermarked tumbling window. Works in streaming for the same reason
+    * it scales in batch: the summary is MERGEABLE, so incremental
+    * micro-batch partials fold into the window's state without replaying
+    * the stream, and state per window is O(capacity), not O(distinct
+    * items). Emits each window's summary (exploded, estimate-descending
+    * rank order preserved by the array) when the watermark finalizes it.
+    */
+  def heavyHittersStream(
+      events: DataFrame,
+      tsCol: String,
+      itemCol: String,
+      capacity: Int,
+      window: String = "10 minutes",
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window))
+      .agg(graft.functions.FreqFunctions
+        .heavyHitters(col(itemCol), capacity).as("hh"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        posexplode(col("hh")).as(Seq("rank", "e")))
+      .select(col("window_start"), col("window_end"),
+        (col("rank") + 1).cast("int").as("rank"),
+        col("e.item").as("item"), col("e.est").as("est"),
+        col("e.err").as("err"))
+
+  /** Streaming funnel: the streaming twin of [[graft.ops.Funnel]] (q55).
+    * Per-user state is the stage chain reached so far — O(stages) longs,
+    * nothing else — advanced by the same greedy walk as the batch fold
+    * (next expected stage, strictly increasing event time, processed in
+    * event-time order within each micro-batch). A user emits ONE
+    * [[FunnelHit]] the moment the final stage lands within `windowMs` of
+    * stage 1, then the state clears; users whose window expires are
+    * garbage-collected by event-time timeout without emitting.
+    *
+    * Parity caveat (inherent to single-pass streaming): the batch
+    * operator's chain-of-minima revises stage picks when an earlier
+    * qualifying event arrives later; the stream advances greedily in
+    * arrival order and never revises, so a cross-micro-batch
+    * out-of-order arrival can yield a later (but still valid) chain than
+    * the batch result. Within one micro-batch, events are sorted by
+    * event time first, so in-order delivery reproduces batch exactly.
+    */
+  def funnelStream(
+      events: Dataset[(Long, Timestamp, String)],
+      stages: Seq[String],
+      windowMs: Long,
+      lateness: String = "10 minutes"): Dataset[FunnelHit] = {
+    require(stages.size >= 2 && stages.size <= 8,
+      s"funnel needs 2..8 stages, got ${stages.size}")
+    require(windowMs > 0, "funnel window must be positive")
+    import events.sparkSession.implicits._
+    val stageArr = stages.toIndexedSeq
+    events
+      .toDF("user_id", "ts", "tpe")
+      .filter(col("tpe").isin(stages: _*))
+      .withWatermark("ts", lateness)
+      .as[(Long, Timestamp, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long,
+         rows: Iterator[(Long, Timestamp, String)],
+         state: GroupState[FunnelState]) => {
+          if (state.hasTimedOut) {
+            // window expired without completion: drop the chain
+            state.remove()
+            Iterator.empty
+          } else {
+            var chain = state.getOption.map(_.chain.toVector)
+              .getOrElse(Vector.empty[Long])
+            var hit: Option[FunnelHit] = None
+            val sorted = rows.toSeq.sortBy(_._2.getTime)
+            sorted.foreach { case (_, ts, tpe) =>
+              val t = ts.getTime
+              if (hit.isEmpty && chain.size < stageArr.size &&
+                  tpe == stageArr(chain.size) &&
+                  (chain.isEmpty || t > chain.last) &&
+                  (chain.isEmpty || t - chain.head <= windowMs)) {
+                chain = chain :+ t
+                if (chain.size == stageArr.size)
+                  hit = Some(FunnelHit(userId, new Timestamp(chain.head),
+                    new Timestamp(chain.last), chain.last - chain.head))
+              }
+            }
+            if (hit.isDefined) state.remove()
+            else if (chain.nonEmpty) {
+              state.update(FunnelState(chain))
+              // completion impossible once the watermark passes
+              // stage-1 time + window (clamped: a timeout may not be set
+              // behind the current watermark)
+              state.setTimeoutTimestamp(math.max(
+                chain.head + windowMs, state.getCurrentWatermarkMs + 1))
+            }
+            hit.iterator
           }
         })
   }

@@ -296,4 +296,83 @@ class EventStreamSpec extends SparkSpec {
       rows shouldBe Set((1L, "alice", 150.0), (3L, "carol", 300.0))
     } finally q.stop()
   }
+
+  test("windowed heavy hitters: per-window Misra-Gries summary, rank order") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val hh = EventStream.heavyHittersStream(
+      input.toDF().toDF("ts", "item"), "ts", "item",
+      capacity = 8, window = "10 minutes", lateness = "5 minutes")
+    val q = hh.writeStream.format("memory").queryName("hh_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts(1), "a"), (ts(2), "a"), (ts(3), "a"),
+        (ts(4), "b"), (ts(5), "b"), (ts(6), "c"))
+      q.processAllAvailable()
+      input.addData((ts(40), "z")) // advance watermark, finalize the window
+      q.processAllAvailable()
+      val rows = spark.table("hh_stream")
+        .filter(col("window_start") === Timestamp.valueOf("2024-03-01 10:00:00"))
+        .select("rank", "item", "est", "err")
+        .as[(Int, String, Long, Long)].collect().sortBy(_._1).toSeq
+      rows shouldBe Seq((1, "a", 3L, 0L), (2, "b", 2L, 0L), (3, "c", 1L, 0L))
+    } finally q.stop()
+  }
+
+  test("streaming funnel: completion emits once, window expiry emits nothing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val hits = EventStream.funnelStream(
+      input.toDS(), Seq("a", "b", "c"),
+      windowMs = 10L * 60 * 1000, lateness = "5 minutes")
+    val q = hits.writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("append").start()
+    try {
+      // user 1 completes within 10 minutes; user 2 stalls at stage 2;
+      // user 3's completion lands beyond the window
+      input.addData(
+        (1L, ts(0), "a"), (1L, ts(2), "b"),
+        (2L, ts(0), "a"), (2L, ts(1), "b"),
+        (3L, ts(0), "a"), (3L, ts(1), "b"))
+      q.processAllAvailable()
+      input.addData((1L, ts(4), "c"), (3L, ts(15), "c"))
+      q.processAllAvailable()
+      input.addData((9L, ts(59), "a")) // advance watermark, fire timeouts
+      q.processAllAvailable()
+      val rows = spark.table("funnel_stream")
+        .as[FunnelHit].collect().toSeq
+      rows.map(_.user_id) shouldBe Seq(1L)
+      rows.head.ts_first shouldBe ts(0)
+      rows.head.ts_last shouldBe ts(4)
+      rows.head.duration_ms shouldBe 4L * 60 * 1000
+    } finally q.stop()
+  }
+
+  test("streaming funnel: stage order enforced, repeat completion not re-emitted") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val hits = EventStream.funnelStream(
+      input.toDS(), Seq("a", "b"),
+      windowMs = 60L * 60 * 1000, lateness = "5 minutes")
+    val q = hits.writeStream.format("memory").queryName("funnel_order")
+      .outputMode("append").start()
+    try {
+      // b before a must not count; a then b completes; a second a+b pair
+      // after completion starts a FRESH chain (state was cleared)
+      input.addData((1L, ts(0), "b"), (1L, ts(1), "a"))
+      q.processAllAvailable()
+      input.addData((1L, ts(3), "b"))
+      q.processAllAvailable()
+      input.addData((1L, ts(5), "a"), (1L, ts(6), "b"))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_order").as[FunnelHit].collect().toSeq
+        .sortBy(_.ts_first.getTime)
+      rows.map(h => (h.ts_first, h.ts_last)) shouldBe
+        Seq((ts(1), ts(3)), (ts(5), ts(6)))
+    } finally q.stop()
+  }
 }
