@@ -1516,6 +1516,37 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"), col("value"),
           rnd(col("robust_z"), 6).as("z"))
         .orderBy("event_id")
+    }),
+
+    "q59_entity_resolution" -> ((s, dir) => {
+      // dirty-key entity resolution, composed end-to-end from proven
+      // parts: FuzzyJoin's complete deletion-hash blocking + exact
+      // levenshtein emits the edge set, connected components collapses
+      // transitive matches ("A~B, B~C" → one entity) to a min-id
+      // canonical label. The oracle rebuilds the identical graph from
+      // DuckDB's levenshtein and walks it with a recursive CTE.
+      val keyed = rd(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 12).as("k"))
+      val pairs = FuzzyJoin.selfJoin(keyed, "doc_id", "k", maxDist = 2)
+      Clusters.connectedComponents(pairs, "id_a", "id_b").orderBy("id")
+    }),
+
+    "q60_tfidf_terms" -> ((s, dir) => {
+      // per-document keyword extraction (ext.Keyword.topTfidfTerms): tf
+      // from the postings index, idf from a broadcast O(vocab) docfreq,
+      // rounded-score ranking with term tie-break so the oracle
+      // re-derives the exact ranked list
+      Keyword.topTfidfTerms(rd(s, dir, "documents"), "doc_id", "text", k = 5)
+        .orderBy("doc_id", "rank")
+    }),
+
+    "q61_negative_sample" -> ((s, dir) => {
+      // deterministic contrastive negatives (ext.Curation.negativeSample):
+      // every pick is pure hash arithmetic over dense global ids, so the
+      // oracle recomputes the exact (anchor, neg_idx, negative) set
+      Curation.negativeSample(
+        rd(s, dir, "documents"), "doc_id", k = 4, salt = "g61")
+        .orderBy("anchor_id", "neg_idx")
     })
   )
 
@@ -2615,7 +2646,58 @@ object SparkEntry {
         |SELECT event_id, event_type, value,
         |  floor(zr * 1e6 + 0.5) / 1e6 AS z
         |FROM z WHERE floor(abs(zr) * 1e6 + 0.5) / 1e6 > 3.5
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    "q59_entity_resolution" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, substr(text, 1, 12) AS k
+        |  FROM documents),
+        |p AS (SELECT a.doc_id AS u, b.doc_id AS v
+        |  FROM d a JOIN d b
+        |  ON a.doc_id < b.doc_id AND levenshtein(a.k, b.k) <= 2),
+        |e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+        |reach(id, r) AS (
+        |  SELECT u, u FROM e
+        |  UNION
+        |  SELECT reach.id, e.v FROM reach JOIN e ON reach.r = e.u),
+        |cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+        |SELECT id, cluster_id FROM cc ORDER BY id""".stripMargin,
+
+    "q60_tfidf_terms" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents WHERE text IS NOT NULL),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |  WHERE len(term) > 0 GROUP BY doc_id, term),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tf),
+        |s AS (SELECT tf.doc_id, tf.term,
+        |    floor(tf.tf * ln(n.n / dfq.df) * 1e4 + 0.5) / 1e4 AS score
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN n),
+        |r AS (SELECT s.*, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term) AS rank FROM s)
+        |SELECT doc_id, CAST(rank AS INT) AS rank, term, score
+        |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+    "q61_negative_sample" ->
+      """WITH g AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY doc_id) - 1 AS gid
+        |  FROM documents),
+        |n AS (SELECT count(*) AS n FROM g),
+        |a AS (SELECT g.doc_id AS anchor_id, g.gid, n.n, j.neg_idx
+        |  FROM g CROSS JOIN n
+        |  CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS neg_idx) j),
+        |h AS (SELECT anchor_id, gid, n, neg_idx,
+        |    CAST('0x' || substr(md5(CAST(anchor_id AS VARCHAR) || ':' ||
+        |      CAST(neg_idx AS VARCHAR) || ':' || 'g61'), 1, 12) AS BIGINT)
+        |      % n AS ng
+        |  FROM a),
+        |f AS (SELECT anchor_id, neg_idx,
+        |    CASE WHEN ng = gid THEN (ng + 1) % n ELSE ng END AS neg_gid
+        |  FROM h)
+        |SELECT f.anchor_id, CAST(f.neg_idx AS INT) AS neg_idx,
+        |  g.doc_id AS negative_id
+        |FROM f JOIN g ON f.neg_gid = g.gid
+        |ORDER BY anchor_id, neg_idx""".stripMargin
   )
 
   private lazy val contaminationOracle: String =

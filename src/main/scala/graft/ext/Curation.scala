@@ -84,6 +84,49 @@ object Curation {
     df.filter(u * capWeight < w * 1048576L)
   }
 
+  /** Deterministic negative sampling for contrastive training: `k`
+    * pseudo-random partners per anchor, drawn uniformly from the corpus
+    * by pure hash arithmetic — `neg_gid = md5₄₈(anchor:j:salt) mod N`,
+    * bumped by one (mod N) when it lands on the anchor itself. Like the
+    * other samplers here, membership is a pure function of
+    * `(anchor, j, salt, corpus order)`: re-derivable bit-for-bit on any
+    * engine (the q61 oracle recomputes every pick), and stable across
+    * runs so a training set's negatives don't silently churn.
+    *
+    * 100 TB shape: dense ids come from [[graft.ops.Ids.withGlobalIds]]
+    * (range shuffle + per-partition offsets, no single-task window); the
+    * picks are a projection + explode; partners attach by ONE equi-join
+    * on the dense id. Collisions among an anchor's `k` picks are allowed
+    * (uniform-with-replacement semantics, the standard in-batch-negative
+    * trade); anchors never pair with themselves.
+    *
+    * Output: `(anchor_id, neg_idx 1..k, negative_id)`.
+    */
+  def negativeSample(
+      df: DataFrame,
+      idCol: String,
+      k: Int,
+      salt: String = ""): DataFrame = {
+    require(k >= 1 && k <= 1024, s"negativeSample: k out of 1..1024: $k")
+    val withGid = graft.ops.Ids.withGlobalIds(
+      df.select(col(idCol)), Seq(col(idCol)))
+    val n = withGid.agg((max(col("gid")) + 1L).as("n"))
+    withGid.crossJoin(broadcast(n))
+      .select(col(idCol).as("anchor_id"), col("gid"), col("n"),
+        explode(array((1 to k).map(lit): _*)).as("neg_idx"))
+      .withColumn("_h", conv(substring(md5(concat(
+        col("anchor_id").cast("string"), lit(":"),
+        col("neg_idx").cast("string"), lit(":"), lit(salt))), 1, 12),
+        16, 10).cast("long") % col("n"))
+      .withColumn("_ng",
+        when(col("_h") === col("gid"), (col("_h") + 1L) % col("n"))
+          .otherwise(col("_h")))
+      .join(withGid.select(col("gid").as("_ng"),
+        col(idCol).as("negative_id")), Seq("_ng"))
+      .select(col("anchor_id"), col("neg_idx").cast("int").as("neg_idx"),
+        col("negative_id"))
+  }
+
   // --------------------------------------------- token-budget bin packing
 
   /** Greedy sequence packing for pre-training batches: documents in

@@ -106,6 +106,43 @@ object Keyword {
       .filter(col("rank") <= k)
   }
 
+  /** Top-`k` characteristic terms per document by TF-IDF — the corpus
+    * metadata op behind tagging/faceting and per-document keyword
+    * summaries. Reuses the [[postings]] index (build once, persist,
+    * serve); document frequency and the corpus size are O(vocab)/O(1)
+    * aggregates broadcast into the scorer, so the only per-posting work
+    * is a projection plus the per-document top-k window (partition-local,
+    * bounded by document vocabulary — no global sort).
+    *
+    * Ranking is on the ROUNDED score (same posture as BM25: JVM `ln` and
+    * libm `ln` can differ in the last ulps), ties by term ascending —
+    * engine-deterministic, which is what lets the q60 oracle re-derive
+    * the exact ranked list.
+    */
+  def topTfidfTerms(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    topTfidfIndexed(postings(docs, idCol, textCol), k)
+
+  /** [[topTfidfTerms]] against a prebuilt postings frame. */
+  def topTfidfIndexed(post: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val dfreq = docFreq(post)
+    val n = post.select(col("doc_id")).distinct()
+      .agg(count(lit(1)).cast("double").as("n"))
+    post
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        (floor(col("tf") * log(col("n") / col("df")) * 1e4 + 0.5) / 1e4)
+          .as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term"))))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("int").as("rank"),
+        col("term"), col("score"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard way to
     * combine heterogeneous retrievers (BM25 + embedding ANN = hybrid
     * search) without score calibration: each system contributes

@@ -170,6 +170,27 @@ class CurationSpec extends SparkSpec {
     kept.count(_._2 == 200L).toDouble shouldBe 500.0 +- 80.0
   }
 
+  test("negativeSample: k per anchor, never self, corpus-bounded, deterministic") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => Tuple1(i)).toDF("id")
+    val out = Curation.negativeSample(df, "id", k = 3, salt = "s")
+      .as[(Long, Int, Long)].collect().toSeq
+    out.size shouldBe 600
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      rows.map(_._2).sorted shouldBe Seq(1, 2, 3)
+    }
+    out.foreach { case (a, _, neg) =>
+      neg should not be a
+      neg should (be >= 1L and be <= 200L)
+    }
+    val again = Curation.negativeSample(df, "id", k = 3, salt = "s")
+      .as[(Long, Int, Long)].collect().toSeq
+    again.toSet shouldBe out.toSet
+    val other = Curation.negativeSample(df, "id", k = 3, salt = "t")
+      .as[(Long, Int, Long)].collect().toSeq
+    other.toSet should not be out.toSet
+  }
+
   test("weightedSample is deterministic and salt-sensitive") {
     import spark.implicits._
     val df = (1L to 500L).map(i => (i, i)).toDF("id", "w")

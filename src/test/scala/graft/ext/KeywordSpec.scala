@@ -95,4 +95,37 @@ class KeywordSpec extends SparkSpec {
         .select("doc_id", "score").orderBy("doc_id").collect().toSeq
     run(q1) shouldBe run(q2)
   }
+
+  test("topTfidfTerms: hand formula, rank order, corpus-wide term scores 0") {
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val got = Keyword.topTfidfTerms(corpus, "doc_id", "text", k = 5)
+      .as[(Long, Int, String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(t => (t._3, t._4)).toSeq).toMap
+    // doc 1: apple tf=2 df=1 → 2·ln(3); banana tf=1 df=2 → ln(1.5)
+    got(1L) shouldBe Seq(
+      ("apple", r4(2 * math.log(3.0))), ("banana", r4(math.log(1.5))))
+    // doc 3: durian tf=4 df=1 → 4·ln(3), its only term
+    got(3L) shouldBe Seq(("durian", r4(4 * math.log(3.0))))
+    // doc 2: cherry (rare) outranks banana (shared)
+    got(2L).map(_._1) shouldBe Seq("cherry", "banana")
+  }
+
+  test("topTfidfTerms: k bounds output per doc, ties break on term asc") {
+    val tied = Seq((1L, "aaa bbb"), (2L, "zzz")).toDF("doc_id", "text")
+    val got = Keyword.topTfidfTerms(tied, "doc_id", "text", k = 1)
+      .as[(Long, Int, String, Double)].collect().sortBy(_._1).toSeq
+    got.map(t => (t._1, t._3)) shouldBe Seq((1L, "aaa"), (2L, "zzz"))
+    got.map(_._2) shouldBe Seq(1, 1)
+  }
+
+  test("topTfidfIndexed over persisted postings matches one-shot") {
+    val dir = java.nio.file.Files.createTempDirectory("tfidf_post").toString
+    Keyword.postings(corpus, "doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val fromIndex = Keyword.topTfidfIndexed(spark.read.parquet(dir), k = 5)
+      .as[(Long, Int, String, Double)].collect().sortBy(t => (t._1, t._2)).toSeq
+    val oneShot = Keyword.topTfidfTerms(corpus, "doc_id", "text", k = 5)
+      .as[(Long, Int, String, Double)].collect().sortBy(t => (t._1, t._2)).toSeq
+    fromIndex shouldBe oneShot
+  }
 }
