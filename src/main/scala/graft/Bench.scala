@@ -19,6 +19,12 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1200").toDouble
+    // optional comma-separated query filter for focused local re-runs
+    // (the driver never sets it, so its runs always time everything)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).toSet)
+    def selected = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     val spark = Scratch.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -54,7 +60,7 @@ object Bench {
     // under a tight budget warming stops at 40% spent and the affected
     // queries pay codegen in their first timed pass instead — degraded
     // accuracy beats a forfeited artifact.
-    SparkEntry.queries.takeWhile(_ => elapsed() < budgetS * 0.4)
+    selected.takeWhile(_ => elapsed() < budgetS * 0.4)
       .foreach { case (_, fn) =>
         try fn(spark, data).count() catch { case _: Throwable => () }
         spark.catalog.clearCache()
@@ -67,7 +73,7 @@ object Bench {
     // recorded spread says how much to trust each number. Failures are
     // reported as -1 and excluded from the total so a broken query can
     // never make the bench look faster.
-    val declared = SparkEntry.queries.size
+    val declared = selected.size
     val results = collection.mutable.LinkedHashMap[String, (Boolean, Double, Double, Int)]()
     def emit(skipped: Int): Unit = {
       def jmap(f: ((Boolean, Double, Double, Int)) => Double) = results
@@ -85,7 +91,7 @@ object Bench {
       val t = math.rint(total * 1000) / 1000
       println(s"""{"metric":"total","value":$t,"unit":"sec","queries":$qs,"spread":$spreads,"passes":$passes,"failed":$failed,"completed":${results.size},"declared":$declared,"skipped":$skipped,"elapsed_s":${math.rint(elapsed())},"sf":"$sfDir"}""")
     }
-    val names = SparkEntry.queries.keys.toSeq
+    val names = selected.keys.toSeq
     var done = 0
     names.foreach { name =>
       if (elapsed() >= budgetS * 0.95) ()

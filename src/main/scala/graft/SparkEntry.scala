@@ -1547,6 +1547,16 @@ object SparkEntry {
       Curation.negativeSample(
         rd(s, dir, "documents"), "doc_id", k = 4, salt = "g61")
         .orderBy("anchor_id", "neg_idx")
+    }),
+
+    "q62_histogram" -> ((s, dir) => {
+      // equi-depth histogram (ops.Profile.equiDepthHistogram): boundaries
+      // from one percentile agg (exact for the oracle; the approx sketch
+      // is the scale default), rounded so assignment is engine-stable,
+      // probed per row by the SearchSorted binary-search expression
+      Profile.equiDepthHistogram(
+        rd(s, dir, "events"), "value", buckets = 8, exact = true)
+        .orderBy("bucket")
     })
   )
 
@@ -2697,7 +2707,21 @@ object SparkEntry {
         |SELECT f.anchor_id, CAST(f.neg_idx AS INT) AS neg_idx,
         |  g.doc_id AS negative_id
         |FROM f JOIN g ON f.neg_gid = g.gid
-        |ORDER BY anchor_id, neg_idx""".stripMargin
+        |ORDER BY anchor_id, neg_idx""".stripMargin,
+
+    "q62_histogram" ->
+      """WITH q AS (SELECT quantile_cont(value,
+        |    [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS qs
+        |  FROM events),
+        |r AS (SELECT list_transform(qs, x -> floor(x * 1e6 + 0.5) / 1e6)
+        |    AS bounds FROM q),
+        |a AS (SELECT e.value,
+        |    len(list_filter(r.bounds, x -> x <= e.value)) AS bucket
+        |  FROM events e CROSS JOIN r WHERE e.value IS NOT NULL)
+        |SELECT CAST(bucket AS INT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(value) AS min_v, max(value) AS max_v
+        |FROM a GROUP BY bucket ORDER BY bucket""".stripMargin
   )
 
   private lazy val contaminationOracle: String =

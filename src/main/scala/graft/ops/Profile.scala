@@ -117,6 +117,43 @@ object Profile {
     * executor memory — the verification-scope setting q58's oracle
     * compare runs, same posture as the brute-force similarity paths.
     */
+  /** Equi-depth (quantile) histogram: `buckets` buckets holding ~equal row
+    * counts, with per-bucket count and exact value range. Boundaries come
+    * from ONE percentile aggregation (approx_percentile sketch by default
+    * — mergeable, map-side partials; exact on request for oracle
+    * comparison), are rounded to 6 decimals so bucket assignment is
+    * engine-reproducible, and ride into the row scan as a
+    * [[graft.functions.SearchSorted]] binary-search expression — one
+    * O(log buckets) probe per row inside codegen, then one grouped
+    * aggregation on the bucket id. The boundary collect is O(buckets) on
+    * the driver, the same bounded posture as the IVF codebook.
+    *
+    * Equi-depth, not equi-width, because skewed columns (the interesting
+    * ones) put 99% of rows in one equi-width bin; equal-count bins are
+    * what query optimizers and drift monitors actually consume.
+    */
+  def equiDepthHistogram(
+      df: DataFrame,
+      valCol: String,
+      buckets: Int,
+      exact: Boolean = false): DataFrame = {
+    require(buckets >= 2 && buckets <= 10000,
+      s"equiDepthHistogram: buckets out of 2..10000: $buckets")
+    val pct = if (exact) "percentile" else "approx_percentile"
+    val qlist = (1 until buckets).map(i => i.toDouble / buckets)
+      .mkString("array(", ", ", ")")
+    val bounds = df.agg(expr(s"$pct($valCol, $qlist)")).head()
+      .getSeq[Double](0)
+      .map(b => math.floor(b * 1e6 + 0.5) / 1e6)
+    df.filter(col(valCol).isNotNull)
+      .withColumn("bucket",
+        graft.functions.SearchSorted(col(valCol).cast("double"), bounds))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(valCol)).as("min_v"),
+        max(col(valCol)).as("max_v"))
+  }
+
   def robustOutliers(
       df: DataFrame,
       keyCols: Seq[String],

@@ -99,6 +99,38 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("equiDepthHistogram: near-equal depths, contiguous exact ranges") {
+    val data = (1 to 1000).map(v => Tuple1(v.toDouble)).toDF("v")
+    val h = Profile.equiDepthHistogram(data, "v", buckets = 4, exact = true)
+      .orderBy("bucket").collect()
+    h.map(_.getInt(0)) shouldBe Array(0, 1, 2, 3)
+    h.map(_.getLong(1)).sum shouldBe 1000L
+    all(h.map(_.getLong(1))) shouldBe 250L +- 1L
+    // ranges tile the data: each bucket's max < next bucket's min
+    h.sliding(2).foreach { case Array(a, b) =>
+      a.getDouble(3) should be < b.getDouble(2)
+    case _ => }
+    h.head.getDouble(2) shouldBe 1.0
+    h.last.getDouble(3) shouldBe 1000.0
+  }
+
+  test("equiDepthHistogram: heavy-tie data keeps every row, ranges ordered") {
+    // 90% of mass at one value collapses several boundaries onto it; the
+    // inseparable tied mass lands in ONE bucket (ties-upper convention),
+    // nothing is lost, and surviving ranges stay disjoint and ordered
+    val data = (Seq.fill(900)(5.0) ++ (1 to 100).map(_.toDouble * 1000))
+      .map(Tuple1(_)).toDF("v")
+    val h = Profile.equiDepthHistogram(data, "v", buckets = 4, exact = true)
+      .orderBy("bucket").collect()
+    h.map(_.getLong(1)).sum shouldBe 1000L
+    h.length should be <= 4
+    val spikeBucket = h.find(_.getDouble(2) == 5.0).get
+    spikeBucket.getLong(1) should be >= 900L
+    h.sliding(2).foreach { case Array(a, b) =>
+      a.getDouble(3) should be < b.getDouble(2)
+    case _ => }
+  }
+
   test("robustOutliers: groups are scored independently") {
     val data = (Seq.fill(9)(("a", 1.0)) ++ Seq(("a", 2.0)) ++
       (1 to 9).map(v => ("b", v.toDouble)) :+ (("b", 1000.0)))
