@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ext.{Bpe, Clusters, Curation, Dedup, Keyword, Multimodal, Shingles, Similarity, TextAnalysis}
 import graft.lake.ZOrder
-import graft.ops.{AsofJoin, Funnel, FuzzyJoin, Ids, Profile, RuntimeFilter, SkewJoin}
+import graft.ops.{AsofJoin, Diff, Drift, Funnel, FuzzyJoin, Ids, Profile, RuntimeFilter, SkewJoin}
 import graft.pipeline.{Cdc, IncrementalAgg, Scd2}
 import graft.ops.ColumnOps._
 import graft.ops.JsonOps._
@@ -1557,6 +1557,40 @@ object SparkEntry {
       Profile.equiDepthHistogram(
         rd(s, dir, "events"), "value", buckets = 8, exact = true)
         .orderBy("bucket")
+    }),
+
+    "q63_snapshot_diff" -> ((s, dir) => {
+      // snapshot delta (ops.Diff.snapshotDiff): emits only
+      // added/removed/changed rows with per-column attribution, from one
+      // column-pruned full-outer join — the unchanged bulk never leaves
+      // the join. Snapshots are derived deterministically from customer.
+      val c = rd(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val next = c.filter(col("c_custkey") % 7 =!= 0)
+        .withColumn("c_name",
+          when(col("c_custkey") % 11 === 0, concat(lit("X "), col("c_name")))
+            .otherwise(col("c_name")))
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 5 === 0, col("c_acctbal") + 10)
+            .otherwise(col("c_acctbal")))
+        .unionByName(c.filter(col("c_custkey") % 13 === 0)
+          .select((col("c_custkey") + 10000000).as("c_custkey"),
+            col("c_name"), col("c_acctbal")))
+      Diff.snapshotDiff(c, next, Seq("c_custkey")).orderBy("c_custkey")
+    }),
+
+    "q64_drift_psi" -> ((s, dir) => {
+      // distribution-drift monitor (ops.Drift.psi): equi-depth buckets
+      // from the REFERENCE side only, both frames bucketed by the same
+      // cutpoints via SearchSorted, PSI per bucket with eps-floored
+      // shares. exact=true is the oracle setting; production uses the
+      // mergeable approx_percentile sketch.
+      val ev = rd(s, dir, "events")
+      Drift.psi(
+        ev.filter(col("user_id") % 2 === 0),
+        ev.filter(col("user_id") % 2 === 1),
+        "value", buckets = 8, exact = true)
+        .orderBy("bucket")
     })
   )
 
@@ -2721,7 +2755,66 @@ object SparkEntry {
         |SELECT CAST(bucket AS INT) AS bucket,
         |  CAST(count(*) AS BIGINT) AS n_rows,
         |  min(value) AS min_v, max(value) AS max_v
-        |FROM a GROUP BY bucket ORDER BY bucket""".stripMargin
+        |FROM a GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q63_snapshot_diff" ->
+      """WITH b AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+        |n AS (SELECT c_custkey,
+        |    CASE WHEN c_custkey % 11 = 0 THEN 'X ' || c_name
+        |         ELSE c_name END AS c_name,
+        |    CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 10
+        |         ELSE c_acctbal END AS c_acctbal
+        |  FROM customer WHERE c_custkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000, c_name, c_acctbal FROM customer
+        |  WHERE c_custkey % 13 = 0),
+        |j AS (SELECT coalesce(b.c_custkey, n.c_custkey) AS c_custkey,
+        |    CASE WHEN b.c_custkey IS NULL THEN 'added'
+        |         WHEN n.c_custkey IS NULL THEN 'removed'
+        |         WHEN b.c_name IS DISTINCT FROM n.c_name
+        |           OR b.c_acctbal IS DISTINCT FROM n.c_acctbal
+        |           THEN 'changed' END AS change,
+        |    CASE WHEN b.c_custkey IS NULL OR n.c_custkey IS NULL
+        |         THEN CAST([] AS VARCHAR[])
+        |         ELSE list_filter([
+        |             CASE WHEN b.c_name IS DISTINCT FROM n.c_name
+        |                  THEN 'c_name' END,
+        |             CASE WHEN b.c_acctbal IS DISTINCT FROM n.c_acctbal
+        |                  THEN 'c_acctbal' END],
+        |           x -> x IS NOT NULL) END AS changed_cols
+        |  FROM b FULL OUTER JOIN n ON b.c_custkey = n.c_custkey)
+        |SELECT c_custkey, change, changed_cols FROM j
+        |WHERE change IS NOT NULL ORDER BY c_custkey""".stripMargin,
+
+    "q64_drift_psi" ->
+      """WITH r0 AS (SELECT value FROM events
+        |    WHERE user_id % 2 = 0 AND value IS NOT NULL),
+        |c0 AS (SELECT value FROM events
+        |    WHERE user_id % 2 = 1 AND value IS NOT NULL),
+        |q AS (SELECT quantile_cont(value,
+        |    [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS qs FROM r0),
+        |bd AS (SELECT list_transform(qs, x -> floor(x * 1e6 + 0.5) / 1e6)
+        |    AS bounds FROM q),
+        |rb AS (SELECT len(list_filter(bd.bounds, x -> x <= value))
+        |    AS bucket, count(*) AS ref_n
+        |  FROM r0 CROSS JOIN bd GROUP BY 1),
+        |cb AS (SELECT len(list_filter(bd.bounds, x -> x <= value))
+        |    AS bucket, count(*) AS cur_n
+        |  FROM c0 CROSS JOIN bd GROUP BY 1),
+        |j AS (SELECT coalesce(rb.bucket, cb.bucket) AS bucket,
+        |    coalesce(ref_n, 0) AS ref_n, coalesce(cur_n, 0) AS cur_n
+        |  FROM rb FULL OUTER JOIN cb ON rb.bucket = cb.bucket),
+        |t AS (SELECT sum(ref_n) AS rt, sum(cur_n) AS ct FROM j),
+        |s AS (SELECT bucket, ref_n, cur_n,
+        |    greatest(CAST(ref_n AS DOUBLE) / rt, 1e-6) AS rs,
+        |    greatest(CAST(cur_n AS DOUBLE) / ct, 1e-6) AS cs
+        |  FROM j CROSS JOIN t)
+        |SELECT CAST(bucket AS INT) AS bucket,
+        |  CAST(ref_n AS BIGINT) AS ref_n, CAST(cur_n AS BIGINT) AS cur_n,
+        |  floor(rs * 1e6 + 0.5) / 1e6 AS ref_share,
+        |  floor(cs * 1e6 + 0.5) / 1e6 AS cur_share,
+        |  floor((cs - rs) * ln(cs / rs) * 1e6 + 0.5) / 1e6 AS psi
+        |FROM s ORDER BY bucket""".stripMargin
   )
 
   private lazy val contaminationOracle: String =

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift monitoring — the check a pipeline runs between a
+  * reference window and the current batch before trusting a model or a
+  * downstream contract (the monitoring counterpart of the reference's V2/V3
+  * row-count monitors, extended from "did rows arrive" to "does the data
+  * still look like the data").
+  *
+  * PSI (population stability index) over shared equi-depth buckets: the
+  * boundaries come from the REFERENCE side only (one percentile sketch,
+  * O(buckets) driver state), so both frames are bucketed by the identical
+  * cutpoints and per-bucket shares are directly comparable. Each side then
+  * costs one codegen'd binary-search probe per row plus one mergeable
+  * grouped count — two map-side-combinable aggregations over the data, a
+  * full-outer join of two O(buckets) frames, and nothing else. At 100 TB
+  * neither frame is ever shuffled by value; only O(buckets) rows move.
+  */
+object Drift {
+
+  /** Per-bucket PSI contribution of `cur` vs `ref` on `valCol`.
+    *
+    * Output: `(bucket, ref_n, cur_n, ref_share, cur_share, psi)` — one row
+    * per bucket observed on either side, counts coalesced to 0, shares
+    * floored at `eps` before the log so an empty bucket contributes a
+    * large-but-finite term instead of ±∞ (the standard PSI smoothing).
+    * Sum `psi` for the headline index (common thresholds: < 0.1 stable,
+    * 0.1–0.25 moderate, > 0.25 major drift). Shares and `psi` are rounded
+    * to 6 decimals so the numbers are engine-stable.
+    *
+    * `exact = true` is the oracle-comparable setting for boundary
+    * computation; the default is the mergeable `approx_percentile` sketch.
+    */
+  def psi(
+      ref: DataFrame,
+      cur: DataFrame,
+      valCol: String,
+      buckets: Int = 10,
+      exact: Boolean = false,
+      eps: Double = 1e-6): DataFrame = {
+    require(eps > 0, s"psi: eps must be positive, got $eps")
+    val bounds = Profile.quantileBounds(ref, valCol, buckets, exact)
+
+    def bucketCounts(df: DataFrame, n: String) =
+      df.filter(col(valCol).isNotNull)
+        .withColumn("bucket",
+          graft.functions.SearchSorted(col(valCol).cast("double"), bounds))
+        .groupBy("bucket").agg(count(lit(1)).as(n))
+
+    def rnd6(c: org.apache.spark.sql.Column) =
+      floor(c * 1e6 + 0.5) / 1e6
+
+    val joined = bucketCounts(ref, "ref_n")
+      .join(bucketCounts(cur, "cur_n"), Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("ref_n", "cur_n"))
+    val totals = joined.agg(
+      sum("ref_n").as("ref_total"), sum("cur_n").as("cur_total"))
+    joined.crossJoin(broadcast(totals))
+      .withColumn("ref_share",
+        greatest(col("ref_n").cast("double") / col("ref_total"), lit(eps)))
+      .withColumn("cur_share",
+        greatest(col("cur_n").cast("double") / col("cur_total"), lit(eps)))
+      .select(col("bucket"), col("ref_n"), col("cur_n"),
+        rnd6(col("ref_share")).as("ref_share"),
+        rnd6(col("cur_share")).as("cur_share"),
+        rnd6((col("cur_share") - col("ref_share")) *
+          log(col("cur_share") / col("ref_share"))).as("psi"))
+  }
+}

@@ -137,14 +137,7 @@ object Profile {
       valCol: String,
       buckets: Int,
       exact: Boolean = false): DataFrame = {
-    require(buckets >= 2 && buckets <= 10000,
-      s"equiDepthHistogram: buckets out of 2..10000: $buckets")
-    val pct = if (exact) "percentile" else "approx_percentile"
-    val qlist = (1 until buckets).map(i => i.toDouble / buckets)
-      .mkString("array(", ", ", ")")
-    val bounds = df.agg(expr(s"$pct($valCol, $qlist)")).head()
-      .getSeq[Double](0)
-      .map(b => math.floor(b * 1e6 + 0.5) / 1e6)
+    val bounds = quantileBounds(df, valCol, buckets, exact)
     df.filter(col(valCol).isNotNull)
       .withColumn("bucket",
         graft.functions.SearchSorted(col(valCol).cast("double"), bounds))
@@ -152,6 +145,28 @@ object Profile {
       .agg(count(lit(1)).as("n_rows"),
         min(col(valCol)).as("min_v"),
         max(col(valCol)).as("max_v"))
+  }
+
+  /** Equi-depth bucket boundaries for `valCol`: the `buckets − 1` interior
+    * quantiles from ONE percentile aggregation, rounded to 6 decimals so
+    * bucket assignment is engine-reproducible. O(buckets) driver state —
+    * the same bounded-collect posture as the IVF codebook. Shared by
+    * [[equiDepthHistogram]] and [[Drift.psi]], which must bucket two
+    * different frames with the SAME boundaries to be comparable.
+    */
+  private[ops] def quantileBounds(
+      df: DataFrame,
+      valCol: String,
+      buckets: Int,
+      exact: Boolean): Seq[Double] = {
+    require(buckets >= 2 && buckets <= 10000,
+      s"quantileBounds: buckets out of 2..10000: $buckets")
+    val pct = if (exact) "percentile" else "approx_percentile"
+    val qlist = (1 until buckets).map(i => i.toDouble / buckets)
+      .mkString("array(", ", ", ")")
+    df.agg(expr(s"$pct($valCol, $qlist)")).head()
+      .getSeq[Double](0)
+      .map(b => math.floor(b * 1e6 + 0.5) / 1e6)
   }
 
   def robustOutliers(

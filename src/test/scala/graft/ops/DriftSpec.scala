@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df(vs: Seq[Double]) = vs.map(Tuple1(_)).toDF("v")
+
+  test("psi: identical distributions score ~0 in every bucket") {
+    val ref = df((1 to 1000).map(_.toDouble))
+    val out = Drift.psi(ref, ref, "v", buckets = 4, exact = true)
+      .orderBy("bucket").collect()
+    out.length shouldBe 4
+    out.foreach { r =>
+      r.getLong(1) shouldBe r.getLong(2)
+      r.getDouble(5) shouldBe 0.0 +- 1e-9
+    }
+  }
+
+  test("psi: shifted distribution drifts, sum flags it") {
+    val ref = df((1 to 1000).map(_.toDouble))
+    val cur = df((1 to 1000).map(_.toDouble + 500))
+    val rows = Drift.psi(ref, cur, "v", buckets = 4, exact = true).collect()
+    val total = rows.map(_.getDouble(5)).sum
+    total should be > 0.25 // "major drift" threshold
+    rows.foreach(_.getDouble(5) should be >= 0.0)
+  }
+
+  test("psi: empty bucket on one side stays finite via eps floor") {
+    val ref = df((1 to 100).map(_.toDouble))
+    val cur = df(Seq.fill(100)(1.0)) // all mass in bucket 0
+    val rows = Drift.psi(ref, cur, "v", buckets = 4, exact = true)
+      .orderBy("bucket").collect()
+    rows.length shouldBe 4
+    rows.foreach { r =>
+      assert(!r.getDouble(5).isInfinite && !r.getDouble(5).isNaN)
+    }
+    // empty cur buckets report cur_n = 0 and the eps share
+    rows.filter(_.getLong(2) == 0L).foreach(_.getDouble(4) shouldBe 1e-6)
+  }
+
+  test("psi: boundaries come from ref — cur outliers land in edge buckets") {
+    val ref = df((1 to 100).map(_.toDouble))
+    val cur = df(Seq(-1e9, 1e9))
+    val rows = Drift.psi(ref, cur, "v", buckets = 4, exact = true)
+      .filter(col("cur_n") > 0).orderBy("bucket").collect()
+    rows.map(_.getInt(0)) shouldBe Array(0, 3)
+  }
+
+  test("psi: data never shuffles by value — aggs then O(buckets) join") {
+    val ref = df((1 to 100).map(_.toDouble))
+    val plan = Drift.psi(ref, ref, "v", buckets = 4, exact = true)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian") || plan.contains("BroadcastNestedLoop"),
+      plan) // the totals crossJoin is a 1-row broadcast, never cartesian
+    assert(!plan.contains("SortMergeJoin") || plan.contains("FullOuter"), plan)
+  }
+}
