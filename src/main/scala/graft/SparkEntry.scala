@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Bpe, Clusters, Curation, Dedup, Keyword, Multimodal, Shingles, Similarity, TextAnalysis}
+import graft.ext.{Bpe, Clusters, Curation, Dedup, Fingerprint, Keyword, Multimodal, Shingles, Similarity, TextAnalysis}
 import graft.lake.ZOrder
 import graft.ops.{AsofJoin, Diff, Drift, Funnel, FuzzyJoin, Ids, Profile, RuntimeFilter, SkewJoin}
 import graft.pipeline.{Cdc, IncrementalAgg, Scd2}
@@ -1591,6 +1591,18 @@ object SparkEntry {
         ev.filter(col("user_id") % 2 === 1),
         "value", buckets = 8, exact = true)
         .orderBy("bucket")
+    }),
+
+    "q65_span_dedup" -> ((s, dir) => {
+      // substring-level dedup (ext.Fingerprint.spanCandidates): winnowing
+      // fingerprints (MOSS) — any shared 37-char span guarantees a shared
+      // fingerprint — then one equi-join on the 8-byte value. portable
+      // MD5₄₈ gram hashes are the oracle-reproducible (and persistable)
+      // form; XXH64 is the cheap job-internal mode (spec-proven same
+      // pairs).
+      Fingerprint.spanCandidates(rd(s, dir, "documents"), "doc_id", "text",
+        k = 30, w = 8, minShared = 3, maxDocsPerFp = 100)
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -2814,7 +2826,28 @@ object SparkEntry {
         |  floor(rs * 1e6 + 0.5) / 1e6 AS ref_share,
         |  floor(cs * 1e6 + 0.5) / 1e6 AS cur_share,
         |  floor((cs - rs) * ln(cs / rs) * 1e6 + 0.5) / 1e6 AS psi
-        |FROM s ORDER BY bucket""".stripMargin
+        |FROM s ORDER BY bucket""".stripMargin,
+
+    "q65_span_dedup" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+        |  WHERE text IS NOT NULL AND length(text) >= 1),
+        |pos AS (SELECT doc_id, n, i,
+        |    CAST('0x' || substr(md5(substr(text, CAST(i AS INT), 30)),
+        |      1, 12) AS BIGINT) AS h
+        |  FROM d, unnest(generate_series(1, greatest(n - 29, 1))) AS t(i)),
+        |wm AS (SELECT doc_id, n, i,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS f
+        |  FROM pos),
+        |fp AS (SELECT DISTINCT doc_id, f FROM wm
+        |  WHERE i <= greatest(greatest(n - 29, 1) - 7, 1)),
+        |ok AS (SELECT f FROM fp GROUP BY f HAVING count(*) <= 100),
+        |fk AS (SELECT fp.doc_id, fp.f FROM fp JOIN ok USING (f))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  count(*) AS n_shared
+        |FROM fk a JOIN fk b ON a.f = b.f AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY 1, 2""".stripMargin
   )
 
   private lazy val contaminationOracle: String =

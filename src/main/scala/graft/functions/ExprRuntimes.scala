@@ -260,6 +260,99 @@ object ExprRuntimes {
     new GenericArrayData(out)
   }
 
+  private final val WinnowSeed = 0x817e55edL
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, MOSS): hash every
+    * character `k`-gram, slide a window of `w` consecutive gram hashes,
+    * keep each window's MINIMUM hash, return the distinct kept values in
+    * first-window order. Any two documents sharing a substring of
+    * `k + w − 1` characters are guaranteed to share at least one
+    * fingerprint (every such run contains a full window on both sides),
+    * while only ~2/(w+1) of positions survive — the sampling that makes
+    * substring-level dedup joinable at corpus scale.
+    *
+    * Selection is by hash VALUE, not position, so the rightmost-vs-
+    * leftmost tie rule of the paper (needed there for match localization)
+    * is moot here: equal hashes in a window contribute one identical
+    * fingerprint either way, and the value-set is tie-free deterministic.
+    *
+    * One byte walk for char boundaries (same code-point arithmetic as
+    * `substr`), one hash per gram, then an O(nGrams) monotonic-deque
+    * window minimum — no O(n·w) rescan. Short documents (fewer than `k`
+    * chars) hash their full text as the single gram; fewer than `w` grams
+    * yields the min over all of them, so every non-empty document gets at
+    * least one fingerprint.
+    *
+    * `portable = true` hashes grams with the first 48 bits of MD5 — the
+    * cross-engine-reproducible form (DuckDB/any SQL: `CAST('0x' ||
+    * substr(md5(gram), 1, 12) AS BIGINT)`), the right choice when the
+    * fingerprint index is persisted and must outlive this engine.
+    * `portable = false` swaps in XXH64 for ~10× cheaper gram hashing when
+    * fingerprints stay internal to one job.
+    */
+  def winnowFingerprints(
+      text: UTF8String, k: Int, w: Int, portable: Boolean): ArrayData = {
+    val bytes = text.getBytes
+    var nChars = 0
+    var i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xC0) != 0x80) nChars += 1
+      i += 1
+    }
+    if (nChars == 0) return new GenericArrayData(Array.empty[Any])
+    val starts = new Array[Int](nChars + 1)
+    var c = 0
+    i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xC0) != 0x80) { starts(c) = i; c += 1 }
+      i += 1
+    }
+    starts(nChars) = bytes.length
+
+    val nGrams = math.max(nChars - k + 1, 1)
+    val h = new Array[Long](nGrams)
+    val digest =
+      if (portable) java.security.MessageDigest.getInstance("MD5") else null
+    var p = 0
+    while (p < nGrams) {
+      val from = starts(p)
+      val until = starts(math.min(p + k, nChars))
+      if (portable) {
+        digest.reset()
+        digest.update(bytes, from, until - from)
+        val d = digest.digest()
+        h(p) = ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
+          ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
+          ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+      } else {
+        h(p) = XXH64.hashUTF8String(
+          UTF8String.fromBytes(
+            java.util.Arrays.copyOfRange(bytes, from, until)), WinnowSeed)
+      }
+      p += 1
+    }
+
+    // sliding-window minimum via monotonic deque of indices
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val dq = new Array[Int](nGrams)
+    var head = 0
+    var tail = 0 // live indices in dq[head, tail)
+    var j = 0
+    while (j < nGrams) {
+      while (tail > head && h(dq(tail - 1)) >= h(j)) tail -= 1
+      dq(tail) = j
+      tail += 1
+      if (dq(head) < j - w + 1) head += 1
+      if (j >= w - 1 || j == nGrams - 1) seen.add(h(dq(head)))
+      j += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next().longValue(); o += 1 }
+    new GenericArrayData(out)
+  }
+
   private final val DeletionSeed = 0x6de1e7e5L
 
   /** Distinct 64-bit hashes of every variant of `text` with up to `d`

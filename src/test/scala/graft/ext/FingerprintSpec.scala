@@ -1,0 +1,134 @@
+package graft.ext
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.Winnow
+
+class FingerprintSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Independent reference: all k-gram MD5₄₈ hashes via String code-point
+    * slicing, O(n·w) window mins, distinct in first-window order.
+    */
+  private def reference(s: String, k: Int, w: Int): Seq[Long] = {
+    val cps = s.codePointCount(0, s.length)
+    if (cps == 0) return Seq.empty
+    val md = MessageDigest.getInstance("MD5")
+    def gram(i: Int): String = { // i is 0-based code-point index
+      val from = s.offsetByCodePoints(0, i)
+      val until = s.offsetByCodePoints(0, math.min(i + k, cps))
+      s.substring(from, until)
+    }
+    val nGrams = math.max(cps - k + 1, 1)
+    val h = (0 until nGrams).map { i =>
+      val d = md.digest(gram(i).getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
+        ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
+        ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+    }
+    val nWin = math.max(nGrams - w + 1, 1)
+    (0 until nWin).map(i => h.slice(i, i + w).min).distinct
+  }
+
+  private def run(texts: Seq[String], k: Int, w: Int,
+      portable: Boolean = true): Seq[Seq[Long]] =
+    texts.toDF("t")
+      .select(Winnow.fingerprints(col("t"), k, w, portable).as("f"))
+      .collect().map(_.getSeq[Long](0)).toSeq
+
+  test("kernel matches the O(n·w) reference, order included") {
+    val rng = new scala.util.Random(7)
+    val texts = Seq.tabulate(20)(i =>
+      rng.alphanumeric.take(5 + rng.nextInt(200)).mkString + i)
+    run(texts, k = 5, w = 4) shouldBe texts.map(reference(_, 5, 4))
+    run(texts, k = 12, w = 7) shouldBe texts.map(reference(_, 12, 7))
+  }
+
+  test("multi-byte text: gram boundaries are code points, kernel = reference") {
+    val texts = Seq("héllo wörld ünïcode déjà vu ré",
+      "日本語のテキストで指紋を計算する", "mixed ascii と 日本語 ügly")
+    run(texts, k = 4, w = 3) shouldBe texts.map(reference(_, 4, 3))
+  }
+
+  test("winnowing guarantee: a shared k+w-1 char span shares a fingerprint") {
+    val k = 5; val w = 4
+    val rng = new scala.util.Random(11)
+    val span = rng.alphanumeric.take(k + w - 1).mkString
+    (1 to 20).foreach { i =>
+      val a = rng.alphanumeric.take(50).mkString + span +
+        rng.alphanumeric.take(50).mkString
+      val b = rng.alphanumeric.take(70).mkString + span +
+        rng.alphanumeric.take(30).mkString
+      val Seq(fa, fb) = run(Seq(a, b), k, w)
+      assert(fa.toSet.intersect(fb.toSet).nonEmpty,
+        s"iteration $i: no shared fingerprint across a shared span")
+    }
+  }
+
+  test("density: ~2/(w+1) of grams survive on random text") {
+    val rng = new scala.util.Random(3)
+    val text = rng.alphanumeric.take(5000).mkString
+    val k = 8; val w = 9
+    val nGrams = 5000 - k + 1
+    val nFp = run(Seq(text), k, w).head.size
+    val expected = 2.0 / (w + 1) * nGrams
+    assert(nFp > expected * 0.5 && nFp < expected * 2.0,
+      s"$nFp fingerprints vs expected ~$expected")
+  }
+
+  test("short and empty documents") {
+    // shorter than k: whole text is the single gram -> one fingerprint
+    run(Seq("ab"), k = 30, w = 8).head.size shouldBe 1
+    // empty: none
+    run(Seq(""), k = 30, w = 8).head shouldBe Seq.empty
+    // fewer grams than w: min over all -> exactly one
+    run(Seq("abcdefgh"), k = 5, w = 8).head.size shouldBe 1
+    // null text -> null out (explode would drop it)
+    Seq[String](null).toDF("t")
+      .select(Winnow.fingerprints(col("t"), 30, 8).as("f"))
+      .collect().head.isNullAt(0) shouldBe true
+  }
+
+  test("portable=false (XXH64) pairs the same planted duplicates") {
+    val rng = new scala.util.Random(5)
+    val boiler = rng.alphanumeric.take(60).mkString
+    val docs = (1L to 4L).map(i =>
+      (i, rng.alphanumeric.take(100).mkString + boiler +
+        rng.alphanumeric.take(100).mkString)) ++
+      (5L to 8L).map(i => (i, rng.alphanumeric.take(260).mkString))
+    def pairs(portable: Boolean) =
+      Fingerprint.spanCandidates(docs.toDF("id", "t"), "id", "t",
+        k = 10, w = 5, minShared = 2, portable = portable)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = (for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)).toSet
+    pairs(portable = true) shouldBe expected
+    pairs(portable = false) shouldBe expected
+  }
+
+  test("maxDocsPerFp drops boilerplate-only pairs; minShared separates") {
+    val rng = new scala.util.Random(13)
+    val boiler = rng.alphanumeric.take(60).mkString
+    val docs = (1L to 5L).map(i =>
+      (i, rng.alphanumeric.take(80).mkString + boiler +
+        rng.alphanumeric.take(80).mkString))
+    val df = docs.toDF("id", "t")
+    // every fingerprint of the shared span is carried by all 5 docs;
+    // cap at 4 removes them all -> no pairs survive
+    Fingerprint.spanCandidates(df, "id", "t", k = 10, w = 5,
+      minShared = 1, maxDocsPerFp = 4).count() shouldBe 0L
+    // without the cap the clique is complete
+    Fingerprint.spanCandidates(df, "id", "t", k = 10, w = 5,
+      minShared = 1, maxDocsPerFp = 1000).count() shouldBe 10L
+  }
+
+  test("plan: candidates via equi-join, stop-list broadcast, no cartesian") {
+    val df = Seq((1L, "abcdefghijkl"), (2L, "zyxwvutsrqpo")).toDF("id", "t")
+    val plan = Fingerprint.spanCandidates(df, "id", "t")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan) // the anti stop-join
+  }
+}
