@@ -1603,6 +1603,31 @@ object SparkEntry {
       Fingerprint.spanCandidates(rd(s, dir, "documents"), "doc_id", "text",
         k = 30, w = 8, minShared = 3, maxDocsPerFp = 100)
         .orderBy("id_a", "id_b")
+    }),
+
+    "q66_sequence_assembly" -> ((s, dir) => {
+      // training-sequence assembly (ext.Curation.assembleSequences):
+      // per-user event history ordered by (formatted ts, event_id),
+      // truncated to 25, with the untruncated count kept. Timestamps ride
+      // as microsecond strings per the no-raw-timestamp convention.
+      Curation.assembleSequences(rd(s, dir, "events"), "user_id",
+        struct(
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+          col("event_id"), col("event_type")),
+        maxLen = 25)
+        .orderBy("user_id")
+    }),
+
+    "q67_temperature_mix" -> ((s, dir) => {
+      // temperature-flattened source mixture (ext.Curation
+      // .temperatureSample, the mT5 resampling rule at alpha=0.5):
+      // downsample-only per-source rates (n_i/n_min)^(alpha-1), kept rows
+      // decided by pure md5 hash arithmetic — the oracle re-derives the
+      // exact surviving row set.
+      Curation.temperatureSample(rd(s, dir, "documents"),
+        "doc_id", "source", alpha = 0.5, salt = "g67")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
     })
   )
 
@@ -2847,7 +2872,29 @@ object SparkEntry {
         |  count(*) AS n_shared
         |FROM fk a JOIN fk b ON a.f = b.f AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 3
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q66_sequence_assembly" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  list_slice(list({'ts': strftime(ts, '%Y-%m-%d %H:%M:%S.%f'),
+        |      'event_id': event_id, 'event_type': event_type}
+        |    ORDER BY strftime(ts, '%Y-%m-%d %H:%M:%S.%f'), event_id,
+        |      event_type), 1, 25) AS seq
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q67_temperature_mix" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents
+        |    GROUP BY source),
+        |m AS (SELECT min(n) AS nmin FROM c),
+        |r AS (SELECT source,
+        |    floor(pow(CAST(n AS DOUBLE) / nmin, -0.5) * 1e6 + 0.5) / 1e6
+        |      AS rate
+        |  FROM c CROSS JOIN m)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN r USING (source)
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'g67'),
+        |    1, 5) AS BIGINT) < CAST(floor(rate * 1048576) AS BIGINT)
+        |ORDER BY doc_id""".stripMargin
   )
 
   private lazy val contaminationOracle: String =

@@ -84,6 +84,67 @@ object Curation {
     df.filter(u * capWeight < w * 1048576L)
   }
 
+  /** Temperature-based mixture rebalancing (the mT5/XLM-R resampling
+    * rule): source `i` holding share `p_i` of the corpus is re-weighted to
+    * `p_i^alpha`, flattening the mixture as `alpha → 0` so low-resource
+    * sources stop drowning under the head domains. Realized purely by
+    * DOWNsampling — per-source keep rate `(n_i / n_min)^(alpha−1)`, which
+    * keeps the smallest source at 100% and thins every larger one so the
+    * surviving shares are proportional to `p_i^alpha` — no row is ever
+    * duplicated (upsampling is the trainer's job; an engine that silently
+    * repeats rows corrupts dedup guarantees downstream).
+    *
+    * Membership is a pure function of `(id, salt)` via the same
+    * md5-threshold rule as [[weightedSample]]: re-derivable bit-for-bit
+    * on any engine. Rates are rounded to 1e-6 (floor form) so the pow()
+    * is engine-stable. Plan: one O(sources) grouped count, rates
+    * broadcast back, then a projection + filter — the corpus itself
+    * never shuffles.
+    */
+  def temperatureSample(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      alpha: Double,
+      salt: String = ""): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha out of (0, 1]: $alpha")
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("_n"))
+    val nmin = counts.agg(min("_n").as("_nmin"))
+    val rates = counts.crossJoin(broadcast(nmin))
+      .select(col(sourceCol),
+        (floor(pow(col("_n").cast("double") / col("_nmin"), alpha - 1.0)
+          * 1e6 + 0.5) / 1e6).as("_rate"))
+    val u = conv(
+      substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 5),
+      16, 10).cast("long")
+    df.join(broadcast(rates), Seq(sourceCol))
+      .filter(u < floor(col("_rate") * 1048576L).cast("long"))
+      .drop("_rate")
+  }
+
+  /** Ordered per-entity event history, the training-sequence assembly
+    * step (conversation building, behavioral-sequence features): each
+    * key's events collected, sorted by the struct's leading fields, and
+    * truncated to the first `maxLen`. Output: `(key, n_events, seq)` with
+    * `n_events` the UNtruncated count, so downstream can tell "short
+    * history" from "clipped history".
+    *
+    * One shuffle on the key; per-key state is the entity's own history —
+    * the same boundedness contract as sessionization. Order fields must
+    * make the sort total (lead with a formatted timestamp, tie-break on a
+    * unique id) or the assembled sequence is nondeterministic.
+    */
+  def assembleSequences(
+      df: DataFrame,
+      keyCol: String,
+      event: Column,
+      maxLen: Int): DataFrame = {
+    require(maxLen >= 1, s"assembleSequences: maxLen must be >= 1: $maxLen")
+    df.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n_events"),
+      slice(array_sort(collect_list(event)), 1, maxLen).as("seq"))
+  }
+
   /** Deterministic negative sampling for contrastive training: `k`
     * pseudo-random partners per anchor, drawn uniformly from the corpus
     * by pure hash arithmetic — `neg_gid = md5₄₈(anchor:j:salt) mod N`,

@@ -203,4 +203,68 @@ class CurationSpec extends SparkSpec {
     a shouldBe b
     a should not be c
   }
+
+  test("temperatureSample: smallest source kept whole, shares flatten to p^alpha") {
+    import spark.implicits._
+    // 8000 "en", 2000 "de", 250 "sw" — a 32:8:1 imbalance
+    val df = ((1L to 8000L).map((_, "en")) ++
+      (8001L to 10000L).map((_, "de")) ++
+      (10001L to 10250L).map((_, "sw"))).toDF("id", "src")
+    val out = Curation.temperatureSample(df, "id", "src", alpha = 0.5)
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    // rate_i = (n_i/n_min)^(-0.5): sw 1.0, de 1/sqrt(8), en 1/sqrt(32)
+    out("sw") shouldBe 250L // rate 1 keeps every row
+    out("de").toDouble shouldBe (2000 / math.sqrt(8)) +- 80.0
+    out("en").toDouble shouldBe (8000 / math.sqrt(32)) +- 120.0
+    // surviving shares are ~proportional to sqrt(n): 2*sqrt(2) : sqrt(2)*2...
+    val exp = Map("en" -> math.sqrt(8000.0), "de" -> math.sqrt(2000.0),
+      "sw" -> math.sqrt(250.0))
+    val scale = out("sw") / exp("sw")
+    Seq("en", "de").foreach { s =>
+      (out(s) / exp(s)) shouldBe scale +- scale * 0.15
+    }
+  }
+
+  test("temperatureSample: alpha=1 keeps everything; deterministic by salt") {
+    import spark.implicits._
+    val df = ((1L to 900L).map((_, "a")) ++ (901L to 1000L).map((_, "b")))
+      .toDF("id", "src")
+    Curation.temperatureSample(df, "id", "src", alpha = 1.0)
+      .count() shouldBe 1000L
+    val a = Curation.temperatureSample(df, "id", "src", 0.3, salt = "x")
+      .select("id").as[Long].collect().toSet
+    val b = Curation.temperatureSample(df, "id", "src", 0.3, salt = "x")
+      .select("id").as[Long].collect().toSet
+    a shouldBe b
+    a should not be Curation.temperatureSample(df, "id", "src", 0.3,
+      salt = "y").select("id").as[Long].collect().toSet
+  }
+
+  test("temperatureSample: corpus never shuffles — broadcast rates only") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, if (i % 3 == 0) "a" else "b"))
+      .toDF("id", "src")
+    val plan = Curation.temperatureSample(df, "id", "src", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("assembleSequences: ordered, truncated, untruncated count kept") {
+    import spark.implicits._
+    val ev = Seq(
+      ("u1", "2024-01-01 00:00:03", 3L, "c"),
+      ("u1", "2024-01-01 00:00:01", 1L, "a"),
+      ("u1", "2024-01-01 00:00:02", 2L, "b"),
+      ("u2", "2024-01-01 00:00:09", 9L, "z"))
+      .toDF("u", "ts", "eid", "et")
+    val out = Curation.assembleSequences(ev, "u",
+      org.apache.spark.sql.functions.struct($"ts", $"eid", $"et"),
+      maxLen = 2).orderBy("u").collect()
+    out.map(_.getLong(1)) shouldBe Array(3L, 1L)
+    val seq1 = out(0).getSeq[org.apache.spark.sql.Row](2)
+    seq1.map(_.getLong(1)) shouldBe Seq(1L, 2L) // sorted, clipped at 2
+    out(1).getSeq[org.apache.spark.sql.Row](2).map(_.getLong(1)) shouldBe
+      Seq(9L)
+  }
 }
