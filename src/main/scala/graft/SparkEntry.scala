@@ -1628,6 +1628,30 @@ object SparkEntry {
         "doc_id", "source", alpha = 0.5, salt = "g67")
         .select("doc_id", "source")
         .orderBy("doc_id")
+    }),
+
+    "q68_orc_roundtrip" -> ((s, dir) => {
+      // ORC interchange (lake.StorageFormat.orcZstd via Spec
+      // .formatOverride): lineitem exported to ORC, read back, and
+      // aggregated — the oracle computes the same aggregate from the
+      // parquet original, so a pass proves export+import fidelity.
+      // Aggregates are order-free-exact (count, integral-valued sum,
+      // min/max), no fp-summation-order hazard.
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-orc-q68").toString
+      graft.lake.TableWriter.write(
+        rd(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_returnflag"), col("l_quantity"), col("l_extendedprice")),
+        graft.lake.TableWriter.Spec(graft.lake.Layer.Dw, s"$tmp/li",
+          formatOverride = Some(graft.lake.StorageFormat.orcZstd)))
+      s.read.orc(s"$tmp/li")
+        .filter(col("l_quantity") > 30)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")).as("sum_qty"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"))
+        .orderBy("l_returnflag")
     })
   )
 
@@ -2894,7 +2918,15 @@ object SparkEntry {
         |FROM documents d JOIN r USING (source)
         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'g67'),
         |    1, 5) AS BIGINT) < CAST(floor(rate * 1048576) AS BIGINT)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q68_orc_roundtrip" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  sum(l_quantity) AS sum_qty,
+        |  min(l_extendedprice) AS min_price,
+        |  max(l_extendedprice) AS max_price
+        |FROM lineitem WHERE l_quantity > 30
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 
   private lazy val contaminationOracle: String =

@@ -36,6 +36,19 @@ object StorageFormat {
   private val json = Format("json", Map.empty)
   private val parquetSnappy = Format("parquet", Map("compression" -> "snappy"))
 
+  /** Interchange formats for export to / import from external warehouse
+    * stacks whose native layout is not Parquet. Not part of any layer's
+    * policy — callers opt in per write via
+    * [[TableWriter.Spec.formatOverride]]. ORC is the Hive/Presto-lineage
+    * columnar twin (predicate pushdown and column pruning work the same
+    * way, so the 100 TB read-path properties survive the export); CSV is
+    * the lowest-common-denominator handoff, header-on, explicitly NOT a
+    * scale format (no pushdown, no types — scaladoc'd as edge-interchange
+    * only).
+    */
+  val orcZstd: Format = Format("orc", Map("compression" -> "zstd"))
+  val csvHeader: Format = Format("csv", Map("header" -> "true"))
+
   def forLayer(layer: Layer): Format = layer match {
     case Layer.Raw => json
     case _         => parquetSnappy

@@ -33,10 +33,18 @@ object TableWriter {
       maxRecordsPerFile: Long = DefaultMaxRecordsPerFile,
       onePartitionFilePerValue: Boolean = false,
       dynamicPartitionOverwrite: Boolean = false,
-      extraOptions: Map[String, String] = Map.empty)
+      extraOptions: Map[String, String] = Map.empty,
+      /** Interchange override (e.g. [[StorageFormat.orcZstd]]): replaces
+        * the layer's format policy for THIS write only — the export path
+        * to external warehouse stacks. None = layer policy.
+        */
+      formatOverride: Option[StorageFormat.Format] = None)
+
+  private def formatFor(spec: Spec): StorageFormat.Format =
+    spec.formatOverride.getOrElse(StorageFormat.forLayer(spec.layer))
 
   def write(df: DataFrame, spec: Spec): Unit = {
-    val fmt = StorageFormat.forLayer(spec.layer)
+    val fmt = formatFor(spec)
     val shaped =
       if (spec.onePartitionFilePerValue && spec.partitionBy.nonEmpty)
         df.optimizePartitionsByPartitionColumns(spec.partitionBy)
@@ -99,7 +107,7 @@ object TableWriter {
       table: String,
       spec: Spec,
       schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
-    val fmt = StorageFormat.forLayer(spec.layer)
+    val fmt = formatFor(spec)
     spark.sql(s"CREATE DATABASE IF NOT EXISTS `$database`")
     spark.sql(s"DROP TABLE IF EXISTS `$database`.`$table`")
     // Spark requires an explicit column list when PARTITIONED BY names
