@@ -256,6 +256,66 @@ object EventStream {
         col("e.item").as("item"), col("e.est").as("est"),
         col("e.err").as("err"))
 
+  /** Streaming distribution-drift monitor: the streaming twin of
+    * [[graft.ops.Drift.psi]] (q64). The reference profile — equi-depth
+    * bucket `bounds` and `refShares` from
+    * [[graft.ops.Drift.referenceProfile]] — is computed ONCE batch-side
+    * and rides into the stream as literals, so the monitor adds exactly
+    * one watermarked stateful aggregation: per tumbling window, ONE state
+    * row holding the total plus a count per (statically known) bucket.
+    * When the watermark finalizes a window it explodes into per-bucket
+    * rows carrying `cur_share`, the bucket's `psi` contribution, and the
+    * window's total `window_psi` (repeated per row for alert routing) —
+    * the same eps-floored, 6-decimal-rounded arithmetic as the batch
+    * monitor.
+    *
+    * State per window is O(buckets) longs regardless of event rate —
+    * the mergeable-summary property that makes the batch plan scale is
+    * exactly what makes it streamable.
+    */
+  def driftStream(
+      events: DataFrame,
+      tsCol: String,
+      valCol: String,
+      bounds: Seq[Double],
+      refShares: Seq[Double],
+      window: String = "10 minutes",
+      lateness: String = "10 minutes",
+      eps: Double = 1e-6): DataFrame = {
+    require(refShares.size == bounds.size + 1,
+      s"refShares size ${refShares.size} must be bounds size + 1")
+    require(eps > 0, s"eps must be positive, got $eps")
+    val nb = refShares.size
+    def rnd6(c: Column) = floor(c * 1e6 + 0.5) / 1e6
+    val counts = (0 until nb).map(i =>
+      sum(when(col("_bucket") === i, 1L).otherwise(0L)).as(s"_n$i"))
+    val perBucket = (0 until nb).map { i =>
+      val curShare = greatest(
+        col(s"_n$i").cast("double") / col("_total"), lit(eps))
+      val refShare = lit(math.max(refShares(i), eps))
+      struct(lit(i).as("bucket"), col(s"_n$i").as("cur_n"),
+        rnd6(curShare).as("cur_share"),
+        rnd6((curShare - refShare) * log(curShare / refShare)).as("psi"))
+    }
+    events
+      .withWatermark(tsCol, lateness)
+      .filter(col(valCol).isNotNull)
+      .withColumn("_bucket", graft.functions.SearchSorted(
+        col(valCol).cast("double"), bounds))
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window))
+      .agg(count(lit(1)).as("_total"), counts: _*)
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("_total").as("n_events"),
+        explode(array(perBucket: _*)).as("b"),
+        rnd6(perBucket.map(p => p.getField("psi")).reduce(_ + _))
+          .as("window_psi"))
+      .select(col("window_start"), col("window_end"), col("n_events"),
+        col("b.bucket").as("bucket"), col("b.cur_n").as("cur_n"),
+        col("b.cur_share").as("cur_share"), col("b.psi").as("psi"),
+        col("window_psi"))
+  }
+
   /** Streaming funnel: the streaming twin of [[graft.ops.Funnel]] (q55).
     * Per-user state is the stage chain reached so far — O(stages) longs,
     * nothing else — advanced by the same greedy walk as the batch fold

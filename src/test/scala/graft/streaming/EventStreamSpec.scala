@@ -375,4 +375,45 @@ class EventStreamSpec extends SparkSpec {
         Seq((ts(1), ts(3)), (ts(5), ts(6)))
     } finally q.stop()
   }
+
+  test("driftStream: stable window scores ~0, shifted window alarms") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // reference: uniform 1..100, 4 equi-depth buckets (share 0.25 each)
+    val ref = (1 to 100).map(v => Tuple1(v.toDouble)).toDF("value")
+    val (bounds, shares) =
+      graft.ops.Drift.referenceProfile(ref, "value", buckets = 4,
+        exact = true)
+    bounds.size shouldBe 3
+    shares shouldBe Seq(0.25, 0.25, 0.25, 0.25)
+
+    val input = MemoryStream[(Timestamp, Double)]
+    val out = EventStream.driftStream(
+      input.toDF().toDF("ts", "value"), "ts", "value", bounds, shares)
+    val q = out.writeStream.format("memory").queryName("drift")
+      .outputMode("append").start()
+    try {
+      // window 10:00 matches the reference: one event per bucket
+      input.addData((ts(1), 10.0), (ts(2), 30.0), (ts(3), 60.0),
+        (ts(4), 90.0))
+      // window 10:10 is collapsed onto bucket 0
+      input.addData((ts(11), 5.0), (ts(12), 6.0), (ts(13), 7.0),
+        (ts(14), 8.0))
+      q.processAllAvailable()
+      input.addData((ts(45), 50.0)) // advance watermark, finalize both
+      q.processAllAvailable()
+      val rows = spark.table("drift")
+        .select("window_start", "bucket", "cur_n", "psi", "window_psi")
+        .as[(Timestamp, Int, Long, Double, Double)].collect()
+      val w1 = rows.filter(_._1 == Timestamp.valueOf("2024-03-01 10:00:00"))
+      val w2 = rows.filter(_._1 == Timestamp.valueOf("2024-03-01 10:10:00"))
+      w1.map(_._2).sorted shouldBe Array(0, 1, 2, 3)
+      w1.foreach { r => r._3 shouldBe 1L; r._4 shouldBe 0.0 +- 1e-9 }
+      w1.head._5 shouldBe 0.0 +- 1e-9
+      // shifted window: bucket 0 holds all 4 events, psi alarms
+      w2.find(_._2 == 0).get._3 shouldBe 4L
+      w2.head._5 should be > 0.25
+      w2.foreach(r => assert(!r._5.isNaN && !r._5.isInfinite))
+    } finally q.stop()
+  }
 }
