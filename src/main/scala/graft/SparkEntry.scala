@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ext.{Bpe, Clusters, Curation, Dedup, Fingerprint, Keyword, Multimodal, Shingles, Similarity, TextAnalysis}
 import graft.lake.ZOrder
-import graft.ops.{AsofJoin, Diff, Drift, Funnel, FuzzyJoin, Ids, Profile, RuntimeFilter, SkewJoin}
+import graft.ops.{AsofJoin, Diff, Drift, Funnel, FuzzyJoin, Ids, Profile, Resample, RuntimeFilter, SkewJoin}
 import graft.pipeline.{Cdc, IncrementalAgg, Scd2}
 import graft.ops.ColumnOps._
 import graft.ops.JsonOps._
@@ -1652,6 +1652,18 @@ object SparkEntry {
           min(col("l_extendedprice")).as("min_price"),
           max(col("l_extendedprice")).as("max_price"))
         .orderBy("l_returnflag")
+    }),
+
+    "q70_resample_fill" -> ((s, dir) => {
+      // fixed-grid resampling with forward fill (ops.Resample
+      // .resampleLastFill): 6-hour slots per user, slot value = last
+      // event's value (ts then event_id tie-break via one struct-max — no
+      // window sort over the events), gaps carried forward. Timestamps
+      // order identically as native values in both engines and never
+      // reach the output (slots are epoch-second longs).
+      Resample.resampleLastFill(rd(s, dir, "events"), "user_id", "ts",
+        "value", "event_id", stepSeconds = 21600L)
+        .orderBy("user_id", "slot")
     })
   )
 
@@ -2926,7 +2938,29 @@ object SparkEntry {
         |  min(l_extendedprice) AS min_price,
         |  max(l_extendedprice) AS max_price
         |FROM lineitem WHERE l_quantity > 30
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q70_resample_fill" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(floor(epoch(ts) / 21600) AS BIGINT) * 21600 AS slot,
+        |    {'ts': ts, 'eid': event_id, 'v': value} AS s
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |ps AS (SELECT user_id, slot, max(s)['v'] AS v_last,
+        |    count(*) AS n FROM e GROUP BY 1, 2),
+        |sp AS (SELECT user_id, min(slot) AS t0, max(slot) AS t1
+        |  FROM ps GROUP BY 1),
+        |spine AS (SELECT user_id,
+        |    unnest(generate_series(t0, t1, 21600)) AS slot FROM sp),
+        |j AS (SELECT spine.user_id, spine.slot, ps.v_last,
+        |    coalesce(ps.n, 0) AS n_events
+        |  FROM spine LEFT JOIN ps
+        |  ON spine.user_id = ps.user_id AND spine.slot = ps.slot)
+        |SELECT user_id, slot,
+        |  last_value(v_last IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY slot ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW) AS value_filled,
+        |  CAST(n_events AS BIGINT) AS n_events
+        |FROM j ORDER BY user_id, slot""".stripMargin
   )
 
   private lazy val contaminationOracle: String =
