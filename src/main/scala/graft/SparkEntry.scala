@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ext.{Bpe, Clusters, Curation, Dedup, Fingerprint, Keyword, Multimodal, Shingles, Similarity, TextAnalysis}
 import graft.lake.ZOrder
-import graft.ops.{AsofJoin, Diff, Drift, Funnel, FuzzyJoin, Ids, Profile, Resample, RuntimeFilter, SkewJoin}
+import graft.ops.{AsofJoin, Diff, Drift, Funnel, FuzzyJoin, Ids, Profile, Resample, RuntimeFilter, SkewJoin, Sketches}
 import graft.pipeline.{Cdc, IncrementalAgg, Scd2}
 import graft.ops.ColumnOps._
 import graft.ops.JsonOps._
@@ -1664,6 +1664,26 @@ object SparkEntry {
       Resample.resampleLastFill(rd(s, dir, "events"), "user_id", "ts",
         "value", "event_id", stepSeconds = 21600L)
         .orderBy("user_id", "slot")
+    }),
+
+    "q69_sketch_segments" -> ((s, dir) => {
+      // mergeable distinct-count sketches (ops.Sketches): per-(source,
+      // lang) DataSketches HLL sketches rolled up to per-source estimates
+      // by sketch UNION — the persistable no-rescan rollup pattern. The
+      // estimate is engine-specific, so like the recall companions this
+      // emits a tolerance verdict the oracle can re-derive: sketch_ok = 1
+      // iff |est − exact| ≤ 5% of exact, per source.
+      val docs = rd(s, dir, "documents")
+      val est = Sketches.estimateDistinct(
+        Sketches.buildSegmentSketches(docs, Seq("source", "lang"), "doc_id"),
+        Seq("source"))
+      val exact = docs.groupBy("source")
+        .agg(count_distinct(col("doc_id")).as("_x"))
+      est.join(exact, "source")
+        .select(col("source"),
+          (abs(col("ndv_est") - col("_x")) <= col("_x") * 0.05)
+            .cast("int").as("sketch_ok"))
+        .orderBy("source")
     })
   )
 
@@ -2960,7 +2980,11 @@ object SparkEntry {
         |    ORDER BY slot ROWS BETWEEN UNBOUNDED PRECEDING AND
         |    CURRENT ROW) AS value_filled,
         |  CAST(n_events AS BIGINT) AS n_events
-        |FROM j ORDER BY user_id, slot""".stripMargin
+        |FROM j ORDER BY user_id, slot""".stripMargin,
+
+    "q69_sketch_segments" ->
+      """SELECT source, 1 AS sketch_ok FROM documents
+        |GROUP BY source ORDER BY source""".stripMargin
   )
 
   private lazy val contaminationOracle: String =
