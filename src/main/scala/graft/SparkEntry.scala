@@ -1684,6 +1684,33 @@ object SparkEntry {
           (abs(col("ndv_est") - col("_x")) <= col("_x") * 0.05)
             .cast("int").as("sketch_ok"))
         .orderBy("source")
+    }),
+
+    "q71_join_cardinality" -> ((s, dir) => {
+      // pre-flight join sizing (ops.Profile.joinCardinality): the EXACT
+      // inner-equi-join output count from two grouped counts plus the
+      // dominant key's share and a broadcast/salt/shuffle recommendation
+      // — derived from counts alone, so the oracle re-derives the whole
+      // row including the advice string.
+      Profile.joinCardinality(
+        rd(s, dir, "lineitem"),
+        rd(s, dir, "orders").withColumnRenamed("o_orderkey", "l_orderkey"),
+        "l_orderkey", broadcastRowThreshold = 1000)
+    }),
+
+    "t12_html_strip" -> ((s, dir) => {
+      // HTML -> text extraction (ext.TextAnalysis.stripHtml): documents
+      // wrapped in deterministic markup (script/style/comment blocks,
+      // attributes, entities), stripped by the cross-engine regex chain.
+      // The oracle replays the identical chain in DuckDB with 'g' flags.
+      rd(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.stripHtml(concat(
+          lit("<html><head><title>D</title><style>p{c:red}</style>" +
+            "<script>var a=\"<p>no</p>\";</script></head>" +
+            "<body><!-- x --><p class=\"t\">"),
+          col("text"),
+          lit("</p>&amp; &lt;tail&gt;<br/></body></html>"))).as("clean"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2984,7 +3011,62 @@ object SparkEntry {
 
     "q69_sketch_segments" ->
       """SELECT source, 1 AS sketch_ok FROM documents
-        |GROUP BY source ORDER BY source""".stripMargin
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q71_join_cardinality" ->
+      """WITH lc AS (SELECT l_orderkey AS k, count(*) AS n_l
+        |    FROM lineitem GROUP BY 1),
+        |rc AS (SELECT o_orderkey AS k, count(*) AS n_r
+        |    FROM orders GROUP BY 1),
+        |j AS (SELECT coalesce(lc.n_l, 0) AS n_l, coalesce(rc.n_r, 0) AS n_r
+        |  FROM lc FULL OUTER JOIN rc ON lc.k = rc.k),
+        |a AS (SELECT sum(n_l) AS n_left, sum(n_r) AS n_right,
+        |    count(*) FILTER (n_l > 0 AND n_r > 0) AS n_keys_matched,
+        |    sum(n_l * n_r) AS est_out_rows,
+        |    max(n_l * n_r) AS top_pair_rows FROM j)
+        |SELECT CAST(n_left AS BIGINT) AS n_left,
+        |  CAST(n_right AS BIGINT) AS n_right,
+        |  CAST(n_keys_matched AS BIGINT) AS n_keys_matched,
+        |  CAST(est_out_rows AS BIGINT) AS est_out_rows,
+        |  CAST(top_pair_rows AS BIGINT) AS top_pair_rows,
+        |  floor(CAST(top_pair_rows AS DOUBLE) / greatest(est_out_rows, 1)
+        |    * 1e6 + 0.5) / 1e6 AS top_share,
+        |  CASE WHEN n_right <= 1000 THEN 'broadcast_right'
+        |       WHEN CAST(top_pair_rows AS DOUBLE) >
+        |         greatest(est_out_rows, 1) * 0.2 THEN 'salt_skew'
+        |       ELSE 'shuffle' END AS advice
+        |FROM a""".stripMargin,
+
+    "t12_html_strip" ->
+      """WITH h AS (SELECT doc_id,
+        |    '<html><head><title>D</title><style>p{c:red}</style>' ||
+        |    '<script>var a="<p>no</p>";</script></head>' ||
+        |    '<body><!-- x --><p class="t">' || text ||
+        |    '</p>&amp; &lt;tail&gt;<br/></body></html>' AS t
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(t,
+        |    '(?is)<script\b.*?</script>', ' ', 'g') AS t FROM h),
+        |s2 AS (SELECT doc_id, regexp_replace(t,
+        |    '(?is)<style\b.*?</style>', ' ', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(t,
+        |    '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(t,
+        |    '<[^>]+>', ' ', 'g') AS t FROM s3),
+        |e1 AS (SELECT doc_id, regexp_replace(t, '&lt;', '<', 'g') AS t
+        |  FROM s4),
+        |e2 AS (SELECT doc_id, regexp_replace(t, '&gt;', '>', 'g') AS t
+        |  FROM e1),
+        |e3 AS (SELECT doc_id, regexp_replace(t, '&quot;', '"', 'g') AS t
+        |  FROM e2),
+        |e4 AS (SELECT doc_id, regexp_replace(t, '&#39;', '''', 'g') AS t
+        |  FROM e3),
+        |e5 AS (SELECT doc_id, regexp_replace(t, '&nbsp;', ' ', 'g') AS t
+        |  FROM e4),
+        |e6 AS (SELECT doc_id, regexp_replace(t, '&amp;', '&', 'g') AS t
+        |  FROM e5)
+        |SELECT doc_id, trim(regexp_replace(t, '[ \t\n\f\r]+', ' ', 'g'))
+        |  AS clean
+        |FROM e6 ORDER BY doc_id""".stripMargin
   )
 
   private lazy val contaminationOracle: String =

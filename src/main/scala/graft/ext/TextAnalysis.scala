@@ -34,6 +34,33 @@ object TextAnalysis {
         "[\\x00-\\x1F\\x7F]", " "),
       " +", " "))
 
+  /** HTML → text extraction, the first step of a web-corpus pipeline.
+    * Deliberately a pure `regexp_replace` chain over syntax Java regex and
+    * RE2 agree on (inline `(?is)` flags, non-greedy `.*?`, explicit
+    * classes — same cross-engine contract as the PII patterns), so it
+    * stays inside whole-stage codegen AND any SQL oracle can replicate it
+    * byte-for-byte. Order is part of the contract: script/style/comment
+    * BLOCKS go first (their content must vanish, not just their tags),
+    * then all remaining tags, then entity decodes with `&amp;` LAST (the
+    * standard order that cannot double-decode `&amp;lt;`), then
+    * whitespace collapse. This is the regex tier of extraction — a
+    * boilerplate-aware extractor (main-content detection) would sit above
+    * it as a scoring pass, but the tag strip itself is exactly this.
+    */
+  def stripHtml(text: Column): Column = {
+    val noScript = regexp_replace(text, "(?is)<script\\b.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style\\b.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) =>
+        regexp_replace(c, e, java.util.regex.Matcher.quoteReplacement(r)) }
+    // explicit whitespace class, not \s: Java and RE2 disagree on \x0B
+    // (see cleanText) and this chain must replay identically in SQL
+    trim(regexp_replace(ent, "[ \\t\\n\\f\\r]+", " "))
+  }
+
   /** PII patterns, deliberately restricted to syntax Java regex and RE2
     * agree on (no lookarounds, no backrefs; `\b` and explicit classes
     * only) so a DuckDB/Trino/etc. oracle can reproduce the scrub exactly.

@@ -147,6 +147,47 @@ object Profile {
         max(col(valCol)).as("max_v"))
   }
 
+  /** Pre-flight inner-equi-join cardinality: the EXACT output row count
+    * `Σ_k n_left(k) · n_right(k)` plus the dominant key's contribution and
+    * a plan recommendation — the stats pass that catches a join about to
+    * emit 10^13 rows BEFORE a cluster burns a day discovering it. Two
+    * mergeable grouped counts (nothing wider than the key shuffles), one
+    * key-level join of the two count tables, one final row.
+    *
+    * `advice`: `broadcast_right` when the right side fits
+    * `broadcastRowThreshold`, else `salt_skew` when one key contributes
+    * more than `skewShare` of the output, else `shuffle` — the three-way
+    * decision [[SkewJoin]]/`broadcast()` callers need, derived from
+    * counts alone so the oracle can re-derive it.
+    */
+  def joinCardinality(
+      left: DataFrame, right: DataFrame, key: String,
+      broadcastRowThreshold: Long = 1000000L,
+      skewShare: Double = 0.2): DataFrame = {
+    val lc = left.groupBy(col(key)).agg(count(lit(1)).as("n_l"))
+    val rc = right.groupBy(col(key)).agg(count(lit(1)).as("n_r"))
+    lc.join(rc, Seq(key), "full_outer")
+      .select(
+        coalesce(col("n_l"), lit(0L)).as("n_l"),
+        coalesce(col("n_r"), lit(0L)).as("n_r"))
+      .agg(
+        sum("n_l").as("n_left"),
+        sum("n_r").as("n_right"),
+        count(when(col("n_l") > 0 && col("n_r") > 0, 1)).as("n_keys_matched"),
+        sum(col("n_l") * col("n_r")).as("est_out_rows"),
+        max(col("n_l") * col("n_r")).as("top_pair_rows"))
+      .select(col("n_left"), col("n_right"), col("n_keys_matched"),
+        col("est_out_rows"), col("top_pair_rows"),
+        (floor(col("top_pair_rows").cast("double") /
+          greatest(col("est_out_rows"), lit(1L)) * 1e6 + 0.5) / 1e6)
+          .as("top_share"),
+        when(col("n_right") <= broadcastRowThreshold, lit("broadcast_right"))
+          .when(col("top_pair_rows").cast("double") >
+            greatest(col("est_out_rows"), lit(1L)) * skewShare,
+            lit("salt_skew"))
+          .otherwise(lit("shuffle")).as("advice"))
+  }
+
   /** Equi-depth bucket boundaries for `valCol`: the `buckets − 1` interior
     * quantiles from ONE percentile aggregation, rounded to 6 decimals so
     * bucket assignment is engine-reproducible. O(buckets) driver state —

@@ -132,4 +132,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(prof("es")._2 === 1L)
     assert(prof("en")._3 > 0L)
   }
+
+  test("stripHtml: blocks vanish, tags strip, entities decode, ws collapses") {
+    import spark.implicits._
+    val html =
+      """<html><head><title>Title</title>
+        |<style type="text/css">p { color: red }</style>
+        |<script>var x = "<p>not text</p>";</script></head>
+        |<body><!-- hidden --><h1 class="big">Head&nbsp;line</h1>
+        |<p>A &amp; B &lt;kept&gt; &quot;q&#39;s&quot;</p><br/>
+        |tail</body></html>""".stripMargin
+    val out = Seq(html).toDF("t")
+      .select(TextAnalysis.stripHtml($"t")).head().getString(0)
+    out shouldBe "Title Head line A & B <kept> \"q's\" tail"
+  }
+
+  test("stripHtml: double-encoded &amp;lt; decodes once, not twice") {
+    import spark.implicits._
+    Seq("x &amp;lt; y").toDF("t")
+      .select(TextAnalysis.stripHtml($"t")).head().getString(0) shouldBe
+      "x &lt; y"
+  }
+
+  test("stripHtml: plain text passes through unchanged (modulo ws)") {
+    import spark.implicits._
+    Seq("no  markup   here").toDF("t")
+      .select(TextAnalysis.stripHtml($"t")).head().getString(0) shouldBe
+      "no markup here"
+  }
 }

@@ -131,6 +131,29 @@ class ProfileSpec extends SparkSpec {
     case _ => }
   }
 
+  test("joinCardinality: exact inner-join output count and advice tiers") {
+    val left = (Seq.fill(50)("hot") ++ Seq("a", "b", "c")).toDF("k")
+    val right = (Seq.fill(40)("hot") ++ Seq("a", "a", "z")).toDF("k")
+    val r = Profile.joinCardinality(left, right, "k",
+      broadcastRowThreshold = 10).head()
+    r.getLong(0) shouldBe 53L // n_left
+    r.getLong(1) shouldBe 43L // n_right
+    r.getLong(2) shouldBe 2L  // keys matched: hot, a
+    // exact: 50*40 + 1*2 = 2002 — verified against the real join
+    r.getLong(3) shouldBe 2002L
+    left.join(right, "k").count() shouldBe 2002L
+    r.getLong(4) shouldBe 2000L
+    r.getString(6) shouldBe "salt_skew" // right too big to broadcast, hot dominates
+    // a small right side flips to broadcast regardless of skew
+    Profile.joinCardinality(left, right, "k",
+      broadcastRowThreshold = 1000).head().getString(6) shouldBe
+      "broadcast_right"
+    // no dominant key and no broadcast -> shuffle
+    val l2 = (1 to 100).map(i => s"k$i").toDF("k")
+    Profile.joinCardinality(l2, l2, "k", broadcastRowThreshold = 10)
+      .head().getString(6) shouldBe "shuffle"
+  }
+
   test("robustOutliers: groups are scored independently") {
     val data = (Seq.fill(9)(("a", 1.0)) ++ Seq(("a", 2.0)) ++
       (1 to 9).map(v => ("b", v.toDouble)) :+ (("b", 1000.0)))
