@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ext.{Bpe, Clusters, Curation, Dedup, Fingerprint, Keyword, Multimodal, Shingles, Similarity, TextAnalysis}
 import graft.lake.ZOrder
-import graft.ops.{AsofJoin, Diff, Drift, Funnel, FuzzyJoin, Ids, Profile, Resample, RuntimeFilter, SkewJoin, Sketches}
+import graft.ops.{AsofJoin, Diff, Drift, Funnel, FuzzyJoin, Hierarchy, Ids, Profile, Resample, RuntimeFilter, SkewJoin, Sketches}
 import graft.pipeline.{Cdc, IncrementalAgg, Scd2}
 import graft.ops.ColumnOps._
 import graft.ops.JsonOps._
@@ -1711,6 +1711,18 @@ object SparkEntry {
           col("text"),
           lit("</p>&amp; &lt;tail&gt;<br/></body></html>"))).as("clean"))
         .orderBy("doc_id")
+    }),
+
+    "q72_hierarchy" -> ((s, dir) => {
+      // hierarchy flattening by pointer doubling (ops.Hierarchy.flatten):
+      // a binary tree derived from customer keys (parent = key DIV 2)
+      // resolves every node to root/depth/path in O(log depth)
+      // self-joins; the oracle walks the same tree with a recursive CTE.
+      val h = rd(s, dir, "customer").select(
+        col("c_custkey").as("id"),
+        when(col("c_custkey") <= 1, lit(null))
+          .otherwise(expr("c_custkey DIV 2")).as("parent"))
+      Hierarchy.flatten(h, "id", "parent").orderBy("id")
     })
   )
 
@@ -3066,7 +3078,20 @@ object SparkEntry {
         |  FROM e5)
         |SELECT doc_id, trim(regexp_replace(t, '[ \t\n\f\r]+', ' ', 'g'))
         |  AS clean
-        |FROM e6 ORDER BY doc_id""".stripMargin
+        |FROM e6 ORDER BY doc_id""".stripMargin,
+
+    "q72_hierarchy" ->
+      """WITH RECURSIVE h AS (SELECT c_custkey AS id,
+        |    CASE WHEN c_custkey <= 1 THEN NULL
+        |         ELSE c_custkey // 2 END AS parent
+        |  FROM customer),
+        |r(id, root_id, depth, path) AS (
+        |  SELECT id, id, 0, [id] FROM h WHERE parent IS NULL
+        |  UNION ALL
+        |  SELECT h.id, r.root_id, r.depth + 1, list_append(r.path, h.id)
+        |  FROM h JOIN r ON h.parent = r.id)
+        |SELECT id, root_id, CAST(depth AS BIGINT) AS depth, path
+        |FROM r ORDER BY id""".stripMargin
   )
 
   private lazy val contaminationOracle: String =
