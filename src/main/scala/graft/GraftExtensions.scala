@@ -108,6 +108,25 @@ object GraftExtensions {
         "descending, est <= true <= est + err",
       "graft_heavy_hitters(item, capacity)") {
       case Seq(item, cap) => HeavyHitters(item, intArg(cap, "capacity"))
+    },
+    make("graft_winnow",
+      "winnowing (MOSS) fingerprints of a string: distinct sliding-" +
+        "window minima over char-k-gram hashes as array<bigint>; " +
+        "portable=true (default) = MD5-48 gram hashes reproducible by " +
+        "any engine, false = XXH64",
+      "graft_winnow(text, k, w[, portable])") {
+      case Seq(text, k, w) =>
+        WinnowFingerprints(text, intArg(k, "k"), intArg(w, "w"),
+          portable = true)
+      case Seq(text, k, w, p) =>
+        WinnowFingerprints(text, intArg(k, "k"), intArg(w, "w"),
+          boolArg(p, "portable"))
+    },
+    make("graft_deletion_hashes",
+      "FastSS deletion-neighborhood hashes (distinct bigints) of a " +
+        "string for edit-distance blocking, d in 1..2",
+      "graft_deletion_hashes(s, d)") {
+      case Seq(s, d) => DeletionHashes(s, intArg(d, "d"))
     })
 
   private def make(name: String, usage: String, example: String)(

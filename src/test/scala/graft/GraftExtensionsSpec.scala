@@ -70,4 +70,24 @@ class GraftExtensionsSpec extends SparkSpec {
       .head().getLong(0)
     assert(r.getLong(0) === viaApi)
   }
+
+  test("winnow and deletion-hash kernels are callable from SQL") {
+    GraftExtensions.install(spark)
+    import org.apache.spark.sql.functions.{col, lit}
+    val sql = spark.sql(
+      "SELECT graft_winnow('the quick brown fox jumps', 5, 4) AS w, " +
+        "graft_winnow('the quick brown fox jumps', 5, 4, false) AS wf, " +
+        "graft_deletion_hashes('abc', 1) AS d").head()
+    val api = spark.range(1).select(
+      graft.functions.Winnow.fingerprints(
+        lit("the quick brown fox jumps"), 5, 4).as("w"),
+      org.apache.spark.sql.GraftShim.column(
+        graft.functions.DeletionHashes(
+          org.apache.spark.sql.GraftShim.expression(lit("abc")), 1))
+        .as("d")).head()
+    sql.getSeq[Long](0) shouldBe api.getSeq[Long](0)
+    sql.getSeq[Long](2) shouldBe api.getSeq[Long](1)
+    // the XXH64 mode selects the same COUNT shape but different values
+    sql.getSeq[Long](1).nonEmpty shouldBe true
+  }
 }
