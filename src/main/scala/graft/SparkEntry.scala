@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ext.{Bpe, Clusters, Curation, Dedup, Fingerprint, Keyword, Multimodal, Shingles, Similarity, TextAnalysis}
 import graft.lake.ZOrder
-import graft.ops.{AsofJoin, Diff, Drift, Funnel, FuzzyJoin, Hierarchy, Ids, Profile, Resample, RuntimeFilter, SkewJoin, Sketches}
+import graft.ops.{AsofJoin, Diff, Drift, Funnel, FuzzyJoin, Hierarchy, Ids, Normalize, Profile, Resample, RuntimeFilter, SkewJoin, Sketches}
 import graft.pipeline.{Cdc, IncrementalAgg, Scd2}
 import graft.ops.ColumnOps._
 import graft.ops.JsonOps._
@@ -1723,6 +1723,45 @@ object SparkEntry {
         when(col("c_custkey") <= 1, lit(null))
           .otherwise(expr("c_custkey DIV 2")).as("parent"))
       Hierarchy.flatten(h, "id", "parent").orderBy("id")
+    }),
+
+    "q73_drift_ks" -> ((s, dir) => {
+      // KS drift statistic (ops.Drift.ks): worst CDF gap over the
+      // reference's equi-depth grid — complements q64's PSI (which
+      // weights every bucket) when drift is concentrated. Same two
+      // mergeable counts; the cum/max windows run over O(buckets) rows.
+      val ev = rd(s, dir, "events")
+      Drift.ks(
+        ev.filter(col("user_id") % 2 === 0),
+        ev.filter(col("user_id") % 2 === 1),
+        "value", buckets = 8, exact = true)
+        .orderBy("bucket")
+    }),
+
+    "q74_winsorize" -> ((s, dir) => {
+      // per-group winsorization (ops.Normalize.winsorize): one grouped
+      // percentile agg, O(groups) bounds broadcast back, clip as a pure
+      // projection — data shuffles zero times. exact=true is the oracle
+      // regime; untouched values pass through bit-exact.
+      Normalize.winsorize(rd(s, dir, "events"), Seq("event_type"),
+        "value", lo = 0.05, hi = 0.95, exact = true)
+        .select("event_id", "event_type", "value", "p_lo", "p_hi",
+          "value_w")
+        .orderBy("event_id")
+    }),
+
+    "t13_url_canonical" -> ((s, dir) => {
+      // canonical URL keys (ext.TextAnalysis.canonicalizeUrl): scheme +
+      // host lowercased, default port stripped, fragment dropped,
+      // tracking params removed, survivors sorted — the oracle derives
+      // the expected canonical form independently instead of replaying
+      // the regex chain.
+      rd(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.canonicalizeUrl(concat(
+          lit("HTTPS://WWW.Example.COM:443/"), col("source"),
+          lit("/Doc/"), col("doc_id").cast("string"),
+          lit("/?utm_source=feed&z=2&ref=x&a=1#sec"))).as("url"))
+        .orderBy("doc_id")
     })
   )
 
@@ -3091,7 +3130,59 @@ object SparkEntry {
         |  SELECT h.id, r.root_id, r.depth + 1, list_append(r.path, h.id)
         |  FROM h JOIN r ON h.parent = r.id)
         |SELECT id, root_id, CAST(depth AS BIGINT) AS depth, path
-        |FROM r ORDER BY id""".stripMargin
+        |FROM r ORDER BY id""".stripMargin,
+
+    "q73_drift_ks" ->
+      """WITH r0 AS (SELECT value FROM events
+        |    WHERE user_id % 2 = 0 AND value IS NOT NULL),
+        |c0 AS (SELECT value FROM events
+        |    WHERE user_id % 2 = 1 AND value IS NOT NULL),
+        |q AS (SELECT quantile_cont(value,
+        |    [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS qs FROM r0),
+        |bd AS (SELECT list_transform(qs, x -> floor(x * 1e6 + 0.5) / 1e6)
+        |    AS bounds FROM q),
+        |rb AS (SELECT len(list_filter(bd.bounds, x -> x <= value))
+        |    AS bucket, count(*) AS ref_n
+        |  FROM r0 CROSS JOIN bd GROUP BY 1),
+        |cb AS (SELECT len(list_filter(bd.bounds, x -> x <= value))
+        |    AS bucket, count(*) AS cur_n
+        |  FROM c0 CROSS JOIN bd GROUP BY 1),
+        |j AS (SELECT coalesce(rb.bucket, cb.bucket) AS bucket,
+        |    coalesce(ref_n, 0) AS ref_n, coalesce(cur_n, 0) AS cur_n
+        |  FROM rb FULL OUTER JOIN cb ON rb.bucket = cb.bucket),
+        |t AS (SELECT sum(ref_n) AS rt, sum(cur_n) AS ct FROM j),
+        |c1 AS (SELECT bucket, ref_n, cur_n,
+        |    floor(CAST(sum(ref_n) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS DOUBLE) / rt * 1e6 + 0.5) / 1e6 AS ref_cum,
+        |    floor(CAST(sum(cur_n) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS DOUBLE) / ct * 1e6 + 0.5) / 1e6 AS cur_cum
+        |  FROM j CROSS JOIN t),
+        |c2 AS (SELECT *, floor(abs(ref_cum - cur_cum) * 1e6 + 0.5) / 1e6
+        |    AS cdf_gap FROM c1)
+        |SELECT CAST(bucket AS INT) AS bucket,
+        |  CAST(ref_n AS BIGINT) AS ref_n, CAST(cur_n AS BIGINT) AS cur_n,
+        |  ref_cum, cur_cum, cdf_gap, max(cdf_gap) OVER () AS ks
+        |FROM c2 ORDER BY bucket""".stripMargin,
+
+    "q74_winsorize" ->
+      """WITH b AS (SELECT event_type,
+        |    floor(quantile_cont(value, 0.05) * 1e6 + 0.5) / 1e6 AS p_lo,
+        |    floor(quantile_cont(value, 0.95) * 1e6 + 0.5) / 1e6 AS p_hi
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, e.value, b.p_lo, b.p_hi,
+        |  CASE WHEN e.value < b.p_lo THEN b.p_lo
+        |       WHEN e.value > b.p_hi THEN b.p_hi
+        |       ELSE e.value END AS value_w
+        |FROM events e JOIN b USING (event_type)
+        |ORDER BY event_id""".stripMargin,
+
+    "t13_url_canonical" ->
+      """SELECT doc_id,
+        |  'https://www.example.com/' || source || '/Doc/' ||
+        |  CAST(doc_id AS VARCHAR) || '?a=1&z=2' AS url
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 
   private lazy val contaminationOracle: String =

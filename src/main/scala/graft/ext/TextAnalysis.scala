@@ -61,6 +61,41 @@ object TextAnalysis {
     trim(regexp_replace(ent, "[ \\t\\n\\f\\r]+", " "))
   }
 
+  /** Canonical URL form for web-corpus dedup and crawl-frontier keys:
+    * fragment dropped, scheme + host lowercased, default ports stripped
+    * (`:80` http / `:443` https), trailing path slashes removed (path
+    * CASE is preserved — paths are case-sensitive), tracking parameters
+    * dropped (`utm_*`, `gclid`, `fbclid`, `ref`, `mc_cid`, `mc_eid`),
+    * surviving query params SORTED so `?b=2&a=1` and `?a=1&b=2` collide.
+    * Two URLs that differ only in tracking noise then hash identically —
+    * the key [[Dedup.exactDuplicates]] or a crawl frontier dedups on.
+    *
+    * Pure regexp/array built-ins (codegen'd, no UDF) over syntax Java
+    * regex and RE2 agree on, same cross-engine contract as the PII
+    * chain. Input without a `scheme://` passes through trimmed —
+    * relative URLs have no canonical absolute form.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(trim(url), "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([^:/?#]+)://", 1))
+    val rem = regexp_replace(noFrag, "^[^:/?#]+://", "")
+    val hostport = lower(regexp_extract(rem, "^([^/?#]*)", 1))
+    val host = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val pathq = rem.substr(length(hostport) + 1, lit(1000000))
+    val path = regexp_replace(regexp_extract(pathq, "^([^?]*)", 1), "/+$", "")
+    val query = regexp_extract(pathq, "^[^?]*\\?(.*)$", 1)
+    val kept = filter(split(query, "&"), p =>
+      (length(p) > 0) && !p.startsWith("utm_") &&
+        !p.rlike("^(gclid|fbclid|ref|mc_cid|mc_eid)="))
+    val q = when(size(kept) > 0,
+      concat(lit("?"), array_join(array_sort(kept), "&")))
+      .otherwise(lit(""))
+    when(scheme === "", trim(url))
+      .otherwise(concat(scheme, lit("://"), host, path, q))
+  }
+
   /** PII patterns, deliberately restricted to syntax Java regex and RE2
     * agree on (no lookarounds, no backrefs; `\b` and explicit classes
     * only) so a DuckDB/Trino/etc. oracle can reproduce the scrub exactly.

@@ -59,6 +59,64 @@ object Drift {
     (bounds, shares)
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic over the same equi-depth
+    * bucket grid as [[psi]]: `ks = max |CDF_ref − CDF_cur|` evaluated at
+    * the bucket boundaries. PSI weights every bucket's divergence; KS
+    * reports the single worst CDF gap — the two standard monitors
+    * disagree exactly when drift is concentrated, so pipelines run both.
+    * Granularity is the bucket grid (`buckets` boundaries), which is the
+    * scale-honest version: the exact KS over raw values needs a full
+    * sort of both sides, while this needs the same two mergeable grouped
+    * counts as [[psi]] plus a window over O(buckets) rows (bounded
+    * driver-scale data, same posture as `Curation`'s partition-carry
+    * window).
+    *
+    * Output: per-bucket `(bucket, ref_n, cur_n, ref_cum, cur_cum,
+    * cdf_gap)` plus the max gap as `ks` repeated per row for alert
+    * routing; all shares rounded to 6 decimals.
+    */
+  def ks(
+      ref: DataFrame,
+      cur: DataFrame,
+      valCol: String,
+      buckets: Int = 10,
+      exact: Boolean = false): DataFrame = {
+    val bounds = Profile.quantileBounds(ref, valCol, buckets, exact)
+
+    def bucketCounts(df: DataFrame, n: String) =
+      df.filter(col(valCol).isNotNull)
+        .withColumn("bucket",
+          graft.functions.SearchSorted(col(valCol).cast("double"), bounds))
+        .groupBy("bucket").agg(count(lit(1)).as(n))
+
+    def rnd6(c: org.apache.spark.sql.Column) =
+      floor(c * 1e6 + 0.5) / 1e6
+
+    val joined = bucketCounts(ref, "ref_n")
+      .join(bucketCounts(cur, "cur_n"), Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("ref_n", "cur_n"))
+    val totals = joined.agg(
+      sum("ref_n").as("ref_total"), sum("cur_n").as("cur_total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val cum = joined.crossJoin(broadcast(totals))
+      .withColumn("ref_cum", rnd6(
+        sum("ref_n").over(w).cast("double") / col("ref_total")))
+      .withColumn("cur_cum", rnd6(
+        sum("cur_n").over(w).cast("double") / col("cur_total")))
+      .withColumn("cdf_gap", rnd6(abs(col("ref_cum") - col("cur_cum"))))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy("bucket")
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    cum.withColumn("ks", max("cdf_gap").over(wAll))
+      .select(col("bucket"), col("ref_n"), col("cur_n"),
+        col("ref_cum"), col("cur_cum"), col("cdf_gap"), col("ks"))
+  }
+
   def psi(
       ref: DataFrame,
       cur: DataFrame,

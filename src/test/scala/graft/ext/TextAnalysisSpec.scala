@@ -160,4 +160,23 @@ class TextAnalysisSpec extends SparkSpec {
       .select(TextAnalysis.stripHtml($"t")).head().getString(0) shouldBe
       "no markup here"
   }
+
+  test("canonicalizeUrl: full normalization, tracking dropped, params sorted") {
+    import spark.implicits._
+    def canon(u: String): String = Seq(u).toDF("u")
+      .select(TextAnalysis.canonicalizeUrl($"u")).head().getString(0)
+    canon("HTTPS://WWW.Example.COM:443/Path/Sub/?utm_source=x&z=2" +
+      "&ref=abc&a=1#frag") shouldBe
+      "https://www.example.com/Path/Sub?a=1&z=2"
+    // http default port, no query, trailing slashes, case-preserved path
+    canon("HTTP://Host.com:80/A/B///") shouldBe "http://host.com/A/B"
+    // only tracking params -> no query at all
+    canon("https://h.co/p?utm_a=1&gclid=2&fbclid=3") shouldBe
+      "https://h.co/p"
+    // non-default port survives; param order collides to one form
+    canon("https://h.co:8443/p?b=2&a=1") shouldBe
+      canon("https://h.co:8443/p?a=1&b=2")
+    // schemeless input passes through trimmed (no canonical form)
+    canon("  relative/path?x=1 ") shouldBe "relative/path?x=1"
+  }
 }

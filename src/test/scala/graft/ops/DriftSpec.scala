@@ -50,6 +50,30 @@ class DriftSpec extends SparkSpec {
     rows.map(_.getInt(0)) shouldBe Array(0, 3)
   }
 
+  test("ks: identical distributions gap 0, CDFs end at 1") {
+    val ref = df((1 to 1000).map(_.toDouble))
+    val rows = Drift.ks(ref, ref, "v", buckets = 4, exact = true)
+      .orderBy("bucket").collect()
+    rows.length shouldBe 4
+    rows.foreach { r =>
+      r.getDouble(3) shouldBe r.getDouble(4)
+      r.getDouble(5) shouldBe 0.0
+      r.getDouble(6) shouldBe 0.0
+    }
+    rows.last.getDouble(3) shouldBe 1.0
+  }
+
+  test("ks: a location shift shows up as the worst CDF gap") {
+    val ref = df((1 to 1000).map(_.toDouble))
+    val cur = df((1 to 1000).map(_.toDouble + 500))
+    val rows = Drift.ks(ref, cur, "v", buckets = 4, exact = true).collect()
+    val ks = rows.head.getDouble(6)
+    ks should be >= 0.4
+    rows.foreach(_.getDouble(6) shouldBe ks) // repeated per row
+    // the max gap is attained by some bucket's cdf_gap
+    rows.map(_.getDouble(5)).max shouldBe ks
+  }
+
   test("psi: data never shuffles by value — aggs then O(buckets) join") {
     val ref = df((1 to 100).map(_.toDouble))
     val plan = Drift.psi(ref, ref, "v", buckets = 4, exact = true)
