@@ -1762,6 +1762,17 @@ object SparkEntry {
           lit("/Doc/"), col("doc_id").cast("string"),
           lit("/?utm_source=feed&z=2&ref=x&a=1#sec"))).as("url"))
         .orderBy("doc_id")
+    }),
+
+    "q75_split_assign" -> ((s, dir) => {
+      // deterministic train/val/test assignment (ext.Curation
+      // .assignSplit): disjoint exhaustive hex-threshold partition,
+      // stable under corpus growth; the oracle re-derives every label
+      // from the same md5 prefix and cumulative thresholds.
+      Curation.assignSplit(rd(s, dir, "documents"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "g75")
+        .select("doc_id", "split")
+        .orderBy("doc_id")
     })
   )
 
@@ -3182,6 +3193,15 @@ object SparkEntry {
       """SELECT doc_id,
         |  'https://www.example.com/' || source || '/Doc/' ||
         |  CAST(doc_id AS VARCHAR) || '?a=1&z=2' AS url
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q75_split_assign" ->
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'g75'), 1, 8)
+        |         < 'cccccccd' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'g75'), 1, 8)
+        |         < 'e6666667' THEN 'val'
+        |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 

@@ -84,6 +84,40 @@ object Curation {
     df.filter(u * capWeight < w * 1048576L)
   }
 
+  /** Deterministic multi-way split assignment (train/val/test): every row
+    * gets a `split` label decided by where its `md5(id || salt)` prefix
+    * falls among the cumulative weight thresholds — the same
+    * string-comparable hex arithmetic as [[stratifiedSample]], so the
+    * partition is disjoint, exhaustive, re-derivable bit-for-bit on any
+    * engine, and STABLE as the corpus grows (a row's split never changes
+    * when other rows arrive — the property random splits lack).
+    *
+    * Pass a GROUP key as `idCol` (domain, author, dedup-cluster
+    * canonical id) to put whole groups on one side of the split — the
+    * standard leakage guard: near-duplicate documents of one page must
+    * not straddle train and test. A pure projection; no shuffle.
+    */
+  def assignSplit(
+      df: DataFrame,
+      idCol: String,
+      splits: Seq[(String, Double)],
+      salt: String = ""): DataFrame = {
+    require(splits.size >= 2, "assignSplit: need at least two splits")
+    require(splits.forall(_._2 > 0), s"assignSplit: non-positive weight")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9,
+      s"assignSplit: weights sum to $total, expected 1.0")
+    val u = substring(
+      md5(concat(col(idCol).cast("string"), lit(salt))), 1, 8)
+    val cums = splits.init
+      .scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
+    val chain = splits.init.zip(cums).tail.foldLeft(
+      when(u < keepThresholdHex(cums.head), splits.head._1)) {
+      case (acc, ((name, _), c)) => acc.when(u < keepThresholdHex(c), name)
+    }
+    df.withColumn("split", chain.otherwise(splits.last._1))
+  }
+
   /** Temperature-based mixture rebalancing (the mT5/XLM-R resampling
     * rule): source `i` holding share `p_i` of the corpus is re-weighted to
     * `p_i^alpha`, flattening the mixture as `alpha → 0` so low-resource

@@ -250,6 +250,35 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("assignSplit: disjoint, exhaustive, near-target shares, stable") {
+    import spark.implicits._
+    val df = (1L to 10000L).map(Tuple1(_)).toDF("id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Curation.assignSplit(df, "id", splits, salt = "s")
+    val counts = out.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    counts.values.sum shouldBe 10000L // exhaustive, one label per row
+    counts("train").toDouble shouldBe 8000.0 +- 200.0
+    counts("val").toDouble shouldBe 1000.0 +- 120.0
+    counts("test").toDouble shouldBe 1000.0 +- 120.0
+    // growth stability: the same rows keep their split inside a superset
+    val bigger = Curation.assignSplit(
+      (1L to 20000L).map(Tuple1(_)).toDF("id"), "id", splits, salt = "s")
+    val small = out.as[(Long, String)].collect().toMap
+    bigger.filter($"id" <= 10000).as[(Long, String)].collect()
+      .foreach { case (id, sp) => sp shouldBe small(id) }
+  }
+
+  test("assignSplit on a group key keeps whole groups together") {
+    import spark.implicits._
+    val df = (1L to 3000L).map(i => (i, s"domain${i % 30}"))
+      .toDF("id", "grp")
+    val out = Curation.assignSplit(df, "grp",
+      Seq("train" -> 0.5, "test" -> 0.5))
+    out.groupBy("grp").agg(countDistinct("split").as("n"))
+      .filter($"n" > 1).count() shouldBe 0L
+  }
+
   test("assembleSequences: ordered, truncated, untruncated count kept") {
     import spark.implicits._
     val ev = Seq(
