@@ -376,6 +376,32 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("deterministic samplers run unchanged on a stream (stateless)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the md5-threshold samplers are pure projections+filters — no RNG
+    // state, no watermark, no aggregation — so the SAME call works on a
+    // streaming frame and picks the SAME rows the batch call picks
+    val input = MemoryStream[Long]
+    val sampled = graft.ext.Curation.stratifiedSample(
+      input.toDF().toDF("id").withColumn("stratum", lit("s")),
+      "id", "stratum", Map("s" -> 0.5), salt = "st")
+    val q = sampled.writeStream.format("memory").queryName("strm_sample")
+      .outputMode("append").start()
+    try {
+      input.addData(1L to 1000L: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("strm_sample")
+        .select("id").as[Long].collect().toSet
+      val batch = graft.ext.Curation.stratifiedSample(
+        (1L to 1000L).toDF("id").withColumn("stratum", lit("s")),
+        "id", "stratum", Map("s" -> 0.5), salt = "st")
+        .select("id").as[Long].collect().toSet
+      streamed shouldBe batch
+      batch.size.toDouble shouldBe 500.0 +- 60.0
+    } finally q.stop()
+  }
+
   test("driftStream: stable window scores ~0, shifted window alarms") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
