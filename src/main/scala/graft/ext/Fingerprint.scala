@@ -52,13 +52,53 @@ object Fingerprint {
       w: Int = 8,
       minShared: Int = 2,
       maxDocsPerFp: Int = 1000,
-      portable: Boolean = true): DataFrame = {
+      portable: Boolean = true): DataFrame =
+    buildSpanCandidates(
+      df, idCol, textCol, k, w, minShared, maxDocsPerFp, portable)._1
+
+  /** Scoped form of [[spanCandidates]] that OWNS the persist lifecycle
+    * (same contract as [[Dedup.withNearDuplicatesMinhash]]): `f` must
+    * consume the frame before returning.
+    */
+  def withSpanCandidates[T](
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 30,
+      w: Int = 8,
+      minShared: Int = 2,
+      maxDocsPerFp: Int = 1000,
+      portable: Boolean = true)(f: DataFrame => T): T = {
+    val (pairs, cached) = buildSpanCandidates(
+      df, idCol, textCol, k, w, minShared, maxDocsPerFp, portable)
+    try f(pairs)
+    finally cached.unpersist()
+  }
+
+  /** Returns (pair plan, the persisted fingerprint frame whose lifecycle
+    * the caller controls).
+    */
+  private def buildSpanCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      w: Int,
+      minShared: Int,
+      maxDocsPerFp: Int,
+      portable: Boolean): (DataFrame, DataFrame) = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     require(maxDocsPerFp >= 2, s"maxDocsPerFp must be >= 2, got $maxDocsPerFp")
+    // Persisted: the exploded (id, fingerprint) frame is referenced by
+    // the stop-list aggregation AND both sides of the pair join — without
+    // persistence each reference re-scans the corpus and re-hashes every
+    // gram (the dominant cost), the same triple-evaluation hazard the
+    // minhash path documents. 16 bytes/row spills safely if it must.
     val fp = Dedup.ensureParallelism(
       df.select(col(idCol), col(textCol)))
       .select(col(idCol).as("id"),
         explode(fingerprints(col(textCol), k, w, portable)).as("f"))
+      .persist()
     // stop-fingerprint list: values carried by more docs than the cap.
     // Tiny by construction (only the boilerplate outliers qualify), so it
     // broadcasts and the cap costs one mergeable count plus an anti-join —
@@ -66,11 +106,12 @@ object Fingerprint {
     val stop = fp.groupBy("f").agg(count(lit(1)).as("_n"))
       .filter(col("_n") > maxDocsPerFp).select("f")
     val kept = fp.join(broadcast(stop), Seq("f"), "left_anti")
-    kept.select(col("id").as("id_a"), col("f"))
+    val pairs = kept.select(col("id").as("id_a"), col("f"))
       .join(kept.select(col("id").as("id_b"), col("f")), Seq("f"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+    (pairs, fp)
   }
 }

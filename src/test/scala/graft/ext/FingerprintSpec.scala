@@ -131,4 +131,20 @@ class FingerprintSpec extends SparkSpec {
     assert(!plan.contains("Cartesian"), plan)
     assert(plan.contains("BroadcastHashJoin"), plan) // the anti stop-join
   }
+
+  test("withSpanCandidates releases the fingerprint cache, even on throw") {
+    def cachedCount() = spark.sparkContext.getPersistentRDDs.size
+    val before = cachedCount()
+    val df = Seq((1L, "abcdefghijkl"), (2L, "abcdefghijkl")).toDF("id", "t")
+    Fingerprint.withSpanCandidates(df, "id", "t", k = 5, w = 3) { p =>
+      p.count() shouldBe 1L
+    }
+    cachedCount() shouldBe before
+    intercept[RuntimeException] {
+      Fingerprint.withSpanCandidates(df, "id", "t") { _ =>
+        throw new RuntimeException("boom")
+      }
+    }
+    cachedCount() shouldBe before
+  }
 }
