@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ext.{Bpe, Clusters, Curation, Dedup, Fingerprint, Keyword, Multimodal, Shingles, Similarity, TextAnalysis}
 import graft.lake.ZOrder
-import graft.ops.{AsofJoin, Diff, Drift, Funnel, FuzzyJoin, Hierarchy, Ids, Normalize, Profile, Resample, RuntimeFilter, SkewJoin, Sketches}
+import graft.ops.{AsofJoin, Cohorts, Diff, Drift, Funnel, FuzzyJoin, Hierarchy, Ids, Normalize, Profile, Resample, RuntimeFilter, SkewJoin, Sketches}
 import graft.pipeline.{Cdc, IncrementalAgg, Scd2}
 import graft.ops.ColumnOps._
 import graft.ops.JsonOps._
@@ -1773,6 +1773,31 @@ object SparkEntry {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "g75")
         .select("doc_id", "split")
         .orderBy("doc_id")
+    }),
+
+    "q76_transitions" -> ((s, dir) => {
+      // event-flow transition matrix (ops.Funnel.transitions): one
+      // entity-partitioned lead window (total order via event_id
+      // tie-break), one grouped count, O(states) broadcast totals.
+      Funnel.transitions(rd(s, dir, "events"), "user_id", "ts",
+        "event_id", "event_type")
+        .orderBy("from_state", "to_state")
+    }),
+
+    "q77_cohort_retention" -> ((s, dir) => {
+      // cohort retention triangle (ops.Cohorts.retention): first-seen
+      // week per user via one min-agg, one join back, one distinct
+      // count per (cohort, offset) — all-integer period arithmetic.
+      Cohorts.retention(rd(s, dir, "events"), "user_id", "ts")
+        .orderBy("cohort_period", "period_offset")
+    }),
+
+    "q78_chisq" -> ((s, dir) => {
+      // categorical association/drift (ops.Drift.chiSquare): contingency
+      // counts from one aggregation, margins re-aggregated from the
+      // O(cells) table, structural zeros restored by the margin grid.
+      Drift.chiSquare(rd(s, dir, "documents"), "lang", "source")
+        .orderBy("a", "b")
     })
   )
 
@@ -3202,7 +3227,53 @@ object SparkEntry {
         |       WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'g75'), 1, 8)
         |         < 'e6666667' THEN 'val'
         |       ELSE 'test' END AS split
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q76_transitions" ->
+      """WITH p AS (SELECT event_type AS f,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS t
+        |  FROM events),
+        |c AS (SELECT f AS from_state, t AS to_state, count(*) AS n
+        |  FROM p WHERE t IS NOT NULL GROUP BY 1, 2),
+        |o AS (SELECT from_state, sum(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.from_state, c.to_state, CAST(c.n AS BIGINT) AS n,
+        |  floor(CAST(c.n AS DOUBLE) / o.tot * 1e6 + 0.5) / 1e6 AS share
+        |FROM c JOIN o USING (from_state)
+        |ORDER BY from_state, to_state""".stripMargin,
+
+    "q77_cohort_retention" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(floor(epoch(ts) / 604800) AS BIGINT) AS p
+        |  FROM events WHERE ts IS NOT NULL),
+        |f AS (SELECT user_id, min(p) AS p0 FROM e GROUP BY 1)
+        |SELECT f.p0 AS cohort_period, e.p - f.p0 AS period_offset,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q78_chisq" ->
+      """WITH c AS (SELECT lang AS a, source AS b, count(*) AS observed
+        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2),
+        |am AS (SELECT a, sum(observed) AS ra FROM c GROUP BY 1),
+        |bm AS (SELECT b, sum(observed) AS cb FROM c GROUP BY 1),
+        |t AS (SELECT sum(observed) AS n, count(DISTINCT a) AS ca,
+        |    count(DISTINCT b) AS cbn FROM c),
+        |g AS (SELECT am.a, bm.b, am.ra, bm.cb, t.n, t.ca, t.cbn,
+        |    coalesce(c.observed, 0) AS observed
+        |  FROM am CROSS JOIN bm CROSS JOIN t
+        |  LEFT JOIN c ON c.a = am.a AND c.b = bm.b),
+        |x AS (SELECT *, CAST(ra AS DOUBLE) * cb / n AS expected FROM g),
+        |y AS (SELECT *, pow(observed - expected, 2) / expected AS contrib
+        |  FROM x)
+        |SELECT a, b, CAST(observed AS BIGINT) AS observed,
+        |  floor(expected * 1e4 + 0.5) / 1e4 AS expected,
+        |  floor(contrib * 1e4 + 0.5) / 1e4 AS contrib,
+        |  floor(sum(contrib) OVER () * 1e4 + 0.5) / 1e4 AS chi2,
+        |  CAST((ca - 1) * (cbn - 1) AS BIGINT) AS dof,
+        |  CAST(n AS BIGINT) AS n
+        |FROM y ORDER BY a, b""".stripMargin
   )
 
   private lazy val contaminationOracle: String =

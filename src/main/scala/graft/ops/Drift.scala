@@ -59,6 +59,57 @@ object Drift {
     (bounds, shares)
   }
 
+  /** Chi-square test of independence between two CATEGORICAL columns —
+    * the drift/association monitor for the columns PSI and KS (numeric
+    * CDFs) can't see. One grouped count builds the contingency table;
+    * margins come from re-aggregating that O(cells) table; the full
+    * `distinct(a) × distinct(b)` grid (a broadcast cross of two O(card)
+    * frames — callers keep cardinalities dashboard-sized) restores the
+    * structural zeros whose expected counts still contribute. The data
+    * itself is touched by exactly one mergeable aggregation.
+    *
+    * Output: one row per grid cell `(a, b, observed, expected, contrib)`
+    * plus the totals repeated per row — `chi2` (Σ contrib), `dof`
+    * `(card_a−1)(card_b−1)`, `n`. `expected`/`contrib`/`chi2` are
+    * rounded to 1e-4 (summation-order noise in the last double bits is
+    * below that on any realistic table).
+    */
+  def chiSquare(
+      df: DataFrame,
+      aCol: String,
+      bCol: String): DataFrame = {
+    def rnd4(c: org.apache.spark.sql.Column) =
+      floor(c * 1e4 + 0.5) / 1e4
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("observed"))
+    val aM = cells.groupBy("a").agg(sum("observed").as("_ra"))
+    val bM = cells.groupBy("b").agg(sum("observed").as("_cb"))
+    val tot = cells.agg(sum("observed").as("_n"),
+      count_distinct(col("a")).as("_ca"),
+      count_distinct(col("b")).as("_cbn"))
+    val grid = aM.crossJoin(bM).crossJoin(broadcast(tot))
+      .join(cells, Seq("a", "b"), "left")
+      .na.fill(0L, Seq("observed"))
+      .withColumn("expected",
+        col("_ra").cast("double") * col("_cb") / col("_n"))
+      .withColumn("contrib",
+        pow(col("observed") - col("expected"), 2.0) / col("expected"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    grid
+      .withColumn("chi2", rnd4(sum("contrib").over(w)))
+      .select(col("a"), col("b"), col("observed"),
+        rnd4(col("expected")).as("expected"),
+        rnd4(col("contrib")).as("contrib"),
+        col("chi2"),
+        ((col("_ca") - 1) * (col("_cbn") - 1)).as("dof"),
+        col("_n").as("n"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic over the same equi-depth
     * bucket grid as [[psi]]: `ks = max |CDF_ref − CDF_cur|` evaluated at
     * the bucket boundaries. PSI weights every bucket's divergence; KS

@@ -79,4 +79,38 @@ object Funnel {
       .withColumn("completed",
         coalesce(col(s"ts_$n") - col("ts_1") <= windowMicros, lit(false)))
   }
+
+  /** First-order transition matrix of the event flow: for each observed
+    * `(from_state, to_state)` pair of CONSECUTIVE events within an
+    * entity's timeline, the transition count and the share of all
+    * transitions leaving `from_state` (each from-state's shares sum
+    * to 1) — the Markov view of user journeys that funnels summarize
+    * and product analytics drill into.
+    *
+    * One window partitioned by the entity (ordered by time with a
+    * unique tie-break, so the sequence is total and engine-stable) for
+    * the `lead`, one mergeable grouped count, then an O(states)
+    * broadcast of per-from-state totals. The event stream shuffles once,
+    * by entity.
+    */
+  def transitions(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      stateCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(tsCol, tieCol)
+    val pairs = df
+      .withColumn("_to", lead(col(stateCol), 1).over(w))
+      .filter(col("_to").isNotNull)
+      .groupBy(col(stateCol).as("from_state"), col("_to").as("to_state"))
+      .agg(count(lit(1)).as("n"))
+    val outTotals = pairs.groupBy("from_state")
+      .agg(sum("n").as("_out"))
+    pairs.join(broadcast(outTotals), Seq("from_state"))
+      .select(col("from_state"), col("to_state"), col("n"),
+        (floor(col("n").cast("double") / col("_out") * 1e6 + 0.5) / 1e6)
+          .as("share"))
+  }
 }

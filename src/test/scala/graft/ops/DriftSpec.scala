@@ -74,6 +74,33 @@ class DriftSpec extends SparkSpec {
     rows.map(_.getDouble(5)).max shouldBe ks
   }
 
+  test("chiSquare: perfectly balanced table scores 0, dof correct") {
+    import spark.implicits._
+    val data = (for (a <- Seq("x", "y"); b <- Seq("p", "q", "r");
+      _ <- 1 to 10) yield (a, b)).toDF("a", "b")
+    val out = Drift.chiSquare(data, "a", "b").collect()
+    out.length shouldBe 6
+    out.foreach { r =>
+      r.getDouble(4) shouldBe 0.0 // contrib
+      r.getDouble(5) shouldBe 0.0 // chi2
+      r.getLong(6) shouldBe 2L    // dof = (2-1)(3-1)
+      r.getLong(7) shouldBe 60L
+    }
+  }
+
+  test("chiSquare: a diagonal association alarms; structural zeros kept") {
+    import spark.implicits._
+    val data = (Seq.fill(30)(("x", "p")) ++ Seq.fill(30)(("y", "q")))
+      .toDF("a", "b")
+    val out = Drift.chiSquare(data, "a", "b").collect()
+    out.length shouldBe 4 // full 2x2 grid including two zero cells
+    val zeros = out.filter(_.getLong(2) == 0L)
+    zeros.length shouldBe 2
+    zeros.foreach(_.getDouble(3) shouldBe 15.0) // expected stays positive
+    // perfect association on a 2x2 with n=60: chi2 = n = 60
+    out.head.getDouble(5) shouldBe 60.0 +- 1e-3
+  }
+
   test("psi: data never shuffles by value — aggs then O(buckets) join") {
     val ref = df((1 to 100).map(_.toDouble))
     val plan = Drift.psi(ref, ref, "v", buckets = 4, exact = true)

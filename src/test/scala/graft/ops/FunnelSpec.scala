@@ -89,4 +89,35 @@ class FunnelSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Funnel.funnel(ev(), "user", "ts", "tpe", Seq("a"), Day)
   }
+
+  test("transitions: consecutive pairs per entity, shares sum to 1") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:01"), 1L, "a"),
+      (1L, ts("2024-01-01 00:00:02"), 2L, "b"),
+      (1L, ts("2024-01-01 00:00:03"), 3L, "a"),
+      (2L, ts("2024-01-01 00:00:01"), 4L, "a"),
+      (2L, ts("2024-01-01 00:00:02"), 5L, "c"),
+      (3L, ts("2024-01-01 00:00:01"), 6L, "z")) // lone event: no pair
+      .toDF("u", "ts", "eid", "tpe")
+    val out = Funnel.transitions(df, "u", "ts", "eid", "tpe")
+      .orderBy("from_state", "to_state").collect()
+    out.map(r => (r.getString(0), r.getString(1), r.getLong(2))) shouldBe
+      Array(("a", "b", 1L), ("a", "c", 1L), ("b", "a", 1L))
+    // from 'a': two transitions, each share 0.5; from 'b': one, share 1
+    out.filter(_.getString(0) == "a").map(_.getDouble(3)).sum shouldBe 1.0
+    out.filter(_.getString(0) == "b").head.getDouble(3) shouldBe 1.0
+    // cross-entity boundaries never pair: no (a -> a) from u1's tail to
+    // u2's head, no transition out of u3
+    assert(!out.exists(r => r.getString(0) == "z"))
+  }
+
+  test("transitions: tie on timestamp ordered by the tie column") {
+    val t0 = ts("2024-01-01 00:00:01")
+    val df = Seq((1L, t0, 2L, "b"), (1L, t0, 1L, "a"), (1L, t0, 3L, "c"))
+      .toDF("u", "ts", "eid", "tpe")
+    Funnel.transitions(df, "u", "ts", "eid", "tpe")
+      .orderBy("from_state").collect()
+      .map(r => (r.getString(0), r.getString(1))) shouldBe
+      Array(("a", "b"), ("b", "c"))
+  }
 }
