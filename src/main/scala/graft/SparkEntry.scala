@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ext.{Bpe, Clusters, Curation, Dedup, Fingerprint, Keyword, Multimodal, Shingles, Similarity, TextAnalysis}
 import graft.lake.ZOrder
-import graft.ops.{AsofJoin, Cohorts, Diff, Drift, Funnel, FuzzyJoin, Hierarchy, Ids, Normalize, Profile, Resample, RuntimeFilter, SkewJoin, Sketches}
+import graft.ops.{AsofJoin, Cohorts, Diff, Drift, Funnel, FuzzyJoin, Hierarchy, Ids, IntervalJoin, Normalize, Profile, Resample, RuntimeFilter, SkewJoin, Sketches}
 import graft.pipeline.{Cdc, IncrementalAgg, Scd2}
 import graft.ops.ColumnOps._
 import graft.ops.JsonOps._
@@ -1798,6 +1798,39 @@ object SparkEntry {
       // O(cells) table, structural zeros restored by the margin grid.
       Drift.chiSquare(rd(s, dir, "documents"), "lang", "source")
         .orderBy("a", "b")
+    }),
+
+    "q79_interval_join" -> ((s, dir) => {
+      // interval-overlap join (ops.IntervalJoin.overlap): bin-blocked
+      // equi-join with exactly-once emission in the FIRST shared bin —
+      // no distinct shuffle, no cartesian; the oracle is the naive
+      // all-pairs overlap definition.
+      val ev = rd(s, dir, "events")
+      def ivs(m: Int) = ev.filter(col("user_id") % 40 === m)
+        .select(col("event_id").as("id"),
+          unix_timestamp(col("ts")).as("s"),
+          (unix_timestamp(col("ts")) + 60 + col("event_id") % 600)
+            .as("e"))
+      IntervalJoin.overlap(ivs(0), ivs(20), "s", "e", binSize = 300L)
+        .select(col("l_id"), col("r_id"))
+        .orderBy("l_id", "r_id")
+    }),
+
+    "q80_trend" -> ((s, dir) => {
+      // per-group linear trend via the mergeable regr_* aggregates:
+      // slope/intercept/r2 of value over (centered) epoch seconds —
+      // centering keeps the variance arithmetic far from cancellation
+      // so both engines agree to well under the rounding grain.
+      rd(s, dir, "events").filter(col("value").isNotNull)
+        .withColumn("x",
+          (unix_timestamp(col("ts")) - 1704067200L).cast("double"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          rnd(expr("regr_slope(value, x)") * 86400, 6)
+            .as("slope_per_day"),
+          rnd(expr("regr_intercept(value, x)"), 4).as("intercept"),
+          rnd(expr("regr_r2(value, x)"), 6).as("r2"))
+        .orderBy("event_type")
     })
   )
 
@@ -3273,7 +3306,32 @@ object SparkEntry {
         |  floor(sum(contrib) OVER () * 1e4 + 0.5) / 1e4 AS chi2,
         |  CAST((ca - 1) * (cbn - 1) AS BIGINT) AS dof,
         |  CAST(n AS BIGINT) AS n
-        |FROM y ORDER BY a, b""".stripMargin
+        |FROM y ORDER BY a, b""".stripMargin,
+
+    "q79_interval_join" ->
+      """WITH l AS (SELECT event_id AS id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS s,
+        |    CAST(floor(epoch(ts)) AS BIGINT) + 60 + event_id % 600 AS e
+        |  FROM events WHERE user_id % 40 = 0),
+        |r AS (SELECT event_id AS id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS s,
+        |    CAST(floor(epoch(ts)) AS BIGINT) + 60 + event_id % 600 AS e
+        |  FROM events WHERE user_id % 40 = 20)
+        |SELECT l.id AS l_id, r.id AS r_id
+        |FROM l JOIN r ON l.s < r.e AND r.s < l.e
+        |  AND l.s < l.e AND r.s < r.e
+        |ORDER BY l_id, r_id""".stripMargin,
+
+    "q80_trend" ->
+      """WITH e AS (SELECT event_type, value,
+        |    CAST(floor(epoch(ts)) - 1704067200 AS DOUBLE) AS x
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  floor(regr_slope(value, x) * 86400 * 1e6 + 0.5) / 1e6
+        |    AS slope_per_day,
+        |  floor(regr_intercept(value, x) * 1e4 + 0.5) / 1e4 AS intercept,
+        |  floor(regr_r2(value, x) * 1e6 + 0.5) / 1e6 AS r2
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 
   private lazy val contaminationOracle: String =
