@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Bpe, Clusters, Curation, Dedup, Fingerprint, Keyword, Multimodal, Shingles, Similarity, TextAnalysis}
+import graft.ext.{Bpe, Clusters, CorpusPipeline, Curation, Dedup, Fingerprint, Keyword, Multimodal, Shingles, Similarity, TextAnalysis}
 import graft.lake.ZOrder
 import graft.ops.{AsofJoin, Cohorts, Diff, Drift, Funnel, FuzzyJoin, Hierarchy, Ids, IntervalJoin, Normalize, Profile, Resample, RuntimeFilter, SkewJoin, Sketches}
 import graft.pipeline.{Cdc, IncrementalAgg, Scd2}
@@ -1831,6 +1831,19 @@ object SparkEntry {
           rnd(expr("regr_intercept(value, x)"), 4).as("intercept"),
           rnd(expr("regr_r2(value, x)"), 6).as("r2"))
         .orderBy("event_type")
+    }),
+
+    "q81_curation_e2e" -> ((s, dir) => {
+      // the whole curation chain as ONE declarative plan (ext
+      // .CorpusPipeline.curate): exact dedup → rounded quality floor →
+      // 13-gram decontamination vs the doc_id%50 eval set → split
+      // labels. Every stage is an operator with its own oracle-backed
+      // query; the composition's oracle replays the chain end-to-end.
+      val docs = rd(s, dir, "documents")
+      CorpusPipeline.curate(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 50 === 0), "doc_id", "text",
+        minQuality = 0.5, nGram = 13, salt = "g81")
+        .orderBy("doc_id")
     })
   )
 
@@ -3331,7 +3344,49 @@ object SparkEntry {
         |    AS slope_per_day,
         |  floor(regr_intercept(value, x) * 1e4 + 0.5) / 1e4 AS intercept,
         |  floor(regr_r2(value, x) * 1e6 + 0.5) / 1e6 AS r2
-        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q81_curation_e2e" ->
+      """WITH fp AS (SELECT min(doc_id) AS doc_id FROM documents
+        |  GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ',
+        |    'g'))))),
+        |k0 AS (SELECT d.doc_id, d.text FROM documents d
+        |  JOIN fp USING (doc_id)),
+        |q AS (SELECT doc_id, text FROM k0 WHERE floor((
+        |    least(len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE
+        |      / 50.0, 1.0) * 0.4
+        |    + (len(list_distinct(regexp_split_to_array(trim(text),
+        |        '\s+')))::DOUBLE
+        |       / len(regexp_split_to_array(trim(text), '\s+'))) * 0.3
+        |    + least((length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
+        |       / len(regexp_split_to_array(trim(text), '\s+'))) / 8.0,
+        |       1.0) * 0.2
+        |    + (1.0 - length(regexp_replace(text, '[A-Za-z0-9\s]', '',
+        |        'g'))::DOUBLE / length(text)) * 0.1) * 1e6 + 0.5) / 1e6
+        |    >= 0.5),
+        |tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+')
+        |    AS a FROM q),
+        |g AS (SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(a) - 11),
+        |      i -> array_to_string(a[i:i+12], ' ')))) AS gram
+        |  FROM tok WHERE len(a) >= 13),
+        |etok AS (SELECT regexp_split_to_array(trim(text), '\s+') AS a
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |eg AS (SELECT DISTINCT unnest(list_distinct(
+        |    list_transform(range(1, len(a) - 11),
+        |      i -> array_to_string(a[i:i+12], ' ')))) AS gram
+        |  FROM etok WHERE len(a) >= 13),
+        |hit AS (SELECT DISTINCT g.doc_id FROM g JOIN eg USING (gram)),
+        |clean AS (SELECT doc_id FROM q
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM hit)
+        |    AND doc_id % 50 <> 0)
+        |SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'g81'), 1, 8)
+        |         < 'cccccccd' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'g81'), 1, 8)
+        |         < 'e6666667' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM clean ORDER BY doc_id""".stripMargin
   )
 
   private lazy val contaminationOracle: String =

@@ -1,0 +1,66 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The curation chain assembled end-to-end from the library's proven
+  * parts — what a user actually runs before a corpus ships: exact dedup
+  * → quality floor → eval-set decontamination → deterministic split
+  * assignment. One composed declarative plan; every stage is the
+  * operator its own oracle-backed query verifies, so the composition is
+  * verifiable too (q81 replays the entire chain in SQL).
+  *
+  * Scale shape inherits from the parts: dedup is one hash aggregation +
+  * a semi join on the kept id; the quality floor is a scan-local
+  * projection; decontamination broadcasts the eval grams so the corpus
+  * never shuffles before its narrow hit aggregation; the split label is
+  * a pure projection. Nothing in the chain materializes an intermediate
+  * corpus copy.
+  */
+object CorpusPipeline {
+
+  /** Curate `docs` into labeled training splits.
+    *
+    * Drops: non-canonical exact duplicates (min-id survives), documents
+    * under `minQuality` ([[TextAnalysis.qualityScore]]'s 0..1 blend),
+    * documents sharing any distinct word `nGram`-gram with `evalDocs`,
+    * and the eval documents themselves if present in `docs`. Survivors
+    * get a deterministic `split` label ([[Curation.assignSplit]]).
+    *
+    * Output: `(idCol, split)` — join back to `docs` for payloads, so the
+    * curated id set stays a narrow frame however wide the corpus is.
+    */
+  def curate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      evalDocs: DataFrame,
+      evalIdCol: String,
+      evalTextCol: String,
+      minQuality: Double = 0.5,
+      nGram: Int = 13,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      salt: String = ""): DataFrame = {
+    require(minQuality >= 0.0 && minQuality <= 1.0,
+      s"minQuality out of [0,1]: $minQuality")
+    val canonical = Dedup.dedupExact(docs, idCol, textCol)
+      .select(col("keep_id").as(idCol))
+    val kept = docs
+      .join(canonical, Seq(idCol), "left_semi")
+      // threshold on the 6-decimal-rounded score: the cut must be
+      // engine-stable (a raw float compare could flip a document sitting
+      // within one ulp of the threshold between engines)
+      .filter(floor(TextAnalysis.qualityScore(col(textCol)) * 1e6 + 0.5)
+        / 1e6 >= minQuality)
+    val hits = Curation.contamination(
+      kept, idCol, textCol, evalDocs, evalIdCol, evalTextCol, nGram)
+      .select(col(idCol))
+    val evalIds = evalDocs.select(col(evalIdCol).as(idCol))
+    val clean = kept
+      .join(broadcast(hits), Seq(idCol), "left_anti")
+      .join(broadcast(evalIds), Seq(idCol), "left_anti")
+    Curation.assignSplit(clean, idCol, splits, salt)
+      .select(col(idCol), col("split"))
+  }
+}
