@@ -127,6 +127,29 @@ object GraftExtensions {
         "string for edit-distance blocking, d in 1..2",
       "graft_deletion_hashes(s, d)") {
       case Seq(s, d) => DeletionHashes(s, intArg(d, "d"))
+    },
+    make("graft_quantile_sketch",
+      "mergeable GK quantile-summary aggregate over a numeric column; " +
+        "returns the serialized sketch as binary (persistable, " +
+        "mergeable with graft_quantile_sketch_merge)",
+      "graft_quantile_sketch(v[, relativeError])") {
+      case Seq(v)     => QuantileSketchAgg(v, 0.01)
+      case Seq(v, re) => QuantileSketchAgg(v, doubleArg(re, "relativeError"))
+    },
+    make("graft_quantile_sketch_merge",
+      "merge aggregate over serialized quantile sketches (binary)",
+      "graft_quantile_sketch_merge(sketch[, relativeError])") {
+      case Seq(s) => QuantileSketchMergeAgg(s, 0.01)
+      case Seq(s, re) =>
+        QuantileSketchMergeAgg(s, doubleArg(re, "relativeError"))
+    },
+    make("graft_quantile_sketch_get",
+      "probe a serialized quantile sketch: array<double> aligned with " +
+        "the probability literals",
+      "graft_quantile_sketch_get(sketch, p1[, p2...])") {
+      case args if args.size >= 2 =>
+        QuantileSketchQuery(args.head,
+          args.tail.map(doubleArg(_, "prob")))
     })
 
   private def make(name: String, usage: String, example: String)(
@@ -144,6 +167,14 @@ object GraftExtensions {
     case Literal(v: Boolean, _) => v
     case other => throw new IllegalArgumentException(
       s"$name must be a boolean literal, got: $other")
+  }
+
+  private def doubleArg(e: Expression, name: String): Double = e match {
+    case Literal(v: Double, _) => v
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case Literal(v: Int, _) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$name must be a numeric literal, got: $other")
   }
 
   private def longArg(e: Expression, name: String): Long = e match {

@@ -1844,6 +1844,33 @@ object SparkEntry {
         docs.filter(col("doc_id") % 50 === 0), "doc_id", "text",
         minQuality = 0.5, nGram = 13, salt = "g81")
         .orderBy("doc_id")
+    }),
+
+    "q82_quantile_sketch" -> ((s, dir) => {
+      // mergeable quantile sketches (ops.Sketches + the serialized GK
+      // summary): per-(source, lang) sketches of n_chars rolled up to a
+      // per-source median by sketch MERGE — no raw rescan. Verdict form
+      // (recall-companion style): the estimate's true-rank interval
+      // [count(<est), count(<=est)]/n must intersect the GK bound window
+      // around 0.5; the oracle re-derives the all-true answer.
+      val docs = rd(s, dir, "documents")
+      val est = Sketches.estimateQuantiles(
+        Sketches.buildQuantileSketches(
+          docs, Seq("source", "lang"), "n_chars", relativeError = 0.01),
+        Seq("source"), Seq(0.5), relativeError = 0.01)
+        .select(col("source"),
+          element_at(col("quantiles"), 1).as("_med"))
+      docs.join(broadcast(est), Seq("source"))
+        .groupBy("source")
+        .agg(
+          (sum(when(col("n_chars") < col("_med"), 1L).otherwise(0L))
+            .cast("double") / count(lit(1))).as("_rlo"),
+          (sum(when(col("n_chars") <= col("_med"), 1L).otherwise(0L))
+            .cast("double") / count(lit(1))).as("_rhi"))
+        .select(col("source"),
+          (col("_rlo") <= 0.55 && col("_rhi") >= 0.45)
+            .cast("int").as("sketch_ok"))
+        .orderBy("source")
     })
   )
 
@@ -3386,7 +3413,11 @@ object SparkEntry {
         |       WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'g81'), 1, 8)
         |         < 'e6666667' THEN 'val'
         |       ELSE 'test' END AS split
-        |FROM clean ORDER BY doc_id""".stripMargin
+        |FROM clean ORDER BY doc_id""".stripMargin,
+
+    "q82_quantile_sketch" ->
+      """SELECT source, 1 AS sketch_ok FROM documents
+        |GROUP BY source ORDER BY source""".stripMargin
   )
 
   private lazy val contaminationOracle: String =

@@ -45,4 +45,45 @@ object Sketches {
     if (groupCols.isEmpty) sketches.agg(aggs.head, aggs.tail: _*)
     else sketches.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** One GK quantile sketch + row count per segment — the quantile
+    * sibling of [[buildSegmentSketches]] (see
+    * [[graft.functions.QuantileSketchCodec]]): per-segment rank error ≤
+    * `relativeError · n`, O(1/ε · log εn) bytes, persistable, mergeable.
+    */
+  def buildQuantileSketches(
+      df: DataFrame,
+      segmentCols: Seq[String],
+      valueCol: String,
+      relativeError: Double = 0.01): DataFrame = {
+    require(segmentCols.nonEmpty, "buildQuantileSketches: no segment columns")
+    df.groupBy(segmentCols.map(col): _*)
+      .agg(graft.functions.QuantileFunctions
+        .quantileSketch(col(valueCol), relativeError).as("qsketch"),
+        count(col(valueCol)).as("n_rows"))
+  }
+
+  /** Roll quantile sketches up to `groupCols` (empty = one global row)
+    * and probe the merged summary at `probs`: `quantiles` is an
+    * `array<double>` aligned with `probs`, `n_rows` the exact row sum.
+    * Rank error after one merge level stays ≤ 2 · relativeError · n.
+    */
+  def estimateQuantiles(
+      sketches: DataFrame,
+      groupCols: Seq[String],
+      probs: Seq[Double],
+      relativeError: Double = 0.01): DataFrame = {
+    val aggs = Seq(
+      graft.functions.QuantileFunctions
+        .quantileSketchMerge(col("qsketch"), relativeError).as("_m"),
+      sum("n_rows").as("n_rows"))
+    val merged =
+      if (groupCols.isEmpty) sketches.agg(aggs.head, aggs.tail: _*)
+      else sketches.groupBy(groupCols.map(col): _*)
+        .agg(aggs.head, aggs.tail: _*)
+    merged.select(groupCols.map(col) ++ Seq(
+      graft.functions.QuantileFunctions
+        .quantileSketchGet(col("_m"), probs).as("quantiles"),
+      col("n_rows")): _*)
+  }
 }

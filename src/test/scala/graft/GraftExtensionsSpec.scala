@@ -90,4 +90,19 @@ class GraftExtensionsSpec extends SparkSpec {
     // the XXH64 mode selects the same COUNT shape but different values
     sql.getSeq[Long](1).nonEmpty shouldBe true
   }
+
+  test("quantile sketch build/merge/probe are callable from SQL") {
+    GraftExtensions.install(spark)
+    import spark.implicits._
+    (1 to 1000).map(i => (i % 4, i.toDouble)).toDF("g", "v")
+      .createOrReplaceTempView("qs_in")
+    val row = spark.sql(
+      """SELECT graft_quantile_sketch_get(
+        |  graft_quantile_sketch_merge(sk), 0.5, 0.9) AS q
+        |FROM (SELECT g, graft_quantile_sketch(v, 0.01) AS sk
+        |      FROM qs_in GROUP BY g)""".stripMargin).head()
+    val Seq(q50, q90) = row.getSeq[Double](0).toSeq
+    q50 shouldBe 500.0 +- 40.0
+    q90 shouldBe 900.0 +- 40.0
+  }
 }
