@@ -34,7 +34,28 @@ object Bpe {
   final case class Model(merges: Seq[(String, String)]) {
     def encode(c: Column): Column = BpeEncode(c, merges)
     def tokenCount(c: Column): Column = size(encode(c))
+
+    /** Persist as `(rank, left, right)` parquet — train once on a
+      * corpus sample, reuse the identical vocabulary across every later
+      * job (token budgets must not drift between pipeline runs).
+      */
+    def save(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+      import spark.implicits._
+      merges.zipWithIndex
+        .map { case ((l, r), i) => (i, l, r) }
+        .toDF("rank", "left", "right")
+        .repartition(1)
+        .write.mode("overwrite").parquet(path)
+    }
   }
+
+  /** Load a persisted [[Model]]; merge order restored by rank. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Model =
+    Model(spark.read.parquet(path)
+      .orderBy("rank")
+      .collect()
+      .map(r => (r.getString(1), r.getString(2)))
+      .toSeq)
 
   /** The char-level model: no merges, every code point its own token. */
   val charModel: Model = Model(Nil)

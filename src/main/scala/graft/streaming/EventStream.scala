@@ -389,6 +389,65 @@ object EventStream {
         })
   }
 
+  /** Streaming transition emitter: the streaming twin of
+    * [[graft.ops.Funnel.transitions]]. Per-entity state is ONE (ts,
+    * state) pair — the last event seen — so memory is O(entities)
+    * regardless of history length; each micro-batch sorts its group's
+    * rows by event time, emits a `(from_state, to_state, ts)` row per
+    * consecutive pair (bridging from the carried last event), and
+    * advances the state. Entities idle past `idleTimeout` are
+    * garbage-collected by event-time timeout.
+    *
+    * Parity caveat (single-pass streaming, same as [[funnelStream]]):
+    * an event arriving OLDER than the carried last event would rewrite
+    * history, so it is dropped — in-order delivery reproduces the batch
+    * operator exactly; downstream aggregation into the count/share
+    * matrix is the batch `groupBy` on this emitter's output.
+    */
+  def transitionsStream(
+      events: Dataset[(Long, Timestamp, String)],
+      lateness: String = "10 minutes",
+      idleTimeout: String = "60m"): DataFrame = {
+    import events.sparkSession.implicits._
+    val idleMs =
+      org.apache.spark.network.util.JavaUtils.timeStringAsMs(idleTimeout)
+    events
+      .toDF("user_id", "ts", "tpe")
+      .withWatermark("ts", lateness)
+      .as[(Long, Timestamp, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long,
+         rows: Iterator[(Long, Timestamp, String)],
+         state: GroupState[(Long, String)]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var last = state.getOption
+            val out = Vector.newBuilder[(Long, String, String, Timestamp)]
+            rows.toSeq.sortBy(_._2.getTime).foreach { case (_, ts, tpe) =>
+              val t = ts.getTime
+              last match {
+                case Some((lt, ls)) if t >= lt =>
+                  out += ((userId, ls, tpe, ts))
+                  last = Some((t, tpe))
+                case Some(_) => // older than carried state: late, dropped
+                case None => last = Some((t, tpe))
+              }
+            }
+            last.foreach { l =>
+              state.update(l)
+              state.setTimeoutTimestamp(math.max(
+                l._1 + idleMs, state.getCurrentWatermarkMs + 1))
+            }
+            out.result().iterator
+          }
+        })
+      .toDF("user_id", "from_state", "to_state", "ts")
+  }
+
   /** Watermarked stream-stream interval join: match each left event to
     * right events with the same key whose timestamp falls in
     * `[leftTs - before, leftTs + after]` — the streaming twin of the batch

@@ -77,4 +77,19 @@ class BpeSpec extends SparkSpec {
       .collect().head.getSeq[String](0)
     got shouldBe Seq("été", "α", "β")
   }
+
+  test("model save/load roundtrip preserves merge ORDER and encoding") {
+    val corpus = Seq.fill(50)("low lower lowest newest widest")
+      .toDF("text")
+    val m = Bpe.train(corpus, "text", numMerges = 12)
+    m.merges.size should be > 0
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-bpe-").toString + "/model"
+    m.save(spark, path)
+    val back = Bpe.load(spark, path)
+    back.merges shouldBe m.merges // order included — rank is the priority
+    val probe = Seq("lowest newest low").toDF("text")
+    probe.select(back.encode(col("text"))).collect() shouldBe
+      probe.select(m.encode(col("text"))).collect()
+  }
 }

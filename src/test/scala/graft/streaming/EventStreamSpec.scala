@@ -402,6 +402,36 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transitionsStream: pairs bridge micro-batches, O(1) state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = EventStream.transitionsStream(input.toDS())
+      .writeStream.format("memory").queryName("trans")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts(1), "a"), (1L, ts(2), "b"), (2L, ts(1), "x"))
+      q.processAllAvailable()
+      // next batch: u1 bridges b -> c from the carried state
+      input.addData((1L, ts(3), "c"), (2L, ts(4), "y"))
+      q.processAllAvailable()
+      val rows = spark.table("trans")
+        .select("user_id", "from_state", "to_state")
+        .as[(Long, String, String)].collect().toSet
+      rows shouldBe Set(
+        (1L, "a", "b"), (1L, "b", "c"), (2L, "x", "y"))
+      // batch twin over the same events yields the same matrix
+      val batch = graft.ops.Funnel.transitions(
+        Seq((1L, ts(1), 1L, "a"), (1L, ts(2), 2L, "b"),
+          (1L, ts(3), 3L, "c"), (2L, ts(1), 4L, "x"),
+          (2L, ts(4), 5L, "y"))
+          .toDF("u", "ts", "eid", "tpe"), "u", "ts", "eid", "tpe")
+        .select("from_state", "to_state").as[(String, String)]
+        .collect().toSet
+      rows.map(r => (r._2, r._3)) shouldBe batch
+    } finally q.stop()
+  }
+
   test("driftStream: stable window scores ~0, shifted window alarms") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
