@@ -1871,6 +1871,35 @@ object SparkEntry {
           (col("_rlo") <= 0.55 && col("_rhi") >= 0.45)
             .cast("int").as("sketch_ok"))
         .orderBy("source")
+    }),
+
+    "t14_line_clean" -> ((s, dir) => {
+      // C4-style row-local line cleaning (ext.TextAnalysis.cleanLines):
+      // word floor + order-preserving within-doc dedup over synthesized
+      // line breaks (the docs have no newlines; breaks before common
+      // function words are deterministic on both engines). The punct
+      // rule is off — this corpus legitimately has none.
+      rd(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.cleanLines(
+          regexp_replace(col("text"),
+            " (the|a|and|of|to|in) ", "\n$1 "),
+          minWords = 5, requireTerminalPunct = false).as("r"))
+        .select(col("doc_id"), col("r.clean").as("clean"),
+          col("r.n_kept").as("n_kept"),
+          col("r.n_dropped").as("n_dropped"))
+        .orderBy("doc_id")
+    }),
+
+    "q83_line_dedup" -> ((s, dir) => {
+      // corpus-level boilerplate line removal (ext.Curation
+      // .dropBoilerplateLines): lines in >2 distinct docs are template
+      // text — dropped everywhere, documents reassembled in order.
+      val docs = rd(s, dir, "documents").select(col("doc_id"),
+        regexp_replace(col("text"),
+          " (the|a|and|of|to|in) ", "\n$1 ").as("text"))
+      Curation.dropBoilerplateLines(docs, "doc_id", "text",
+        maxDocsPerLine = 2)
+        .orderBy("doc_id")
     })
   )
 
@@ -3417,7 +3446,43 @@ object SparkEntry {
 
     "q82_quantile_sketch" ->
       """SELECT source, 1 AS sketch_ok FROM documents
-        |GROUP BY source ORDER BY source""".stripMargin
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "t14_line_clean" ->
+      """WITH s AS (SELECT doc_id, regexp_replace(text,
+        |    ' (the|a|and|of|to|in) ', chr(10) || '\1 ', 'g') AS t
+        |  FROM documents),
+        |a AS (SELECT doc_id, str_split(t, chr(10)) AS ls FROM s),
+        |k AS (SELECT doc_id, ls, list_filter(ls, l ->
+        |    len(regexp_split_to_array(trim(l), '\s+')) >= 5) AS k0
+        |  FROM a),
+        |d AS (SELECT doc_id, ls, list_filter(k0, (x, i) ->
+        |    NOT list_contains(k0[1:i-1], x)) AS kd FROM k)
+        |SELECT doc_id, array_to_string(kd, chr(10)) AS clean,
+        |  CAST(len(kd) AS INT) AS n_kept,
+        |  CAST(len(ls) - len(kd) AS INT) AS n_dropped
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q83_line_dedup" ->
+      """WITH s AS (SELECT doc_id, regexp_replace(text,
+        |    ' (the|a|and|of|to|in) ', chr(10) || '\1 ', 'g') AS t
+        |  FROM documents),
+        |aa AS (SELECT doc_id, str_split(t, chr(10)) AS a FROM s),
+        |l AS (SELECT doc_id, i, a[i] AS line FROM aa,
+        |  unnest(generate_series(1, len(a))) AS g(i)),
+        |stop AS (SELECT line FROM l GROUP BY line
+        |  HAVING count(DISTINCT doc_id) > 2),
+        |kept AS (SELECT doc_id, i, line FROM l
+        |  WHERE line NOT IN (SELECT line FROM stop)),
+        |re AS (SELECT doc_id,
+        |    array_to_string(list(line ORDER BY i), chr(10)) AS clean,
+        |    count(*) AS n FROM kept GROUP BY doc_id)
+        |SELECT aa.doc_id, coalesce(re.clean, '') AS clean,
+        |  CAST(coalesce(re.n, 0) AS BIGINT) AS n_lines_kept,
+        |  CAST(len(aa.a) - coalesce(re.n, 0) AS BIGINT)
+        |    AS n_lines_dropped
+        |FROM aa LEFT JOIN re ON aa.doc_id = re.doc_id
+        |ORDER BY aa.doc_id""".stripMargin
   )
 
   private lazy val contaminationOracle: String =

@@ -84,6 +84,56 @@ object Curation {
     df.filter(u * capWeight < w * 1048576L)
   }
 
+  /** Corpus-level boilerplate line removal (the CCNet/Dolma line-dedup
+    * step): a line appearing in more than `maxDocsPerLine` DISTINCT
+    * documents is template text (nav bars, footers, cookie banners), not
+    * content — drop every occurrence and reassemble each document with
+    * its remaining lines in original order. The within-document
+    * complement is [[TextAnalysis.cleanLines]].
+    *
+    * Scale shape: one posexplode (row-local), one mergeable
+    * distinct-count to find the stop lines (tiny by construction — only
+    * template text crosses the threshold), a broadcast anti-join, and
+    * one reassembly aggregation keyed by document (per-doc state = the
+    * document's own lines). The exploded lines frame is persisted across
+    * its two references (stop-list + anti-join), same contract as the
+    * fingerprint path. Output: `(idCol, clean, n_lines_kept,
+    * n_lines_dropped)` — documents whose every line was boilerplate come
+    * back with an empty `clean`.
+    */
+  def dropBoilerplateLines(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDocsPerLine: Int): DataFrame = {
+    require(maxDocsPerLine >= 1,
+      s"maxDocsPerLine must be >= 1: $maxDocsPerLine")
+    val lines = df
+      .select(col(idCol).as("_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("_idx", "_line")))
+      .persist()
+    val stop = lines.groupBy("_line")
+      .agg(count_distinct(col("_id")).as("_nd"))
+      .filter(col("_nd") > maxDocsPerLine).select("_line")
+    val kept = lines.join(broadcast(stop), Seq("_line"), "left_anti")
+      .groupBy("_id")
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("_idx"), col("_line")))),
+            s => s.getField("_line")),
+          "\n").as("clean"),
+        count(lit(1)).as("n_lines_kept"))
+    df.select(col(idCol),
+      size(split(col(textCol), "\n")).cast("long").as("_total"))
+      .join(kept, col(idCol) === col("_id"), "left")
+      .select(col(idCol),
+        coalesce(col("clean"), lit("")).as("clean"),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
+        (col("_total") - coalesce(col("n_lines_kept"), lit(0L)))
+          .as("n_lines_dropped"))
+  }
+
   /** Deterministic multi-way split assignment (train/val/test): every row
     * gets a `split` label decided by where its `md5(id || salt)` prefix
     * falls among the cumulative weight thresholds — the same

@@ -61,6 +61,40 @@ object TextAnalysis {
     trim(regexp_replace(ent, "[ \\t\\n\\f\\r]+", " "))
   }
 
+  /** C4-style row-local line cleaning: split on newlines, keep lines
+    * with at least `minWords` whitespace tokens (and, when
+    * `requireTerminalPunct`, ending in `.`, `!`, `?` or a closing
+    * quote — the C4 rule; disable for text that legitimately lacks
+    * punctuation), then drop REPEATED lines keeping the first
+    * occurrence — the within-document nav/boilerplate scrub. Returns
+    * `struct(clean, n_kept, n_dropped)`.
+    *
+    * Pure higher-order built-ins, row-local (no shuffle at any corpus
+    * size). The order-preserving dedup is an indexed `filter` (element
+    * kept iff absent from the preceding slice) because engines disagree
+    * on `array_distinct`/`list_distinct` ordering — this form replays
+    * identically anywhere.
+    */
+  def cleanLines(
+      text: Column,
+      minWords: Int = 3,
+      requireTerminalPunct: Boolean = true): Column = {
+    val lines = split(text, "\n")
+    val rule: Column => Column = l => {
+      val words = size(split(trim(l), "\\s+")) >= minWords
+      if (requireTerminalPunct)
+        words && l.rlike("[.!?\"']\\s*$")
+      else words
+    }
+    val kept = filter(lines, rule)
+    val deduped = filter(kept,
+      (x, i) => array_position(slice(kept, lit(1), i), x) === 0)
+    struct(
+      array_join(deduped, "\n").as("clean"),
+      size(deduped).as("n_kept"),
+      (size(lines) - size(deduped)).as("n_dropped"))
+  }
+
   /** Canonical URL form for web-corpus dedup and crawl-frontier keys:
     * fragment dropped, scheme + host lowercased, default ports stripped
     * (`:80` http / `:443` https), trailing path slashes removed (path

@@ -279,6 +279,33 @@ class CurationSpec extends SparkSpec {
       .filter($"n" > 1).count() shouldBe 0L
   }
 
+  test("dropBoilerplateLines: template lines vanish, order survives") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "unique alpha\nCOOKIE BANNER\nunique beta"),
+      (2L, "COOKIE BANNER\nother gamma"),
+      (3L, "COOKIE BANNER\nmore delta"),
+      (4L, "COOKIE BANNER")) // all-boilerplate doc -> empty clean
+      .toDF("id", "text")
+    val out = Curation.dropBoilerplateLines(docs, "id", "text",
+      maxDocsPerLine = 2).orderBy("id").collect()
+    out.map(r => (r.getLong(0), r.getString(1),
+      r.getLong(2), r.getLong(3))) shouldBe Array(
+      (1L, "unique alpha\nunique beta", 2L, 1L),
+      (2L, "other gamma", 1L, 1L),
+      (3L, "more delta", 1L, 1L),
+      (4L, "", 0L, 1L))
+  }
+
+  test("dropBoilerplateLines: under-threshold repeats stay put") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "shared line\nown one"),
+      (2L, "shared line\nown two")).toDF("id", "text")
+    Curation.dropBoilerplateLines(docs, "id", "text", maxDocsPerLine = 2)
+      .filter($"clean".contains("shared line")).count() shouldBe 2L
+  }
+
   test("assembleSequences: ordered, truncated, untruncated count kept") {
     import spark.implicits._
     val ev = Seq(

@@ -161,6 +161,34 @@ class TextAnalysisSpec extends SparkSpec {
       "no markup here"
   }
 
+  test("cleanLines: word floor, punct rule, order-preserving dedup") {
+    import spark.implicits._
+    val text = Seq(
+      "A full sentence with enough words here.", // kept
+      "too short.",                              // < minWords
+      "no terminal punctuation on this line",    // punct rule drops
+      "A full sentence with enough words here.", // repeat -> deduped
+      "Another proper closing line stands alone!").mkString("\n")
+    val r = Seq(text).toDF("t")
+      .select(TextAnalysis.cleanLines($"t", minWords = 4).as("r"))
+      .select("r.clean", "r.n_kept", "r.n_dropped").head()
+    r.getString(0) shouldBe
+      "A full sentence with enough words here.\n" +
+      "Another proper closing line stands alone!"
+    r.getInt(1) shouldBe 2
+    r.getInt(2) shouldBe 3
+  }
+
+  test("cleanLines: punct rule off keeps unpunctuated prose") {
+    import spark.implicits._
+    val r = Seq("plain words made of five tokens\nso is this other line")
+      .toDF("t")
+      .select(TextAnalysis.cleanLines($"t", minWords = 5,
+        requireTerminalPunct = false).as("r"))
+      .select("r.n_kept").head()
+    r.getInt(0) shouldBe 2
+  }
+
   test("canonicalizeUrl: full normalization, tracking dropped, params sorted") {
     import spark.implicits._
     def canon(u: String): String = Seq(u).toDF("u")
