@@ -3458,7 +3458,8 @@ object SparkEntry {
         |  FROM a),
         |d AS (SELECT doc_id, ls, list_filter(k0, (x, i) ->
         |    NOT list_contains(k0[1:i-1], x)) AS kd FROM k)
-        |SELECT doc_id, array_to_string(kd, chr(10)) AS clean,
+        |SELECT doc_id,
+        |  coalesce(array_to_string(kd, chr(10)), '') AS clean,
         |  CAST(len(kd) AS INT) AS n_kept,
         |  CAST(len(ls) - len(kd) AS INT) AS n_dropped
         |FROM d ORDER BY doc_id""".stripMargin,
