@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-audit artifact: dumps `explain("formatted")` for the headline
+  * queries to a markdown file so the physical shapes — pushed filters,
+  * pruned schemas, exchange counts, broadcast choices, codegen spans —
+  * are reviewable without re-running anything. The per-operator
+  * plan-shape ASSERTIONS live in the specs (PlanShapeSpec and each
+  * operator's own suite); this is the human-readable companion.
+  *
+  * Usage: `runMain graft.Plans <sfDir> <outFile>`.
+  */
+object Plans {
+
+  /** Queries whose physical shape carries the scale argument. */
+  private val headline = Seq(
+    "q01_agg", "q02_filter_project", "q03_broadcast_join", "q04_join_agg",
+    "q18_asof_join", "q26_asof_salted", "q42_bloom_prejoin",
+    "q46_skew_join", "q63_snapshot_diff", "q64_drift_psi",
+    "q65_span_dedup", "q67_temperature_mix", "q70_resample_fill",
+    "q76_transitions", "q79_interval_join", "q81_curation_e2e",
+    "x1_dedup_exact", "x2_dedup_minhash", "x9_dedup_incremental",
+    "y2_knn_lsh", "y3_knn_ivf")
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outFile) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = Scratch.configure(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val sb = new StringBuilder
+    sb.append("# Physical plans (explain formatted)\n\n")
+    sb.append(s"Generated against `$sfDir` — broadcast/exchange choices ")
+    sb.append("reflect that scale's statistics; the spec suite asserts ")
+    sb.append("the shape invariants that must hold at any scale.\n")
+    headline.foreach { name =>
+      SparkEntry.queries.get(name).foreach { build =>
+        val plan = try {
+          build(spark, sfDir).queryExecution
+            .explainString(ExplainMode.fromString("formatted"))
+        } catch {
+          case e: Exception => s"(failed to plan: ${e.getMessage})"
+        }
+        sb.append(s"\n## $name\n\n```\n$plan```\n")
+      }
+    }
+    Files.write(Paths.get(outFile),
+      sb.toString.getBytes(StandardCharsets.UTF_8))
+    // stderr keeps stdout clean for tooling
+    System.err.println(s"[plans] wrote ${headline.size} plans to $outFile")
+    spark.stop()
+  }
+}

@@ -1900,6 +1900,18 @@ object SparkEntry {
       Curation.dropBoilerplateLines(docs, "doc_id", "text",
         maxDocsPerLine = 2)
         .orderBy("doc_id")
+    }),
+
+    "q84_curation_report" -> ((s, dir) => {
+      // the curation funnel as numbers (ext.CorpusPipeline.report):
+      // survivors per stage plus the split breakdown — the drop-rate
+      // dashboard a corpus release ships with; same chain as q81, so
+      // the counts cannot drift from the curate outcome.
+      val docs = rd(s, dir, "documents")
+      CorpusPipeline.report(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 50 === 0), "doc_id", "text",
+        minQuality = 0.5, nGram = 13, salt = "g81")
+        .orderBy("stage")
     })
   )
 
@@ -3483,7 +3495,55 @@ object SparkEntry {
         |  CAST(len(aa.a) - coalesce(re.n, 0) AS BIGINT)
         |    AS n_lines_dropped
         |FROM aa LEFT JOIN re ON aa.doc_id = re.doc_id
-        |ORDER BY aa.doc_id""".stripMargin
+        |ORDER BY aa.doc_id""".stripMargin,
+
+    "q84_curation_report" ->
+      """WITH fp AS (SELECT min(doc_id) AS doc_id FROM documents
+        |  GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ',
+        |    'g'))))),
+        |k0 AS (SELECT d.doc_id, d.text FROM documents d
+        |  JOIN fp USING (doc_id)),
+        |q AS (SELECT doc_id, text FROM k0 WHERE floor((
+        |    least(len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE
+        |      / 50.0, 1.0) * 0.4
+        |    + (len(list_distinct(regexp_split_to_array(trim(text),
+        |        '\s+')))::DOUBLE
+        |       / len(regexp_split_to_array(trim(text), '\s+'))) * 0.3
+        |    + least((length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
+        |       / len(regexp_split_to_array(trim(text), '\s+'))) / 8.0,
+        |       1.0) * 0.2
+        |    + (1.0 - length(regexp_replace(text, '[A-Za-z0-9\s]', '',
+        |        'g'))::DOUBLE / length(text)) * 0.1) * 1e6 + 0.5) / 1e6
+        |    >= 0.5),
+        |tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+')
+        |    AS a FROM q),
+        |g AS (SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(a) - 11),
+        |      i -> array_to_string(a[i:i+12], ' ')))) AS gram
+        |  FROM tok WHERE len(a) >= 13),
+        |etok AS (SELECT regexp_split_to_array(trim(text), '\s+') AS a
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |eg AS (SELECT DISTINCT unnest(list_distinct(
+        |    list_transform(range(1, len(a) - 11),
+        |      i -> array_to_string(a[i:i+12], ' ')))) AS gram
+        |  FROM etok WHERE len(a) >= 13),
+        |hit AS (SELECT DISTINCT g.doc_id FROM g JOIN eg USING (gram)),
+        |lab AS (SELECT doc_id,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'g81'), 1, 8)
+        |           < 'cccccccd' THEN 'train'
+        |         WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'g81'), 1, 8)
+        |           < 'e6666667' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM q WHERE doc_id NOT IN (SELECT doc_id FROM hit)
+        |    AND doc_id % 50 <> 0)
+        |SELECT '0_input' AS stage, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents
+        |UNION ALL SELECT '1_deduped', count(*) FROM k0
+        |UNION ALL SELECT '2_quality', count(*) FROM q
+        |UNION ALL SELECT '3_decontaminated', count(*) FROM lab
+        |UNION ALL SELECT '4_split_' || split, count(*) FROM lab
+        |  GROUP BY split
+        |ORDER BY stage""".stripMargin
   )
 
   private lazy val contaminationOracle: String =

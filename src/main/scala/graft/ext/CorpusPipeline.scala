@@ -63,4 +63,44 @@ object CorpusPipeline {
     Curation.assignSplit(clean, idCol, splits, salt)
       .select(col(idCol), col("split"))
   }
+
+  /** The curation funnel as numbers — one row per stage with the
+    * surviving document count, the drop-rate dashboard every corpus
+    * release ships with. Stage keys are ordinal-prefixed so the report
+    * sorts in pipeline order; the split rows break the final stage down.
+    * A union of O(1)-row aggregations over the same chain [[curate]]
+    * runs — no extra pass logic to drift out of sync with it.
+    */
+  def report(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      evalDocs: DataFrame,
+      evalIdCol: String,
+      evalTextCol: String,
+      minQuality: Double = 0.5,
+      nGram: Int = 13,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      salt: String = ""): DataFrame = {
+    val canonical = Dedup.dedupExact(docs, idCol, textCol)
+      .select(col("keep_id").as(idCol))
+    val deduped = docs.join(canonical, Seq(idCol), "left_semi")
+    val qualified = deduped
+      .filter(floor(TextAnalysis.qualityScore(col(textCol)) * 1e6 + 0.5)
+        / 1e6 >= minQuality)
+    val labeled = curate(docs, idCol, textCol,
+      evalDocs, evalIdCol, evalTextCol, minQuality, nGram, splits, salt)
+    def stage(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(name).as("stage"), col("n_docs"))
+    stage("0_input", docs)
+      .unionByName(stage("1_deduped", deduped))
+      .unionByName(stage("2_quality", qualified))
+      .unionByName(stage("3_decontaminated", labeled))
+      .unionByName(labeled.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"))
+        .select(concat(lit("4_split_"), col("split")).as("stage"),
+          col("n_docs")))
+  }
 }
