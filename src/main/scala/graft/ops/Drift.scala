@@ -146,23 +146,24 @@ object Drift {
     val joined = bucketCounts(ref, "ref_n")
       .join(bucketCounts(cur, "cur_n"), Seq("bucket"), "full_outer")
       .na.fill(0L, Seq("ref_n", "cur_n"))
-    val totals = joined.agg(
-      sum("ref_n").as("ref_total"), sum("cur_n").as("cur_total"))
+    // running and total sums both as windows over the O(buckets) frame —
+    // a totals aggregate branch would re-execute the bucket counts (see
+    // the note in [[psi]])
     val w = org.apache.spark.sql.expressions.Window
       .orderBy("bucket")
       .rowsBetween(org.apache.spark.sql.expressions.Window
         .unboundedPreceding, 0)
-    val cum = joined.crossJoin(broadcast(totals))
-      .withColumn("ref_cum", rnd6(
-        sum("ref_n").over(w).cast("double") / col("ref_total")))
-      .withColumn("cur_cum", rnd6(
-        sum("cur_n").over(w).cast("double") / col("cur_total")))
-      .withColumn("cdf_gap", rnd6(abs(col("ref_cum") - col("cur_cum"))))
     val wAll = org.apache.spark.sql.expressions.Window
       .orderBy("bucket")
       .rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val cum = joined
+      .withColumn("ref_cum", rnd6(
+        sum("ref_n").over(w).cast("double") / sum("ref_n").over(wAll)))
+      .withColumn("cur_cum", rnd6(
+        sum("cur_n").over(w).cast("double") / sum("cur_n").over(wAll)))
+      .withColumn("cdf_gap", rnd6(abs(col("ref_cum") - col("cur_cum"))))
     cum.withColumn("ks", max("cdf_gap").over(wAll))
       .select(col("bucket"), col("ref_n"), col("cur_n"),
         col("ref_cum"), col("cur_cum"), col("cdf_gap"), col("ks"))
@@ -190,13 +191,22 @@ object Drift {
     val joined = bucketCounts(ref, "ref_n")
       .join(bucketCounts(cur, "cur_n"), Seq("bucket"), "full_outer")
       .na.fill(0L, Seq("ref_n", "cur_n"))
-    val totals = joined.agg(
-      sum("ref_n").as("ref_total"), sum("cur_n").as("cur_total"))
-    joined.crossJoin(broadcast(totals))
-      .withColumn("ref_share",
-        greatest(col("ref_n").cast("double") / col("ref_total"), lit(eps)))
-      .withColumn("cur_share",
-        greatest(col("cur_n").cast("double") / col("cur_total"), lit(eps)))
+    // totals via a window over the O(buckets) frame, NOT a separate
+    // aggregate branch: a totals subplan re-executes both bucket counts
+    // (the static plan showed 4 scans of the data instead of 2; AQE
+    // exchange reuse is runtime-best-effort, not a contract). The
+    // single-partition window touches only O(buckets) rows — the same
+    // bounded posture as the cum windows in [[ks]].
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy("bucket")
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    joined
+      .withColumn("ref_share", greatest(
+        col("ref_n").cast("double") / sum("ref_n").over(wAll), lit(eps)))
+      .withColumn("cur_share", greatest(
+        col("cur_n").cast("double") / sum("cur_n").over(wAll), lit(eps)))
       .select(col("bucket"), col("ref_n"), col("cur_n"),
         rnd6(col("ref_share")).as("ref_share"),
         rnd6(col("cur_share")).as("cur_share"),
