@@ -1912,6 +1912,19 @@ object SparkEntry {
         docs.filter(col("doc_id") % 50 === 0), "doc_id", "text",
         minQuality = 0.5, nGram = 13, salt = "g81")
         .orderBy("stage")
+    }),
+
+    "q85_flatten" -> ((s, dir) => {
+      // recursive struct flattening (ops.ColumnOps.flattenStructs): a
+      // nested ingest shape built from customer collapses to flat
+      // prefixed columns in ONE projection; the oracle selects the flat
+      // equivalents directly.
+      rd(s, dir, "customer").select(col("c_custkey"),
+        struct(col("c_name").as("name"),
+          struct(col("c_acctbal").as("bal"),
+            col("c_mktsegment").as("seg")).as("acct")).as("info"))
+        .flattenStructs()
+        .orderBy("c_custkey")
     })
   )
 
@@ -3543,7 +3556,12 @@ object SparkEntry {
         |UNION ALL SELECT '3_decontaminated', count(*) FROM lab
         |UNION ALL SELECT '4_split_' || split, count(*) FROM lab
         |  GROUP BY split
-        |ORDER BY stage""".stripMargin
+        |ORDER BY stage""".stripMargin,
+
+    "q85_flatten" ->
+      """SELECT c_custkey, c_name AS info_name,
+        |  c_acctbal AS info_acct_bal, c_mktsegment AS info_acct_seg
+        |FROM customer ORDER BY c_custkey""".stripMargin
   )
 
   private lazy val contaminationOracle: String =

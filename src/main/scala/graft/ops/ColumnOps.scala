@@ -2,7 +2,7 @@ package graft.ops
 
 import java.time.LocalDate
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, StringType, StructType}
 
@@ -55,6 +55,43 @@ object ColumnOps {
       */
     def convertStructTypeToString(): DataFrame =
       mapFieldsOfType(_.isInstanceOf[StructType], _.cast(StringType))
+
+    /** Recursively promote nested struct fields to top-level columns
+      * named `parent<sep>child<sep>...` — the schema-flattening step
+      * between a nested ingest format and a flat warehouse table.
+      * Arrays and maps pass through untouched (exploding is a separate,
+      * row-multiplying decision — see `JsonOps`), field ORDER follows a
+      * depth-first walk of the schema, and a name collision after
+      * flattening fails loudly instead of silently shadowing a column.
+      * One projection regardless of nesting depth.
+      */
+    def flattenStructs(sep: String = "_"): DataFrame = {
+      def expand(schema: StructType, path: Seq[String],
+          prefix: String): Seq[Column] =
+        schema.fields.toSeq.flatMap { f =>
+          val p = path :+ f.name
+          f.dataType match {
+            case s: StructType => expand(s, p, prefix + f.name + sep)
+            case _ =>
+              Seq(col(p.map(n => s"`$n`").mkString("."))
+                .as(prefix + f.name))
+          }
+        }
+      val cols = expand(df.schema, Nil, "")
+      // collision check over the names the same walk produces
+      def namesOf(schema: StructType, prefix: String): Seq[String] =
+        schema.fields.toSeq.flatMap { f =>
+          f.dataType match {
+            case s: StructType => namesOf(s, prefix + f.name + sep)
+            case _ => Seq(prefix + f.name)
+          }
+        }
+      val flat = namesOf(df.schema, "")
+      require(flat.distinct.size == flat.size,
+        s"flattenStructs: name collision after flattening: " +
+          flat.diff(flat.distinct).distinct.mkString(", "))
+      df.select(cols: _*)
+    }
 
     /** P6 — add constant columns from an ordered name->value list.
       * `Seq` (not `Map`) keeps the reference's OrderedDict column order.

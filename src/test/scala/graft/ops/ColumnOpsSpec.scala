@@ -103,4 +103,31 @@ class ColumnOpsSpec extends SparkSpec {
     assert(dated.columns.count(_ == "year") === 1)
     assert(dated.select("year").as[Int].head() === 2024) // replaced
   }
+
+  test("flattenStructs: depth-first names, arrays untouched, values intact") {
+    import spark.implicits._
+    val df = Seq((1L, "n", 2.5, "s", Seq(1, 2)))
+      .toDF("id", "name", "bal", "seg", "tags")
+      .select(col("id"), struct(
+        col("name"),
+        struct(col("bal"), col("seg")).as("acct"),
+        col("tags")).as("info"))
+    val flat = df.flattenStructs()
+    flat.columns.toSeq shouldBe
+      Seq("id", "info_name", "info_acct_bal", "info_acct_seg", "info_tags")
+    val r = flat.head()
+    r.getLong(0) shouldBe 1L
+    r.getString(1) shouldBe "n"
+    r.getDouble(2) shouldBe 2.5
+    r.getSeq[Int](4) shouldBe Seq(1, 2)
+  }
+
+  test("flattenStructs: collisions fail loudly, custom separator works") {
+    import spark.implicits._
+    val clash = Seq((1, (2, 3))).toDF("a_b", "a")
+      .select(col("a_b"), struct(col("a._1").as("b")).as("a"))
+    an[IllegalArgumentException] should be thrownBy clash.flattenStructs()
+    // "." separator avoids that collision
+    clash.flattenStructs(sep = ".").columns.toSeq shouldBe Seq("a_b", "a.b")
+  }
 }
