@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Bpe, Clusters, CorpusPipeline, Curation, Dedup, Fingerprint, Keyword, Multimodal, Shingles, Similarity, TextAnalysis}
+import graft.ext.{Bpe, Clusters, CorpusPipeline, Curation, Dedup, Fingerprint, Keyword, LanguageModel, Multimodal, Shingles, Similarity, TextAnalysis}
 import graft.lake.ZOrder
 import graft.ops.{AsofJoin, Cohorts, Diff, Drift, Funnel, FuzzyJoin, Hierarchy, Ids, IntervalJoin, Normalize, Profile, Resample, RuntimeFilter, SkewJoin, Sketches}
 import graft.pipeline.{Cdc, IncrementalAgg, Scd2}
@@ -1925,8 +1925,66 @@ object SparkEntry {
             col("c_mktsegment").as("seg")).as("acct")).as("info"))
         .flattenStructs()
         .orderBy("c_custkey")
+    }),
+
+    "t15_lm_perplexity" -> ((s, dir) => {
+      // char-trigram LM perplexity scoring (ext.LanguageModel): the CCNet
+      // quality-filter pattern, self-trained here so the oracle can
+      // re-derive the whole model in SQL. Model + contexts broadcast;
+      // the corpus never shuffles at full width.
+      val docs = rd(s, dir, "documents")
+      val model = LanguageModel.train(docs, col("text"), n = 3)
+      LanguageModel.score(docs, Seq("doc_id"), col("text"), model,
+        n = 3, addK = 0.5, alphabetSize = 64)
+        .select(col("doc_id"), col("n_grams"),
+          rnd(col("avg_nll"), 4).as("avg_nll"))
+        .orderBy("doc_id")
+    }),
+
+    "q86_kmeans_assign" -> ((s, dir) => {
+      // distributed k-means (ext.Clustering): deterministic first-k init,
+      // one refit with roundDigits=6 — the whole training loop is
+      // re-derivable in SQL, so the oracle proves both the assignment
+      // kernel AND the refit aggregation. Per-row cell output is the
+      // strongest check: one flipped assignment breaks the hash.
+      val emb = rd(s, dir, "embeddings")
+      val m = kmeansDemo(s, dir)
+      ext.Clustering.assign(emb, "embedding", m)
+        .select(col("vec_id"), col("cell"))
+        .orderBy("vec_id")
+    }),
+
+    "q87_kmeans_summary" -> ((s, dir) => {
+      // per-cluster size + within-cluster sum of squares from the same
+      // model as q86 — the |v|^2 - 2 v.c + |c|^2 expansion stays inside
+      // the codegen'd dot kernel.
+      val emb = rd(s, dir, "embeddings")
+      val m = kmeansDemo(s, dir)
+      ext.Clustering.summary(emb, "embedding", m)
+        .select(col("cell"), col("n"), rnd(col("wcss"), 3).as("wcss"))
+        .orderBy("cell")
+    }),
+
+    "q88_kmeans_balanced_sample" -> ((s, dir) => {
+      // cluster-balanced thinning: md5-coin Bernoulli per LEARNED cluster
+      // toward a fixed per-cluster target — the deterministic coin makes
+      // the exact kept row set re-derivable in the oracle.
+      val emb = rd(s, dir, "embeddings")
+      val m = kmeansDemo(s, dir)
+      ext.Clustering.balancedSample(emb, "vec_id", "embedding", m,
+        targetPerCluster = 30L, salt = "q88")
+        .select(col("vec_id"), col("cell"))
+        .orderBy("vec_id")
     })
   )
+
+  /** Shared scaffold of q86-q88: k=8 k-means on embeddings, deterministic
+    * init, ONE refit, centroids pinned to the 1e-6 grid (cross-engine
+    * reproducible — see [[ext.Clustering.kmeans]] roundDigits).
+    */
+  private def kmeansDemo(s: SparkSession, dir: String): ext.Clustering.Model =
+    ext.Clustering.kmeans(rd(s, dir, "embeddings"), "vec_id", "embedding",
+      k = 8, iterations = 1, roundDigits = 6)
 
   /** The q38/q38b merge outcome as plain SQL (see [[scd2Demo]]) — one
     * oracle, two physical plans.
@@ -3561,8 +3619,90 @@ object SparkEntry {
     "q85_flatten" ->
       """SELECT c_custkey, c_name AS info_name,
         |  c_acctbal AS info_acct_bal, c_mktsegment AS info_acct_seg
-        |FROM customer ORDER BY c_custkey""".stripMargin
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "t15_lm_perplexity" ->
+      """WITH g AS (SELECT doc_id, substr(text, i, 3) AS gram
+        |  FROM documents,
+        |    unnest(generate_series(1, length(text) - 2)) AS t(i)),
+        |cnt AS (SELECT gram, count(*) AS c FROM g GROUP BY gram),
+        |ctx AS (SELECT substr(gram, 1, 2) AS pre, sum(c) AS cc
+        |  FROM cnt GROUP BY pre)
+        |SELECT doc_id, count(*) AS n_grams,
+        |  floor(avg(-ln((c + 0.5) / (cc + 0.5 * 64))) * 1e4 + 0.5) / 1e4
+        |    AS avg_nll
+        |FROM g JOIN cnt USING (gram)
+        |  JOIN ctx ON substr(gram, 1, 2) = ctx.pre
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q86_kmeans_assign" ->
+      s"""$kmeansOraclePreamble
+         |SELECT vec_id, cell FROM asg ORDER BY vec_id""".stripMargin,
+
+    "q87_kmeans_summary" ->
+      s"""$kmeansOraclePreamble
+         |SELECT cell, CAST(count(*) AS BIGINT) AS n,
+         |  floor(sum(
+         |    list_sum(list_transform(e.embedding,
+         |      x -> x::DOUBLE * x::DOUBLE))
+         |    - 2 * list_sum(list_transform(list_zip(e.embedding, ct.c),
+         |        x -> x[1]::DOUBLE * x[2]::DOUBLE))
+         |    + list_sum(list_transform(ct.c, x -> x::DOUBLE * x::DOUBLE))
+         |  ) * 1e3 + 0.5) / 1e3 AS wcss
+         |FROM asg JOIN e USING (vec_id) JOIN cents ct USING (cell)
+         |GROUP BY cell ORDER BY cell""".stripMargin,
+
+    "q88_kmeans_balanced_sample" ->
+      s"""$kmeansOraclePreamble,
+         |sz AS (SELECT cell, count(*) AS csize FROM asg GROUP BY cell)
+         |SELECT a.vec_id, a.cell FROM asg a JOIN sz USING (cell)
+         |WHERE ('0x' || substr(md5(CAST(a.vec_id AS VARCHAR) || '|q88'),
+         |    1, 8))::BIGINT
+         |  < least(1.0, 30.0 / csize) * 4294967296.0
+         |ORDER BY vec_id""".stripMargin
   )
+
+  /** The q86-q88 oracle's shared training loop: re-derives
+    * [[kmeansDemo]]'s model in SQL — init = first 8 vectors by id, one
+    * assignment round against the `v·c − |c|²/2` ranking (ties to the
+    * smaller cell, exactly [[graft.functions.NearestCells]]), one refit
+    * with the floor-form 1e-6 rounding and a float cast, empty cells
+    * keeping their init centroid — then the final assignment `asg`.
+    */
+  private lazy val kmeansOraclePreamble: String =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |init AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+      |    AS cell, embedding AS c
+      |  FROM (SELECT vec_id, embedding FROM e
+      |        ORDER BY vec_id LIMIT 8) t0),
+      |s0 AS (SELECT e.vec_id, e.embedding, i.cell,
+      |    list_sum(list_transform(list_zip(e.embedding, i.c),
+      |      x -> x[1]::DOUBLE * x[2]::DOUBLE))
+      |    - list_sum(list_transform(i.c, x -> x::DOUBLE * x::DOUBLE)) / 2
+      |      AS score
+      |  FROM e CROSS JOIN init i),
+      |a0 AS (SELECT vec_id, embedding, cell FROM (
+      |    SELECT s0.*, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY score DESC, cell) AS rn FROM s0) t1 WHERE rn = 1),
+      |comp AS (SELECT cell, g.i AS pos,
+      |    CAST(floor(avg(embedding[g.i]::DOUBLE) * 1e6 + 0.5) / 1e6
+      |      AS REAL) AS cval
+      |  FROM a0, unnest(generate_series(1, len(embedding))) AS g(i)
+      |  GROUP BY cell, g.i),
+      |c1 AS (SELECT cell, list(cval ORDER BY pos) AS c FROM comp
+      |  GROUP BY cell),
+      |cents AS (SELECT i.cell, coalesce(c1.c, i.c) AS c
+      |  FROM init i LEFT JOIN c1 USING (cell)),
+      |s1 AS (SELECT e.vec_id, t.cell,
+      |    list_sum(list_transform(list_zip(e.embedding, t.c),
+      |      x -> x[1]::DOUBLE * x[2]::DOUBLE))
+      |    - list_sum(list_transform(t.c, x -> x::DOUBLE * x::DOUBLE)) / 2
+      |      AS score
+      |  FROM e CROSS JOIN cents t),
+      |asg AS (SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY score DESC, cell) AS rn FROM s1) t2 WHERE rn = 1)"""
+      .stripMargin
 
   private lazy val contaminationOracle: String =
     """WITH tok AS (SELECT doc_id,

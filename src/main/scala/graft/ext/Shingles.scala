@@ -46,6 +46,13 @@ object Shingles {
     coalesce(graft.functions.NGrams.charNGrams(text, n),
       array().cast("array<string>"))
 
+  /** ALL character n-grams in order, duplicates kept — every position
+    * counts once, which is what language-model counting needs.
+    */
+  def charNGramsAll(text: Column, n: Int): Column =
+    coalesce(graft.functions.NGrams.charNGramsAll(text, n),
+      array().cast("array<string>"))
+
   /** Exact Jaccard similarity of two array columns (set semantics). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

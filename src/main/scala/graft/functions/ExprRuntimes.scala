@@ -218,7 +218,9 @@ object ExprRuntimes {
     sb.toString
   }
 
-  /** Distinct character n-grams — one byte walk for the whole document.
+  /** Character n-grams — one byte walk for the whole document. `distinct`
+    * keeps first-occurrence order (the shingle-set view); duplicates-kept
+    * preserves every position (the language-model counting view).
     *
     * The composed form (`transform(sequence(...), i => substr(text, i,
     * n))`) pays an O(i) code-point seek per position — O(len²) per
@@ -226,7 +228,7 @@ object ExprRuntimes {
     * gram is a byte-range slice at exactly the boundaries `substr`'s
     * code-point arithmetic would pick — O(len + output), codegen-resident.
     */
-  def charNGrams(text: UTF8String, n: Int): ArrayData = {
+  def charNGrams(text: UTF8String, n: Int, distinct: Boolean): ArrayData = {
     val bytes = text.getBytes
     // char starts = non-continuation bytes (0b10xxxxxx are continuations)
     var nChars = 0
@@ -245,6 +247,16 @@ object ExprRuntimes {
       i += 1
     }
     starts(nChars) = bytes.length
+    if (!distinct) {
+      val out = new Array[Any](count)
+      var p = 0
+      while (p < count) {
+        out(p) = UTF8String.fromBytes(
+          java.util.Arrays.copyOfRange(bytes, starts(p), starts(p + n)))
+        p += 1
+      }
+      return new GenericArrayData(out)
+    }
     val seen = new java.util.LinkedHashSet[UTF8String](count * 2)
     var p = 0
     while (p < count) {

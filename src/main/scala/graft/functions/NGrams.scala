@@ -36,13 +36,15 @@ case class WordNGrams(child: Expression, n: Int, distinct: Boolean)
     copy(child = newChild)
 }
 
-/** Distinct character n-grams as a native expression: one byte walk over
+/** Character n-grams as a native expression: one byte walk over
   * the UTF-8 encoding instead of an O(position) code-point seek per output
   * gram (the `substr(text, i, n)` composed form is O(len²) per document).
   * Gram boundaries are UTF-8 char starts — exactly the code-point
-  * arithmetic `substr` uses.
+  * arithmetic `substr` uses. `distinct` yields the shingle-set view;
+  * duplicates-kept yields the positional multiset the language-model
+  * counters need.
   */
-case class CharNGrams(child: Expression, n: Int)
+case class CharNGrams(child: Expression, n: Int, distinct: Boolean = true)
     extends UnaryExpression {
   require(n >= 1, s"n-gram size must be >= 1, got $n")
 
@@ -50,11 +52,11 @@ case class CharNGrams(child: Expression, n: Int)
   override def nullable: Boolean = true
 
   override def nullSafeEval(v: Any): Any =
-    ExprRuntimes.charNGrams(v.asInstanceOf[UTF8String], n)
+    ExprRuntimes.charNGrams(v.asInstanceOf[UTF8String], n, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      t => s"graft.functions.ExprRuntimes.charNGrams($t, $n)")
+      t => s"graft.functions.ExprRuntimes.charNGrams($t, $n, $distinct)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -72,4 +74,11 @@ object NGrams {
   /** Distinct character n-grams, first-occurrence order. */
   def charNGrams(text: Column, n: Int): Column =
     GraftShim.column(CharNGrams(GraftShim.expression(text), n))
+
+  /** ALL character n-grams in order, duplicates kept (the positional
+    * multiset — language-model counting needs every occurrence).
+    */
+  def charNGramsAll(text: Column, n: Int): Column =
+    GraftShim.column(
+      CharNGrams(GraftShim.expression(text), n, distinct = false))
 }
