@@ -1975,6 +1975,19 @@ object SparkEntry {
         targetPerCluster = 30L, salt = "q88")
         .select(col("vec_id"), col("cell"))
         .orderBy("vec_id")
+    }),
+
+    "x11_containment" -> ((s, dir) => {
+      // asymmetric containment dedup (Dedup.containmentPairs): the
+      // excerpt-inside-host relation minhash can't see. Exact via the
+      // df-ordered prefix filter, so the DuckDB definition is a true
+      // oracle, not a recall estimate. Char-8-gram shingles: this corpus
+      // has a ~31-word vocabulary, so WORD containment at 0.8 is true of
+      // most pairs (the result itself is quadratic) — n-grams restore a
+      // Zipfian key space where containment means shared text.
+      Dedup.containmentPairs(rd(s, dir, "documents"), "doc_id", "text", 0.8,
+        shingleFn = Shingles.charNGrams(_, 8))
+        .orderBy("id", "container_id")
     })
   )
 
@@ -3659,7 +3672,28 @@ object SparkEntry {
          |WHERE ('0x' || substr(md5(CAST(a.vec_id AS VARCHAR) || '|q88'),
          |    1, 8))::BIGINT
          |  < least(1.0, 30.0 / csize) * 4294967296.0
-         |ORDER BY vec_id""".stripMargin
+         |ORDER BY vec_id""".stripMargin,
+
+    // intersection sizes come from a grouped join-count over the inverted
+    // index — exact (a pair with containment > 0 shares >= 1 gram, and
+    // every shared gram contributes exactly one joined row), and far
+    // cheaper than per-pair list_intersect at sf0.1
+    "x11_containment" ->
+      """WITH s AS (SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, length(text) - 7),
+        |    i -> substr(text, i, 8))) AS sh
+        |  FROM documents),
+        |ss AS (SELECT doc_id, len(sh) AS nsh FROM s WHERE len(sh) > 0),
+        |g AS (SELECT doc_id, unnest(sh) AS gram FROM s WHERE len(sh) > 0),
+        |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+        |    count(*) AS shared
+        |  FROM g a JOIN g b USING (gram) WHERE a.doc_id <> b.doc_id
+        |  GROUP BY ia, ib)
+        |SELECT ia AS id, ib AS container_id,
+        |  shared::DOUBLE / a.nsh AS containment
+        |FROM inter JOIN ss a ON inter.ia = a.doc_id
+        |WHERE shared >= 0.8 * a.nsh
+        |ORDER BY id, container_id""".stripMargin
   )
 
   /** The q86-q88 oracle's shared training loop: re-derives

@@ -445,4 +445,142 @@ object Dedup {
       maxRows: Long = Similarity.DefaultBruteForceMaxRows): DataFrame =
     Similarity.cosinePairsBruteForce(df, idCol, vecCol, maxRows)
       .filter(col("cosine") >= minCosine)
+
+  // ---------------------------------------------------- containment (⊆-ish)
+
+  /** Asymmetric containment pairs: `(id, container_id, containment)` where
+    * `containment = |A∩B| / |A| >= threshold` — A's shingle set is mostly
+    * inside B's. This is the relation minhash CANNOT find: a paragraph
+    * lifted into a long document has high containment but near-zero
+    * Jaccard, so LSH bands never collide. Quote/excerpt dedup and
+    * boilerplate-subsumption filtering need exactly this operator.
+    *
+    * EXACT, not approximate, via the prefix filter of the similarity-join
+    * literature (PPJoin/AllPairs family): order every set by one global
+    * total order — here ascending document frequency, rarest first, with
+    * the shingle string breaking ties — and probe the inverted index with
+    * only each set's first `floor((1−t)·|A|) + 1` shingles. If A shares
+    * none of that prefix with B, then even sharing ALL its remaining
+    * shingles leaves `|A∩B| < t·|A|` — so pruned pairs are provably below
+    * threshold, and recall is 1 by construction.
+    *
+    * Scale: candidates come from an equi-join of prefix probes against
+    * postings — no cross join anywhere. The df-ordering is what bounds the
+    * join fan-out: probes are each document's RAREST shingles, so a stop
+    * word shared by every document is (almost) never probed even though it
+    * sits in every posting list. The size prune `|B| >= t·|A|` rides in
+    * the same join. Frequency ranking costs one O(vocab) aggregation and
+    * one per-document sort of its own shingles — both bounded by corpus
+    * token count, never by pairs.
+    *
+    * `shingleFn` picks the set definition. Word tokens (default) match
+    * the human notion of quotation; char n-grams
+    * (`Shingles.charNGrams(_, 8)`) are the right choice when the corpus
+    * shares a small vocabulary — with few distinct words, MOST doc pairs
+    * genuinely exceed word-level containment and the result itself is
+    * quadratic, which no candidate scheme can outrun; n-grams restore a
+    * large, Zipfian key space where the prefix filter bites.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      shingleFn: Column => Column = tokenSet,
+      bitmapWords: Int = 64): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"containment threshold must be in (0, 1], got $threshold")
+    val sets = ensureParallelism(df.select(col(idCol), col(textCol)))
+      .select(
+        col(idCol).as("id"),
+        array_sort(shingleFn(col(textCol))).as("sh"))
+      .withColumn("nsh", size(col("sh")))
+      .filter(col("nsh") > 0)
+      .withColumn("bm",
+        graft.functions.BitmapFunctions.gram_bitmap(col("sh"), bitmapWords))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val toks = sets.select(col("id"), col("nsh"),
+      explode(col("sh")).as("shingle"))
+    val docFreq = toks.groupBy("shingle").agg(count(lit(1)).as("df"))
+    // rarest-first rank of each document's own shingles; keep the prefix.
+    // Length is |A| − ceil(t·|A|) + 1, NOT floor((1−t)·|A|)+1: both are
+    // equal in exact arithmetic, but the latter under-counts by one when
+    // (1−t)·|A| lands just below an integer in doubles (t=0.8, |A|=10
+    // gives 1.9999…), silently dropping pairs that sit exactly ON the
+    // threshold. Deriving the prefix from the same `t·|A|` product the
+    // verify filter compares against makes prune and verify agree at the
+    // boundary by construction.
+    val prefixLen = (col("nsh") - ceil(lit(threshold) * col("nsh")) + 1)
+      .cast("int")
+    val probes = toks
+      .join(docFreq, Seq("shingle"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("id").orderBy(col("df"), col("shingle"))))
+      .filter(col("rk") <= prefixLen)
+      .select(col("id").as("a"), col("nsh").as("nsh_a"), col("shingle"))
+
+    val postings = sets.select(col("id").as("b"), col("nsh").as("nsh_b"),
+      explode(col("sh")).as("shingle"))
+    val candidates = probes
+      .join(postings, Seq("shingle"))
+      .filter(col("a") =!= col("b") &&
+        // |A∩B| <= |B|, so |B| < t·|A| can never reach the threshold
+        col("nsh_b") >= lit(threshold) * col("nsh_a"))
+      .select(col("a"), col("b"))
+      .distinct()
+
+    // Bitmap prune between candidates and the exact verify: the pruning
+    // join ships words×8 bytes per side instead of the full shingle
+    // arrays, and |A∩B| <= |A| − popcount(bm_a & ~bm_b) is an exact upper
+    // bound ([[graft.functions.GramBitmap]]) — on a shared-template corpus
+    // this is the difference between intersecting millions of candidate
+    // pairs and intersecting roughly the true result set.
+    val pruned = candidates
+      .join(sets.select(col("id").as("a"), col("nsh").as("nsh_a"),
+        col("bm").as("bm_a")), Seq("a"))
+      .join(sets.select(col("id").as("b"), col("bm").as("bm_b")), Seq("b"))
+      .filter(col("nsh_a") -
+        graft.functions.BitmapFunctions
+          .bitmap_andnot_count(col("bm_a"), col("bm_b")) >=
+        lit(threshold) * col("nsh_a"))
+      .select(col("a"), col("b"))
+
+    pruned
+      .join(sets.select(col("id").as("a"), col("sh").as("sh_a"),
+        col("nsh").as("nsh_a")), Seq("a"))
+      .join(sets.select(col("id").as("b"), col("sh").as("sh_b")), Seq("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
+        col("nsh_a"))
+      .filter(col("inter") >= lit(threshold) * col("nsh_a"))
+      .select(
+        col("a").as("id"),
+        col("b").as("container_id"),
+        (col("inter").cast("double") / col("nsh_a")).as("containment"))
+  }
+
+  /** Drop documents subsumed by another document: everything whose shingle
+    * set is at least `threshold`-contained in some OTHER document that is
+    * not itself dropped for being a copy of it. Mutual containment (sets
+    * equal at the threshold) keeps the smallest id, so one representative
+    * of every copy group always survives — the [[containmentPairs]]
+    * relation alone would drop both sides of an exact duplicate.
+    */
+  def dropContained(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      shingleFn: Column => Column = tokenSet): DataFrame = {
+    val pairs = containmentPairs(df, idCol, textCol, threshold, shingleFn)
+    val mutual = pairs.select(col("id"), col("container_id"))
+      .intersect(pairs.select(
+        col("container_id").as("id"), col("id").as("container_id")))
+    val dropped = pairs.select(col("id"), col("container_id"))
+      .except(mutual.filter(col("id") < col("container_id")))
+      .select(col("id")).distinct()
+    df.join(dropped.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
 }

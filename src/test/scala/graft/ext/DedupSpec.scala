@@ -190,4 +190,50 @@ class DedupSpec extends SparkSpec {
     assert(d.select(charNGrams(col("t"), 3)).as[Seq[String]].head() === Nil)
     assert(d.select(charNGrams(col("t"), 2)).as[Seq[String]].head() === Seq("ab"))
   }
+
+  // an excerpt (10) fully inside a long host (11): containment 1.0 but
+  // Jaccard far below any LSH threshold — the case minhash cannot find
+  private val containDocs = Seq(
+    (10L, "alpha beta gamma delta"),
+    (11L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi"),
+    (12L, "alpha beta gamma delta"),          // exact copy of 10
+    (13L, "totally unrelated words here now"))
+
+  test("x11 containment finds the low-jaccard excerpt minhash misses") {
+    import spark.implicits._
+    val d = containDocs.toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(d, "doc_id", "text", 0.9)
+      .select("id", "container_id", "containment")
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    // 10 and 12 each contained in 11 AND in each other (exact copies)
+    pairs.keySet shouldBe Set(
+      (10L, 11L), (12L, 11L), (10L, 12L), (12L, 10L))
+    pairs.values.foreach(_ shouldBe 1.0)
+    // minhash at the same stringency finds only the exact pair
+    Dedup.nearDuplicatesMinhash(d, "doc_id", "text", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet shouldBe
+      Set((10L, 12L))
+  }
+
+  test("x11 threshold is a true lower bound (partial overlap)") {
+    import spark.implicits._
+    // 20 shares 3 of its 4 shingles with 21 -> containment 0.75
+    val d = Seq(
+      (20L, "alpha beta gamma delta"),
+      (21L, "alpha beta gamma zeta eta theta iota kappa")).toDF("doc_id", "text")
+    Dedup.containmentPairs(d, "doc_id", "text", 0.75)
+      .select("id", "container_id", "containment")
+      .as[(Long, Long, Double)].collect().toSet shouldBe
+      Set((20L, 21L, 0.75))
+    Dedup.containmentPairs(d, "doc_id", "text", 0.8).count() shouldBe 0L
+  }
+
+  test("dropContained removes subsumed docs but keeps one copy of mutual pairs") {
+    import spark.implicits._
+    val d = containDocs.toDF("doc_id", "text")
+    Dedup.dropContained(d, "doc_id", "text", 0.9)
+      .select("doc_id").as[Long].collect().sorted shouldBe Array(11L, 13L)
+  }
 }
