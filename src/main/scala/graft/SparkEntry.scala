@@ -1988,6 +1988,31 @@ object SparkEntry {
       Dedup.containmentPairs(rd(s, dir, "documents"), "doc_id", "text", 0.8,
         shingleFn = Shingles.charNGrams(_, 8))
         .orderBy("id", "container_id")
+    }),
+
+    "t16_quality_classifier" -> ((s, dir) => {
+      // trained quality filter (ext.QualityClassifier): positives = real
+      // documents, negatives = deterministic keyword-stuff corruptions
+      // (first word repeated); train on doc_id%5!=0, evaluate held-out
+      // doc_id%5==0. The learned model can't be re-derived in SQL, so the
+      // declared check is the recall-companion pattern: the oracle knows
+      // the eval-set size and expects the accuracy flag to hold.
+      val docs = rd(s, dir, "documents")
+      val pos = docs.select(col("doc_id"), col("text"), lit(1).as("label"))
+      val neg = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(1), lit(15)),
+          _ => element_at(split(trim(col("text")), "\\s+"), 1))).as("text"),
+        lit(0).as("label"))
+      val all = pos.unionByName(neg)
+      val m = ext.QualityClassifier.train(
+        all.filter(col("doc_id") % 5 =!= 0), col("text"), col("label"),
+        dims = 2048, epochs = 20)
+      ext.QualityClassifier.score(
+        all.filter(col("doc_id") % 5 === 0), col("text"), m)
+        .agg(
+          count(lit(1)).as("n_eval"),
+          (avg(((col("quality_prob") >= 0.5).cast("int") === col("label"))
+            .cast("int")) >= 0.9).cast("int").as("acc_ok"))
     })
   )
 
@@ -3693,7 +3718,11 @@ object SparkEntry {
         |  shared::DOUBLE / a.nsh AS containment
         |FROM inter JOIN ss a ON inter.ia = a.doc_id
         |WHERE shared >= 0.8 * a.nsh
-        |ORDER BY id, container_id""".stripMargin
+        |ORDER BY id, container_id""".stripMargin,
+
+    "t16_quality_classifier" ->
+      """SELECT CAST(2 * count(*) AS BIGINT) AS n_eval, 1 AS acc_ok
+        |FROM documents WHERE doc_id % 5 = 0""".stripMargin
   )
 
   /** The q86-q88 oracle's shared training loop: re-derives

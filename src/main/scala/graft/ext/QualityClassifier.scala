@@ -1,0 +1,122 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashedLinearScore.linear_score
+
+/** Trained document-quality classifier — the GPT-3/Gopher pattern: fit a
+  * linear model over hashed bag-of-words features with "known good" text
+  * as positives and raw crawl (or synthetic corruptions) as negatives,
+  * then keep documents the model scores as good. Complements
+  * [[TextAnalysis.qualityScore]] (fixed heuristics) and [[LanguageModel]]
+  * (distribution fit): this is the only one of the three that LEARNS what
+  * the curator labels as quality.
+  *
+  * Logistic regression by full-batch gradient descent, built to Spark's
+  * strengths:
+  *  - features are row-local: hashed token indices (`pmod(hash(token),
+  *    dims)`, duplicates kept so counts weight naturally);
+  *  - ONE aggregation per epoch: every row appends a sentinel index
+  *    `dims` to its feature array, so `explode → groupBy(index) → sum` of
+  *    the per-row residual yields every weight gradient AND the bias
+  *    gradient (the sentinel's slot) in the same map-side-combined pass;
+  *  - the margin `w·x + b` is a codegen'd expression with the weights as
+  *    a reference object ([[graft.functions.HashedLinearScore]]) — no
+  *    join, no weight shipping, no second shuffle;
+  *  - only O(dims) ever reaches the driver per epoch.
+  *
+  * 100 TB: each epoch is one corpus pass with a `dims`-bounded shuffle.
+  * For a quality classifier dims is small (2^12..2^16) because hashed
+  * unigram collisions are part of the deal — and at that size the model
+  * broadcasts anywhere. Scoring is a pure projection.
+  */
+object QualityClassifier {
+
+  final case class Model(weights: Seq[Double], bias: Double, dims: Int) {
+    def toDF(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      weights.zipWithIndex.map { case (w, i) => (i, w) }
+        .toDF("idx", "w")
+        .unionByName(Seq((-1, bias)).toDF("idx", "w"))
+    }
+  }
+
+  object Model {
+    def fromDF(df: DataFrame): Model = {
+      val rows = df.select(col("idx"), col("w")).collect()
+        .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val dims = rows.keys.max + 1
+      Model(Seq.tabulate(dims)(i => rows.getOrElse(i, 0.0)),
+        rows.getOrElse(-1, 0.0), dims)
+    }
+  }
+
+  /** Hashed feature indices of a text column (duplicates kept). */
+  def featureIndices(text: Column, dims: Int): Column =
+    transform(Shingles.tokens(text), t => pmod(hash(t), lit(dims)))
+
+  /** Fit by full-batch GD. `labelCol` must be 0/1 (1 = good). */
+  def train(
+      df: DataFrame,
+      textCol: Column,
+      labelCol: Column,
+      dims: Int = 4096,
+      epochs: Int = 30,
+      learningRate: Double = 1.0,
+      l2: Double = 1e-6): Model = {
+    require(dims >= 2 && epochs >= 1)
+    val feats = df
+      .select(labelCol.cast("double").as("y"),
+        // sentinel index `dims` = the bias slot: one occurrence per row
+        concat(featureIndices(textCol, dims), array(lit(dims))).as("idx"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = feats.count().toDouble
+      require(n > 0, "train: empty input")
+      var w = new Array[Double](dims)
+      var b = 0.0
+      for (_ <- 0 until epochs) {
+        val margin = linear_score(col("idx"), w.toSeq, b)
+        val p = lit(1.0) / (lit(1.0) + exp(-margin))
+        val grad = feats
+          .select((p - col("y")).as("r"), explode(col("idx")).as("i"))
+          .groupBy("i").agg(sum("r").as("g"))
+          .collect()
+          .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        val nw = new Array[Double](dims)
+        var j = 0
+        while (j < dims) {
+          nw(j) = w(j) - learningRate *
+            (grad.getOrElse(j, 0.0) / n + l2 * w(j))
+          j += 1
+        }
+        b -= learningRate * grad.getOrElse(dims, 0.0) / n
+        w = nw
+      }
+      Model(w.toSeq, b, dims)
+    } finally feats.unpersist()
+  }
+
+  /** Input plus `quality_prob` — P(good) under the model. A pure
+    * projection: one codegen'd dot product per row.
+    */
+  def score(
+      df: DataFrame,
+      textCol: Column,
+      model: Model,
+      outCol: String = "quality_prob"): DataFrame = {
+    val margin =
+      linear_score(featureIndices(textCol, model.dims), model.weights, model.bias)
+    df.withColumn(outCol, lit(1.0) / (lit(1.0) + exp(-margin)))
+  }
+
+  /** The filter: keep rows the model scores at or above `minProb`. */
+  def keepGood(
+      df: DataFrame,
+      textCol: Column,
+      model: Model,
+      minProb: Double = 0.5): DataFrame =
+    score(df, textCol, model).filter(col("quality_prob") >= minProb)
+      .drop("quality_prob")
+}
