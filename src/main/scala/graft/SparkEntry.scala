@@ -2013,6 +2013,17 @@ object SparkEntry {
           count(lit(1)).as("n_eval"),
           (avg(((col("quality_prob") >= 0.5).cast("int") === col("label"))
             .cast("int")) >= 0.9).cast("int").as("acc_ok"))
+    }),
+
+    "q89_pca_cov" -> ((s, dir) => {
+      // the PCA data pass (ext.Pca / functions.VectorMoments): full d x d
+      // population covariance from ONE aggregation whose map-side partial
+      // is an O(d^2) buffer — rows never shuffle. The eigensolve consumes
+      // this matrix on the driver (spec-tested); the matrix itself is the
+      // oracle-checkable contract.
+      ext.Pca.covarianceDF(rd(s, dir, "embeddings"), "embedding")
+        .select(col("i"), col("j"), rnd(col("cov"), 6).as("cov"))
+        .orderBy("i", "j")
     })
   )
 
@@ -3722,7 +3733,17 @@ object SparkEntry {
 
     "t16_quality_classifier" ->
       """SELECT CAST(2 * count(*) AS BIGINT) AS n_eval, 1 AS acc_ok
-        |FROM documents WHERE doc_id % 5 = 0""".stripMargin
+        |FROM documents WHERE doc_id % 5 = 0""".stripMargin,
+
+    "q89_pca_cov" ->
+      """WITH e AS (SELECT vec_id, g.i AS pos, embedding[g.i]::DOUBLE AS v
+        |  FROM embeddings,
+        |    unnest(generate_series(1, len(embedding))) AS g(i))
+        |SELECT CAST(a.pos - 1 AS INT) AS i, CAST(b.pos - 1 AS INT) AS j,
+        |  floor((avg(a.v * b.v) - avg(a.v) * avg(b.v)) * 1e6 + 0.5) / 1e6
+        |    AS cov
+        |FROM e a JOIN e b USING (vec_id)
+        |GROUP BY a.pos, b.pos ORDER BY i, j""".stripMargin
   )
 
   /** The q86-q88 oracle's shared training loop: re-derives
