@@ -2024,6 +2024,25 @@ object SparkEntry {
       ext.Pca.covarianceDF(rd(s, dir, "embeddings"), "embedding")
         .select(col("i"), col("j"), rnd(col("cov"), 6).as("cov"))
         .orderBy("i", "j")
+    }),
+
+    "m10_audio_spectrogram" -> ((s, dir) => {
+      // STFT spectrogram through the real JDK audio codec + an in-engine
+      // radix-2 FFT (Multimodal.spectrogram). The tones are bin-aligned
+      // sines with frequency a pure function of doc_id, so the loudest
+      // FFT bin has a closed form the oracle states directly — the FFT is
+      // value-proven against analytic ground truth, the m5-m9 pattern
+      // lifted from byte math to spectral math.
+      val ids = rd(s, dir, "documents").select(col("doc_id"))
+      val media = Multimodal.packAsTone(s, ids, "doc_id",
+        rate = 8000, nSamples = 1024, frameSize = 256,
+        bin = id => (id % 20 + 5).toInt)
+      Multimodal.spectrogram(s, media, frameSize = 256, hop = 128)
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_frames"),
+          min("dominant_bin").as("bin_lo"),
+          max("dominant_bin").as("bin_hi"))
+        .orderBy("media_id")
     })
   )
 
@@ -3743,7 +3762,15 @@ object SparkEntry {
         |  floor((avg(a.v * b.v) - avg(a.v) * avg(b.v)) * 1e6 + 0.5) / 1e6
         |    AS cov
         |FROM e a JOIN e b USING (vec_id)
-        |GROUP BY a.pos, b.pos ORDER BY i, j""".stripMargin
+        |GROUP BY a.pos, b.pos ORDER BY i, j""".stripMargin,
+
+    // (1024 - 256) / 128 + 1 = 7 frames; every frame of a bin-aligned
+    // tone must peak at bin doc_id % 20 + 5, so min = max = that bin
+    "m10_audio_spectrogram" ->
+      """SELECT doc_id AS media_id, CAST(7 AS BIGINT) AS n_frames,
+        |  CAST(doc_id % 20 + 5 AS INT) AS bin_lo,
+        |  CAST(doc_id % 20 + 5 AS INT) AS bin_hi
+        |FROM documents ORDER BY media_id""".stripMargin
   )
 
   /** The q86-q88 oracle's shared training loop: re-derives

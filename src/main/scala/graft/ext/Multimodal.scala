@@ -467,4 +467,162 @@ object Multimodal {
       })
     }
   }
+
+  // ------------------------------------------------- spectral analysis
+
+  /** One STFT frame: Hann-windowed power spectrum (length frameSize/2,
+    * DC excluded from `dominant_bin` so a constant offset never wins).
+    */
+  final case class SpectrogramFrame(
+      media_id: Long, frame_idx: Int, dominant_bin: Int,
+      power: Array[Double])
+
+  /** Pack a pure sine tone per row — frequency = `bin(id)` × rate /
+    * `frameSize`, i.e. EXACTLY centered on an STFT bin, so the expected
+    * spectrogram is known in closed form (the analytic ground truth the
+    * m10 oracle checks). Amplitude 0.5 full-scale.
+    */
+  def packAsTone(
+      spark: SparkSession, df: DataFrame, idCol: String,
+      rate: Int, nSamples: Int, frameSize: Int,
+      bin: Long => Int): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { rows =>
+        rows.grouped(DecodeBatchSize).flatMap(_.map { id =>
+          val b = bin(id)
+          val omega = 2.0 * math.Pi * b / frameSize
+          val samples = Array.tabulate(nSamples)(t =>
+            (16384.0 * math.sin(omega * t)).toShort)
+          MediaRecord(id, "audio", encodeWavPcm16Samples(rate, samples),
+            MediaMeta("wav", 0, 0, nSamples.toLong * 1000L / rate))
+        })
+      }.toDF()
+  }
+
+  /** [[encodeWavPcm16]]'s sibling for direct 16-bit samples. */
+  private[ext] def encodeWavPcm16Samples(
+      rate: Int, samples: Array[Short]): Array[Byte] = {
+    val n = samples.length
+    val out = java.nio.ByteBuffer.allocate(44 + n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)
+      .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(n * 2)
+    var i = 0
+    while (i < n) { out.putShort(samples(i)); i += 1 }
+    out.array()
+  }
+
+  /** Short-time spectrogram of 16-bit mono WAV payloads: decode through
+    * the JDK codec, slide a Hann window (`frameSize` power of two, `hop`
+    * step, trailing partial frame dropped), radix-2 FFT per frame, emit
+    * the one-sided power spectrum and its loudest non-DC bin.
+    *
+    * Row-local end to end — the FFT runs inside the same batched
+    * `mapPartitions` contract as the codecs: no shuffle, cost linear in
+    * audio seconds, and the downstream table is (frames × frameSize/2)
+    * doubles that feed band-energy features or the similarity stack.
+    */
+  def spectrogram(
+      spark: SparkSession, media: DataFrame,
+      frameSize: Int = 256, hop: Int = 128): Dataset[SpectrogramFrame] = {
+    import spark.implicits._
+    require(frameSize >= 8 && (frameSize & (frameSize - 1)) == 0,
+      s"frameSize must be a power of two >= 8, got $frameSize")
+    require(hop >= 1, "hop must be positive")
+    media.as[MediaRecord].mapPartitions { records =>
+      records.grouped(DecodeBatchSize).flatMap(_.flatMap { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        val samples =
+          try {
+            val f = ais.getFormat
+            require(f.getSampleSizeInBits == 16 && f.getChannels == 1,
+              s"media_id=${r.media_id}: expected 16-bit mono PCM, got $f")
+            val pcm = ais.readAllBytes()
+            val out = new Array[Double](pcm.length / 2)
+            var i = 0
+            while (i < out.length) {
+              out(i) =
+                ((pcm(2 * i) & 0xFF) | (pcm(2 * i + 1).toInt << 8)).toShort /
+                  32768.0
+              i += 1
+            }
+            out
+          } finally ais.close()
+        val window = Array.tabulate(frameSize)(i =>
+          0.5 * (1.0 - math.cos(2.0 * math.Pi * i / (frameSize - 1))))
+        val nFrames =
+          if (samples.length < frameSize) 0
+          else (samples.length - frameSize) / hop + 1
+        (0 until nFrames).map { fr =>
+          val re = new Array[Double](frameSize)
+          val im = new Array[Double](frameSize)
+          var i = 0
+          while (i < frameSize) {
+            re(i) = samples(fr * hop + i) * window(i)
+            i += 1
+          }
+          fft(re, im)
+          val half = frameSize / 2
+          val power = new Array[Double](half)
+          var best = 1
+          var k = 0
+          while (k < half) {
+            power(k) = re(k) * re(k) + im(k) * im(k)
+            if (k >= 1 && power(k) > power(best)) best = k
+            k += 1
+          }
+          SpectrogramFrame(r.media_id, fr, best, power)
+        }
+      })
+    }
+  }
+
+  /** In-place iterative radix-2 Cooley-Tukey. */
+  private[ext] def fft(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    // bit-reversal permutation
+    var j = 0
+    var i = 1
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * math.Pi / len
+      val wr = math.cos(ang)
+      val wi = math.sin(ang)
+      var blk = 0
+      while (blk < n) {
+        var cr = 1.0
+        var ci = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val ur = re(blk + k); val ui = im(blk + k)
+          val vr = re(blk + k + len / 2) * cr - im(blk + k + len / 2) * ci
+          val vi = re(blk + k + len / 2) * ci + im(blk + k + len / 2) * cr
+          re(blk + k) = ur + vr; im(blk + k) = ui + vi
+          re(blk + k + len / 2) = ur - vr; im(blk + k + len / 2) = ui - vi
+          val ncr = cr * wr - ci * wi
+          ci = cr * wi + ci * wr
+          cr = ncr
+          k += 1
+        }
+        blk += len
+      }
+      len <<= 1
+    }
+  }
 }

@@ -216,4 +216,51 @@ class MultimodalSpec extends SparkSpec {
         s"media_id=${d.media_id}")
     }
   }
+
+  test("fft matches the DFT definition on a small vector") {
+    val re = Array(1.0, 2.0, 0.0, -1.0, 3.0, 0.5, -2.0, 1.5)
+    val im = new Array[Double](8)
+    val (r0, i0) = (re.clone(), im.clone())
+    Multimodal.fft(re, im)
+    for (k <- 0 until 8) {
+      var (er, ei) = (0.0, 0.0)
+      for (t <- 0 until 8) {
+        val a = -2.0 * math.Pi * k * t / 8
+        er += r0(t) * math.cos(a) - i0(t) * math.sin(a)
+        ei += r0(t) * math.sin(a) + i0(t) * math.cos(a)
+      }
+      assert(math.abs(re(k) - er) < 1e-9 && math.abs(im(k) - ei) < 1e-9,
+        s"bin $k")
+    }
+  }
+
+  test("spectrogram of a bin-aligned tone peaks at exactly that bin") {
+    import spark.implicits._
+    val ids = Seq(3L, 7L).toDF("id")
+    val media = Multimodal.packAsTone(spark, ids, "id",
+      rate = 8000, nSamples = 1024, frameSize = 256,
+      bin = id => (id % 20 + 5).toInt)
+    val frames = Multimodal.spectrogram(spark, media, frameSize = 256,
+      hop = 128).collect()
+    // (1024 - 256) / 128 + 1 = 7 frames per tone
+    assert(frames.length === 14)
+    frames.foreach { f =>
+      val expected = (f.media_id % 20 + 5).toInt
+      assert(f.dominant_bin === expected,
+        s"media ${f.media_id} frame ${f.frame_idx}")
+      // bin-aligned Hann tone: energy concentrates in bin +- 1; anything
+      // two bins away is far below the peak
+      val peak = f.power(expected)
+      f.power.zipWithIndex.foreach { case (p, k) =>
+        if (math.abs(k - expected) > 1) assert(p < peak / 100.0)
+      }
+    }
+  }
+
+  test("spectrogram drops the trailing partial frame and short audio") {
+    import spark.implicits._
+    val short = Multimodal.packAsTone(spark, Seq(1L).toDF("id"), "id",
+      rate = 8000, nSamples = 100, frameSize = 256, bin = _ => 6)
+    assert(Multimodal.spectrogram(spark, short, 256, 128).count() === 0L)
+  }
 }
