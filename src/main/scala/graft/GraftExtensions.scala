@@ -90,9 +90,31 @@ object GraftExtensions {
       case Seq(text, n, d) => WordNGrams(text, intArg(n, "n"), boolArg(d, "distinct"))
     },
     make("graft_char_ngrams",
-      "distinct character n-grams of a string (one byte-walk)",
-      "graft_char_ngrams(text, n)") {
+      "character n-grams of a string (one byte-walk); distinct=true " +
+        "(default) keeps first occurrences, false keeps every position",
+      "graft_char_ngrams(text, n[, distinct])") {
       case Seq(text, n) => CharNGrams(text, intArg(n, "n"))
+      case Seq(text, n, d) =>
+        CharNGrams(text, intArg(n, "n"), boolArg(d, "distinct"))
+    },
+    make("graft_gram_bitmap",
+      "one-hash Bloom bitmap (words x 64 bits) of array<string> as " +
+        "array<bigint> — pair with graft_bitmap_andnot_count for exact " +
+        "containment pruning",
+      "graft_gram_bitmap(tokens, words)") {
+      case Seq(tokens, w) => GramBitmap(tokens, intArg(w, "words"))
+    },
+    make("graft_bitmap_andnot_count",
+      "popcount(a & ~b) over two array<bigint> bitmaps: a lower bound " +
+        "on |A \\ B| for graft_gram_bitmap bitmaps",
+      "graft_bitmap_andnot_count(a, b)") {
+      case Seq(a, b) => BitmapAndNotCount(a, b)
+    },
+    make("graft_vector_moments",
+      "single-pass moments aggregate over array<float>: " +
+        "struct(n, mean array<double>, cov array<double> row-major dxd)",
+      "graft_vector_moments(vec)") {
+      case Seq(v) => VectorMoments(v)
     },
     // aggregate: the analyzer wraps a bare AggregateFunction in
     // AggregateExpression(Complete) during resolution

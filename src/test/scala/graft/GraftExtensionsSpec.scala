@@ -105,4 +105,32 @@ class GraftExtensionsSpec extends SparkSpec {
     q50 shouldBe 500.0 +- 40.0
     q90 shouldBe 900.0 +- 40.0
   }
+
+  test("bitmap, positional-ngram, and moments kernels are callable from SQL") {
+    GraftExtensions.install(spark)
+    // positional char n-grams keep duplicates
+    spark.sql("SELECT graft_char_ngrams('ababa', 3, false) AS g")
+      .head().getSeq[String](0) shouldBe Seq("aba", "bab", "aba")
+    // disjoint sets: every left bit is a left-only witness
+    val r = spark.sql(
+      """SELECT graft_bitmap_andnot_count(
+        |  graft_gram_bitmap(array('a','b','c'), 4),
+        |  graft_gram_bitmap(array('x','y'), 4)) AS c""".stripMargin)
+      .head().getInt(0)
+    r should be >= 1
+    // identical sets: no witness at all
+    spark.sql(
+      """SELECT graft_bitmap_andnot_count(
+        |  graft_gram_bitmap(array('a','b'), 4),
+        |  graft_gram_bitmap(array('b','a'), 4)) AS c""".stripMargin)
+      .head().getInt(0) shouldBe 0
+    import spark.implicits._
+    Seq(Seq(1.0f, 3.0f), Seq(3.0f, 5.0f)).toDF("v")
+      .createOrReplaceTempView("vm_in")
+    val m = spark.sql(
+      "SELECT graft_vector_moments(v) AS m FROM vm_in").head().getStruct(0)
+    m.getLong(0) shouldBe 2L
+    m.getSeq[Double](1) shouldBe Seq(2.0, 4.0)
+    m.getSeq[Double](2) shouldBe Seq(1.0, 1.0, 1.0, 1.0)
+  }
 }

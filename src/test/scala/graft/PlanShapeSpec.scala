@@ -87,4 +87,19 @@ class PlanShapeSpec extends SparkSpec {
   // robust outliers: two grouped aggs over the data; the O(groups) stats
   // attach by broadcast — the event rows themselves never hash-shuffle
   checkShape("q58_outliers", maxExchanges = 4, minBroadcastJoins = 2)
+  // LM perplexity: model + context tables attach by broadcast; the only
+  // data shuffles are the vocab-bounded count aggs + the per-doc fold
+  checkShape("t15_lm_perplexity", maxExchanges = 6, minBroadcastJoins = 2)
+  // k-means assign: centroids ride inside ONE codegen'd expression — the
+  // only exchange is the refit's (cell, dim)-bounded aggregation
+  checkShape("q86_kmeans_assign", maxExchanges = 2, minBroadcastJoins = 0)
+  // containment: prefix-probe and posting sides meet in equi-joins; the
+  // bitmap prune and array verify attach by broadcast at this scale
+  checkShape("x11_containment", maxExchanges = 6, minBroadcastJoins = 1)
+  // PCA covariance: THE contract — the moments aggregate's map-side
+  // partial means NO hash/range exchange anywhere; rows never shuffle
+  checkShape("q89_pca_cov", maxExchanges = 0, minBroadcastJoins = 0)
+  // spectrogram: row-local codec + FFT; only the per-media rollup and the
+  // orderBy exchange
+  checkShape("m10_audio_spectrogram", maxExchanges = 2, minBroadcastJoins = 0)
 }
