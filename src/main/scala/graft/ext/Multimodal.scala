@@ -583,6 +583,46 @@ object Multimodal {
     }
   }
 
+  /** Fixed-size audio embedding: the spectrogram's per-frame power
+    * folded into `nBands` equal bins, averaged over frames, and
+    * L2-normalized — `(media_id, dim, features)` in the same
+    * [[MediaFeatures]] shape the image histogram uses, so the output
+    * plugs straight into the [[Similarity]] stack (audio near-dup = the
+    * same cosine/LSH machinery as text embeddings). Row-local after the
+    * per-media average (one vocab-free aggregation).
+    */
+  def audioFeatures(
+      spark: SparkSession, media: DataFrame,
+      frameSize: Int = 256, hop: Int = 128,
+      nBands: Int = 16): DataFrame = {
+    import spark.implicits._
+    require(nBands >= 1 && nBands <= frameSize / 2, s"nBands=$nBands")
+    val perBand = frameSize / 2 / nBands
+    spectrogram(spark, media, frameSize, hop)
+      .mapPartitions(_.map { f =>
+        val bands = new Array[Double](nBands)
+        var k = 0
+        while (k < perBand * nBands) {
+          bands(k / perBand) += f.power(k)
+          k += 1
+        }
+        (f.media_id, bands)
+      })
+      .toDF("media_id", "bands")
+      .select(col("media_id"), posexplode(col("bands")).as(Seq("band", "p")))
+      .groupBy("media_id", "band").agg(avg("p").as("p"))
+      .groupBy("media_id")
+      // struct sorts by its first field, so the array rebuilds band-ordered
+      .agg(array_sort(collect_list(struct(col("band"), col("p")))).as("bp"))
+      .select(col("media_id"),
+        transform(col("bp"), x => x("p")).as("raw"))
+      .select(col("media_id"), lit(nBands).as("dim"),
+        transform(col("raw"), x =>
+          (x / greatest(sqrt(aggregate(col("raw"), lit(0.0),
+            (acc, v) => acc + v * v)), lit(1e-12))).cast("float"))
+          .as("features"))
+  }
+
   /** In-place iterative radix-2 Cooley-Tukey. */
   private[ext] def fft(re: Array[Double], im: Array[Double]): Unit = {
     val n = re.length

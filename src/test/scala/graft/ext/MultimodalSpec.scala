@@ -263,4 +263,18 @@ class MultimodalSpec extends SparkSpec {
       rate = 8000, nSamples = 100, frameSize = 256, bin = _ => 6)
     assert(Multimodal.spectrogram(spark, short, 256, 128).count() === 0L)
   }
+
+  test("audioFeatures: L2-normalized band energies peak in the tone's band") {
+    import spark.implicits._
+    // bin 20 of 128 -> band 2 of 16 (8 bins per band)
+    val media = Multimodal.packAsTone(spark, Seq(5L).toDF("id"), "id",
+      rate = 8000, nSamples = 1024, frameSize = 256, bin = _ => 20)
+    val row = Multimodal.audioFeatures(spark, media, 256, 128, nBands = 16)
+      .collect().head
+    assert(row.getInt(1) === 16)
+    val f = row.getSeq[Float](2)
+    assert(f.length === 16)
+    assert(math.abs(f.map(x => x * x).sum - 1.0) < 1e-3)
+    assert(f.indexOf(f.max) === 2, f.mkString(","))
+  }
 }
