@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ext.{Bpe, Clusters, CorpusPipeline, Curation, Dedup, Fingerprint, Keyword, LanguageModel, Multimodal, Shingles, Similarity, TextAnalysis}
 import graft.lake.ZOrder
-import graft.ops.{AsofJoin, Cohorts, Diff, Drift, Funnel, FuzzyJoin, Hierarchy, Ids, IntervalJoin, Normalize, Profile, Resample, RuntimeFilter, SkewJoin, Sketches}
+import graft.ops.{AsofJoin, Cohorts, Diff, Drift, Funnel, FuzzyJoin, Hierarchy, Ids, IntervalJoin, Normalize, Profile, Resample, RuntimeFilter, Seasonal, SkewJoin, Sketches}
 import graft.pipeline.{Cdc, IncrementalAgg, Scd2}
 import graft.ops.ColumnOps._
 import graft.ops.JsonOps._
@@ -2043,6 +2043,24 @@ object SparkEntry {
           min("dominant_bin").as("bin_lo"),
           max("dominant_bin").as("bin_hi"))
         .orderBy("media_id")
+    }),
+
+    "q90_seasonal_decompose" -> ((s, dir) => {
+      // classical additive decomposition (ops.Seasonal): hourly totals
+      // per event type, daily (period-24) seasonality. idx = row_number
+      // over observed hours makes the series regular on both engines.
+      val hourly = rd(s, dir, "events")
+        .groupBy(col("event_type"),
+          floor(unix_timestamp(col("ts")) / 3600).cast("long").as("slot"))
+        .agg(sum("value").as("y"))
+        .withColumn("idx", row_number().over(
+          Window.partitionBy("event_type").orderBy("slot")).cast("long") - 1)
+      Seasonal.decompose(hourly, "event_type", "idx", "y", period = 24)
+        .select(col("event_type"), col("idx"), rnd(col("y"), 2).as("y"),
+          rnd(col("trend"), 4).as("trend"),
+          rnd(col("seasonal"), 4).as("seasonal"),
+          rnd(col("residual"), 4).as("residual"))
+        .orderBy("event_type", "idx")
     })
   )
 
@@ -3770,7 +3788,39 @@ object SparkEntry {
       """SELECT doc_id AS media_id, CAST(7 AS BIGINT) AS n_frames,
         |  CAST(doc_id % 20 + 5 AS INT) AS bin_lo,
         |  CAST(doc_id % 20 + 5 AS INT) AS bin_hi
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q90_seasonal_decompose" ->
+      """WITH hr AS (SELECT event_type,
+        |    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS slot,
+        |    sum(value) AS y
+        |  FROM events GROUP BY 1, 2),
+        |srs AS (SELECT event_type, CAST(row_number() OVER
+        |      (PARTITION BY event_type ORDER BY slot) - 1 AS BIGINT)
+        |      AS idx, y
+        |  FROM hr),
+        |tr AS (SELECT event_type, idx, y,
+        |    CASE WHEN count(*) OVER w = 25 THEN
+        |      (sum(y) OVER w
+        |       - (lag(y, 12) OVER wk + lead(y, 12) OVER wk) / 2) / 24
+        |    END AS trend,
+        |    idx % 24 AS phase
+        |  FROM srs
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY idx
+        |      ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING),
+        |    wk AS (PARTITION BY event_type ORDER BY idx)),
+        |sr AS (SELECT event_type, phase, avg(y - trend) AS sraw FROM tr
+        |  WHERE trend IS NOT NULL GROUP BY 1, 2),
+        |sm AS (SELECT event_type, avg(sraw) AS smean FROM sr GROUP BY 1)
+        |SELECT t.event_type, t.idx, floor(y * 1e2 + 0.5) / 1e2 AS y,
+        |  floor(trend * 1e4 + 0.5) / 1e4 AS trend,
+        |  floor((sr.sraw - sm.smean) * 1e4 + 0.5) / 1e4 AS seasonal,
+        |  floor((y - trend - (sr.sraw - sm.smean)) * 1e4 + 0.5) / 1e4
+        |    AS residual
+        |FROM tr t LEFT JOIN sr
+        |    ON t.event_type = sr.event_type AND t.phase = sr.phase
+        |  LEFT JOIN sm ON t.event_type = sm.event_type
+        |ORDER BY event_type, idx""".stripMargin
   )
 
   /** The q86-q88 oracle's shared training loop: re-derives
