@@ -13,6 +13,13 @@ import org.apache.spark.sql.SparkSession
   * the per-query passes 3 → 1 at 50% spent and stops timing new queries
   * at 95% spent (reported in `skipped`), rather than overshooting the
   * driver's deadline and forfeiting the artifact.
+  *
+  * Tail-proofing: the cumulative line grows with the query count (~12 KB
+  * at 141 queries) and a capture that keeps only the last ~2000 chars of
+  * stdout loses the leading `"value":…` — so after each cumulative line a
+  * second, compact totals-only line is printed. The LAST line of any
+  * stdout tail >= 200 chars therefore always parses to the headline
+  * numbers.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -50,6 +57,17 @@ object Bench {
       spark.catalog.clearCache()
       System.gc()
       Thread.sleep(100)
+      // localCheckpoint blocks (x7's per-round lineage truncation) are
+      // released by the ContextCleaner asynchronously AFTER the GC above;
+      // without draining them here the block-drop messages land inside the
+      // NEXT timed pass (measured: x7 spread 1.86 vs <=0.4 for every other
+      // query). Bounded: RDD blocks only, 2 s cap, no-op when none linger.
+      val deadline = System.nanoTime() + 2000000000L
+      while (System.nanoTime() < deadline &&
+          org.apache.spark.sql.GraftShim.pendingRddBlocks() > 0) {
+        System.gc()
+        Thread.sleep(50)
+      }
     }
     // Warm EVERY query once before timing: whole-stage codegen compilation
     // (Janino) and JIT dominate cold single-query latency at this data
@@ -90,6 +108,8 @@ object Bench {
       val total = results.collect { case (_, (true, v, _, _)) => v }.sum
       val t = math.rint(total * 1000) / 1000
       println(s"""{"metric":"total","value":$t,"unit":"sec","queries":$qs,"spread":$spreads,"passes":$passes,"failed":$failed,"completed":${results.size},"declared":$declared,"skipped":$skipped,"elapsed_s":${math.rint(elapsed())},"sf":"$sfDir"}""")
+      // compact totals-only duplicate: survives any stdout-tail capture
+      println(s"""{"metric":"total","value":$t,"unit":"sec","failed":$failed,"completed":${results.size},"declared":$declared,"skipped":$skipped,"elapsed_s":${math.rint(elapsed())},"sf":"$sfDir"}""")
     }
     val names = selected.keys.toSeq
     var done = 0

@@ -22,8 +22,9 @@ object Plans {
     "q01_agg", "q02_filter_project", "q03_broadcast_join", "q04_join_agg",
     "q18_asof_join", "q26_asof_salted", "q42_bloom_prejoin",
     "q46_skew_join", "q63_snapshot_diff", "q64_drift_psi",
-    "q65_span_dedup", "q67_temperature_mix", "q70_resample_fill",
-    "q76_transitions", "q79_interval_join", "q81_curation_e2e",
+    "q65_span_dedup", "q66_sequence_assembly", "q67_temperature_mix",
+    "q70_resample_fill", "q72_hierarchy", "q76_transitions",
+    "q79_interval_join", "q81_curation_e2e", "q90_seasonal_decompose",
     "x1_dedup_exact", "x2_dedup_minhash", "x9_dedup_incremental",
     "y2_knn_lsh", "y3_knn_ivf")
 

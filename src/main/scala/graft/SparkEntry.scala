@@ -1576,7 +1576,12 @@ object SparkEntry {
         .unionByName(c.filter(col("c_custkey") % 13 === 0)
           .select((col("c_custkey") + 10000000).as("c_custkey"),
             col("c_name"), col("c_acctbal")))
-      Diff.snapshotDiff(c, next, Seq("c_custkey")).orderBy("c_custkey")
+      // changed_cols is array<string> in the Scala API; the driver's
+      // comparator can't hash arrays, so the DECLARED output serializes
+      // it (array_join) and the oracle mirrors with array_to_string.
+      Diff.snapshotDiff(c, next, Seq("c_custkey"))
+        .withColumn("changed_cols", array_join(col("changed_cols"), ","))
+        .orderBy("c_custkey")
     }),
 
     "q64_drift_psi" -> ((s, dir) => {
@@ -1610,11 +1615,15 @@ object SparkEntry {
       // per-user event history ordered by (formatted ts, event_id),
       // truncated to 25, with the untruncated count kept. Timestamps ride
       // as microsecond strings per the no-raw-timestamp convention.
+      // seq is array<struct> in the Scala API; the driver's comparator
+      // can't hash arrays, so the DECLARED output serializes it with
+      // to_json and the oracle emits the same compact JSON from DuckDB.
       Curation.assembleSequences(rd(s, dir, "events"), "user_id",
         struct(
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
           col("event_id"), col("event_type")),
         maxLen = 25)
+        .withColumn("seq", to_json(col("seq")))
         .orderBy("user_id")
     }),
 
@@ -1722,7 +1731,13 @@ object SparkEntry {
         col("c_custkey").as("id"),
         when(col("c_custkey") <= 1, lit(null))
           .otherwise(expr("c_custkey DIV 2")).as("parent"))
-      Hierarchy.flatten(h, "id", "parent").orderBy("id")
+      // path is array<long> in the Scala API; the driver's comparator
+      // can't hash arrays, so the DECLARED output serializes it to a
+      // '/'-joined string and the oracle mirrors with array_to_string.
+      Hierarchy.flatten(h, "id", "parent")
+        .withColumn("path",
+          array_join(transform(col("path"), _.cast("string")), "/"))
+        .orderBy("id")
     }),
 
     "q73_drift_ks" -> ((s, dir) => {
@@ -2049,13 +2064,17 @@ object SparkEntry {
       // classical additive decomposition (ops.Seasonal): hourly totals
       // per event type, daily (period-24) seasonality. idx = row_number
       // over observed hours makes the series regular on both engines.
+      // y and every decompose intermediate snap to the 1e-6 grid
+      // (roundDigits=6) so engine-specific float summation order can't
+      // flip a round-half boundary in the 1e-4 output rounding.
       val hourly = rd(s, dir, "events")
         .groupBy(col("event_type"),
           floor(unix_timestamp(col("ts")) / 3600).cast("long").as("slot"))
-        .agg(sum("value").as("y"))
+        .agg(rnd(sum("value"), 6).as("y"))
         .withColumn("idx", row_number().over(
           Window.partitionBy("event_type").orderBy("slot")).cast("long") - 1)
-      Seasonal.decompose(hourly, "event_type", "idx", "y", period = 24)
+      Seasonal.decompose(hourly, "event_type", "idx", "y", period = 24,
+        roundDigits = Some(6))
         .select(col("event_type"), col("idx"), rnd(col("y"), 2).as("y"),
           rnd(col("trend"), 4).as("trend"),
           rnd(col("seasonal"), 4).as("seasonal"),
@@ -3261,7 +3280,9 @@ object SparkEntry {
         |                  THEN 'c_acctbal' END],
         |           x -> x IS NOT NULL) END AS changed_cols
         |  FROM b FULL OUTER JOIN n ON b.c_custkey = n.c_custkey)
-        |SELECT c_custkey, change, changed_cols FROM j
+        |SELECT c_custkey, change,
+        |  coalesce(array_to_string(changed_cols, ','), '') AS changed_cols
+        |FROM j
         |WHERE change IS NOT NULL ORDER BY c_custkey""".stripMargin,
 
     "q64_drift_psi" ->
@@ -3317,10 +3338,11 @@ object SparkEntry {
 
     "q66_sequence_assembly" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-        |  list_slice(list({'ts': strftime(ts, '%Y-%m-%d %H:%M:%S.%f'),
+        |  CAST(to_json(
+        |    list_slice(list({'ts': strftime(ts, '%Y-%m-%d %H:%M:%S.%f'),
         |      'event_id': event_id, 'event_type': event_type}
         |    ORDER BY strftime(ts, '%Y-%m-%d %H:%M:%S.%f'), event_id,
-        |      event_type), 1, 25) AS seq
+        |      event_type), 1, 25)) AS VARCHAR) AS seq
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q67_temperature_mix" ->
@@ -3436,7 +3458,8 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT h.id, r.root_id, r.depth + 1, list_append(r.path, h.id)
         |  FROM h JOIN r ON h.parent = r.id)
-        |SELECT id, root_id, CAST(depth AS BIGINT) AS depth, path
+        |SELECT id, root_id, CAST(depth AS BIGINT) AS depth,
+        |  array_to_string(path, '/') AS path
         |FROM r ORDER BY id""".stripMargin,
 
     "q73_drift_ks" ->
@@ -3793,7 +3816,7 @@ object SparkEntry {
     "q90_seasonal_decompose" ->
       """WITH hr AS (SELECT event_type,
         |    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS slot,
-        |    sum(value) AS y
+        |    floor(sum(value) * 1e6 + 0.5) / 1e6 AS y
         |  FROM events GROUP BY 1, 2),
         |srs AS (SELECT event_type, CAST(row_number() OVER
         |      (PARTITION BY event_type ORDER BY slot) - 1 AS BIGINT)
@@ -3801,17 +3824,20 @@ object SparkEntry {
         |  FROM hr),
         |tr AS (SELECT event_type, idx, y,
         |    CASE WHEN count(*) OVER w = 25 THEN
-        |      (sum(y) OVER w
-        |       - (lag(y, 12) OVER wk + lead(y, 12) OVER wk) / 2) / 24
+        |      floor((sum(y) OVER w
+        |        - (lag(y, 12) OVER wk + lead(y, 12) OVER wk) / 2) / 24
+        |        * 1e6 + 0.5) / 1e6
         |    END AS trend,
         |    idx % 24 AS phase
         |  FROM srs
         |  WINDOW w AS (PARTITION BY event_type ORDER BY idx
         |      ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING),
         |    wk AS (PARTITION BY event_type ORDER BY idx)),
-        |sr AS (SELECT event_type, phase, avg(y - trend) AS sraw FROM tr
+        |sr AS (SELECT event_type, phase,
+        |    floor(avg(y - trend) * 1e6 + 0.5) / 1e6 AS sraw FROM tr
         |  WHERE trend IS NOT NULL GROUP BY 1, 2),
-        |sm AS (SELECT event_type, avg(sraw) AS smean FROM sr GROUP BY 1)
+        |sm AS (SELECT event_type,
+        |    floor(avg(sraw) * 1e6 + 0.5) / 1e6 AS smean FROM sr GROUP BY 1)
         |SELECT t.event_type, t.idx, floor(y * 1e2 + 0.5) / 1e2 AS y,
         |  floor(trend * 1e4 + 0.5) / 1e4 AS trend,
         |  floor((sr.sraw - sm.smean) * 1e4 + 0.5) / 1e4 AS seasonal,
@@ -3820,7 +3846,7 @@ object SparkEntry {
         |FROM tr t LEFT JOIN sr
         |    ON t.event_type = sr.event_type AND t.phase = sr.phase
         |  LEFT JOIN sm ON t.event_type = sm.event_type
-        |ORDER BY event_type, idx""".stripMargin
+        |ORDER BY t.event_type, t.idx""".stripMargin
   )
 
   /** The q86-q88 oracle's shared training loop: re-derives

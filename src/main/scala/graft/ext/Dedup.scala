@@ -480,6 +480,15 @@ object Dedup {
     * genuinely exceed word-level containment and the result itself is
     * quadratic, which no candidate scheme can outrun; n-grams restore a
     * large, Zipfian key space where the prefix filter bites.
+    *
+    * EAGER: the shingle-set frame is read by four stages (postings,
+    * probes, bitmap prune, verify), so it is persisted for the run and
+    * released in a finally once the (small — O(result pairs)) output is
+    * materialized via an eager `localCheckpoint`. Callers that re-read
+    * the result ([[dropContained]] reads it three times) get block reuse
+    * instead of re-running the prefix-join pipeline; the checkpoint
+    * blocks release via the ContextCleaner when the caller drops the
+    * result (same convention as [[Clusters.connectedComponents]]).
     */
   def containmentPairs(
       df: DataFrame,
@@ -488,6 +497,26 @@ object Dedup {
       threshold: Double,
       shingleFn: Column => Column = tokenSet,
       bitmapWords: Int = 64): DataFrame = {
+    val (result, sets) =
+      containmentPairsPlan(df, idCol, textCol, threshold, shingleFn,
+        bitmapWords)
+    try result.localCheckpoint(true)
+    finally sets.unpersist(blocking = false)
+  }
+
+  /** The lazy containment plan plus its persisted shingle frame — split
+    * out so [[containmentPairs]] can release the cache after
+    * materializing, and so the plan-shape spec can pin the REAL physical
+    * plan (the public method's executed plan is a checkpoint scan).
+    * Callers own unpersisting the returned `sets`.
+    */
+  private[graft] def containmentPairsPlan(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      shingleFn: Column => Column = tokenSet,
+      bitmapWords: Int = 64): (DataFrame, DataFrame) = {
     require(threshold > 0 && threshold <= 1,
       s"containment threshold must be in (0, 1], got $threshold")
     val sets = ensureParallelism(df.select(col(idCol), col(textCol)))
@@ -547,7 +576,7 @@ object Dedup {
         lit(threshold) * col("nsh_a"))
       .select(col("a"), col("b"))
 
-    pruned
+    val result = pruned
       .join(sets.select(col("id").as("a"), col("sh").as("sh_a"),
         col("nsh").as("nsh_a")), Seq("a"))
       .join(sets.select(col("id").as("b"), col("sh").as("sh_b")), Seq("b"))
@@ -559,14 +588,28 @@ object Dedup {
         col("a").as("id"),
         col("b").as("container_id"),
         (col("inter").cast("double") / col("nsh_a")).as("containment"))
+    (result, sets)
   }
 
-  /** Drop documents subsumed by another document: everything whose shingle
-    * set is at least `threshold`-contained in some OTHER document that is
-    * not itself dropped for being a copy of it. Mutual containment (sets
-    * equal at the threshold) keeps the smallest id, so one representative
-    * of every copy group always survives — the [[containmentPairs]]
-    * relation alone would drop both sides of an exact duplicate.
+  /** Drop documents subsumed by another document. A document drops iff it
+    * is contained in some document OUTSIDE its own mutual-containment
+    * component (its content survives in that host), or it is a
+    * non-minimum member of its component (a near-equal copy of the
+    * member that survives). Components are the connected components of
+    * the MUTUAL relation (A contained in B and B in A — near-equal
+    * copies at the threshold); a pairwise keep-the-smaller-id rule is
+    * NOT enough because mutual containment is not transitive below
+    * threshold 1 — a chain (x~y, y~z mutual, plus a one-directional x⊆z
+    * edge) dropped all three documents in an earlier revision, where
+    * this rule keeps x.
+    *
+    * Guarantee: every mutual component whose minimum is not contained in
+    * a document outside the component keeps exactly that minimum. A
+    * CROSS-component containment cycle (possible only below threshold 1,
+    * when two near-copy groups each contain a member of the other) can
+    * still drop both groups — threshold-decayed transitivity has no
+    * loss-free answer there, and erring toward dropping keeps the
+    * operator's contract ("what remains is not subsumed") true.
     */
   def dropContained(
       df: DataFrame,
@@ -574,13 +617,29 @@ object Dedup {
       textCol: String,
       threshold: Double,
       shingleFn: Column => Column = tokenSet): DataFrame = {
+    // containmentPairs is checkpointed, so the reads below reuse it
     val pairs = containmentPairs(df, idCol, textCol, threshold, shingleFn)
-    val mutual = pairs.select(col("id"), col("container_id"))
-      .intersect(pairs.select(
-        col("container_id").as("id"), col("id").as("container_id")))
-    val dropped = pairs.select(col("id"), col("container_id"))
-      .except(mutual.filter(col("id") < col("container_id")))
-      .select(col("id")).distinct()
+      .select(col("id"), col("container_id"))
+    val mutual = pairs.intersect(pairs.select(
+      col("container_id").as("id"), col("id").as("container_id")))
+    // mutual components; docs with no mutual partner are singletons
+    // (component id = own id via the coalesce below). cluster_id IS the
+    // component minimum by connectedComponents' construction.
+    val comp =
+      if (mutual.isEmpty) mutual.select(col("id"),
+        col("id").as("cluster_id"))
+      else Clusters.connectedComponents(mutual, "id", "container_id")
+    val outside = pairs
+      .join(comp.select(col("id"), col("cluster_id").as("comp_a")),
+        Seq("id"), "left")
+      .join(comp.select(col("id").as("container_id"),
+        col("cluster_id").as("comp_b")), Seq("container_id"), "left")
+      .filter(coalesce(col("comp_a"), col("id")) =!=
+        coalesce(col("comp_b"), col("container_id")))
+      .select(col("id"))
+    val nonMin = comp.filter(col("id") =!= col("cluster_id"))
+      .select(col("id"))
+    val dropped = outside.unionByName(nonMin).distinct()
     df.join(dropped.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
 }

@@ -33,17 +33,22 @@ final class MomentsBuf {
 
   def add(v: ArrayData): Unit = {
     if (d < 0) init(v.numElements())
+    // Strict, not clamped: a silent prefix-clamp made ragged inputs give
+    // partition-order-dependent moments (whichever length a partition saw
+    // first won). Failing HERE — at update, with the offending length —
+    // is deterministic for any partitioning; merge's dim check then only
+    // guards serialization bugs, not data.
+    else require(v.numElements() == d,
+      s"vector_moments: mixed vector lengths (expected $d, got " +
+        s"${v.numElements()}) — pad or filter ragged vectors upstream")
     n += 1
-    // length clamp (ragged degrade policy of the vector kernels): only the
-    // shared prefix contributes
-    val m = math.min(d, v.numElements())
     var i = 0
-    while (i < m) {
+    while (i < d) {
       val xi = v.getFloat(i).toDouble
       sum(i) += xi
       var j = 0
       val row = i * d
-      while (j < m) {
+      while (j < d) {
         ss(row + j) += xi * v.getFloat(j).toDouble
         j += 1
       }
@@ -54,7 +59,9 @@ final class MomentsBuf {
   def absorb(o: MomentsBuf): Unit = {
     if (o.d < 0) return
     if (d < 0) init(o.d)
-    require(d == o.d, s"vector_moments: mixed dims $d vs ${o.d}")
+    require(d == o.d,
+      s"vector_moments: mixed vector lengths across partitions ($d vs " +
+        s"${o.d}) — pad or filter ragged vectors upstream")
     n += o.n
     var i = 0
     while (i < d) { sum(i) += o.sum(i); i += 1 }

@@ -83,6 +83,12 @@ object Hierarchy {
       s"Hierarchy.flatten: $leftover nodes unresolved after $maxRounds " +
         "doublings - parent cycle or depth > 2^maxRounds")
 
+    // Lifecycle: the FINAL round's persisted jump table backs the
+    // returned (lazy) projection, so it stays cached until the session
+    // clears it — `spark.catalog.clearCache()` between jobs (Verify/
+    // Bench do) or dropping the result and letting the ContextCleaner
+    // collect it. Eagerly materializing here would double-buffer a table
+    // as large as the input for callers that only scan the result once.
     jump.select(
       col("id"),
       col("anc").as("root_id"),

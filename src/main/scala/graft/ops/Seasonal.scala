@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -19,12 +19,25 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: one per-key ordered window for the moving average
   * (state = one window frame), one O(keys × period) aggregation for the
-  * phase means, and two broadcast joins to attach them — the series rows
-  * shuffle once, by key. The caller owns the series' regularity: `idxCol`
+  * phase means, and two joins to attach them — the series rows shuffle
+  * once, by key. The phase/key-mean joins broadcast only when the
+  * estimated `keys × period` cell count is under `maxBroadcastCells`
+  * (one cheap `approx_count_distinct` scan decides); past the gate they
+  * degrade to shuffle joins, so a high-cardinality key column costs a
+  * (cheap — the rows are already key-partitioned) sort-merge instead of
+  * a driver OOM. The caller owns the series' regularity: `idxCol`
   * must be the 0-based consecutive ordinal within each key (build it with
   * `row_number` over the bucketed series, as q90 does); the window is
   * row-based, so a gap in ordinals is the caller's modeling decision, not
   * a silent skip.
+  *
+  * `roundDigits`: when set, trend and the phase/key means are snapped to
+  * the 10^-d grid (the floor-half-up form [[graft.ext.Clustering]] uses)
+  * so an independent engine replaying the construction from the same
+  * grid-aligned inputs reproduces every output bit-for-bit — float
+  * summation order (segment trees vs running frames) otherwise leaks
+  * last-ulp noise into round-half boundaries. None (default) keeps full
+  * double precision.
   */
 object Seasonal {
 
@@ -33,9 +46,17 @@ object Seasonal {
       keyCol: String,
       idxCol: String,
       valCol: String,
-      period: Int): DataFrame = {
+      period: Int,
+      roundDigits: Option[Int] = None,
+      maxBroadcastCells: Long = 1000000L): DataFrame = {
     require(period >= 2, s"period must be >= 2, got $period")
     val h = period / 2
+    def snap(c: Column): Column = roundDigits match {
+      case Some(d) =>
+        val p = math.pow(10, d)
+        floor(c * p + 0.5) / p
+      case None => c
+    }
     val wk = Window.partitionBy(keyCol).orderBy(idxCol)
     val wFull = wk.rowsBetween(-h, h)
     val trend =
@@ -48,16 +69,22 @@ object Seasonal {
         when(count(lit(1)).over(wFull) === period,
           sum(col(valCol)).over(wFull) / period)
     val base = df.select(col(keyCol), col(idxCol), col(valCol),
-      trend.as("trend"), pmod(col(idxCol), lit(period)).as("phase"))
+      snap(trend).as("trend"), pmod(col(idxCol), lit(period)).as("phase"))
     val phaseMeans = base
       .filter(col("trend").isNotNull)
       .groupBy(keyCol, "phase")
-      .agg(avg(col(valCol) - col("trend")).as("_sraw"))
+      .agg(snap(avg(col(valCol) - col("trend"))).as("_sraw"))
     val keyMeans = phaseMeans.groupBy(keyCol)
-      .agg(avg("_sraw").as("_smean"))
+      .agg(snap(avg("_sraw")).as("_smean"))
+    // O(keys × period) sides: broadcast only under the cell gate; above
+    // it AQE/sort-merge takes over (rows already shuffled by key).
+    val keyEst = df.select(
+      approx_count_distinct(col(keyCol)).as("k")).head.getLong(0)
+    val hint: DataFrame => DataFrame =
+      if (keyEst * period <= maxBroadcastCells) broadcast else identity
     base
-      .join(broadcast(phaseMeans), Seq(keyCol, "phase"), "left")
-      .join(broadcast(keyMeans), Seq(keyCol), "left")
+      .join(hint(phaseMeans), Seq(keyCol, "phase"), "left")
+      .join(hint(keyMeans), Seq(keyCol), "left")
       .withColumn("seasonal", col("_sraw") - col("_smean"))
       .withColumn("residual",
         col(valCol) - col("trend") - col("seasonal"))

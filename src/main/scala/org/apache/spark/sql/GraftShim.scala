@@ -26,4 +26,14 @@ object GraftShim {
       builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[classic.SparkSession]
       .sessionState.functionRegistry.registerFunction(name, info, builder)
+
+  /** Number of RDD storage blocks still registered with the block manager
+    * — after a GC these are `localCheckpoint` blocks the ContextCleaner
+    * has queued but not yet released. `BlockManager` is `private[spark]`,
+    * so the count is exposed from here; Bench's between-pass settle drains
+    * on it so async block drops never land inside a timed pass.
+    */
+  def pendingRddBlocks(): Int =
+    org.apache.spark.SparkEnv.get.blockManager.master
+      .getMatchingBlockIds(_.isRDD, askStorageEndpoints = true).size
 }

@@ -236,4 +236,18 @@ class DedupSpec extends SparkSpec {
     Dedup.dropContained(d, "doc_id", "text", 0.9)
       .select("doc_id").as[Long].collect().sorted shouldBe Array(11L, 13L)
   }
+
+  test("dropContained keeps a representative of a non-transitive mutual chain") {
+    import spark.implicits._
+    // at t=0.75: 1~2 mutual (4/4, 4/5), 2~3 mutual (4/5 both ways), and
+    // 1⊆3 one-directionally (3/4 vs 3/5) — the advisor's chain where a
+    // pairwise keep-the-smaller-id rule dropped ALL three documents; the
+    // mutual-component rule keeps the component minimum.
+    val d = Seq(
+      (1L, "aa bb cc dd"),
+      (2L, "aa bb cc dd ee"),
+      (3L, "aa bb cc ee ff")).toDF("doc_id", "text")
+    Dedup.dropContained(d, "doc_id", "text", 0.75)
+      .select("doc_id").as[Long].collect().sorted shouldBe Array(1L)
+  }
 }

@@ -26,6 +26,16 @@ class PcaSpec extends SparkSpec {
     cov(1) shouldBe 0.0 +- 1e-12
   }
 
+  test("moments: ragged vector lengths fail deterministically at update") {
+    // one partition so BOTH lengths hit the same update buffer — the
+    // failure must come from update's length check, not merge's
+    val d = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 2.0f, 3.0f)))
+      .toDF("id", "vec").coalesce(1)
+    val e = intercept[Exception] { Pca.moments(d, "vec") }
+    e.getMessage should include("mixed vector lengths")
+  }
+
   test("dominant component aligns with the stretched axis") {
     val m = Pca.fit(stretched, "vec", k = 2)
     val c0 = m.components.head

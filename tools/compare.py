@@ -48,6 +48,17 @@ def main(sf_dir, out_dir):
             results[name] = "MISSING spark output"
             continue
         spark_t = pq.read_table(files[0])
+        # The driver's comparator is pandas-based and dies on list/struct
+        # columns (unhashable ndarray). Fail locally the same way so an
+        # array-typed declared output never ships looking green.
+        import pyarrow.types as pt
+        bad = [f.name for f in spark_t.schema
+               if pt.is_list(f.type) or pt.is_large_list(f.type)
+               or pt.is_struct(f.type) or pt.is_map(f.type)]
+        if bad:
+            results[name] = f"DRIVER-UNHASHABLE columns {bad}: serialize " \
+                "with array_join/to_json in the declared query + oracle"
+            continue
         s_cols = spark_t.column_names
         s_rows = [tuple(spark_t.column(c)[i].as_py() for c in s_cols)
                   for i in range(spark_t.num_rows)]
