@@ -2080,6 +2080,19 @@ object SparkEntry {
           rnd(col("seasonal"), 4).as("seasonal"),
           rnd(col("residual"), 4).as("residual"))
         .orderBy("event_type", "idx")
+    }),
+
+    "q91_span_excise" -> ((s, dir) => {
+      // exact shared-span excision (ext.Fingerprint.exciseSharedSpans):
+      // the actionable form of substring dedup — every 15-char gram run
+      // shared by more than 10 documents is cut from the text, merged
+      // intervals and all. The oracle replays the identical construction
+      // (portable MD5-48 gram hashes, gaps-and-islands merge, segment
+      // reassembly) over the same parquet, so clean text and both
+      // counters compare bit-for-bit.
+      Fingerprint.exciseSharedSpans(rd(s, dir, "documents"),
+        "doc_id", "text", k = 15, maxDocs = 10)
+        .orderBy("doc_id")
     })
   )
 
@@ -3846,7 +3859,49 @@ object SparkEntry {
         |FROM tr t LEFT JOIN sr
         |    ON t.event_type = sr.event_type AND t.phase = sr.phase
         |  LEFT JOIN sm ON t.event_type = sm.event_type
-        |ORDER BY t.event_type, t.idx""".stripMargin
+        |ORDER BY t.event_type, t.idx""".stripMargin,
+
+    "q91_span_excise" ->
+      """WITH dd AS (SELECT doc_id, text, length(text) AS n FROM documents
+        |  WHERE text IS NOT NULL AND length(text) >= 15),
+        |pos AS (SELECT doc_id, i,
+        |    CAST('0x' || substr(md5(substr(text, CAST(i AS INT), 15)),
+        |      1, 12) AS BIGINT) AS h
+        |  FROM dd, unnest(generate_series(1, n - 14)) AS t(i)),
+        |hot AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd
+        |    FROM pos GROUP BY h) WHERE nd > 10),
+        |hits AS (SELECT doc_id, i FROM pos JOIN hot USING (h)),
+        |m AS (SELECT doc_id, i,
+        |    CASE WHEN i > coalesce(max(i + 14) OVER (PARTITION BY doc_id
+        |        ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+        |        AND 1 PRECEDING), -2) + 1 THEN 1 ELSE 0 END AS ng
+        |  FROM hits),
+        |g AS (SELECT doc_id, i, sum(ng) OVER (PARTITION BY doc_id
+        |    ORDER BY i) AS grp FROM m),
+        |sp AS (SELECT doc_id, grp, min(i) AS s, max(i) + 14 AS e
+        |  FROM g GROUP BY 1, 2),
+        |seg AS (SELECT doc_id, s,
+        |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0)
+        |      AS pe
+        |  FROM sp),
+        |cuts AS (SELECT doc_id, max(e) AS me, count(*) AS nsp,
+        |    sum(e - s + 1) AS nch FROM sp GROUP BY doc_id),
+        |pieces AS (
+        |  SELECT doc_id, s AS ord, pe + 1 AS st, s - pe - 1 AS ln FROM seg
+        |  UNION ALL
+        |  SELECT doc_id, 2147483647, me + 1, NULL FROM cuts),
+        |reb AS (SELECT p.doc_id,
+        |    string_agg(substr(dd.text, CAST(p.st AS INT),
+        |      CAST(coalesce(p.ln, dd.n - p.st + 1) AS INT)), ''
+        |      ORDER BY p.ord) AS clean
+        |  FROM pieces p JOIN dd USING (doc_id)
+        |  GROUP BY p.doc_id)
+        |SELECT d.doc_id, coalesce(reb.clean, d.text) AS clean,
+        |  CAST(coalesce(cuts.nsp, 0) AS BIGINT) AS n_spans_removed,
+        |  CAST(coalesce(cuts.nch, 0) AS BIGINT) AS n_chars_removed
+        |FROM documents d LEFT JOIN reb ON d.doc_id = reb.doc_id
+        |  LEFT JOIN cuts ON d.doc_id = cuts.doc_id
+        |ORDER BY d.doc_id""".stripMargin
   )
 
   /** The q86-q88 oracle's shared training loop: re-derives

@@ -75,6 +75,102 @@ object Fingerprint {
     finally cached.unpersist()
   }
 
+  /** Excise every character span that too many documents share — the
+    * ACTIONABLE form of substring-level dedup (the span-candidate pairs
+    * above only FIND them). Training corpora are full of boilerplate
+    * passages (license headers, templated intros, navigation text)
+    * embedded in otherwise-distinct pages; repeated passages measurably
+    * hurt LM training, and the fix is to cut the span, not drop the
+    * document.
+    *
+    * Semantics (exact, engine-reproducible): every k-char gram whose
+    * distinct-document frequency exceeds `maxDocs` is "hot"; each hot
+    * gram occurrence marks the interval `[i, i+k-1]`; overlapping or
+    * adjacent intervals merge; merged spans are cut from the text.
+    * Output: `(idCol, clean, n_spans_removed, n_chars_removed)` — docs
+    * with nothing cut (including those shorter than k) pass through with
+    * zero counts.
+    *
+    * Scale shape: one linear gram explode (hash + position, 12 bytes a
+    * row — text never leaves its scan), one distinct-count aggregation
+    * per gram, hot grams broadcast back into an equi-join (tiny by
+    * construction: only boilerplate exceeds a sane cap), then interval
+    * merge + reconstruction as per-doc windows over HOT positions only —
+    * the classic suffix-array formulation of exact substring dedup
+    * re-expressed as joins a 1000-executor cluster can run. Gram hashes
+    * are portable MD5₄₈ (the [[fingerprints]] convention) so a persisted
+    * hot-gram list is engine- and version-stable.
+    */
+  def exciseSharedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 30,
+      maxDocs: Int = 10): DataFrame = {
+    require(k >= 2, s"gram length k must be >= 2, got $k")
+    require(maxDocs >= 1, s"maxDocs must be >= 1, got $maxDocs")
+    val base = df.select(col(idCol), col(textCol).as("_text"))
+    // every gram position: (id, i, hash) — linear in corpus chars
+    val pos = Dedup.ensureParallelism(base)
+      .filter(col("_text").isNotNull && length(col("_text")) >= k)
+      .select(col(idCol), col("_text"),
+        explode(sequence(lit(1), length(col("_text")) - (k - 1))).as("_i"))
+      .select(col(idCol), col("_i"),
+        conv(substring(md5(expr(s"substring(_text, _i, $k)")), 1, 12),
+          16, 10).cast("long").as("_h"))
+    val hot = pos.groupBy("_h")
+      .agg(count_distinct(col(idCol)).as("_nd"))
+      .filter(col("_nd") > maxDocs).select("_h")
+    val hits = pos.join(broadcast(hot), Seq("_h"))
+      .select(col(idCol), col("_i"))
+    // gaps-and-islands merge of [i, i+k-1] intervals, per doc, over hot
+    // positions only (the windows never see the full gram stream)
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("_i")
+    val spans = hits
+      .withColumn("_pe", max(col("_i") + (k - 1))
+        .over(wOrd.rowsBetween(Long.MinValue, -1)))
+      .withColumn("_ng",
+        when(col("_pe").isNull || col("_i") > col("_pe") + 1, 1)
+          .otherwise(0))
+      .withColumn("_grp", sum(col("_ng")).over(wOrd))
+      .groupBy(col(idCol), col("_grp"))
+      .agg(min(col("_i")).as("_s"),
+        (max(col("_i")) + (k - 1)).as("_e"))
+    // kept segments: before each span (from the previous span's end) plus
+    // the tail after the last span; reassembled in order
+    val wSp = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("_s")
+    val segs = spans
+      .withColumn("_pe", coalesce(lag(col("_e"), 1).over(wSp), lit(0)))
+      .select(col(idCol), (col("_pe") + 1).as("_st"),
+        (col("_s") - col("_pe") - 1).as("_ln"), col("_s").as("_ord"))
+    val cuts = spans.groupBy(idCol)
+      .agg(max(col("_e")).as("_me"), count(lit(1)).as("_nsp"),
+        sum(col("_e") - col("_s") + 1).as("_nch"))
+    val pieces = segs
+      .unionByName(cuts.select(col(idCol), (col("_me") + 1).as("_st"),
+        lit(null).cast("int").as("_ln"),
+        lit(Int.MaxValue).as("_ord")))
+      .join(base, Seq(idCol))
+      .select(col(idCol), col("_ord"),
+        col("_text").substr(col("_st"),
+          coalesce(col("_ln"), length(col("_text")) - col("_st") + 1))
+          .as("_piece"))
+    val rebuilt = pieces.groupBy(idCol)
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("_ord"), col("_piece")))),
+        s => s.getField("_piece")), "").as("_clean"))
+    base
+      .join(rebuilt, Seq(idCol), "left")
+      .join(cuts.select(col(idCol), col("_nsp"), col("_nch")),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_clean"), col("_text")).as("clean"),
+        coalesce(col("_nsp"), lit(0L)).as("n_spans_removed"),
+        coalesce(col("_nch"), lit(0L)).cast("long").as("n_chars_removed"))
+  }
+
   /** Returns (pair plan, the persisted fingerprint frame whose lifecycle
     * the caller controls).
     */

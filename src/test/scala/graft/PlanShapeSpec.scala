@@ -155,6 +155,11 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  // span excision: the gram stream never cross-joins — hot grams attach
+  // by broadcast, interval merge/reassembly are per-doc windows over hot
+  // positions only
+  checkShape("q91_span_excise", maxExchanges = 12, minBroadcastJoins = 1)
+
   // the full q90 pipeline (hourly agg -> decompose -> rounded output):
   // low-cardinality key, so the hinted broadcasts appear physically. 7
   // exchanges in the INITIAL plan because the hourly+window base subplan

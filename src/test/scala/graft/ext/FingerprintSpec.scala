@@ -132,6 +132,45 @@ class FingerprintSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan) // the anti stop-join
   }
 
+  test("exciseSharedSpans cuts exactly the shared passage, merged as one span") {
+    // 13 docs embed the same 30-char passage; 12 of them also share the
+    // " unique tail " context after it. EVERYTHING >10-doc-shared goes:
+    // docs 1-12 lose " <passage> unique tail " (44 chars, one merged
+    // span — the shared context is itself shared text), doc 50 loses
+    // " <passage>" (31 chars; its other context is unique), and the
+    // per-doc digits survive because every gram containing them is rare
+    val boiler = "SHARED BOILERPLATE PASSAGE XYZ"
+    boiler.length shouldBe 30
+    val docs = (1 to 12).map(i =>
+      (i.toLong, s"unique prefix $i $boiler unique tail $i")) ++ Seq(
+      (50L, s"start $boiler"),               // passage at end: empty tail
+      (99L, "totally unique text with no repeats at all here"))
+    val out = Fingerprint.exciseSharedSpans(
+      docs.toDF("doc_id", "text"), "doc_id", "text", k = 15, maxDocs = 10)
+      .select("doc_id", "clean", "n_spans_removed", "n_chars_removed")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    out(1L) shouldBe (("unique prefix 11", 1L, 44L))
+    out(12L) shouldBe (("unique prefix 1212", 1L, 44L))
+    out(50L) shouldBe (("start", 1L, 31L))
+    out(99L) shouldBe (("totally unique text with no repeats at all here", 0L, 0L))
+  }
+
+  test("exciseSharedSpans passes short and null docs through untouched") {
+    val docs = Seq((1L, "tiny"), (2L, null.asInstanceOf[String])) ++
+      (10 to 30).map(i => (i.toLong, "the very same repeated body text"))
+    val out = Fingerprint.exciseSharedSpans(
+      docs.toDF("doc_id", "text"), "doc_id", "text", k = 15, maxDocs = 10)
+      .select("doc_id", "clean", "n_spans_removed", "n_chars_removed")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    out(1L) shouldBe (("tiny", 0L, 0L))
+    out(2L)._1 shouldBe null
+    out(2L)._2 shouldBe 0L
+    // identical docs: the whole body is one merged span, clean is empty
+    out(10L) shouldBe (("", 1L, 32L))
+  }
+
   test("withSpanCandidates releases the fingerprint cache, even on throw") {
     def cachedCount() = spark.sparkContext.getPersistentRDDs.size
     val before = cachedCount()
