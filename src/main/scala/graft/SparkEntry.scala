@@ -856,6 +856,32 @@ object SparkEntry {
         Seq("query_id", "neighbor_id"), threshold = 0.95)
     }),
 
+    "y5_knn_ivfpq" -> ((s, dir) => { // rows-only: approximate recall
+      // IVF-PQ: the production ANN layout — IVF cells prune candidates,
+      // PQ codes (m=16 ints vs 64 floats on the corpus side of the cell
+      // join) score them via ADC, exact float rescore of each query's
+      // k x rescoreFactor survivors. nprobe 10 matches y3 (loosely
+      // correlated corpus needs a wide probe) and the wide rescore absorbs
+      // ADC ranking error at that correlation; engine-specific model, so
+      // the oracle-checked claim is y5r's measured recall.
+      val emb = rd(s, dir, "embeddings")
+      Similarity.topKIvfPq(
+        emb.filter(col("vec_id") < 100), emb, "vec_id", "embedding",
+        k = 5, nprobe = 12, m = 16, rescoreFactor = 64)
+        .orderBy("query_id", "rank")
+    }),
+
+    "y5r_knn_ivfpq_recall" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      recallCheck(
+        Similarity.topKBruteForce(
+          emb.filter(col("vec_id") < 100), emb, "vec_id", "embedding", k = 5),
+        Similarity.topKIvfPq(
+          emb.filter(col("vec_id") < 100), emb, "vec_id", "embedding",
+          k = 5, nprobe = 12, m = 16, rescoreFactor = 64),
+        Seq("query_id", "neighbor_id"), threshold = 0.9)
+    }),
+
     "x6r_embedding_lsh_recall" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")
       recallCheck(
@@ -2475,6 +2501,21 @@ object SparkEntry {
         |WHERE rank <= 5""".stripMargin,
 
     "y3r_knn_ivf_recall" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
+        |  FROM embeddings)
+        |SELECT count(*) AS n_exact, 1 AS recall_ok FROM (
+        |  SELECT CAST(row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |        x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * c.nrm) DESC,
+        |      c.vec_id) AS INT) AS rank
+        |  FROM e q JOIN e c ON q.vec_id < 100 AND c.vec_id <> q.vec_id) t
+        |WHERE rank <= 5""".stripMargin,
+
+    // same exact top-5 ground truth as y3r: the IVF-PQ path must find at
+    // least the threshold fraction of the float brute-force neighbors
+    "y5r_knn_ivfpq_recall" ->
       """WITH e AS (SELECT vec_id, embedding,
         |    sqrt(list_sum(list_transform(embedding,
         |      x -> x::DOUBLE * x::DOUBLE))) AS nrm

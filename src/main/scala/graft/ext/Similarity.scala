@@ -461,11 +461,29 @@ object Similarity {
       iterations: Int,
       sampleSize: Int,
       seed: Long): Seq[Array[Float]] = {
+    val sample = collectSample(df, idCol, vecCol, sampleSize)
+    lloyd(sample, nlist, iterations, seed).toSeq
+  }
+
+  /** Bounded, deterministic driver sample (smallest ids). */
+  private def collectSample(
+      df: DataFrame, idCol: String, vecCol: String,
+      sampleSize: Int): Array[Array[Float]] = {
     val sample = df.select(col(vecCol)).orderBy(col(idCol)).limit(sampleSize)
       .collect().map(_.getSeq[Float](0).toArray)
-    require(sample.nonEmpty, "topKIvf: empty input")
+    require(sample.nonEmpty, "centroid training: empty input")
+    sample
+  }
+
+  /** Lloyd's iterations over a driver-local sample; empty cells keep
+    * their previous centroid. Shared by the IVF coarse quantizer and the
+    * per-subspace PQ codebooks.
+    */
+  private def lloyd(
+      sample: Array[Array[Float]], k: Int, iterations: Int,
+      seed: Long): Array[Array[Float]] = {
     val rng = new scala.util.Random(seed)
-    var centroids = Array.tabulate(nlist)(i =>
+    var centroids = Array.tabulate(k)(i =>
       sample(if (i < sample.length) i else rng.nextInt(sample.length)).clone())
 
     // loops clamp to the shorter array (same policy as the NearestCells /
@@ -479,11 +497,11 @@ object Similarity {
     }
     val dims = sample.head.length
     for (_ <- 0 until iterations) {
-      val sums = Array.fill(nlist)(new Array[Double](dims))
-      val counts = new Array[Int](nlist)
+      val sums = Array.fill(k)(new Array[Double](dims))
+      val counts = new Array[Int](k)
       sample.foreach { v =>
         var best = 0; var bd = Double.MaxValue; var c = 0
-        while (c < nlist) {
+        while (c < k) {
           val d = sqDist(v, centroids(c)); if (d < bd) { bd = d; best = c }; c += 1
         }
         counts(best) += 1
@@ -491,11 +509,40 @@ object Similarity {
         val m = math.min(v.length, dims)
         while (i < m) { sums(best)(i) += v(i); i += 1 }
       }
-      centroids = Array.tabulate(nlist)(c =>
+      centroids = Array.tabulate(k)(c =>
         if (counts(c) == 0) centroids(c)
         else sums(c).map(x => (x / counts(c)).toFloat))
     }
-    centroids.toSeq
+    centroids
+  }
+
+  /** Train product-quantization codebooks: `m` independent k-means runs
+    * of `ksub` centroids each, one per d/m-dim subspace, on the same
+    * bounded driver sample [[trainCentroids]] uses. O(m × ksub × d/m) =
+    * O(ksub × d) model state — driver-sized by design.
+    */
+  def trainPq(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      ksub: Int,
+      iterations: Int = 5,
+      sampleSize: Int = 1024,
+      seed: Long = 42L): Seq[Seq[Seq[Float]]] = {
+    require(m >= 1 && ksub >= 1, s"trainPq: m=$m ksub=$ksub must be >= 1")
+    val sample = collectSample(df, idCol, vecCol, sampleSize)
+    val dims = sample.head.length
+    require(dims % m == 0,
+      s"trainPq: dims=$dims must be divisible by m=$m subspaces")
+    val dsub = dims / m
+    (0 until m).map { j =>
+      val sub = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, math.min(j * dsub, v.length),
+          math.min((j + 1) * dsub, v.length)))
+      lloyd(sub, ksub, iterations, seed + j)
+        .map(_.toSeq).toSeq
+    }
   }
 
   /** Largest input [[cosinePairsBruteForce]] accepts before failing fast —
@@ -588,6 +635,87 @@ object Similarity {
     candidates
       .join(broadcast(qv), "query_id")
       .join(cv, "neighbor_id")
+      .select(
+        col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("qn"), col("cv"), col("cn")).as("cosine"))
+      .transform(rankTopK(k))
+  }
+
+  /** IVF-PQ retrieval of `queries` against `corpus` — the production ANN
+    * layout at corpus scale (the [[topKQuantized]] two-frame shape): an
+    * IVF coarse quantizer prunes candidates to `nprobe` cells, and
+    * within them the CORPUS side is scored from its product-quantization
+    * codes alone (ADC: [[graft.functions.PqAdcDot]]), so the big side of
+    * the cell join ships `m` ints per vector instead of `d` floats (d=64,
+    * m=8 → 8× less index bandwidth than even the float-IVF path, 32× less
+    * than brute force). Stage 2 rejoins float vectors for each query's
+    * top `k × rescoreFactor` survivors only and re-ranks by exact cosine
+    * — the [[topKQuantized]] contract: quantization can only cost recall
+    * at the candidate boundary, never final scoring precision (measured
+    * by the y5r companion).
+    *
+    * Stage-1 ranking is ADC-dot / (exact query norm × exact candidate
+    * norm) — the candidate's float norm is one double carried next to its
+    * codes, the same "approximate numerator, exact denominators" stance
+    * as the int8 path. PQ here codes RAW vectors (IVFFlat-style candidate
+    * structure + PQ scoring); FAISS's residual encoding is the accuracy
+    * refinement on top, not a different plan shape.
+    */
+  def topKIvfPq(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      m: Int = 8,
+      ksub: Int = 256,
+      rescoreFactor: Int = 4,
+      iterations: Int = 5,
+      sampleSize: Int = 1024,
+      seed: Long = 42L): DataFrame = {
+    require(k >= 1 && rescoreFactor >= 1,
+      s"k=$k rescoreFactor=$rescoreFactor must be >= 1")
+    import graft.functions.PqFunctions.{pq_adc_dot, pq_encode}
+    val coarse = trainCentroids(
+      corpus, idCol, vecCol, nlist, iterations, sampleSize, seed)
+    val pq = trainPq(
+      corpus, idCol, vecCol, m, ksub, iterations, sampleSize, seed)
+
+    // corpus side: cell + m-int codes + one float norm — never the vector
+    val coded = corpus.select(
+      col(idCol).as("neighbor_id"),
+      nearestCells(col(vecCol), coarse, 1).getItem(0).as("cell"),
+      pq_encode(col(vecCol), pq).as("codes"),
+      vector_norm(col(vecCol)).as("cn"))
+    // query side: float vector rides its nprobe probe rows
+    val probes = queries.select(
+      col(idCol).as("query_id"),
+      explode(nearestCells(col(vecCol), coarse, nprobe)).as("cell"),
+      col(vecCol).as("qv"),
+      vector_norm(col(vecCol)).as("qn"))
+
+    val candidates = probes
+      .join(coded, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"), col("neighbor_id"),
+        try_divide(pq_adc_dot(col("qv"), col("codes"), pq),
+          col("qn") * col("cn")).as("cosine"))
+      .transform(rankTopK(k * rescoreFactor))
+      .select("query_id", "neighbor_id")
+
+    // exact rescore: float vectors rejoin for the survivors only
+    val qv = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("qv"),
+      vector_norm(col(vecCol)).as("qn"))
+    val cv = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      vector_norm(col(vecCol)).as("cn"))
+    candidates
+      .join(qv, Seq("query_id"))
+      .join(cv, Seq("neighbor_id"))
       .select(
         col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("qn"), col("cv"), col("cn")).as("cosine"))

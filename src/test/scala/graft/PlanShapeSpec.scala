@@ -155,6 +155,11 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  // IVF-PQ retrieval: candidates via the cell equi-join (the corpus side
+  // carries m ints + a norm, never its vectors); float vectors rejoin by
+  // broadcast at this scale for the rescored survivors only
+  checkShape("y5_knn_ivfpq", maxExchanges = 6, minBroadcastJoins = 1)
+
   // span excision: the gram stream never cross-joins — hot grams attach
   // by broadcast, interval merge/reassembly are per-doc windows over hot
   // positions only

@@ -210,6 +210,44 @@ class SimilaritySpec extends SparkSpec {
     dot shouldBe (127L * -127 + -63L * 127 + 32L * 64 + 0)
   }
 
+  test("pq: codebooks that cover every point make ADC dot exact") {
+    import spark.implicits._
+    import graft.functions.PqFunctions.{pq_adc_dot, pq_encode}
+    // ksub >= sample size: Lloyd's init seeds each centroid with a sample
+    // point, every point becomes its own centroid, so encode->ADC must
+    // reproduce the float dot product bit-for-bit (7 points, ksub = 8)
+    val pq = Similarity.trainPq(
+      vectors, "vec_id", "embedding", m = 2, ksub = 8,
+      iterations = 3, sampleSize = 1024, seed = 1L)
+    pq.length shouldBe 2
+    pq.head.length shouldBe 8
+    val q = vectors.select(col("vec_id"), col("embedding").as("q"))
+    val c = vectors.select(col("vec_id").as("cid"),
+      col("embedding").as("cv"),
+      pq_encode(col("embedding"), pq).as("codes"))
+    val diffs = q.crossJoin(c)
+      .select(abs(pq_adc_dot(col("q"), col("codes"), pq) -
+        vector_dot(col("q"), col("cv"))).as("d"))
+      .agg(max("d")).as[Double].head()
+    diffs should be < 1e-6
+  }
+
+  test("y5 ivf-pq top-k matches the float brute force here") {
+    import spark.implicits._
+    val exact = Similarity.topKBruteForce(
+      vectors, vectors, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    // one cell + exhaustive probe + exact-reconstruction codebooks: the
+    // candidate stage cannot miss, and the final ranking is exact cosine
+    val ivfpq = Similarity.topKIvfPq(
+      vectors, vectors, "vec_id", "embedding", k = 3,
+      nlist = 2, nprobe = 2, m = 2, ksub = 8, rescoreFactor = 3)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    ivfpq shouldBe exact
+  }
+
   test("y4 two-stage int8 top-k matches the float brute force here") {
     import spark.implicits._
     val exact = Similarity.topKBruteForce(
