@@ -26,7 +26,7 @@ object Plans {
     "q70_resample_fill", "q72_hierarchy", "q76_transitions",
     "q79_interval_join", "q81_curation_e2e", "q90_seasonal_decompose",
     "q91_span_excise", "x1_dedup_exact", "x2_dedup_minhash",
-    "x9_dedup_incremental", "y2_knn_lsh", "y3_knn_ivf")
+    "x9_dedup_incremental", "y2_knn_lsh", "y3_knn_ivf", "y5_knn_ivfpq")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outFile) = args

@@ -100,13 +100,19 @@ object Fingerprint {
     * re-expressed as joins a 1000-executor cluster can run. Gram hashes
     * are portable MD5₄₈ (the [[fingerprints]] convention) so a persisted
     * hot-gram list is engine- and version-stable.
+    *
+    * `exact = true` (the oracle regime) counts distinct docs per gram
+    * exactly; at corpus scale set it false for the mergeable
+    * `approx_count_distinct` (±2% default error only ever misclassifies
+    * grams sitting ON the cap — the q62/q64 sketch-vs-oracle convention).
     */
   def exciseSharedSpans(
       df: DataFrame,
       idCol: String,
       textCol: String,
       k: Int = 30,
-      maxDocs: Int = 10): DataFrame = {
+      maxDocs: Int = 10,
+      exact: Boolean = true): DataFrame = {
     require(k >= 2, s"gram length k must be >= 2, got $k")
     require(maxDocs >= 1, s"maxDocs must be >= 1, got $maxDocs")
     val base = df.select(col(idCol), col(textCol).as("_text"))
@@ -119,7 +125,8 @@ object Fingerprint {
         conv(substring(md5(expr(s"substring(_text, _i, $k)")), 1, 12),
           16, 10).cast("long").as("_h"))
     val hot = pos.groupBy("_h")
-      .agg(count_distinct(col(idCol)).as("_nd"))
+      .agg((if (exact) count_distinct(col(idCol))
+        else approx_count_distinct(col(idCol))).as("_nd"))
       .filter(col("_nd") > maxDocs).select("_h")
     val hits = pos.join(broadcast(hot), Seq("_h"))
       .select(col(idCol), col("_i"))

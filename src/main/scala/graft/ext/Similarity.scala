@@ -641,6 +641,32 @@ object Similarity {
       .transform(rankTopK(k))
   }
 
+  /** PQ codebooks as a DataFrame `(subspace:int, cell:int,
+    * centroid:array<float>)` — the persistable form ([[centroidsToDF]]'s
+    * contract extended with the subspace axis): train once per corpus
+    * snapshot, write to parquet, and every later encode/search run loads
+    * the same codebooks, so codes stay comparable release-to-release.
+    */
+  def pqToDF(
+      spark: org.apache.spark.sql.SparkSession,
+      codebooks: Seq[Seq[Seq[Float]]]): DataFrame = {
+    import spark.implicits._
+    codebooks.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (cent, c) => (j, c, cent) }
+    }.toDF("subspace", "cell", "centroid")
+  }
+
+  /** Load PQ codebooks persisted via [[pqToDF]], in (subspace, cell)
+    * order. Driver-sized by design (m × ksub × d/m floats).
+    */
+  def pqFromDF(df: DataFrame): Seq[Seq[Seq[Float]]] =
+    df.select(col("subspace"), col("cell"), col("centroid"))
+      .collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (_, rows) =>
+        rows.sortBy(_.getInt(1)).map(_.getSeq[Float](2)).toSeq
+      }
+
   /** IVF-PQ retrieval of `queries` against `corpus` — the production ANN
     * layout at corpus scale (the [[topKQuantized]] two-frame shape): an
     * IVF coarse quantizer prunes candidates to `nprobe` cells, and

@@ -232,6 +232,14 @@ class SimilaritySpec extends SparkSpec {
     diffs should be < 1e-6
   }
 
+  test("pq codebooks round-trip through their DataFrame form") {
+    val pq = Similarity.trainPq(
+      vectors, "vec_id", "embedding", m = 2, ksub = 4,
+      iterations = 3, sampleSize = 1024, seed = 7L)
+    val back = Similarity.pqFromDF(Similarity.pqToDF(spark, pq))
+    back shouldBe pq
+  }
+
   test("y5 ivf-pq top-k matches the float brute force here") {
     import spark.implicits._
     val exact = Similarity.topKBruteForce(

@@ -22,9 +22,9 @@ out = {
         "date": datetime.date.today().isoformat(),
         "method": ("graft.Verify at sf0.1 + tools/compare.py (local replica of "
                    "the driver's DuckDB rows/schema/hash compare); queries "
-                   "without an oracleSql entry (x3, x6, y2, y3 - engine-specific "
-                   "hash families) are covered by their oracle-checked recall "
-                   "companions"),
+                   "without an oracleSql entry (x2p, x3, x6, x10, y2, y3, y4, "
+                   "y5 - engine-specific hash families) are covered by their "
+                   "oracle-checked recall companions"),
         "note": note,
     },
     "pass": npass,
