@@ -61,12 +61,16 @@ object Bench {
       // released by the ContextCleaner asynchronously AFTER the GC above;
       // without draining them here the block-drop messages land inside the
       // NEXT timed pass (measured: x7 spread 1.86 vs <=0.4 for every other
-      // query). Bounded: RDD blocks only, 2 s cap, no-op when none linger.
-      val deadline = System.nanoTime() + 2000000000L
-      while (System.nanoTime() < deadline &&
+      // query). GENTLE drain: at most 4 extra GC+beat rounds — a tight
+      // gc-every-50ms loop (the first attempt) forced ~25 full STW
+      // collections per settle on a 64 GB heap, and that heap churn
+      // itself stalled the next timed pass by tens of seconds.
+      var tries = 0
+      while (tries < 4 &&
           org.apache.spark.sql.GraftShim.pendingRddBlocks() > 0) {
         System.gc()
-        Thread.sleep(50)
+        Thread.sleep(150)
+        tries += 1
       }
     }
     // Warm EVERY query once before timing: whole-stage codegen compilation
