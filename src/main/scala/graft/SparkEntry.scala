@@ -2119,6 +2119,26 @@ object SparkEntry {
       Fingerprint.exciseSharedSpans(rd(s, dir, "documents"),
         "doc_id", "text", k = 15, maxDocs = 10)
         .orderBy("doc_id")
+    }),
+
+    "q92_seasonal_anomalies" -> ((s, dir) => {
+      // seasonal-aware anomaly flags (ops.Seasonal.anomalies): alert on
+      // the decomposition residual's per-key z-score, so daily rhythm and
+      // trend never page. Same 1e-6 grid discipline as q90 — stddev and
+      // z snap before the threshold compare, making the boolean flag
+      // itself engine-exact.
+      val hourly = rd(s, dir, "events")
+        .groupBy(col("event_type"),
+          floor(unix_timestamp(col("ts")) / 3600).cast("long").as("slot"))
+        .agg(rnd(sum("value"), 6).as("y"))
+        .withColumn("idx", row_number().over(
+          Window.partitionBy("event_type").orderBy("slot")).cast("long") - 1)
+      Seasonal.anomalies(hourly, "event_type", "idx", "y", period = 24,
+        zThreshold = 2.5, roundDigits = Some(6))
+        .select(col("event_type"), col("idx"),
+          rnd(col("residual"), 4).as("residual"),
+          rnd(col("z"), 4).as("z"), col("is_anomaly"))
+        .orderBy("event_type", "idx")
     })
   )
 
@@ -3942,7 +3962,52 @@ object SparkEntry {
         |  CAST(coalesce(cuts.nch, 0) AS BIGINT) AS n_chars_removed
         |FROM documents d LEFT JOIN reb ON d.doc_id = reb.doc_id
         |  LEFT JOIN cuts ON d.doc_id = cuts.doc_id
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // q90's construction + a per-key residual stddev; sd and z snap to
+    // the 1e-6 grid BEFORE the 2.5 threshold compare, so the boolean
+    // matches Spark even for a z sitting exactly on the boundary
+    "q92_seasonal_anomalies" ->
+      """WITH hr AS (SELECT event_type,
+        |    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS slot,
+        |    floor(sum(value) * 1e6 + 0.5) / 1e6 AS y
+        |  FROM events GROUP BY 1, 2),
+        |srs AS (SELECT event_type, CAST(row_number() OVER
+        |      (PARTITION BY event_type ORDER BY slot) - 1 AS BIGINT)
+        |      AS idx, y
+        |  FROM hr),
+        |tr AS (SELECT event_type, idx, y,
+        |    CASE WHEN count(*) OVER w = 25 THEN
+        |      floor((sum(y) OVER w
+        |        - (lag(y, 12) OVER wk + lead(y, 12) OVER wk) / 2) / 24
+        |        * 1e6 + 0.5) / 1e6
+        |    END AS trend,
+        |    idx % 24 AS phase
+        |  FROM srs
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY idx
+        |      ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING),
+        |    wk AS (PARTITION BY event_type ORDER BY idx)),
+        |sr AS (SELECT event_type, phase,
+        |    floor(avg(y - trend) * 1e6 + 0.5) / 1e6 AS sraw FROM tr
+        |  WHERE trend IS NOT NULL GROUP BY 1, 2),
+        |sm AS (SELECT event_type,
+        |    floor(avg(sraw) * 1e6 + 0.5) / 1e6 AS smean FROM sr GROUP BY 1),
+        |res AS (SELECT t.event_type, t.idx,
+        |    y - trend - (sr.sraw - sm.smean) AS residual
+        |  FROM tr t LEFT JOIN sr
+        |      ON t.event_type = sr.event_type AND t.phase = sr.phase
+        |    LEFT JOIN sm ON t.event_type = sm.event_type),
+        |sd AS (SELECT event_type,
+        |    floor(stddev_samp(residual) * 1e6 + 0.5) / 1e6 AS sdv
+        |  FROM res WHERE residual IS NOT NULL GROUP BY 1),
+        |z AS (SELECT r.event_type, r.idx, r.residual,
+        |    floor(r.residual / sd.sdv * 1e6 + 0.5) / 1e6 AS zs
+        |  FROM res r LEFT JOIN sd ON r.event_type = sd.event_type)
+        |SELECT event_type, idx,
+        |  floor(residual * 1e4 + 0.5) / 1e4 AS residual,
+        |  floor(zs * 1e4 + 0.5) / 1e4 AS z,
+        |  coalesce(abs(zs) > 2.5, false) AS is_anomaly
+        |FROM z ORDER BY event_type, idx""".stripMargin
   )
 
   /** The q86-q88 oracle's shared training loop: re-derives

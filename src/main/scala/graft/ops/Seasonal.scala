@@ -91,4 +91,49 @@ object Seasonal {
       .select(col(keyCol), col(idxCol), col(valCol),
         col("trend"), col("seasonal"), col("residual"))
   }
+
+  /** Seasonal-aware anomaly flags — the reason pipelines run the
+    * decomposition at all: alerting on the RESIDUAL separates "something
+    * broke" from daily rhythm and long-term growth, which raw-value
+    * thresholds conflate. Adds `z` (residual / per-key sample stddev of
+    * residuals) and `is_anomaly` (`|z| > zThreshold`) to [[decompose]]'s
+    * output; rows with null residual (the incomplete first/last
+    * half-period) carry null z and false.
+    *
+    * One extra O(keys) aggregation over the decomposed frame; the stddev
+    * attaches under the same broadcast-vs-cardinality discipline (no
+    * forced hint — O(keys) rows, AQE broadcasts when small). With
+    * `roundDigits` set, the stddev and z snap to the same grid as the
+    * decomposition, so both the flag and the score are engine-exactly
+    * reproducible — a z sitting ON the threshold compares identically
+    * everywhere.
+    */
+  def anomalies(
+      df: DataFrame,
+      keyCol: String,
+      idxCol: String,
+      valCol: String,
+      period: Int,
+      zThreshold: Double = 3.0,
+      roundDigits: Option[Int] = None,
+      maxBroadcastCells: Long = 1000000L): DataFrame = {
+    require(zThreshold > 0, s"zThreshold must be > 0, got $zThreshold")
+    def snap(c: Column): Column = roundDigits match {
+      case Some(d) =>
+        val p = math.pow(10, d)
+        floor(c * p + 0.5) / p
+      case None => c
+    }
+    val dec = decompose(df, keyCol, idxCol, valCol, period, roundDigits,
+      maxBroadcastCells)
+    val sds = dec.filter(col("residual").isNotNull)
+      .groupBy(keyCol)
+      .agg(snap(stddev_samp(col("residual"))).as("_sd"))
+    dec.join(sds, Seq(keyCol), "left")
+      .withColumn("z", snap(col("residual") / col("_sd")))
+      .withColumn("is_anomaly",
+        coalesce(abs(col("z")) > zThreshold, lit(false)))
+      .select(col(keyCol), col(idxCol), col(valCol), col("trend"),
+        col("seasonal"), col("residual"), col("z"), col("is_anomaly"))
+  }
 }

@@ -50,6 +50,34 @@ class SeasonalSpec extends SparkSpec {
     out shouldBe 0.0 +- 1e-9
   }
 
+  test("anomalies flags the planted spike and only the spike") {
+    // clean seasonal series + one +25 spike at t=17: every other interior
+    // residual is ~0, so the spike dominates the stddev and is the only
+    // |z| above threshold; edge rows (null residual) carry null z / false
+    val spiked = (0 until 40).map { t =>
+      val extra = if (t == 17) 25.0 else 0.0
+      ("k", t.toLong, 10.0 + 0.5 * t + pattern(t % 4) + extra)
+    }.toDF("k", "idx", "y")
+    val out = Seasonal.anomalies(spiked, "k", "idx", "y", period = 4,
+      zThreshold = 3.0)
+      .select("idx", "z", "is_anomaly")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Double]), r.getBoolean(2)))
+      .toMap
+    out(17L)._2 shouldBe true
+    out(17L)._1.get should be > 3.0
+    out(0L)._1 shouldBe None      // incomplete window: null residual
+    out(0L)._2 shouldBe false
+    // no other interior row may fire
+    (2L to 37L).filter(_ != 17L).foreach { t =>
+      withClue(s"idx $t") {
+        // the spike leaks into neighbors THROUGH the moving average and
+        // phase means, but never past the threshold
+        out(t)._2 shouldBe false
+      }
+    }
+  }
+
   test("keys decompose independently") {
     val two = series.unionByName(
       (0 until 40).map(t => ("j", t.toLong, 100.0 - t))
