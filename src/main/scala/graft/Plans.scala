@@ -25,6 +25,7 @@ object Plans {
     "q65_span_dedup", "q66_sequence_assembly", "q67_temperature_mix",
     "q70_resample_fill", "q72_hierarchy", "q76_transitions",
     "q79_interval_join", "q81_curation_e2e", "q90_seasonal_decompose",
+    "q92_seasonal_anomalies",
     "q91_span_excise", "x1_dedup_exact", "x2_dedup_minhash",
     "x9_dedup_incremental", "y2_knn_lsh", "y3_knn_ivf", "y5_knn_ivfpq")
 

@@ -172,4 +172,12 @@ class PlanShapeSpec extends SparkSpec {
   // ReusedExchange collapses the duplicate chain at runtime.
   checkShape("q90_seasonal_decompose", maxExchanges = 7,
     minBroadcastJoins = 2)
+
+  // anomaly flags on top of q90: one extra O(keys) stddev agg, and the
+  // hourly+window base subplan now appears three times in the INITIAL
+  // plan (series + phase-means + stddev sides; 13 exchanges) before
+  // AQE's ReusedExchange collapses the duplicates — still no cartesian,
+  // and the phase/key-mean broadcasts stay
+  checkShape("q92_seasonal_anomalies", maxExchanges = 13,
+    minBroadcastJoins = 2)
 }

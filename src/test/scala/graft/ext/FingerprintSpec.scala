@@ -156,6 +156,57 @@ class FingerprintSpec extends SparkSpec {
     out(99L) shouldBe (("totally unique text with no repeats at all here", 0L, 0L))
   }
 
+  test("exciseSharedSpans agrees with a naive reference on a random corpus") {
+    // 60 random docs over a 4-char alphabet: heavy gram sharing, plenty
+    // of overlap/adjacency merges, docs shorter than k, and fully-cut
+    // docs — checked against an independent driver-side implementation
+    val k = 5
+    val maxDocs = 3
+    val rng = new scala.util.Random(0x67726166745221L)
+    val alphabet = "abcd"
+    val docs = (0 until 60).map { i =>
+      val len = rng.nextInt(45)
+      (i.toLong,
+        (0 until len).map(_ => alphabet(rng.nextInt(4))).mkString)
+    }
+    // naive reference: exact gram->distinct-doc counts on raw strings
+    val gramDocs = scala.collection.mutable.Map[String, Set[Long]]()
+    for ((id, t) <- docs; j <- 0 to t.length - k if t.length >= k)
+      gramDocs.updateWith(t.substring(j, j + k))(
+        s => Some(s.getOrElse(Set.empty) + id))
+    val hot = gramDocs.collect {
+      case (g, ids) if ids.size > maxDocs => g
+    }.toSet
+    val expected = docs.map { case (id, t) =>
+      val starts = (0 to t.length - k)
+        .filter(j => t.length >= k && hot(t.substring(j, j + k)))
+      // merge [j, j+k-1] intervals when start <= prevEnd + 1
+      val merged = starts.foldLeft(List.empty[(Int, Int)]) {
+        case (acc, j) => acc match {
+          case (s, e) :: rest if j <= e + 1 => (s, math.max(e, j + k - 1)) :: rest
+          case _ => (j, j + k - 1) :: acc
+        }
+      }.reverse
+      val clean = merged.foldRight(t) { case ((s, e), cur) =>
+        cur.substring(0, s) + cur.substring(e + 1)
+      }
+      id -> ((clean, merged.size.toLong,
+        merged.map { case (s, e) => (e - s + 1).toLong }.sum))
+    }.toMap
+    val out = Fingerprint.exciseSharedSpans(
+      docs.toDF("doc_id", "text"), "doc_id", "text", k = k,
+      maxDocs = maxDocs)
+      .select("doc_id", "clean", "n_spans_removed", "n_chars_removed")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    out.keySet shouldBe expected.keySet
+    expected.foreach { case (id, exp) =>
+      withClue(s"doc $id (text '${docs(id.toInt)._2}'):") {
+        out(id) shouldBe exp
+      }
+    }
+  }
+
   test("exciseSharedSpans passes short and null docs through untouched") {
     val docs = Seq((1L, "tiny"), (2L, null.asInstanceOf[String])) ++
       (10 to 30).map(i => (i.toLong, "the very same repeated body text"))
