@@ -20,6 +20,15 @@ import org.apache.spark.sql.SparkSession
   * second, compact totals-only line is printed. The LAST line of any
   * stdout tail >= 200 chars therefore always parses to the headline
   * numbers.
+  *
+  * File artifact: stdout through sbt arrives `[info] `-prefixed (and sbt
+  * appends its own `[success]` line after ours), so a parser that takes
+  * the literal last stdout line never sees valid JSON. The full
+  * cumulative record is therefore ALSO written to `BENCH_LOCAL.json`
+  * (override via `SPARK_GRAFT_BENCH_OUT`) after every query — atomically
+  * (tmp + rename), so a reader never observes a half-written record and a
+  * timeout still leaves the last complete state on disk — the same
+  * land-it-in-a-file posture as Verify's `oracle_sql.json`.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -111,9 +120,22 @@ object Bench {
       val failed = results.count { case (_, (ok, _, _, _)) => !ok }
       val total = results.collect { case (_, (true, v, _, _)) => v }.sum
       val t = math.rint(total * 1000) / 1000
-      println(s"""{"metric":"total","value":$t,"unit":"sec","queries":$qs,"spread":$spreads,"passes":$passes,"failed":$failed,"completed":${results.size},"declared":$declared,"skipped":$skipped,"elapsed_s":${math.rint(elapsed())},"sf":"$sfDir"}""")
+      val full = s"""{"metric":"total","value":$t,"unit":"sec","queries":$qs,"spread":$spreads,"passes":$passes,"failed":$failed,"completed":${results.size},"declared":$declared,"skipped":$skipped,"elapsed_s":${math.rint(elapsed())},"sf":"$sfDir"}"""
+      println(full)
       // compact totals-only duplicate: survives any stdout-tail capture
       println(s"""{"metric":"total","value":$t,"unit":"sec","failed":$failed,"completed":${results.size},"declared":$declared,"skipped":$skipped,"elapsed_s":${math.rint(elapsed())},"sf":"$sfDir"}""")
+      // machine-parseable file artifact (atomic: write tmp, then rename)
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
+      val tmp = out.resolveSibling(out.getFileName.toString + ".tmp")
+      try {
+        java.nio.file.Files.writeString(tmp, full + "\n")
+        java.nio.file.Files.move(tmp, out,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+      }
     }
     val names = selected.keys.toSeq
     var done = 0

@@ -27,7 +27,35 @@ object Plans {
     "q79_interval_join", "q81_curation_e2e", "q90_seasonal_decompose",
     "q92_seasonal_anomalies",
     "q91_span_excise", "x1_dedup_exact", "x2_dedup_minhash",
-    "x9_dedup_incremental", "y2_knn_lsh", "y3_knn_ivf", "y5_knn_ivfpq")
+    "x7_dup_clusters", "x9_dedup_incremental", "x11_containment",
+    "t16_quality_classifier", "y2_knn_lsh", "y3_knn_ivf", "y5_knn_ivfpq")
+
+  /** x11 and q91 materialize eagerly in their public form (persist +
+    * localCheckpoint — the executed plan of the DECLARED query is just a
+    * checkpoint scan), so the audit dumps their REAL lazy plans via the
+    * `*Plan` splits the plan-shape spec uses. Returns (frame to explain,
+    * cleanup releasing any persist the split handed us).
+    */
+  private def buildFor(
+      spark: SparkSession, sfDir: String,
+      name: String): Option[(org.apache.spark.sql.DataFrame, () => Unit)] =
+    name match {
+      case "x11_containment" =>
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val (plan, sets) = graft.ext.Dedup.containmentPairsPlan(
+          docs, "doc_id", "text", 0.8,
+          shingleFn = graft.ext.Shingles.charNGrams(_, 8))
+        Some((plan.orderBy("id", "container_id"),
+          () => { sets.unpersist(blocking = false); () }))
+      case "q91_span_excise" =>
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val (plan, pos) = graft.ext.Fingerprint.exciseSharedSpansPlan(
+          docs, "doc_id", "text", k = 15, maxDocs = 10, exact = true)
+        Some((plan.orderBy("doc_id"),
+          () => { pos.unpersist(blocking = false); () }))
+      case other =>
+        SparkEntry.queries.get(other).map(b => (b(spark, sfDir), () => ()))
+    }
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outFile) = args
@@ -46,13 +74,13 @@ object Plans {
     sb.append("reflect that scale's statistics; the spec suite asserts ")
     sb.append("the shape invariants that must hold at any scale.\n")
     headline.foreach { name =>
-      SparkEntry.queries.get(name).foreach { build =>
+      buildFor(spark, sfDir, name).foreach { case (df, cleanup) =>
         val plan = try {
-          build(spark, sfDir).queryExecution
+          df.queryExecution
             .explainString(ExplainMode.fromString("formatted"))
         } catch {
           case e: Exception => s"(failed to plan: ${e.getMessage})"
-        }
+        } finally cleanup()
         sb.append(s"\n## $name\n\n```\n$plan```\n")
       }
     }

@@ -412,6 +412,21 @@ object Dedup {
     Similarity.cosinePairsLsh(df, idCol, vecCol, bands, planesPerBand, seed,
       minCosine = minCosine)
 
+  /** [[nearDuplicatesEmbedding]] against an EXPLICIT plane model
+    * ([[Similarity.md5Planes]] or any persisted matrix) — pins bucket
+    * signatures across runs AND engines, so the x6 declaration carries a
+    * full value oracle (DuckDB re-derives the planes, the band join and
+    * the cosine verify) instead of a recall-only companion.
+    */
+  def nearDuplicatesEmbeddingWithPlanes(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCosine: Double,
+      planes: Seq[Seq[Seq[Float]]]): DataFrame =
+    Similarity.cosinePairsLshWithPlanes(df, idCol, vecCol, planes,
+      minCosine = minCosine)
+
   /** SemDeDup-style semantic near-dup: candidates from the IVF coarse
     * quantizer's cells (data-dependent clustering of the embedding space,
     * + `nprobe` boundary probes) instead of data-independent hyperplane

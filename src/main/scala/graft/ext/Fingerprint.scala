@@ -91,15 +91,29 @@ object Fingerprint {
     * with nothing cut (including those shorter than k) pass through with
     * zero counts.
     *
-    * Scale shape: one linear gram explode (hash + position, 12 bytes a
-    * row — text never leaves its scan), one distinct-count aggregation
-    * per gram, hot grams broadcast back into an equi-join (tiny by
-    * construction: only boilerplate exceeds a sane cap), then interval
-    * merge + reconstruction as per-doc windows over HOT positions only —
-    * the classic suffix-array formulation of exact substring dedup
-    * re-expressed as joins a 1000-executor cluster can run. Gram hashes
-    * are portable MD5₄₈ (the [[fingerprints]] convention) so a persisted
-    * hot-gram list is engine- and version-stable.
+    * Scale shape: ONE linear gram explode (hash + position, 12 bytes a
+    * row — text never leaves its scan), persisted for the run because two
+    * stages read it (the hot-count aggregation and the hit join — without
+    * the persist each would re-hash every gram, the dominant cost), one
+    * distinct-count aggregation per gram, hot grams equi-joined back
+    * (UNHINTED: the hot-gram set is data-dependent and unbounded — with a
+    * small `maxDocs` most natural-language grams can exceed the cap — so
+    * the plan lets AQE size it at runtime instead of forcing a broadcast
+    * that could OOM the driver), then interval merge + reconstruction as
+    * per-doc windows over HOT positions only — the classic suffix-array
+    * formulation of exact substring dedup re-expressed as joins a
+    * 1000-executor cluster can run. The corpus projection is scanned 3×
+    * (gram build, segment reassembly, pass-through join) — plain
+    * column-pruned parquet scans; only the gram hashing is the expensive
+    * pass, and it runs once. Gram hashes are portable MD5₄₈ (the
+    * [[fingerprints]] convention) so a persisted hot-gram list is engine-
+    * and version-stable.
+    *
+    * EAGER ([[Dedup.containmentPairs]]'s convention): the result is
+    * materialized via `localCheckpoint` and the gram cache released in a
+    * finally. The output is corpus-sized, so at 100 TB prefer
+    * [[withExcisedSpans]], which streams the lazy plan straight into the
+    * caller's writer and still owns the cache lifecycle.
     *
     * `exact = true` (the oracle regime) counts distinct docs per gram
     * exactly; at corpus scale set it false for the mergeable
@@ -113,10 +127,48 @@ object Fingerprint {
       k: Int = 30,
       maxDocs: Int = 10,
       exact: Boolean = true): DataFrame = {
+    val (result, cached) =
+      exciseSharedSpansPlan(df, idCol, textCol, k, maxDocs, exact)
+    try result.localCheckpoint(true)
+    finally cached.unpersist(blocking = false)
+  }
+
+  /** Scoped form of [[exciseSharedSpans]] for corpus-scale outputs: `f`
+    * consumes the LAZY cleaned frame (typically `.write` straight to the
+    * lake — no corpus-sized checkpoint) while this owns the gram-frame
+    * persist lifecycle. `f` must consume the frame before returning.
+    */
+  def withExcisedSpans[T](
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 30,
+      maxDocs: Int = 10,
+      exact: Boolean = false)(f: DataFrame => T): T = {
+    val (result, cached) =
+      exciseSharedSpansPlan(df, idCol, textCol, k, maxDocs, exact)
+    try f(result)
+    finally cached.unpersist(blocking = false)
+  }
+
+  /** The lazy excision plan plus its persisted gram-position frame —
+    * split out so both public forms can release the cache, and so the
+    * plan-shape spec pins the REAL physical plan (the eager method's
+    * executed plan is a checkpoint scan). Callers own unpersisting the
+    * returned frame.
+    */
+  private[graft] def exciseSharedSpansPlan(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      maxDocs: Int,
+      exact: Boolean): (DataFrame, DataFrame) = {
     require(k >= 2, s"gram length k must be >= 2, got $k")
     require(maxDocs >= 1, s"maxDocs must be >= 1, got $maxDocs")
     val base = df.select(col(idCol), col(textCol).as("_text"))
-    // every gram position: (id, i, hash) — linear in corpus chars
+    // every gram position: (id, i, hash) — linear in corpus chars; read by
+    // the hot aggregation AND the hit join, so hashed once and persisted
     val pos = Dedup.ensureParallelism(base)
       .filter(col("_text").isNotNull && length(col("_text")) >= k)
       .select(col(idCol), col("_text"),
@@ -124,11 +176,15 @@ object Fingerprint {
       .select(col(idCol), col("_i"),
         conv(substring(md5(expr(s"substring(_text, _i, $k)")), 1, 12),
           16, 10).cast("long").as("_h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hot = pos.groupBy("_h")
       .agg((if (exact) count_distinct(col(idCol))
         else approx_count_distinct(col(idCol))).as("_nd"))
       .filter(col("_nd") > maxDocs).select("_h")
-    val hits = pos.join(broadcast(hot), Seq("_h"))
+    // no broadcast hint: the hot set is data-dependent and unbounded, and
+    // both join inputs come off the persisted gram frame, so AQE has real
+    // runtime sizes to pick broadcast vs shuffle safely
+    val hits = pos.join(hot, Seq("_h"))
       .select(col(idCol), col("_i"))
     // gaps-and-islands merge of [i, i+k-1] intervals, per doc, over hot
     // positions only (the windows never see the full gram stream)
@@ -168,7 +224,7 @@ object Fingerprint {
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("_ord"), col("_piece")))),
         s => s.getField("_piece")), "").as("_clean"))
-    base
+    val result = base
       .join(rebuilt, Seq(idCol), "left")
       .join(cuts.select(col(idCol), col("_nsp"), col("_nch")),
         Seq(idCol), "left")
@@ -176,6 +232,7 @@ object Fingerprint {
         coalesce(col("_clean"), col("_text")).as("clean"),
         coalesce(col("_nsp"), lit(0L)).as("n_spans_removed"),
         coalesce(col("_nch"), lit(0L)).cast("long").as("n_chars_removed"))
+    (result, pos)
   }
 
   /** Returns (pair plan, the persisted fingerprint frame whose lifecycle

@@ -30,6 +30,34 @@ object Similarity {
     Seq.fill(p)(Seq.fill(dims)((rng.nextDouble() * 2 - 1).toFloat))
   }
 
+  /** PORTABLE deterministic hyperplane tables: component (band b, plane p,
+    * dim i) is derived from `md5("hp|salt|b|p|i")` — first 8 hex chars as
+    * an unsigned int u, mapped to `float(u / 2^31 − 1) ∈ [-1, 1)`. Unlike
+    * the JVM-`Random` default, every value is re-derivable in ANY engine
+    * with md5 (DuckDB: `('0x' || substr(md5(k),1,8))::BIGINT`), which is
+    * what lets the y2/x6 LSH declarations carry full value oracles instead
+    * of recall-only companions. Statistically the components are the same
+    * uniform[-1,1) the seeded generator gave — recall characteristics are
+    * unchanged (and still MEASURED by the recall twins).
+    */
+  def md5Planes(
+      bands: Int, planesPerBand: Int, dims: Int, salt: String): Seq[Seq[Seq[Float]]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u32(key: String): Long = {
+      val d = md.digest(key.getBytes("UTF-8"))
+      // first 8 hex chars = first 4 bytes, big-endian unsigned
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    (0 until bands).map { b =>
+      (0 until planesPerBand).map { p =>
+        (0 until dims).map { i =>
+          (u32(s"hp|$salt|$b|$p|$i").toDouble / 2147483648.0 - 1.0).toFloat
+        }
+      }
+    }
+  }
+
   /** Cosine similarity given precomputed norms (fast custom expressions).
     * `try_divide`, not `/`: a zero-norm vector has divisor 0, which under
     * Spark 4's default ANSI mode would FAIL the whole query
@@ -133,6 +161,21 @@ object Similarity {
           .as("bucket"))
     }: _*)
 
+  /** [[bandedBuckets]] against EXPLICIT per-band plane tables (one inner
+    * Seq of planes per band) — the build-once/reuse shape for LSH models:
+    * generate via [[md5Planes]] (portable) or persist any plane matrix and
+    * reuse it run-to-run, pinning signatures the way
+    * [[topKIvfWithCentroids]] pins cell assignments.
+    */
+  private def bandedBucketsFromPlanes(
+      vec: Column, planes: Seq[Seq[Seq[Float]]]): Column =
+    array(planes.zipWithIndex.map { case (tbl, b) =>
+      struct(
+        lit(b).as("band"),
+        graft.functions.BucketFunctions.hyperplane_bucket(vec, tbl)
+          .as("bucket"))
+    }: _*)
+
   /** Approximate top-k via banded multi-table hyperplane LSH: candidates
     * come from an equi-join on (band, bucket) — never a cross join. Each
     * (query, neighbor) candidate pair is scored once (deduped across
@@ -158,6 +201,32 @@ object Similarity {
       seed: Long = 42L,
       dims: Int = InferDims): DataFrame = {
     val d = resolveDims(df, vecCol, dims)
+    topKLshImpl(df, idCol, vecCol, k,
+      bandedBuckets(_, bands, planesPerBand, d, seed))
+  }
+
+  /** [[topKLsh]] against an EXPLICIT plane model (e.g. [[md5Planes]]) —
+    * the build-once/reuse shape: a persisted or portable plane matrix pins
+    * bucket signatures across runs and engines, so the declared result can
+    * carry a full value oracle (the y2 declaration re-derives these planes
+    * and the whole search in DuckDB SQL).
+    */
+  def topKLshWithPlanes(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      planes: Seq[Seq[Seq[Float]]]): DataFrame = {
+    require(planes.nonEmpty, "topKLshWithPlanes: empty plane model")
+    topKLshImpl(df, idCol, vecCol, k, bandedBucketsFromPlanes(_, planes))
+  }
+
+  private def topKLshImpl(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      bucketsOf: Column => Column): DataFrame = {
     // Signatures carry IDS ONLY through the band join and the pair dedup —
     // the wide vectors attach once per UNIQUE candidate pair afterwards.
     // Unlike the thresholded pair path ([[cosinePairsLsh]]), top-k has no
@@ -169,8 +238,7 @@ object Similarity {
     // stays on as a structural invariant, not the dedup mechanism.
     val sig = df.select(
       col(idCol).as("id"),
-      explode(bandedBuckets(col(vecCol), bands, planesPerBand, d, seed))
-        .as("bb"))
+      explode(bucketsOf(col(vecCol))).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 
     // UNORDERED pairs (a < b) through the join and the dedup — half the
@@ -234,10 +302,34 @@ object Similarity {
       dims: Int = InferDims,
       minCosine: Double = Double.NegativeInfinity): DataFrame = {
     val d = resolveDims(df, vecCol, dims)
+    cosinePairsLshImpl(df, idCol, vecCol,
+      bandedBuckets(_, bands, planesPerBand, d, seed), minCosine)
+  }
+
+  /** [[cosinePairsLsh]] against an EXPLICIT plane model ([[md5Planes]] or
+    * any persisted matrix) — pins bucket signatures across runs/engines so
+    * the x6 near-dup declaration can carry a full value oracle.
+    */
+  def cosinePairsLshWithPlanes(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      planes: Seq[Seq[Seq[Float]]],
+      minCosine: Double = Double.NegativeInfinity): DataFrame = {
+    require(planes.nonEmpty, "cosinePairsLshWithPlanes: empty plane model")
+    cosinePairsLshImpl(df, idCol, vecCol,
+      bandedBucketsFromPlanes(_, planes), minCosine)
+  }
+
+  private def cosinePairsLshImpl(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      bucketsOf: Column => Column,
+      minCosine: Double): DataFrame = {
     val sig = df.select(
       col(idCol).as("id"),
-      explode(bandedBuckets(col(vecCol), bands, planesPerBand, d, seed))
-        .as("bb"))
+      explode(bucketsOf(col(vecCol))).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 
     val cand = sig.select(col("id").as("id_a"), col("band"), col("bucket"))
@@ -545,6 +637,43 @@ object Similarity {
     }
   }
 
+  /** CROSS-ENGINE-REPRODUCIBLE PQ codebooks: per-subspace FULL-CORPUS
+    * k-means via [[Clustering.kmeans]] — deterministic first-`ksub`-by-id
+    * init, the `v·c − |c|²/2` assignment ranking (ties to the smaller
+    * cell), refit centroids snapped to the `roundDigits` grid with the
+    * floor form before the float cast, empty cells keeping their init
+    * centroid. Every step is re-derivable in plain SQL (the y5 oracle
+    * replays all m trainings, the corpus encode, ADC scoring and the
+    * rescore in DuckDB), unlike [[trainPq]]'s seeded driver-sample Lloyd.
+    *
+    * Scale: m × (iterations + 1) aggregation passes over the corpus at
+    * model-build time — a one-off per corpus snapshot (persist via
+    * [[pqToDF]]); each pass's shuffle is the k-means refit's
+    * O(ksub × dsub) partial-aggregated rows, never the vectors.
+    */
+  def trainPqDeterministic(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      ksub: Int,
+      iterations: Int = 1,
+      roundDigits: Int = 6,
+      dims: Int = InferDims): Seq[Seq[Seq[Float]]] = {
+    require(m >= 1 && ksub >= 1, s"trainPqDeterministic: m=$m ksub=$ksub")
+    val d = resolveDims(df, vecCol, dims)
+    require(d % m == 0,
+      s"trainPqDeterministic: dims=$d must be divisible by m=$m subspaces")
+    val dsub = d / m
+    (0 until m).map { j =>
+      Clustering.kmeans(
+        df.select(col(idCol),
+          slice(col(vecCol), j * dsub + 1, dsub).as("_sub")),
+        idCol, "_sub", ksub, iterations, roundDigits)
+        .centroids.map(_.toSeq).toSeq
+    }
+  }
+
   /** Largest input [[cosinePairsBruteForce]] accepts before failing fast —
     * ~1.25e9 candidate pairs, the edge of single-node-verification scope.
     */
@@ -703,11 +832,38 @@ object Similarity {
       seed: Long = 42L): DataFrame = {
     require(k >= 1 && rescoreFactor >= 1,
       s"k=$k rescoreFactor=$rescoreFactor must be >= 1")
-    import graft.functions.PqFunctions.{pq_adc_dot, pq_encode}
     val coarse = trainCentroids(
       corpus, idCol, vecCol, nlist, iterations, sampleSize, seed)
     val pq = trainPq(
       corpus, idCol, vecCol, m, ksub, iterations, sampleSize, seed)
+    topKIvfPqWithModels(queries, corpus, idCol, vecCol, k, coarse, pq,
+      nprobe, rescoreFactor)
+  }
+
+  /** [[topKIvfPq]] against PREBUILT models — the build-once/reuse shape
+    * ([[topKIvfWithCentroids]]'s contract extended to the PQ layer):
+    * train once per corpus snapshot ([[trainCentroids]]/[[trainPq]], or
+    * the cross-engine-reproducible [[Clustering.kmeans]] +
+    * [[trainPqDeterministic]] pair), persist via [[centroidsToDF]] /
+    * [[pqToDF]], and every later search run loads the same models — codes
+    * and cell assignments stay comparable release-to-release.
+    */
+  def topKIvfPqWithModels(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      coarse: Seq[Array[Float]],
+      pq: Seq[Seq[Seq[Float]]],
+      nprobe: Int = 4,
+      rescoreFactor: Int = 4): DataFrame = {
+    require(coarse.nonEmpty, "topKIvfPqWithModels: empty coarse codebook")
+    require(pq.nonEmpty && pq.forall(_.nonEmpty),
+      "topKIvfPqWithModels: empty PQ codebooks")
+    require(k >= 1 && rescoreFactor >= 1,
+      s"k=$k rescoreFactor=$rescoreFactor must be >= 1")
+    import graft.functions.PqFunctions.{pq_adc_dot, pq_encode}
 
     // corpus side: cell + m-int codes + one float norm — never the vector
     val coded = corpus.select(

@@ -31,7 +31,15 @@ object ProductQuantize {
 }
 
 /** `pq_encode(vec)` → `array<int>` of length m: per-subspace nearest
-  * centroid index (squared L2, ties to the smaller index).
+  * centroid index (ties to the smaller index).
+  *
+  * Ranking is the same `v·c − |c|²/2` double-precision form as
+  * [[NearestCells]] — equivalent to argmin squared-L2 in exact math, and
+  * deliberately the SAME floating-point sequence the k-means oracles
+  * replay in SQL (`list_sum` of per-dim double products minus half the
+  * double norm), so a coded corpus is re-derivable bit-for-bit by an
+  * independent engine. The earlier float-precision `(x−c)²` accumulation
+  * ranked identically except at float-noise ties but was not portable.
   */
 case class PqEncode(
     child: Expression, codebooks: Seq[Seq[Seq[Float]]])
@@ -46,6 +54,8 @@ case class PqEncode(
   @transient private lazy val cb: Array[Array[Array[Float]]] =
     ProductQuantize.toArrays(codebooks)
   @transient private lazy val dsub: Int = cb(0)(0).length
+  @transient private lazy val halfNorms: Array[Array[Double]] =
+    cb.map(_.map(c => c.map(x => x.toDouble * x.toDouble).sum / 2.0))
 
   /** Public: called from generated code via a reference object. */
   def encode(v: ArrayData): ArrayData = {
@@ -56,17 +66,19 @@ case class PqEncode(
     while (j < m) {
       val off = j * dsub
       val book = cb(j)
-      var best = 0
-      var bd = Double.MaxValue
+      val hn = halfNorms(j)
+      var best = -1
+      var bs = Double.NegativeInfinity
       var c = 0
       while (c < book.length) {
         val cent = book(c)
-        var s = 0.0
+        var dot = 0.0
         var i = 0
         while (i < cent.length && off + i < x.length) {
-          val d = x(off + i) - cent(i); s += d * d; i += 1
+          dot += x(off + i).toDouble * cent(i).toDouble; i += 1
         }
-        if (s < bd) { bd = s; best = c }
+        val s = dot - hn(c)
+        if (best < 0 || s > bs) { bs = s; best = c }
         c += 1
       }
       out(j) = best

@@ -64,9 +64,16 @@ object Drift {
     * CDFs) can't see. One grouped count builds the contingency table;
     * margins come from re-aggregating that O(cells) table; the full
     * `distinct(a) × distinct(b)` grid (a broadcast cross of two O(card)
-    * frames — callers keep cardinalities dashboard-sized) restores the
-    * structural zeros whose expected counts still contribute. The data
-    * itself is touched by exactly one mergeable aggregation.
+    * frames) restores the structural zeros whose expected counts still
+    * contribute. The data itself is touched by exactly one mergeable
+    * aggregation.
+    *
+    * The grid cross is GATED: `maxGridCells` caps
+    * `distinct(a) × distinct(b)`, checked at RUNTIME from the
+    * cardinalities the totals aggregate already computes (a `raise_error`
+    * riding the one-row totals frame — no extra job, no extra scan), so a
+    * non-dashboard-sized column pair fails loudly before the quadratic
+    * grid materializes instead of grinding into a blowup.
     *
     * Output: one row per grid cell `(a, b, observed, expected, contrib)`
     * plus the totals repeated per row — `chi2` (Σ contrib), `dof`
@@ -77,7 +84,10 @@ object Drift {
   def chiSquare(
       df: DataFrame,
       aCol: String,
-      bCol: String): DataFrame = {
+      bCol: String,
+      maxGridCells: Long = 1000000L): DataFrame = {
+    require(maxGridCells >= 1,
+      s"chiSquare: maxGridCells must be >= 1, got $maxGridCells")
     def rnd4(c: org.apache.spark.sql.Column) =
       floor(c * 1e4 + 0.5) / 1e4
     val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
@@ -85,9 +95,19 @@ object Drift {
       .agg(count(lit(1)).as("observed"))
     val aM = cells.groupBy("a").agg(sum("observed").as("_ra"))
     val bM = cells.groupBy("b").agg(sum("observed").as("_cb"))
+    // the gate rides `_n` (consumed by every `expected`), so it can never
+    // be pruned out of the plan and costs nothing extra to evaluate
     val tot = cells.agg(sum("observed").as("_n"),
       count_distinct(col("a")).as("_ca"),
       count_distinct(col("b")).as("_cbn"))
+      .withColumn("_n",
+        when(col("_ca") * col("_cbn") <= maxGridCells, col("_n"))
+          .otherwise(raise_error(concat(
+            lit("chiSquare: distinct(a) x distinct(b) = "),
+            (col("_ca") * col("_cbn")).cast("string"),
+            lit(s" grid cells exceed maxGridCells=$maxGridCells — " +
+              "the full grid is quadratic in the cardinalities; raise " +
+              "the cap only if the pair is genuinely dashboard-sized")))))
     val grid = aM.crossJoin(bM).crossJoin(broadcast(tot))
       .join(cells, Seq("a", "b"), "left")
       .na.fill(0L, Seq("observed"))

@@ -20,12 +20,16 @@ import org.apache.spark.sql.functions._
   * Scale shape: one per-key ordered window for the moving average
   * (state = one window frame), one O(keys × period) aggregation for the
   * phase means, and two joins to attach them — the series rows shuffle
-  * once, by key. The phase/key-mean joins broadcast only when the
-  * estimated `keys × period` cell count is under `maxBroadcastCells`
-  * (one cheap `approx_count_distinct` scan decides); past the gate they
-  * degrade to shuffle joins, so a high-cardinality key column costs a
-  * (cheap — the rows are already key-partitioned) sort-merge instead of
-  * a driver OOM. The caller owns the series' regularity: `idxCol`
+  * once, by key. The phase/key-mean joins are broadcast-hinted only when
+  * the CALLER declares the key cardinality (`keyCountHint`) and
+  * `keys × period` fits under `maxBroadcastCells`; with no hint the plan
+  * stays unhinted and AQE picks broadcast vs shuffle from the runtime
+  * size — plan construction never runs a job (an earlier gate ran an
+  * eager `approx_count_distinct` scan inside the builder, a surprising
+  * side effect for a plan-building API). Past the gate a
+  * high-cardinality key column costs a (cheap — the rows are already
+  * key-partitioned) sort-merge instead of a driver OOM.
+  * The caller owns the series' regularity: `idxCol`
   * must be the 0-based consecutive ordinal within each key (build it with
   * `row_number` over the bucketed series, as q90 does); the window is
   * row-based, so a gap in ordinals is the caller's modeling decision, not
@@ -48,7 +52,8 @@ object Seasonal {
       valCol: String,
       period: Int,
       roundDigits: Option[Int] = None,
-      maxBroadcastCells: Long = 1000000L): DataFrame = {
+      maxBroadcastCells: Long = 1000000L,
+      keyCountHint: Option[Long] = None): DataFrame = {
     require(period >= 2, s"period must be >= 2, got $period")
     val h = period / 2
     def snap(c: Column): Column = roundDigits match {
@@ -76,12 +81,14 @@ object Seasonal {
       .agg(snap(avg(col(valCol) - col("trend"))).as("_sraw"))
     val keyMeans = phaseMeans.groupBy(keyCol)
       .agg(snap(avg("_sraw")).as("_smean"))
-    // O(keys × period) sides: broadcast only under the cell gate; above
-    // it AQE/sort-merge takes over (rows already shuffled by key).
-    val keyEst = df.select(
-      approx_count_distinct(col(keyCol)).as("k")).head.getLong(0)
-    val hint: DataFrame => DataFrame =
-      if (keyEst * period <= maxBroadcastCells) broadcast else identity
+    // O(keys × period) sides: broadcast-hinted only when the caller
+    // DECLARED the key cardinality and it fits under the cell gate; with
+    // no hint AQE sizes the built side at runtime. Never a builder-time
+    // job.
+    val hint: DataFrame => DataFrame = keyCountHint match {
+      case Some(kEst) if kEst * period <= maxBroadcastCells => broadcast
+      case _ => identity
+    }
     base
       .join(hint(phaseMeans), Seq(keyCol, "phase"), "left")
       .join(hint(keyMeans), Seq(keyCol), "left")
@@ -100,11 +107,19 @@ object Seasonal {
     * output; rows with null residual (the incomplete first/last
     * half-period) carry null z and false.
     *
-    * One extra O(keys) aggregation over the decomposed frame; the stddev
-    * attaches under the same broadcast-vs-cardinality discipline (no
-    * forced hint — O(keys) rows, AQE broadcasts when small). With
-    * `roundDigits` set, the stddev and z snap to the same grid as the
-    * decomposition, so both the flag and the score are engine-exactly
+    * The stddev is ONE unbounded per-key window over the decomposed frame
+    * (`stddev_samp(residual) over (partition by key)` — nulls ignored),
+    * not an aggregate-plus-self-join: the join form executed the whole
+    * decomposition plan twice (once for the stats side, once for the
+    * probe side), doubling every upstream scan at corpus scale; the
+    * window reuses the rows exactly where the decomposition's own
+    * key-partitioned shuffle left them — zero extra exchanges, zero
+    * re-execution. A key whose residuals are CONSTANT has sample stddev
+    * 0; z divides by `nullif(sd, 0)` so both ANSI Spark and IEEE engines
+    * agree on null z / false flag for that degenerate series (a bare
+    * division yields ±inf under IEEE and a query failure under ANSI).
+    * With `roundDigits` set, the stddev and z snap to the same grid as
+    * the decomposition, so both the flag and the score are engine-exactly
     * reproducible — a z sitting ON the threshold compares identically
     * everywhere.
     */
@@ -116,7 +131,8 @@ object Seasonal {
       period: Int,
       zThreshold: Double = 3.0,
       roundDigits: Option[Int] = None,
-      maxBroadcastCells: Long = 1000000L): DataFrame = {
+      maxBroadcastCells: Long = 1000000L,
+      keyCountHint: Option[Long] = None): DataFrame = {
     require(zThreshold > 0, s"zThreshold must be > 0, got $zThreshold")
     def snap(c: Column): Column = roundDigits match {
       case Some(d) =>
@@ -125,12 +141,11 @@ object Seasonal {
       case None => c
     }
     val dec = decompose(df, keyCol, idxCol, valCol, period, roundDigits,
-      maxBroadcastCells)
-    val sds = dec.filter(col("residual").isNotNull)
-      .groupBy(keyCol)
-      .agg(snap(stddev_samp(col("residual"))).as("_sd"))
-    dec.join(sds, Seq(keyCol), "left")
-      .withColumn("z", snap(col("residual") / col("_sd")))
+      maxBroadcastCells, keyCountHint)
+    val sd = snap(stddev_samp(col("residual"))
+      .over(Window.partitionBy(keyCol)))
+    dec
+      .withColumn("z", snap(col("residual") / nullif(sd, lit(0d))))
       .withColumn("is_anomaly",
         coalesce(abs(col("z")) > zThreshold, lit(false)))
       .select(col(keyCol), col(idxCol), col(valCol), col("trend"),

@@ -136,9 +136,11 @@ class PlanShapeSpec extends SparkSpec {
       .toDF("k", "idx", "y")
   }
 
-  test("seasonal decompose under the cell gate: phase/key means broadcast") {
+  test("seasonal decompose under the cell gate: declared cardinality " +
+      "broadcasts the phase/key means") {
     val p = graft.ops.Seasonal
-      .decompose(seasonalSeries, "k", "idx", "y", period = 24)
+      .decompose(seasonalSeries, "k", "idx", "y", period = 24,
+        keyCountHint = Some(3))
       .queryExecution.analyzed.toString
     withClue(p.linesIterator.take(40).mkString("\n")) {
       count(p, "ResolvedHint") shouldBe 2
@@ -148,11 +150,24 @@ class PlanShapeSpec extends SparkSpec {
   test("seasonal decompose past the cell gate: no forced broadcast hint") {
     val p = graft.ops.Seasonal
       .decompose(seasonalSeries, "k", "idx", "y", period = 24,
-        maxBroadcastCells = 0)
+        maxBroadcastCells = 0, keyCountHint = Some(3))
       .queryExecution.analyzed.toString
     withClue(p.linesIterator.take(40).mkString("\n")) {
       count(p, "ResolvedHint") shouldBe 0
     }
+  }
+
+  test("seasonal decompose with no declared cardinality: unhinted (AQE " +
+      "regime), and plan construction runs no job") {
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val p = graft.ops.Seasonal
+      .decompose(seasonalSeries, "k", "idx", "y", period = 24)
+      .queryExecution.analyzed.toString
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    withClue(p.linesIterator.take(40).mkString("\n")) {
+      count(p, "ResolvedHint") shouldBe 0
+    }
+    after shouldBe before
   }
 
   // IVF-PQ retrieval: candidates via the cell equi-join (the corpus side
@@ -160,10 +175,34 @@ class PlanShapeSpec extends SparkSpec {
   // broadcast at this scale for the rescored survivors only
   checkShape("y5_knn_ivfpq", maxExchanges = 6, minBroadcastJoins = 1)
 
-  // span excision: the gram stream never cross-joins — hot grams attach
-  // by broadcast, interval merge/reassembly are per-doc windows over hot
-  // positions only
-  checkShape("q91_span_excise", maxExchanges = 12, minBroadcastJoins = 1)
+  // span excision: the REAL lazy plan (the declared query materializes
+  // eagerly via localCheckpoint, whose executed plan is just a checkpoint
+  // scan). The gram stream never cross-joins; the hot-gram join is
+  // UNHINTED by design (data-dependent size — AQE sizes it at runtime off
+  // the persisted gram frame), so no static broadcast is pinned; instead
+  // the expensive gram pass is pinned to ONE evaluation (both consumers
+  // read the InMemory cache) and the corpus projection to <= 3 file scans.
+  test("q91_span_excise (real plan): no cartesian, one gram pass, " +
+      "<= 3 corpus scans") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val (lazyPlan, pos) = graft.ext.Fingerprint.exciseSharedSpansPlan(
+      docs, "doc_id", "text", k = 15, maxDocs = 10, exact = true)
+    try {
+      val p = lazyPlan.queryExecution.executedPlan.toString
+      withClue(p.linesIterator.take(80).mkString("\n")) {
+        count(p, "CartesianProduct") shouldBe 0
+        count(p, "BroadcastNestedLoopJoin") shouldBe 0
+        count(p, "Exchange (hash|range)partitioning") should be <= 12
+        // the gram explode+md5 pass is CACHED: >= 2 readers hit the
+        // InMemory frame instead of re-hashing the corpus
+        count(p, "InMemoryTableScan") should be >= 2
+        // standalone corpus scans (the reassembly joins) are bounded; the
+        // filtered scan under each InMemoryRelation printout is the ONE
+        // cache-build plan re-displayed per reference, not an execution
+        count(p, """FileScan parquet [^\n]*DataFilters: \[\]""") should be <= 3
+      }
+    } finally pos.unpersist(blocking = false)
+  }
 
   // the full q90 pipeline (hourly agg -> decompose -> rounded output):
   // low-cardinality key, so the hinted broadcasts appear physically. 7

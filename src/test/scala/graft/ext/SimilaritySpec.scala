@@ -270,4 +270,110 @@ class SimilaritySpec extends SparkSpec {
     // widened candidate stage cannot miss) the results are identical
     quant shouldBe exact
   }
+
+  test("IVF-PQ models persist end-to-end: train -> parquet -> load -> " +
+      "search gives bit-identical codes and identical top-k") {
+    import spark.implicits._
+    import graft.functions.PqFunctions.pq_encode
+    val coarse = Similarity.trainCentroids(
+      vectors, "vec_id", "embedding", nlist = 2, iterations = 5,
+      sampleSize = 1024, seed = 42L)
+    val pq = Similarity.trainPq(
+      vectors, "vec_id", "embedding", m = 2, ksub = 4,
+      iterations = 3, sampleSize = 1024, seed = 7L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-")
+    Similarity.centroidsToDF(spark, coarse)
+      .write.mode("overwrite").parquet(s"$dir/coarse")
+    Similarity.pqToDF(spark, pq)
+      .write.mode("overwrite").parquet(s"$dir/pq")
+    val coarseBack =
+      Similarity.centroidsFromDF(spark.read.parquet(s"$dir/coarse"))
+    val pqBack = Similarity.pqFromDF(spark.read.parquet(s"$dir/pq"))
+
+    // model round-trip is lossless (floats survive parquet bit-for-bit)
+    coarseBack.map(_.toSeq) shouldBe coarse.map(_.toSeq)
+    pqBack shouldBe pq
+    // corpus codes from the loaded books are bit-identical — the contract
+    // that keeps a persisted PQ index comparable release-to-release
+    def codes(books: Seq[Seq[Seq[Float]]]) = vectors
+      .select(col("vec_id"), pq_encode(col("embedding"), books).as("c"))
+      .as[(Long, Seq[Int])].collect().toMap
+    codes(pqBack) shouldBe codes(pq)
+    // and the search result is identical to the in-session models'
+    def run(cb: Seq[Array[Float]], books: Seq[Seq[Seq[Float]]]) =
+      Similarity.topKIvfPqWithModels(
+        vectors, vectors, "vec_id", "embedding", k = 3,
+        coarse = cb, pq = books, nprobe = 2, rescoreFactor = 3)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+        .as[(Long, Long, Int, Double)].collect().toSet
+    run(coarseBack, pqBack) shouldBe run(coarse, pq)
+  }
+
+  test("md5Planes is the documented portable derivation and is stable") {
+    // value-pinned: first component of band 0/plane 0 under salt "t" is
+    // md5('hp|t|0|0|0') = 0x... -> first 8 hex chars as unsigned int u,
+    // float(u / 2^31 - 1). Recomputed here independently of the library
+    // path so a drive-by refactor of the key format cannot slip through
+    // (persisted LSH models and the y2/x6 oracles both depend on it).
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest("hp|t|0|0|0".getBytes("UTF-8"))
+    val u = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    val expected = (u.toDouble / 2147483648.0 - 1.0).toFloat
+    val planes = Similarity.md5Planes(2, 3, 4, "t")
+    planes.length shouldBe 2
+    planes.head.length shouldBe 3
+    planes.head.head.length shouldBe 4
+    planes.head.head.head shouldBe expected
+    // deterministic across calls; distinct salts give distinct planes
+    Similarity.md5Planes(2, 3, 4, "t") shouldBe planes
+    assert(Similarity.md5Planes(2, 3, 4, "u") != planes)
+  }
+
+  test("topKLshWithPlanes on md5 planes: full recall on separated clusters") {
+    import spark.implicits._
+    val planes = Similarity.md5Planes(
+      bands = 8, planesPerBand = 2, dims = 8, salt = "spec")
+    val got = Similarity.topKLshWithPlanes(
+      vectors, "vec_id", "embedding", k = 1, planes)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toMap
+    // the exact duplicate pair must find each other as rank-1
+    got(0L) shouldBe 6L
+    got(6L) shouldBe 0L
+  }
+
+  test("trainPqDeterministic: grid-rounded codebooks, reproducible, and " +
+      "exact on a covering corpus") {
+    import spark.implicits._
+    // 4 distinct 4-dim vectors, m=2, ksub=4: every subvector becomes its
+    // own centroid (after one refit each cell holds exactly one point), so
+    // ADC reconstruction is the 1e-6-grid snap of the corpus itself
+    val tiny = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 1f)),
+      (2L, Seq(0f, 0f, 1f, 2f)), (3L, Seq(2f, 1f, 0f, 3f)))
+      .toDF("vec_id", "embedding")
+    val books = Similarity.trainPqDeterministic(
+      tiny, "vec_id", "embedding", m = 2, ksub = 4,
+      iterations = 1, roundDigits = 6, dims = 4)
+    books.length shouldBe 2
+    books.foreach(_.length shouldBe 4)
+    // deterministic: a second training is bit-identical (no RNG anywhere)
+    Similarity.trainPqDeterministic(
+      tiny, "vec_id", "embedding", m = 2, ksub = 4,
+      iterations = 1, roundDigits = 6, dims = 4) shouldBe books
+    // each point's code reconstructs the point exactly (integer coords
+    // are on the 1e-6 grid already)
+    import graft.functions.PqFunctions.pq_encode
+    val coded = tiny
+      .select(col("vec_id"), pq_encode(col("embedding"), books).as("c"))
+      .as[(Long, Seq[Int])].collect().toMap
+    coded.values.toSet.size shouldBe 4 // distinct codes per distinct vector
+    coded.foreach { case (id, c) =>
+      val recon = c.zipWithIndex.flatMap { case (cell, j) => books(j)(cell) }
+      val orig = tiny.filter(col("vec_id") === id)
+        .select("embedding").as[Seq[Float]].head()
+      recon shouldBe orig
+    }
+  }
 }

@@ -101,6 +101,20 @@ class DriftSpec extends SparkSpec {
     out.head.getDouble(5) shouldBe 60.0 +- 1e-3
   }
 
+  test("chiSquare: over the grid-cells cap fails loudly at runtime") {
+    import spark.implicits._
+    // 20 x 20 = 400 grid cells against a cap of 100: the gate must raise
+    // BEFORE the quadratic grid materializes, naming the cap it tripped
+    val data = (for (a <- 1 to 20; b <- 1 to 20) yield (s"a$a", s"b$b"))
+      .toDF("a", "b")
+    val e = intercept[Exception] {
+      Drift.chiSquare(data, "a", "b", maxGridCells = 100).collect()
+    }
+    e.getMessage should include("maxGridCells=100")
+    // same shape under the default cap: runs fine
+    Drift.chiSquare(data, "a", "b").count() shouldBe 400L
+  }
+
   test("psi: data never shuffles by value — aggs then O(buckets) join") {
     val ref = df((1 to 100).map(_.toDouble))
     val plan = Drift.psi(ref, ref, "v", buckets = 4, exact = true)
