@@ -904,6 +904,41 @@ object SparkEntry {
         Seq("query_id", "neighbor_id"), threshold = 0.9)
     }),
 
+    "y6_knn_indexed" -> ((s, dir) => {
+      // the ANN SERVING shape (x9's incremental convention lifted to
+      // retrieval): 90% of the corpus (vec_id % 10 < 9) is the indexed
+      // SNAPSHOT — coarse cells, PQ codes and norms computed once per
+      // snapshot (Similarity.buildIvfPqIndex; parquet in production) —
+      // and the 10% batch of NEW vectors searches it with no retraining
+      // and no re-encoding (searchIvfPqIndex): the snapshot's vector
+      // column is touched only by the id-list-sized exact rescore.
+      // Models come from the deterministic snapshot-trained recipes, so
+      // the oracle re-derives index build AND search end-to-end in SQL;
+      // y6r still MEASURES recall against the cross-split brute force.
+      val (snapshot, batch) = y6Parts(s, dir)
+      val (coarse, pq) = y6Models(s, dir)
+      Similarity.searchIvfPqIndex(batch,
+        Similarity.buildIvfPqIndex(snapshot, "vec_id", "embedding",
+          coarse, pq),
+        snapshot, "vec_id", "embedding", k = 5, coarse = coarse, pq = pq,
+        nprobe = 12, rescoreFactor = 64)
+        .orderBy("query_id", "rank")
+    }),
+
+    "y6r_knn_indexed_recall" -> ((s, dir) => {
+      val (snapshot, batch) = y6Parts(s, dir)
+      val (coarse, pq) = y6Models(s, dir)
+      recallCheck(
+        Similarity.topKBruteForce(batch, snapshot, "vec_id", "embedding",
+          k = 5),
+        Similarity.searchIvfPqIndex(batch,
+          Similarity.buildIvfPqIndex(snapshot, "vec_id", "embedding",
+            coarse, pq),
+          snapshot, "vec_id", "embedding", k = 5, coarse = coarse, pq = pq,
+          nprobe = 12, rescoreFactor = 64),
+        Seq("query_id", "neighbor_id"), threshold = 0.9)
+    }),
+
     "x6r_embedding_lsh_recall" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")
       recallCheck(
@@ -2060,6 +2095,23 @@ object SparkEntry {
         .orderBy("id", "container_id")
     }),
 
+    "x12_leakage_safe_split" -> ((s, dir) => {
+      // leakage-safe train/val/test (ext.Curation.leakageSafeSplit): ONE
+      // md5-coin decision per near-duplicate CLUSTER (connected components
+      // of the minhash pair graph), inherited by every member — near-dups
+      // can never straddle train and eval, the guard that keeps benchmark
+      // numbers honest. k=128/b=32 as in x2, so the LSH pair set provably
+      // equals exact Jaccard >= 0.8 and the oracle walks identical edges
+      // (x7's recursive closure) before re-deriving every label from the
+      // same hex arithmetic as q75.
+      val docs = rd(s, dir, "documents")
+      Dedup.withNearDuplicatesMinhash(docs, "doc_id", "text",
+        threshold = 0.8, numHashes = 128, bands = 32) { pairs =>
+        Curation.leakageSafeSplit(docs, "doc_id", pairs,
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "x12")
+      }.select("doc_id", "split").orderBy("doc_id")
+    }),
+
     "t16_quality_classifier" -> ((s, dir) => {
       // trained quality filter (ext.QualityClassifier): positives = real
       // documents, negatives = deterministic keyword-stuff corruptions
@@ -2199,6 +2251,29 @@ object SparkEntry {
     ext.Similarity.trainPqDeterministic(rd(s, dir, "embeddings"),
       "vec_id", "embedding", m = 16, ksub = 256, iterations = 1,
       roundDigits = 6, dims = 64)
+
+  /** y6's serving split (x9's % 10 convention): 90% indexed snapshot,
+    * 10% new-arrival query batch.
+    */
+  private def y6Parts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val emb = rd(s, dir, "embeddings")
+    (emb.filter(pmod(col("vec_id"), lit(10)) < 9),
+      emb.filter(pmod(col("vec_id"), lit(10)) === 9))
+  }
+
+  /** y6's models, trained on the SNAPSHOT side only (production
+    * semantics: the index's models know nothing about future queries) —
+    * the same deterministic grid-rounded recipes as [[ivfDemo]]/[[pqDemo]].
+    */
+  private def y6Models(
+      s: SparkSession,
+      dir: String): (Seq[Array[Float]], Seq[Seq[Seq[Float]]]) = {
+    val (snapshot, _) = y6Parts(s, dir)
+    (ext.Clustering.kmeans(snapshot, "vec_id", "embedding",
+      k = 16, iterations = 1, roundDigits = 6).centroids,
+      ext.Similarity.trainPqDeterministic(snapshot, "vec_id", "embedding",
+        m = 16, ksub = 256, iterations = 1, roundDigits = 6, dims = 64))
+  }
 
   /** Portable md5-derived hyperplane models for the LSH declarations —
     * re-derivable value-for-value in DuckDB ([[ext.Similarity.md5Planes]]),
@@ -2613,6 +2688,23 @@ object SparkEntry {
         |  FROM e q JOIN e c ON q.vec_id < 100 AND c.vec_id <> q.vec_id) t
         |WHERE rank <= 5""".stripMargin,
 
+    // y6r ground truth: the 10% batch's exact top-5 within the 90%
+    // snapshot (cross-split, so no self-exclusion is ever exercised)
+    "y6r_knn_indexed_recall" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
+        |  FROM embeddings)
+        |SELECT count(*) AS n_exact, 1 AS recall_ok FROM (
+        |  SELECT CAST(row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |        x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * c.nrm) DESC,
+        |      c.vec_id) AS INT) AS rank
+        |  FROM e q JOIN e c
+        |    ON q.vec_id % 10 = 9 AND c.vec_id % 10 < 9
+        |    AND c.vec_id <> q.vec_id) t
+        |WHERE rank <= 5""".stripMargin,
+
     "x3r_simhash_recall" ->
       """WITH g AS (SELECT
         |    list_sort(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS ts,
@@ -3008,6 +3100,87 @@ object SparkEntry {
         |    list_sum(list_transform(list_zip(q.embedding, n.embedding),
         |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * n.nrm) AS cosine
         |  FROM surv s JOIN en q ON s.query_id = q.vec_id
+        |    JOIN en n ON s.neighbor_id = n.vec_id)
+        |SELECT query_id, neighbor_id, rank, cosine FROM (
+        |  SELECT sc.*, CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+        |  FROM sc WHERE cosine IS NOT NULL AND NOT isnan(cosine)) t9
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // y6: the y5 pipeline in its SERVING shape — every model and the
+    // index derive from the 90% snapshot only (the preamble's WHERE);
+    // the 10% query batch gets its own probe scoring (qs) against the
+    // snapshot-trained cells and never participates in training, encode,
+    // or the index.
+    "y6_knn_indexed" ->
+      s"""${kmeansOracle(16, " WHERE vec_id % 10 < 9")},
+        |$enCte,
+        |eqn AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
+        |  FROM embeddings WHERE vec_id % 10 = 9),
+        |sv AS (SELECT e.vec_id, j.j AS sub,
+        |    e.embedding[j.j * 4 + 1 : j.j * 4 + 4] AS v
+        |  FROM e, range(16) j(j)),
+        |pinit AS (SELECT sub, CAST(rn - 1 AS INT) AS cell, v AS c FROM (
+        |    SELECT sv.sub, sv.v, row_number() OVER (PARTITION BY sv.sub
+        |      ORDER BY sv.vec_id) AS rn FROM sv) t4 WHERE rn <= 256),
+        |ps0 AS (SELECT sv.vec_id, sv.sub, sv.v, i.cell,
+        |    list_sum(list_transform(list_zip(sv.v, i.c),
+        |      x -> x[1]::DOUBLE * x[2]::DOUBLE))
+        |    - list_sum(list_transform(i.c, x -> x::DOUBLE * x::DOUBLE)) / 2
+        |      AS score
+        |  FROM sv JOIN pinit i ON sv.sub = i.sub),
+        |pa0 AS (SELECT vec_id, sub, v, cell FROM (
+        |    SELECT ps0.*, row_number() OVER (PARTITION BY vec_id, sub
+        |      ORDER BY score DESC, cell) AS rn FROM ps0) t5 WHERE rn = 1),
+        |pcomp AS (SELECT sub, cell, g.i AS pos,
+        |    CAST(floor(avg(v[g.i]::DOUBLE) * 1e6 + 0.5) / 1e6 AS REAL)
+        |      AS cval
+        |  FROM pa0, unnest(generate_series(1, len(v))) AS g(i)
+        |  GROUP BY sub, cell, g.i),
+        |pc1 AS (SELECT sub, cell, list(cval ORDER BY pos) AS c FROM pcomp
+        |  GROUP BY sub, cell),
+        |pcents AS (SELECT i.sub, i.cell, coalesce(pc1.c, i.c) AS c
+        |  FROM pinit i LEFT JOIN pc1
+        |    ON i.sub = pc1.sub AND i.cell = pc1.cell),
+        |enc AS (SELECT vec_id, sub, cell FROM (
+        |    SELECT sv.vec_id, sv.sub, t.cell,
+        |      row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+        |        ORDER BY list_sum(list_transform(list_zip(sv.v, t.c),
+        |            x -> x[1]::DOUBLE * x[2]::DOUBLE))
+        |          - list_sum(list_transform(t.c,
+        |            x -> x::DOUBLE * x::DOUBLE)) / 2 DESC, t.cell) AS rn
+        |    FROM sv JOIN pcents t ON sv.sub = t.sub) t6 WHERE rn = 1),
+        |recon AS (SELECT c.vec_id, flatten(list(p.c ORDER BY c.sub)) AS rv
+        |  FROM enc c JOIN pcents p ON c.sub = p.sub AND c.cell = p.cell
+        |  GROUP BY c.vec_id),
+        |qs AS (SELECT q.vec_id, t.cell,
+        |    list_sum(list_transform(list_zip(q.embedding, t.c),
+        |      x -> x[1]::DOUBLE * x[2]::DOUBLE))
+        |    - list_sum(list_transform(t.c, x -> x::DOUBLE * x::DOUBLE)) / 2
+        |      AS score
+        |  FROM eqn q CROSS JOIN cents t),
+        |probes AS (SELECT vec_id AS query_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY score DESC, cell) AS rn FROM qs) t7 WHERE rn <= 12),
+        |adc AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(q.embedding, r.rv),
+        |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * c.nrm) AS ascore
+        |  FROM probes p JOIN asg a ON p.cell = a.cell
+        |    JOIN eqn q ON p.query_id = q.vec_id
+        |    JOIN recon r ON a.vec_id = r.vec_id
+        |    JOIN en c ON a.vec_id = c.vec_id
+        |  WHERE p.query_id <> a.vec_id),
+        |surv AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT adc.*, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY ascore DESC, neighbor_id) AS rn
+        |    FROM adc WHERE ascore IS NOT NULL AND NOT isnan(ascore)) t8
+        |  WHERE rn <= 320),
+        |sc AS (SELECT s.query_id, s.neighbor_id,
+        |    list_sum(list_transform(list_zip(q.embedding, n.embedding),
+        |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * n.nrm) AS cosine
+        |  FROM surv s JOIN eqn q ON s.query_id = q.vec_id
         |    JOIN en n ON s.neighbor_id = n.vec_id)
         |SELECT query_id, neighbor_id, rank, cosine FROM (
         |  SELECT sc.*, CAST(row_number() OVER (PARTITION BY query_id
@@ -4167,6 +4340,34 @@ object SparkEntry {
         |WHERE shared >= 0.8 * a.nsh
         |ORDER BY id, container_id""".stripMargin,
 
+    // x12: x7's recursive closure over the exact-Jaccard pair graph gives
+    // the clusters; each doc's group = its component's min id (or itself),
+    // and the label is q75's hex-threshold chain on md5(group || salt).
+    // Same sf0.01-gate scale bound as the x7 oracle (full reachability).
+    "x12_leakage_safe_split" ->
+      """WITH RECURSIVE d AS (SELECT doc_id,
+        |    list_distinct(regexp_split_to_array(trim(text), '\s+')) AS ws
+        |  FROM documents),
+        |p AS (SELECT a.doc_id AS u, b.doc_id AS v
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.ws, b.ws))::DOUBLE
+        |      / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.8),
+        |e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+        |reach(id, r) AS (
+        |  SELECT u, u FROM e
+        |  UNION
+        |  SELECT reach.id, e.v FROM reach JOIN e ON reach.r = e.u),
+        |cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |g AS (SELECT doc_id, coalesce(cc.cluster_id, doc_id) AS grp
+        |  FROM documents LEFT JOIN cc ON documents.doc_id = cc.id)
+        |SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(grp AS VARCHAR) || 'x12'), 1, 8)
+        |         < 'cccccccd' THEN 'train'
+        |       WHEN substr(md5(CAST(grp AS VARCHAR) || 'x12'), 1, 8)
+        |         < 'e6666667' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM g ORDER BY doc_id""".stripMargin,
+
     "t16_quality_classifier" ->
       """SELECT CAST(2 * count(*) AS BIGINT) AS n_eval, 1 AS acc_ok
         |FROM documents WHERE doc_id % 5 = 0""".stripMargin,
@@ -4321,8 +4522,8 @@ object SparkEntry {
     * centroid — then the final scored frame `s1` (for top-nprobe probes)
     * and top-1 assignment `asg`.
     */
-  private def kmeansOracle(k: Int): String =
-    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+  private def kmeansOracle(k: Int, where: String = ""): String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings$where),
       |init AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
       |    AS cell, embedding AS c
       |  FROM (SELECT vec_id, embedding FROM e

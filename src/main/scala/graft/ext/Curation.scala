@@ -173,6 +173,39 @@ object Curation {
     df.withColumn("split", chain.otherwise(splits.last._1))
   }
 
+  /** LEAKAGE-SAFE split: [[assignSplit]] keyed by the near-duplicate
+    * CLUSTER instead of the document — the guard its scaladoc recommends,
+    * packaged as one operator. Near-duplicate documents straddling train
+    * and eval silently inflate benchmark scores (the eval answer was in
+    * the training set, just reworded); here every connected component of
+    * the pair graph ([[Clusters.connectedComponents]] over `pairs` —
+    * produce them with any [[Dedup]] method) receives ONE split decision,
+    * made by the md5-hex coin on its canonical min-id label, and every
+    * member inherits it. Unpaired documents are their own singleton group,
+    * so the output is still a disjoint exhaustive partition of `df`,
+    * stable as the corpus grows.
+    *
+    * Scale shape: components cost O(|pairs| log² n) (star contraction);
+    * attaching them is one equi-join of the corpus against the O(paired
+    * docs) component table; the split itself stays a pure projection.
+    * Output: every `df` column plus `split`.
+    */
+  def leakageSafeSplit(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      splits: Seq[(String, Double)],
+      pairACol: String = "id_a",
+      pairBCol: String = "id_b",
+      salt: String = ""): DataFrame = {
+    val cc = Clusters.connectedComponents(pairs, pairACol, pairBCol)
+      .select(col("id").as(idCol), col("cluster_id").as("_grp"))
+    val grouped = df
+      .join(cc, Seq(idCol), "left")
+      .withColumn("_grp", coalesce(col("_grp"), col(idCol)))
+    assignSplit(grouped, "_grp", splits, salt).drop("_grp")
+  }
+
   /** Temperature-based mixture rebalancing (the mT5/XLM-R resampling
     * rule): source `i` holding share `p_i` of the corpus is re-weighted to
     * `p_i^alpha`, flattening the mixture as `alpha → 0` so low-resource

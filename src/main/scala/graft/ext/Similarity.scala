@@ -861,16 +861,64 @@ object Similarity {
     require(coarse.nonEmpty, "topKIvfPqWithModels: empty coarse codebook")
     require(pq.nonEmpty && pq.forall(_.nonEmpty),
       "topKIvfPqWithModels: empty PQ codebooks")
-    require(k >= 1 && rescoreFactor >= 1,
-      s"k=$k rescoreFactor=$rescoreFactor must be >= 1")
-    import graft.functions.PqFunctions.{pq_adc_dot, pq_encode}
+    searchIvfPqIndex(queries,
+      buildIvfPqIndex(corpus, idCol, vecCol, coarse, pq),
+      corpus, idCol, vecCol, k, coarse, pq, nprobe, rescoreFactor)
+  }
 
-    // corpus side: cell + m-int codes + one float norm — never the vector
-    val coded = corpus.select(
-      col(idCol).as("neighbor_id"),
+  /** The searchable IVF-PQ index of `corpus`: one row per vector —
+    * `(id, cell, codes, norm)`, i.e. coarse cell + m PQ code ints + the
+    * exact float norm, NEVER the vector. Write it to parquet next to the
+    * [[centroidsToDF]]/[[pqToDF]] model artifacts and serve every later
+    * query batch from the three files via [[searchIvfPqIndex]] — the
+    * production shape: the corpus is scanned (and PQ-encoded) once per
+    * snapshot, not once per query batch.
+    */
+  def buildIvfPqIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarse: Seq[Array[Float]],
+      pq: Seq[Seq[Seq[Float]]]): DataFrame = {
+    require(coarse.nonEmpty, "buildIvfPqIndex: empty coarse codebook")
+    require(pq.nonEmpty && pq.forall(_.nonEmpty),
+      "buildIvfPqIndex: empty PQ codebooks")
+    import graft.functions.PqFunctions.pq_encode
+    corpus.select(
+      col(idCol).as("id"),
       nearestCells(col(vecCol), coarse, 1).getItem(0).as("cell"),
       pq_encode(col(vecCol), pq).as("codes"),
       vector_norm(col(vecCol)).as("cn"))
+  }
+
+  /** Retrieval against a PREBUILT [[buildIvfPqIndex]] frame — the serving
+    * half: a NEW query batch probes `nprobe` cells, candidates are ADC-
+    * scored from the index's codes alone, and only each query's top
+    * `k × rescoreFactor` survivors rejoin their float vectors from
+    * `corpus` for the exact rescore. Neither retraining nor re-encoding
+    * ever happens at query time, and the corpus vector column is read
+    * exclusively by the (id-list-sized) rescore join.
+    */
+  def searchIvfPqIndex(
+      queries: DataFrame,
+      index: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      coarse: Seq[Array[Float]],
+      pq: Seq[Seq[Seq[Float]]],
+      nprobe: Int = 4,
+      rescoreFactor: Int = 4): DataFrame = {
+    require(coarse.nonEmpty, "searchIvfPqIndex: empty coarse codebook")
+    require(pq.nonEmpty && pq.forall(_.nonEmpty),
+      "searchIvfPqIndex: empty PQ codebooks")
+    require(k >= 1 && rescoreFactor >= 1,
+      s"k=$k rescoreFactor=$rescoreFactor must be >= 1")
+    import graft.functions.PqFunctions.pq_adc_dot
+
+    val coded = index.select(
+      col("id").as("neighbor_id"), col("cell"), col("codes"), col("cn"))
     // query side: float vector rides its nprobe probe rows
     val probes = queries.select(
       col(idCol).as("query_id"),

@@ -6,6 +6,31 @@ import graft.SparkSpec
 
 class CurationSpec extends SparkSpec {
 
+  test("leakageSafeSplit: near-dup clusters never straddle splits; " +
+      "partition stays disjoint and exhaustive") {
+    import spark.implicits._
+    // two chains (1-2-3 transitively, 10-11) and singletons 20, 21
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Curation.leakageSafeSplit(docs, "doc_id", pairs,
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "s")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    out.keySet shouldBe Set(1L, 2L, 3L, 10L, 11L, 20L, 21L)
+    // every member of a component carries ONE label — the leakage guard
+    Set(out(1L), out(2L), out(3L)).size shouldBe 1
+    Set(out(10L), out(11L)).size shouldBe 1
+    // a cluster's label is assignSplit's decision on its min-id; a
+    // singleton's is assignSplit on its own id — the same coin q75 pins
+    def coin(id: Long) = Curation.assignSplit(
+      Seq(id).toDF("g"), "g",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "s")
+      .select("split").as[String].head()
+    out(3L) shouldBe coin(1L)
+    out(11L) shouldBe coin(10L)
+    out(20L) shouldBe coin(20L)
+    out(21L) shouldBe coin(21L)
+  }
+
   test("packTokenBudget matches a sequential reference on a random corpus") {
     import spark.implicits._
     val rng = new scala.util.Random(graft.Check.PinnedSeed)

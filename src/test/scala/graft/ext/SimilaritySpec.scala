@@ -309,6 +309,37 @@ class SimilaritySpec extends SparkSpec {
     run(coarseBack, pqBack) shouldBe run(coarse, pq)
   }
 
+  test("searchIvfPqIndex serves from a parquet'd index identically to " +
+      "the one-shot path, and its plan reads corpus vectors only for " +
+      "the rescore") {
+    import spark.implicits._
+    val coarse = Similarity.trainCentroids(
+      vectors, "vec_id", "embedding", nlist = 2, iterations = 5,
+      sampleSize = 1024, seed = 42L)
+    val pq = Similarity.trainPq(
+      vectors, "vec_id", "embedding", m = 2, ksub = 4,
+      iterations = 3, sampleSize = 1024, seed = 7L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-idx-")
+    Similarity.buildIvfPqIndex(vectors, "vec_id", "embedding", coarse, pq)
+      .write.mode("overwrite").parquet(s"$dir/index")
+    val loaded = spark.read.parquet(s"$dir/index")
+
+    def collect(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "rank", "cosine")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val served = Similarity.searchIvfPqIndex(
+      vectors, loaded, vectors, "vec_id", "embedding", k = 3,
+      coarse = coarse, pq = pq, nprobe = 2, rescoreFactor = 3)
+    collect(served) shouldBe collect(Similarity.topKIvfPqWithModels(
+      vectors, vectors, "vec_id", "embedding", k = 3,
+      coarse = coarse, pq = pq, nprobe = 2, rescoreFactor = 3))
+    // serving-plan contract: no PQ encode at query time (the index
+    // carries the codes), so the corpus's vector column appears in the
+    // plan only through the rescore joins
+    val p = served.queryExecution.optimizedPlan.toString
+    p should not include "pq_encode"
+  }
+
   test("md5Planes is the documented portable derivation and is stable") {
     // value-pinned: first component of band 0/plane 0 under salt "t" is
     // md5('hp|t|0|0|0') = 0x... -> first 8 hex chars as unsigned int u,

@@ -21,10 +21,13 @@ out = {
         "sf_dir": "/root/testdata/sf0.1",
         "date": datetime.date.today().isoformat(),
         "method": ("graft.Verify at sf0.1 + tools/compare.py (local replica of "
-                   "the driver's DuckDB rows/schema/hash compare); queries "
-                   "without an oracleSql entry (x2p, x3, x6, x10, y2, y3, y4, "
-                   "y5 - engine-specific hash families) are covered by their "
-                   "oracle-checked recall companions"),
+                   "the driver's DuckDB rows/schema/hash compare); the only "
+                   "queries without an oracleSql entry are x2p and x3 "
+                   "(minhash/simhash permutation hashes are engine-internal "
+                   "by design) - both covered by oracle-checked recall "
+                   "companions; x6/x10/y2/y3/y4/y5 carry full value oracles "
+                   "(md5-derived planes + deterministic grid-rounded k-means "
+                   "models, re-derived in SQL)"),
         "note": note,
     },
     "pass": npass,
