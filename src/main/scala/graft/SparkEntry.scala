@@ -2100,10 +2100,16 @@ object SparkEntry {
       // md5-coin decision per near-duplicate CLUSTER (connected components
       // of the minhash pair graph), inherited by every member — near-dups
       // can never straddle train and eval, the guard that keeps benchmark
-      // numbers honest. k=128/b=32 as in x2, so the LSH pair set provably
-      // equals exact Jaccard >= 0.8 and the oracle walks identical edges
-      // (x7's recursive closure) before re-deriving every label from the
-      // same hex arithmetic as q75.
+      // numbers honest. k=128/b=32 as in x2: per-pair LSH miss probability
+      // at the J=0.8 boundary is ~5e-8 (not zero — see x2), so the pair
+      // graph matches exact Jaccard >= 0.8 with overwhelming probability
+      // and the oracle walks identical edges (x7's recursive closure)
+      // before re-deriving every label from the same hex arithmetic as
+      // q75. NOTE the blast radius of a miss here is larger than x2's
+      // per-pair row diff: one missed edge can split a connected
+      // component, flipping the split label of EVERY member of the
+      // severed half — a future sf-scale oracle failure on this query
+      // should be triaged as an LSH miss first.
       val docs = rd(s, dir, "documents")
       Dedup.withNearDuplicatesMinhash(docs, "doc_id", "text",
         threshold = 0.8, numHashes = 128, bands = 32) { pairs =>
@@ -2180,8 +2186,12 @@ object SparkEntry {
         .agg(rnd(sum("value"), 6).as("y"))
         .withColumn("idx", row_number().over(
           Window.partitionBy("event_type").orderBy("slot")).cast("long") - 1)
+      // keyCountHint: event_type is a closed 5-value taxonomy (testdata
+      // generator enum) — declaring it PINS the O(keys × period) phase-mean
+      // broadcast at any scale, instead of leaning on Spark's size-estimate
+      // auto-broadcast (which only holds while the sides look small)
       Seasonal.decompose(hourly, "event_type", "idx", "y", period = 24,
-        roundDigits = Some(6))
+        roundDigits = Some(6), keyCountHint = Some(5L))
         .select(col("event_type"), col("idx"), rnd(col("y"), 2).as("y"),
           rnd(col("trend"), 4).as("trend"),
           rnd(col("seasonal"), 4).as("seasonal"),
@@ -2214,14 +2224,41 @@ object SparkEntry {
         .agg(rnd(sum("value"), 6).as("y"))
         .withColumn("idx", row_number().over(
           Window.partitionBy("event_type").orderBy("slot")).cast("long") - 1)
+      // same declared 5-value key cardinality as q90 — guaranteed hinted
+      // broadcast of the O(keys × period) decomposition sides
       Seasonal.anomalies(hourly, "event_type", "idx", "y", period = 24,
-        zThreshold = 2.5, roundDigits = Some(6))
+        zThreshold = 2.5, roundDigits = Some(6), keyCountHint = Some(5L))
         .select(col("event_type"), col("idx"),
           rnd(col("residual"), 4).as("residual"),
           rnd(col("z"), 4).as("z"), col("is_anomaly"))
         .orderBy("event_type", "idx")
     })
   )
+
+  /** Build-once cache for the demo ANN/clustering models. The deterministic
+    * trainers are pure functions of (parquet dir, hyperparams) — the data
+    * under a dir is immutable for the life of a session (the driver's
+    * testdata is read-only; specs write each fixture dir once) — so the
+    * trained driver-side model is memoized per key instead of re-trained on
+    * every query evaluation. Before this cache, each y3/y5/y6/x10 run paid
+    * the full-corpus coarse k-means plus 16 PQ subspace trainings (~17
+    * trainings) per EVALUATION, and y5+y5r / y6+y6r each paid it twice —
+    * the exact opposite of the train-once/persist/serve shape the serving
+    * APIs ([[ext.Similarity.searchIvfPqIndex]]) exist for. In production
+    * the same role is played by parquet model artifacts
+    * ([[ext.Clustering.Model.toDF]] / `Similarity.pqToDF`); a driver-JVM
+    * memo is the session-local equivalent.
+    */
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  private def cachedModel[T <: AnyRef](key: String)(train: => T): T = {
+    // two-step (not computeIfAbsent): the trainer runs Spark jobs, and
+    // nesting those inside a CHM mapping function risks re-entrancy;
+    // a rare duplicate training under a race is deterministic and harmless
+    val hit = modelCache.get(key)
+    if (hit != null) hit.asInstanceOf[T]
+    else { val v = train; modelCache.putIfAbsent(key, v); v }
+  }
 
   /** Shared scaffold of q86-q88 and x10: k=8 k-means on embeddings,
     * deterministic init, ONE refit, centroids pinned to the 1e-6 grid
@@ -2235,22 +2272,27 @@ object SparkEntry {
     * declarations (y3/y5 at k=16, x10 via [[kmeansDemo]] at k=8): full-
     * corpus k-means, first-k-by-id init, one 1e-6-grid-rounded refit — the
     * q86 training loop, so each oracle re-derives the model with the same
-    * generalized SQL preamble ([[kmeansOracle]]).
+    * generalized SQL preamble ([[kmeansOracle]]). Memoized per (dir, k).
     */
   private def ivfDemo(s: SparkSession, dir: String, k: Int): ext.Clustering.Model =
-    ext.Clustering.kmeans(rd(s, dir, "embeddings"), "vec_id", "embedding",
-      k = k, iterations = 1, roundDigits = 6)
+    cachedModel(s"ivf|$dir|$k") {
+      ext.Clustering.kmeans(rd(s, dir, "embeddings"), "vec_id", "embedding",
+        k = k, iterations = 1, roundDigits = 6)
+    }
 
   /** Cross-engine-reproducible PQ codebooks for y5: m=16 subspaces of
     * dims/16 = 4 components, ksub=256 cells each, trained full-corpus with
     * the same deterministic one-refit 1e-6-grid recipe as [[ivfDemo]]
     * ([[ext.Similarity.trainPqDeterministic]]) — the y5 oracle replays all
-    * 16 trainings, the corpus encode and ADC scoring in SQL.
+    * 16 trainings, the corpus encode and ADC scoring in SQL. Memoized per
+    * dir.
     */
   private def pqDemo(s: SparkSession, dir: String): Seq[Seq[Seq[Float]]] =
-    ext.Similarity.trainPqDeterministic(rd(s, dir, "embeddings"),
-      "vec_id", "embedding", m = 16, ksub = 256, iterations = 1,
-      roundDigits = 6, dims = 64)
+    cachedModel(s"pq|$dir") {
+      ext.Similarity.trainPqDeterministic(rd(s, dir, "embeddings"),
+        "vec_id", "embedding", m = 16, ksub = 256, iterations = 1,
+        roundDigits = 6, dims = 64)
+    }
 
   /** y6's serving split (x9's % 10 convention): 90% indexed snapshot,
     * 10% new-arrival query batch.
@@ -2264,16 +2306,18 @@ object SparkEntry {
   /** y6's models, trained on the SNAPSHOT side only (production
     * semantics: the index's models know nothing about future queries) —
     * the same deterministic grid-rounded recipes as [[ivfDemo]]/[[pqDemo]].
+    * Memoized per dir (train once per snapshot, serve many batches).
     */
   private def y6Models(
       s: SparkSession,
-      dir: String): (Seq[Array[Float]], Seq[Seq[Seq[Float]]]) = {
-    val (snapshot, _) = y6Parts(s, dir)
-    (ext.Clustering.kmeans(snapshot, "vec_id", "embedding",
-      k = 16, iterations = 1, roundDigits = 6).centroids,
-      ext.Similarity.trainPqDeterministic(snapshot, "vec_id", "embedding",
-        m = 16, ksub = 256, iterations = 1, roundDigits = 6, dims = 64))
-  }
+      dir: String): (Seq[Array[Float]], Seq[Seq[Seq[Float]]]) =
+    cachedModel(s"y6|$dir") {
+      val (snapshot, _) = y6Parts(s, dir)
+      (ext.Clustering.kmeans(snapshot, "vec_id", "embedding",
+        k = 16, iterations = 1, roundDigits = 6).centroids,
+        ext.Similarity.trainPqDeterministic(snapshot, "vec_id", "embedding",
+          m = 16, ksub = 256, iterations = 1, roundDigits = 6, dims = 64))
+    }
 
   /** Portable md5-derived hyperplane models for the LSH declarations —
     * re-derivable value-for-value in DuckDB ([[ext.Similarity.md5Planes]]),

@@ -72,12 +72,24 @@ case class PqEncode(
       var c = 0
       while (c < book.length) {
         val cent = book(c)
+        // overlap-truncated math on ragged vectors: BOTH the dot and the
+        // centroid half-norm restrict to the overlapping dims — subtracting
+        // the full-length half-norm against a truncated dot would bias
+        // selection toward small-norm centroids on the missing dims
+        val n = math.min(cent.length, math.max(0, x.length - off))
         var dot = 0.0
         var i = 0
-        while (i < cent.length && off + i < x.length) {
+        while (i < n) {
           dot += x(off + i).toDouble * cent(i).toDouble; i += 1
         }
-        val s = dot - hn(c)
+        val s =
+          if (n == cent.length) dot - hn(c)
+          else {
+            var h = 0.0
+            var t = 0
+            while (t < n) { h += cent(t).toDouble * cent(t).toDouble; t += 1 }
+            dot - h / 2.0
+          }
         if (best < 0 || s > bs) { bs = s; best = c }
         c += 1
       }

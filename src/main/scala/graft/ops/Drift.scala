@@ -97,14 +97,20 @@ object Drift {
     val bM = cells.groupBy("b").agg(sum("observed").as("_cb"))
     // the gate rides `_n` (consumed by every `expected`), so it can never
     // be pruned out of the plan and costs nothing extra to evaluate
+    // grid size computed in decimal(19,0) × decimal(19,0) → decimal(38,0):
+    // a Long × Long product of extreme distinct counts would overflow, and
+    // under Spark 4's ANSI mode that surfaces as ARITHMETIC_OVERFLOW
+    // instead of the gate's intended maxGridCells diagnostic
+    val gridCells =
+      col("_ca").cast("decimal(19,0)") * col("_cbn").cast("decimal(19,0)")
     val tot = cells.agg(sum("observed").as("_n"),
       count_distinct(col("a")).as("_ca"),
       count_distinct(col("b")).as("_cbn"))
       .withColumn("_n",
-        when(col("_ca") * col("_cbn") <= maxGridCells, col("_n"))
+        when(gridCells <= lit(maxGridCells), col("_n"))
           .otherwise(raise_error(concat(
             lit("chiSquare: distinct(a) x distinct(b) = "),
-            (col("_ca") * col("_cbn")).cast("string"),
+            gridCells.cast("string"),
             lit(s" grid cells exceed maxGridCells=$maxGridCells — " +
               "the full grid is quadratic in the cardinalities; raise " +
               "the cap only if the pair is genuinely dashboard-sized")))))
