@@ -663,15 +663,22 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
-    "x2p_dedup_minhash_prod" -> ((s, dir) => { // rows-only: approximate recall
-      // the PRODUCTION default (k=64/b=16, r=4): per-pair miss probability
-      // at the J=0.8 boundary is (1-0.8^4)^16 ≈ 1.4e-2 and falls steeply
-      // above it (2e-4 at J=0.85) — the cheap setting a 100 TB dedup run
-      // would use, at roughly half x2's signature cost. Its recall claim is
-      // MEASURED (not asserted) by the x2pr companion against x2's
-      // provably-exact k=128/b=32 pair set.
-      Dedup.nearDuplicatesMinhash(
-        rd(s, dir, "documents"), "doc_id", "text", threshold = 0.8)
+    "x2p_dedup_minhash_prod" -> ((s, dir) => {
+      // the PRODUCTION parameters (k=64/b=16, r=4): per-pair miss
+      // probability at the J=0.8 boundary is (1-0.8^4)^16 ≈ 1.4e-2 and
+      // falls steeply above it (2e-4 at J=0.85) — the cheap setting a
+      // 100 TB dedup run would use, at roughly half x2's signature cost.
+      // The declaration runs the PORTABLE md5 hash family
+      // (Dedup.nearDuplicatesMinhashPortable: md5 base hashes + md5-derived
+      // affine lanes over the 2^61-1 field, raw-slice band keys), so the
+      // oracle re-derives coefficients, signatures, banding — and therefore
+      // the EXACT LSH pair set, misses included — value-for-value in
+      // DuckDB; x2pr still MEASURES the setting's recall against x2's
+      // near-exact k=128/b=32 pair set. xxhash64 stays the cheaper
+      // engine-internal default for signatures that never leave the job.
+      Dedup.nearDuplicatesMinhashPortable(
+        rd(s, dir, "documents"), "doc_id", "text", threshold = 0.8,
+        salt = "x2p")
         .orderBy("id_a", "id_b")
     }),
 
@@ -687,12 +694,21 @@ object SparkEntry {
         Dedup.nearDuplicatesMinhash(
           docs, "doc_id", "text", threshold = 0.8,
           numHashes = 128, bands = 32),
-        Dedup.nearDuplicatesMinhash(docs, "doc_id", "text", threshold = 0.8),
+        Dedup.nearDuplicatesMinhashPortable(
+          docs, "doc_id", "text", threshold = 0.8, salt = "x2p"),
         Seq("id_a", "id_b"), threshold = 0.95)
     }),
 
-    "x3_dedup_simhash" -> ((s, dir) => { // rows-only: hash family differs across engines
-      Dedup.nearDuplicatesSimhash(
+    "x3_dedup_simhash" -> ((s, dir) => {
+      // PORTABLE 60-bit md5 SimHash (Dedup.nearDuplicatesSimhashPortable):
+      // per-token md5 hashes vote per bit, four 15-bit pigeonhole chunks
+      // generate candidates (complete for hamming <= 3), bit_count(xor)
+      // verifies — every signature is re-derivable in DuckDB, so the
+      // oracle replays token hashing, the 60 vote sums, the strict >0 tie
+      // rule, chunking and the hamming verify value-for-value. The
+      // xxhash64 64-bit default stays the cheaper engine-internal path;
+      // x3r additionally proves recall 1.0 on token-set-identical pairs.
+      Dedup.nearDuplicatesSimhashPortable(
         rd(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
         .orderBy("id_a", "id_b")
     }),
@@ -716,7 +732,8 @@ object SparkEntry {
         .select(col("a").as("id_a"), col("b").as("id_b"))
       recallCheck(
         exact,
-        Dedup.nearDuplicatesSimhash(docs, "doc_id", "text", maxHamming = 3),
+        Dedup.nearDuplicatesSimhashPortable(docs, "doc_id", "text",
+          maxHamming = 3),
         Seq("id_a", "id_b"), threshold = 1.0)
     }),
 
@@ -2800,6 +2817,76 @@ object SparkEntry {
         |    AS fingerprint,
         |  min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    // x2p: FULL replay of the portable-minhash LSH pipeline — md5-derived
+    // affine coefficients, per-shingle 60-bit md5 base hashes, the 64 lane
+    // minima over the 2^61-1 field, 16 raw-slice band keys, the band
+    // self-join (misses included), the size-ratio prune (replicated, not
+    // argued away: same IEEE double compare), and the exact-Jaccard verify.
+    "x2p_dedup_minhash_prod" ->
+      """WITH coef AS (SELECT j,
+        |    ('0x' || substr(md5('mh|x2p|a|' || j), 1, 15))::BIGINT + 1 AS a,
+        |    ('0x' || substr(md5('mh|x2p|b|' || j), 1, 15))::BIGINT AS b
+        |  FROM range(64) t(j)),
+        |d AS (SELECT doc_id,
+        |    list_distinct(regexp_split_to_array(trim(text), '\s+')) AS ws
+        |  FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_transform(ws,
+        |    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS x
+        |  FROM d),
+        |sg AS (SELECT sh.doc_id, c.j,
+        |    min((c.a::HUGEINT * sh.x + c.b)
+        |      % 2305843009213693951)::BIGINT AS h
+        |  FROM sh CROSS JOIN coef c GROUP BY sh.doc_id, c.j),
+        |sigl AS (SELECT doc_id, list(h ORDER BY j) AS sig
+        |  FROM sg GROUP BY doc_id),
+        |banded AS (SELECT doc_id, b.b AS band,
+        |    sig[b.b * 4 + 1 : b.b * 4 + 4] AS bkey
+        |  FROM sigl, range(16) b(b)),
+        |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM banded x JOIN banded y
+        |    ON x.band = y.band AND x.bkey = y.bkey
+        |    AND x.doc_id < y.doc_id)
+        |SELECT c.id_a, c.id_b,
+        |  len(list_intersect(a.ws, b.ws))::DOUBLE
+        |    / len(list_distinct(list_concat(a.ws, b.ws))) AS jaccard
+        |FROM cand c JOIN d a ON c.id_a = a.doc_id
+        |  JOIN d b ON c.id_b = b.doc_id
+        |WHERE least(len(a.ws), len(b.ws))::DOUBLE
+        |    >= greatest(len(a.ws), len(b.ws)) * 0.8
+        |  AND len(list_intersect(a.ws, b.ws))::DOUBLE
+        |    / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // x3: FULL replay of the portable 60-bit md5 SimHash — per-token md5
+    // hashes, the 60 per-bit vote sums with the strict >0 tie rule, the
+    // four 15-bit pigeonhole chunks, the chunk self-join and the
+    // bit_count(xor) <= 3 verify.
+    "x3_dedup_simhash" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_distinct(regexp_split_to_array(trim(text), '\s+')) AS ws
+        |  FROM documents),
+        |th AS (SELECT doc_id, unnest(list_transform(ws,
+        |    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS h
+        |  FROM d),
+        |votes AS (SELECT th.doc_id, b.j,
+        |    sum(CASE WHEN ((h >> CAST(b.j AS INT)) & 1) = 1
+        |      THEN 1 ELSE -1 END) AS v
+        |  FROM th, range(60) b(j) GROUP BY th.doc_id, b.j),
+        |sig AS (SELECT doc_id,
+        |    sum(CASE WHEN v > 0
+        |      THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+        |      ELSE 0 END)::BIGINT AS sig
+        |  FROM votes GROUP BY doc_id),
+        |ch AS (SELECT doc_id, sig, c.c AS chunk,
+        |    (sig >> CAST(c.c * 15 AS INT)) & 32767 AS cv
+        |  FROM sig, range(4) c(c)),
+        |pairs AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+        |    bit_count(xor(x.sig, y.sig)) AS hamming
+        |  FROM ch x JOIN ch y ON x.chunk = y.chunk AND x.cv = y.cv
+        |    AND x.doc_id < y.doc_id)
+        |SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+        |FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
 
     "x2_dedup_minhash" ->
       """WITH d AS (SELECT doc_id,

@@ -3,9 +3,9 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.HashFunctions.simhash64
+import graft.functions.HashFunctions.{simhash60_md5, simhash64}
 import graft.functions.JaccardFunctions.jaccard_sorted
-import graft.functions.MinHashFunctions.minhash_signature
+import graft.functions.MinHashFunctions.{minhash_signature, minhash_signature_portable}
 import Shingles._
 
 /** Deduplication operators for LLM-corpus pipelines (SURVEY.md §7.5).
@@ -93,6 +93,30 @@ object Dedup {
       bands: Int = 16): DataFrame =
     buildMinhashPairs(df, idCol, textCol, threshold, numHashes, bands)._1
 
+  /** [[nearDuplicatesMinhash]] over the PORTABLE md5 hash family
+    * ([[graft.functions.MinHashSignaturePortable]]): identical pipeline and
+    * LSH statistics, but signatures — and therefore the exact candidate
+    * pair set, banding misses included — are re-derivable by any engine
+    * with md5 + 128-bit integer arithmetic. Band keys are the raw r-long
+    * signature slices (no engine-specific band hash in the join key; an
+    * equi-join on a 4-long array instead of one int — slightly wider
+    * shuffle rows, zero collision-induced false candidates). Use for
+    * declarations that carry full value oracles and for signatures
+    * exchanged across systems; the xxhash64 default stays the cheap
+    * production path.
+    */
+  def nearDuplicatesMinhashPortable(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      salt: String = "mh"): DataFrame =
+    buildMinhashPairs(df, idCol, textCol, threshold, numHashes, bands,
+      signature = minhash_signature_portable(_, numHashes, salt),
+      bandKey = identity)._1
+
   /** Scoped form of [[nearDuplicatesMinhash]] that OWNS the persist
     * lifecycle: builds the plan, hands the pair DataFrame to `f`, and
     * unpersists the cached group table when `f` returns (or throws) — no
@@ -117,7 +141,10 @@ object Dedup {
   }
 
   /** Returns (pair plan, the persisted intermediate whose lifecycle the
-    * caller controls).
+    * caller controls). `signature` builds the k-long signature column;
+    * `bandKey` maps each band's r-long signature slice to the equi-join
+    * key (default: Murmur3 of the slice — one int per banded row; the
+    * portable path keys on the raw slice itself).
     */
   private def buildMinhashPairs(
       df: DataFrame,
@@ -125,8 +152,13 @@ object Dedup {
       textCol: String,
       threshold: Double,
       numHashes: Int,
-      bands: Int): (DataFrame, DataFrame) = {
+      bands: Int,
+      signature: Column => Column = null,
+      bandKey: Column => Column = hash(_)): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    val sigFn =
+      if (signature != null) signature
+      else minhash_signature(_: Column, numHashes)
     val rows = numHashes / bands
 
     // sorted once per doc: the sort both keys the group and enables the
@@ -157,14 +189,14 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = groups
-      .withColumn("sig", minhash_signature(col("shingles"), numHashes))
+      .withColumn("sig", sigFn(col("shingles")))
       .select(
         col("gid"),
         size(col("shingles")).as("nsh"),
         posexplode(
           transform(
             sequence(lit(0), lit(bands - 1)),
-            j => hash(slice(col("sig"), j * rows + 1, lit(rows))))))
+            j => bandKey(slice(col("sig"), j * rows + 1, lit(rows))))))
       .toDF("gid", "nsh", "band", "band_hash")
 
     // Size-ratio prune inside the band join, BEFORE the dedup shuffle and
@@ -334,17 +366,52 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3): DataFrame =
+    simhashPairs(df, idCol, textCol, maxHamming,
+      signature = simhash64(_), bitsPerChunk = 16)
+
+  /** [[nearDuplicatesSimhash]] over the PORTABLE md5 hash family
+    * ([[graft.functions.SimHash60Md5]]): 60-bit signature (four 15-bit
+    * pigeonhole chunks — same Hamming ≤ 3 completeness guarantee), with
+    * every signature re-derivable in any engine with md5, so the emitted
+    * pair set carries a full value oracle. The xxhash64 default stays the
+    * cheap production path (~10× less per-token hash cost).
+    */
+  def nearDuplicatesSimhashPortable(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame =
+    simhashPairs(df, idCol, textCol, maxHamming,
+      signature = simhash60_md5, bitsPerChunk = 15)
+
+  /** Shared signature→chunk-join→verify pipeline. Four chunks of
+    * `bitsPerChunk` bits; the pigeonhole candidate generator is COMPLETE
+    * only for `maxHamming ≤ 3` (4 chunks, ≤3 differing bits ⇒ one chunk
+    * untouched), so larger radii are rejected rather than silently
+    * under-recalled.
+    */
+  private def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int,
+      signature: Column => Column,
+      bitsPerChunk: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"simhash: 4-chunk pigeonhole join is complete only for " +
+        s"maxHamming in [0, 3], got $maxHamming")
+    val mask = (1L << bitsPerChunk) - 1
     val sigs = ensureParallelism(df.select(
       col(idCol).as("id"),
       col(textCol).as("_text")))
-      .select(col("id"), simhash64(tokenSet(col("_text"))).as("sig"))
+      .select(col("id"), signature(tokenSet(col("_text"))).as("sig"))
 
     val chunked = sigs.select(
       col("id"), col("sig"),
       posexplode(array(
         (0 until 4).map(j =>
-          shiftright(col("sig"), j * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+          shiftright(col("sig"), j * bitsPerChunk).bitwiseAND(lit(mask))): _*)))
       .toDF("id", "sig", "chunk", "chunk_val")
 
     chunked.as("x")

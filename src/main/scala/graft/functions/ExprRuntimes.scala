@@ -420,4 +420,121 @@ object ExprRuntimes {
     while (it.hasNext) { out(k) = it.next().longValue(); k += 1 }
     new GenericArrayData(out)
   }
+
+  // ----------------------------------------------- portable (MD5) hashing
+  //
+  // The PORTABLE hash family: every value below is re-derivable in any
+  // engine with an md5() function (DuckDB: `('0x' || substr(md5(s), 1, 15))
+  // ::BIGINT`), which is what lets the minhash/simhash DECLARATIONS carry
+  // full value oracles instead of recall-only companions (the same trick as
+  // [[winnowFingerprints]]'s MD5₄₈ grams and `Similarity.md5Planes`). The
+  // engine-internal XXH64 family stays the cheap production default — MD5
+  // costs ~10× more per gram; portable is the right trade when signatures
+  // must be reproduced by an independent engine (oracles, cross-system
+  // index exchange).
+
+  /** 2⁶¹ − 1, the Mersenne prime used as the modulus of the portable
+    * affine permutation family (universal hashing over a prime field —
+    * Carter & Wegman 1979).
+    */
+  final val Mersenne61: Long = (1L << 61) - 1
+
+  /** `(a·x + b) mod (2⁶¹ − 1)` in pure 64-bit arithmetic, for
+    * `0 ≤ a ≤ 2⁶⁰, 0 ≤ x < 2⁶⁰, 0 ≤ b < 2⁶¹ − 1`: the 121-bit product is
+    * split into 61-bit limbs via `multiplyHigh` and folded with
+    * `2⁶¹ ≡ 1 (mod p)`. Exactly the value `(a::HUGEINT * x + b) % p`
+    * yields in 128-bit SQL arithmetic — the cross-engine contract.
+    */
+  def mulAddMod61(a: Long, x: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, x) // operands < 2^61: signed == unsigned
+    val lo = a * x
+    var s = (lo & Mersenne61) +
+      (((lo >>> 61) | (hi << 3)) & Mersenne61) + (hi >>> 58)
+    s = (s & Mersenne61) + (s >>> 61)
+    if (s >= Mersenne61) s -= Mersenne61
+    s += b
+    if (s >= Mersenne61) s -= Mersenne61
+    s
+  }
+
+  /** First 60 bits of `md5(utf8 bytes)` (= first 15 hex chars of the
+    * digest, big-endian): a portable base hash that always fits a signed
+    * 64-bit SQL integer. SQL twin: `('0x' || substr(md5(s),1,15))::BIGINT`.
+    */
+  def md5Base60(s: UTF8String): Long =
+    md5Base60(java.security.MessageDigest.getInstance("MD5"), s)
+
+  /** Per-row callers reuse ONE digest instance across the token loop —
+    * `MessageDigest.getInstance` per element would dominate the hash cost.
+    */
+  private def md5Base60(md: java.security.MessageDigest, s: UTF8String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes)
+    val top = ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+      ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+      ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+    top >>> 4
+  }
+
+  /** k-lane PORTABLE MinHash signature: lane j applies the affine
+    * permutation `(coefA(j)·base + coefB(j)) mod (2⁶¹−1)` to each
+    * shingle's [[md5Base60]] and keeps the minimum. One MD5 per shingle,
+    * k cheap field ops — same one-hash-k-mixes shape as [[minhash]], but
+    * every lane value is re-derivable in SQL. Empty/all-null arrays yield
+    * `Long.MaxValue` sentinels (> p, so they can never collide with a real
+    * signature value in a band join).
+    */
+  def minhashPortable(
+      shingles: ArrayData, coefA: Array[Long], coefB: Array[Long]): ArrayData = {
+    val k = coefA.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    val n = shingles.numElements()
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        val base = md5Base60(md, shingles.getUTF8String(i))
+        var j = 0
+        while (j < k) {
+          val h = mulAddMod61(coefA(j), base, coefB(j))
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** 60-bit PORTABLE SimHash over a token array: per-bit ±1 votes from
+    * each token's [[md5Base60]]; signature bit j is 1 iff the vote sum is
+    * strictly positive (ties → 0, same rule as [[simhash64]]). 60 bits
+    * (not 64) so the signature and its 15-bit pigeonhole chunks stay
+    * representable in a signed SQL BIGINT end-to-end.
+    */
+  def simhash60Md5(tokens: ArrayData): Long = {
+    val votes = new Array[Int](60)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    val n = tokens.numElements()
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = md5Base60(md, tokens.getUTF8String(i))
+        var j = 0
+        while (j < 60) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 60) {
+      if (votes(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
 }

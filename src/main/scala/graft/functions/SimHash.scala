@@ -35,6 +35,32 @@ case class SimHash64(child: Expression, seed: Long)
     copy(child = newChild)
 }
 
+/** 60-bit PORTABLE SimHash over a token array: votes come from each
+  * token's 60-bit MD5 base hash ([[ExprRuntimes.md5Base60]]) instead of
+  * XXH64, and the signature stops at 60 bits so it and its 15-bit
+  * pigeonhole chunks fit a signed SQL BIGINT — every signature is then
+  * re-derivable in DuckDB (`('0x' || substr(md5(tok),1,15))::BIGINT`, 60
+  * per-bit vote sums, same strict `> 0` tie rule), which upgrades the
+  * simhash dedup declaration to a full value oracle. Same single-pass
+  * kernel shape as [[SimHash64]]; ~10× per-token hash cost — the portable
+  * family's documented trade.
+  */
+case class SimHash60Md5(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    ExprRuntimes.simhash60Md5(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.ExprRuntimes.simhash60Md5($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** xxHash64 of a single string with an arbitrary seed — the per-band hash
   * family for MinHash (Spark's built-in `xxhash64` fixes seed=42; MinHash
   * needs k independent functions, cheaply seeded here).
@@ -60,6 +86,12 @@ object HashFunctions {
   /** 64-bit SimHash signature of an `array<string>` token column. */
   def simhash64(tokens: Column, seed: Long = 0L): Column =
     GraftShim.column(SimHash64(GraftShim.expression(tokens), seed))
+
+  /** Cross-engine-reproducible 60-bit SimHash signature (MD5 token
+    * hashes).
+    */
+  def simhash60_md5(tokens: Column): Column =
+    GraftShim.column(SimHash60Md5(GraftShim.expression(tokens)))
 
   def xxhash64_seeded(s: Column, seed: Long): Column =
     GraftShim.column(

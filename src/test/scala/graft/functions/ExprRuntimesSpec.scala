@@ -73,6 +73,56 @@ class ExprRuntimesSpec extends AnyFunSuite with Matchers {
     assert(h(s1, near) < h(s1, far))
   }
 
+  test("md5Base60/mulAddMod61: bit-identical to the DuckDB SQL twins") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // expected values computed in DuckDB 1.0.0:
+    //   ('0x'||substr(md5(s),1,15))::BIGINT
+    assert(ExprRuntimes.md5Base60(UTF8String.fromString("hello")) ===
+      419982666956583591L)
+    assert(ExprRuntimes.md5Base60(UTF8String.fromString("")) ===
+      955282973525019424L)
+    val a = ExprRuntimes.md5Base60(UTF8String.fromString("mh|x2p|a|0")) + 1L
+    val b = ExprRuntimes.md5Base60(UTF8String.fromString("mh|x2p|b|0"))
+    assert(a === 790052429752205874L)
+    assert(b === 936339833749929512L)
+    //   (a::HUGEINT * x + b) % (2^61 - 1)
+    assert(ExprRuntimes.mulAddMod61(a, 419982666956583591L, b) ===
+      808921023968476513L)
+    //   (1234567890123::HUGEINT * 987654321 + 42) % (2^61 - 1)
+    assert(ExprRuntimes.mulAddMod61(987654321L, 1234567890123L, 42L) ===
+      1841202383003765397L)
+    // boundary: a and x at the top of their declared ranges
+    val p = ExprRuntimes.Mersenne61
+    assert(ExprRuntimes.mulAddMod61(1L << 60, (1L << 60) - 1, p - 1) ===
+      ((BigInt(1) << 60) * ((BigInt(1) << 60) - 1) + p - 1)
+        .mod(BigInt(p)).toLong)
+    assert(ExprRuntimes.mulAddMod61(0L, 0L, 0L) === 0L)
+  }
+
+  test("minhashPortable/simhash60Md5: deterministic, set-functional, bounded") {
+    val base = (1 to 80).map(i => s"tok$i")
+    val a1 = Array.tabulate(16)(j => 1000003L * (j + 1))
+    val b1 = Array.tabulate(16)(j => 7L * j)
+    val s1 = ExprRuntimes.minhashPortable(arr(base), a1, b1).toLongArray()
+    val s2 = ExprRuntimes.minhashPortable(
+      arr(scala.util.Random.shuffle(base.toList)), a1, b1).toLongArray()
+    assert(s1.toSeq === s2.toSeq) // order-insensitive (min over the set)
+    assert(s1.forall(v => v >= 0 && v < ExprRuntimes.Mersenne61))
+    // empty set: MaxValue sentinels (> p, never collide with a real value)
+    assert(ExprRuntimes.minhashPortable(arr(Nil), a1, b1).toLongArray()
+      .forall(_ == Long.MaxValue))
+
+    val h1 = ExprRuntimes.simhash60Md5(arr(base))
+    val h2 = ExprRuntimes.simhash60Md5(arr(scala.util.Random.shuffle(base.toList)))
+    assert(h1 === h2)
+    assert(h1 >= 0 && h1 < (1L << 60))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val near = ExprRuntimes.simhash60Md5(arr(base.drop(3) ++ Seq("x1", "x2", "x3")))
+    val far = ExprRuntimes.simhash60Md5(arr((1 to 80).map(i => s"zzz$i")))
+    assert(ham(h1, near) < ham(h1, far))
+    assert(ExprRuntimes.simhash60Md5(arr(Nil)) === 0L) // all ties -> 0 bits
+  }
+
   test("vectorDot/vectorNorm agree with BLAS-style reference (property)") {
     assert(Check.holds { (xs: List[Float]) =>
       val clean = xs.filterNot(x => x.isNaN || x.isInfinite).take(64)
