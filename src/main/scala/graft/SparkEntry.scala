@@ -932,13 +932,21 @@ object SparkEntry {
       // Models come from the deterministic snapshot-trained recipes, so
       // the oracle re-derives index build AND search end-to-end in SQL;
       // y6r still MEASURES recall against the cross-split brute force.
+      // (nprobe=12, rescoreFactor=16) from the round-9 Sweep grid
+      // (nprobe 4-12 x rf 4-64, both scales): recall is set by nprobe
+      // (cell coverage — 12/16 cells needed on this loosely-correlated
+      // corpus), while rf saturates at 8; rf=16 holds the y6r bar with
+      // margin at BOTH scales (0.928 sf0.01 / 0.942 sf0.1, vs 0.944 at
+      // the old rf=64) while rescoring 80 candidates/query instead of
+      // 320 — the id-list rescore join is the only part of serving that
+      // touches corpus vectors, so its size is the scaling knob.
       val (snapshot, batch) = y6Parts(s, dir)
       val (coarse, pq) = y6Models(s, dir)
       Similarity.searchIvfPqIndex(batch,
         Similarity.buildIvfPqIndex(snapshot, "vec_id", "embedding",
           coarse, pq),
         snapshot, "vec_id", "embedding", k = 5, coarse = coarse, pq = pq,
-        nprobe = 12, rescoreFactor = 64)
+        nprobe = 12, rescoreFactor = 16)
         .orderBy("query_id", "rank")
     }),
 
@@ -952,7 +960,7 @@ object SparkEntry {
           Similarity.buildIvfPqIndex(snapshot, "vec_id", "embedding",
             coarse, pq),
           snapshot, "vec_id", "embedding", k = 5, coarse = coarse, pq = pq,
-          nprobe = 12, rescoreFactor = 64),
+          nprobe = 12, rescoreFactor = 16),
         Seq("query_id", "neighbor_id"), threshold = 0.9)
     }),
 
@@ -3307,7 +3315,7 @@ object SparkEntry {
         |    SELECT adc.*, row_number() OVER (PARTITION BY query_id
         |      ORDER BY ascore DESC, neighbor_id) AS rn
         |    FROM adc WHERE ascore IS NOT NULL AND NOT isnan(ascore)) t8
-        |  WHERE rn <= 320),
+        |  WHERE rn <= 80),
         |sc AS (SELECT s.query_id, s.neighbor_id,
         |    list_sum(list_transform(list_zip(q.embedding, n.embedding),
         |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * n.nrm) AS cosine

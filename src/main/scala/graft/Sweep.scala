@@ -83,6 +83,46 @@ object Sweep {
       return
     }
 
+    if (args.headOption.contains("y6")) {
+      // y6 serving sweep: smallest (nprobe, rescoreFactor) holding the
+      // cross-split recall >= 0.9 bar, with the index built once (as the
+      // serving path would) so timings isolate the SEARCH cost.
+      import graft.ext.Clustering
+      val snapshot = emb.filter(pmod(col("vec_id"), lit(10)) < 9)
+      val batch = emb.filter(pmod(col("vec_id"), lit(10)) === 9)
+      val coarse = Clustering.kmeans(snapshot, "vec_id", "embedding",
+        k = 16, iterations = 1, roundDigits = 6).centroids
+      val pq = Similarity.trainPqDeterministic(snapshot, "vec_id", "embedding",
+        m = 16, ksub = 256, iterations = 1, roundDigits = 6, dims = 64)
+      val index = Similarity.buildIvfPqIndex(
+        snapshot, "vec_id", "embedding", coarse, pq)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      index.count()
+      val exact = Similarity.topKBruteForce(
+        batch, snapshot, "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(s"[sweep] y6 exact cross-split top-5 pairs: ${exact.size}")
+      for (nprobe <- Seq(4, 6, 8, 10, 12); rf <- Seq(4, 8, 16, 32, 64)) {
+        val approx = Similarity.searchIvfPqIndex(batch, index, snapshot,
+          "vec_id", "embedding", k = 5, coarse = coarse, pq = pq,
+          nprobe = nprobe, rescoreFactor = rf)
+        approx.count() // warm
+        System.gc(); Thread.sleep(200)
+        val t0 = System.nanoTime()
+        val got = approx.select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val dt = (System.nanoTime() - t0) / 1e9
+        val rec = if (exact.isEmpty) 1.0
+          else exact.count(got.contains).toDouble / exact.size
+        println(f"[sweep] y6 nprobe=$nprobe%2d rf=$rf%2d " +
+          f"time=$dt%6.2f s recall=$rec%.4f")
+      }
+      index.unpersist()
+      spark.stop()
+      return
+    }
+
     // ---- y2 family: topKLsh vs brute-force top-5 of queries < 100
     val exactTop = Similarity.topKBruteForce(
       emb.filter(col("vec_id") < 100), emb, "vec_id", "embedding", k = 5)

@@ -175,6 +175,34 @@ class PlanShapeSpec extends SparkSpec {
   // broadcast at this scale for the rescored survivors only
   checkShape("y5_knn_ivfpq", maxExchanges = 6, minBroadcastJoins = 1)
 
+  // IVF-PQ index SERVING (y6): the declared query builds the snapshot
+  // index inline, so `pqencode` must appear EXACTLY once — on the
+  // snapshot side; a second occurrence would mean the query batch is
+  // being encoded at search time, the regression the serving split
+  // exists to prevent. Shape: probe cells + ADC from index codes + the
+  // id-list-sized rescore; one hash exchange (the per-query top-k agg)
+  // plus the final orderBy.
+  test("y6_knn_indexed: no cartesian, <=2 shuffles, >=1 broadcast " +
+      "joins, exactly one pqencode (index side only)") {
+    val p = plan("y6_knn_indexed")
+    withClue(p.linesIterator.take(40).mkString("\n")) {
+      count(p, "CartesianProduct") shouldBe 0
+      count(p, "BroadcastNestedLoopJoin") shouldBe 0
+      count(p, "Exchange (hash|range)partitioning") should be <= 2
+      count(p, "BroadcastHashJoin") should be >= 1
+      count(p, "pqencode") shouldBe 1
+    }
+  }
+
+  // leakage-safe split (x12): after the component contraction (iterative,
+  // checkpoint-released per round — its plan is audited via x7), the
+  // FINAL plan is docs LEFT JOIN cluster membership + the md5-coin
+  // projection: membership dedup agg + the join's two sides + the
+  // orderBy, and never a cartesian (every doc meets its cluster by id
+  // equi-join)
+  checkShape("x12_leakage_safe_split", maxExchanges = 4,
+    minBroadcastJoins = 0)
+
   // span excision: the REAL lazy plan (the declared query materializes
   // eagerly via localCheckpoint, whose executed plan is just a checkpoint
   // scan). The gram stream never cross-joins; the hot-gram join is

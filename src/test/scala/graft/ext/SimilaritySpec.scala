@@ -335,9 +335,11 @@ class SimilaritySpec extends SparkSpec {
       coarse = coarse, pq = pq, nprobe = 2, rescoreFactor = 3))
     // serving-plan contract: no PQ encode at query time (the index
     // carries the codes), so the corpus's vector column appears in the
-    // plan only through the rescore joins
+    // plan only through the rescore joins. "pqencode" is the expression's
+    // plan-string name (an earlier revision grepped "pq_encode", which
+    // never appears in any plan — a vacuously-green assertion).
     val p = served.queryExecution.optimizedPlan.toString
-    p should not include "pq_encode"
+    p should not include "pqencode"
   }
 
   test("md5Planes is the documented portable derivation and is stable") {
