@@ -1,14 +1,22 @@
 #!/usr/bin/env python3
 """Local replica of the driver's DuckDB oracle compare.
 
-Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir> \
+           [--shard i/n] [--skip name1,name2] [--only name1,name2]
 
 For each entry in <verifyOutDir>/oracle_sql.json: run the SQL in DuckDB
 over the parquet tables in <sfDir>, load the Spark result parquet from
 <verifyOutDir>/<name>/, sort columns by name, sort rows, and compare a
 value hash. Mirrors the driver's CORRECTNESS check (rows/schema/hash).
+
+PASS/FAIL lines flush per query as they complete (per-query wall time on
+stderr), so shards can run in parallel with visible progress:
+  --shard i/n  process every n-th query starting at i (round-robin split)
+  --skip       drop named queries (e.g. closure oracles that are
+               infeasible at large SF; tools/cc_check.py covers those)
+  --only       restrict to the named queries
 """
-import sys, json, glob, hashlib, math
+import sys, json, glob, hashlib, math, time
 import duckdb
 import pyarrow.parquet as pq
 
@@ -36,55 +44,82 @@ def table_sig(cols, rows):
     h = hashlib.md5("\n".join(norm_rows).encode()).hexdigest()
     return names, len(norm_rows), h, norm_rows
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, shard=None, skip=(), only=()):
     con = duckdb.connect()
+    import os
+    con.execute(f"SET threads={os.environ.get('DUCKDB_THREADS', '8')}")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    names = sorted(oracle)
+    if only:
+        names = [n for n in names if n in only]
+    if skip:
+        names = [n for n in names if n not in skip]
+    if shard:
+        i, n = map(int, shard.split("/"))
+        names = names[i::n]
     results = {}
-    for name in sorted(oracle):
-        files = glob.glob(f"{out_dir}/{name}/*.parquet")
-        if not files:
-            results[name] = "MISSING spark output"
-            continue
-        spark_t = pq.read_table(files[0])
-        # The driver's comparator is pandas-based and dies on list/struct
-        # columns (unhashable ndarray). Fail locally the same way so an
-        # array-typed declared output never ships looking green.
-        import pyarrow.types as pt
-        bad = [f.name for f in spark_t.schema
-               if pt.is_list(f.type) or pt.is_large_list(f.type)
-               or pt.is_struct(f.type) or pt.is_map(f.type)]
-        if bad:
-            results[name] = f"DRIVER-UNHASHABLE columns {bad}: serialize " \
-                "with array_join/to_json in the declared query + oracle"
-            continue
-        s_cols = spark_t.column_names
-        s_rows = [tuple(spark_t.column(c)[i].as_py() for c in s_cols)
-                  for i in range(spark_t.num_rows)]
-        try:
-            cur = con.execute(oracle[name])
-            o_cols = [d[0] for d in cur.description]
-            o_rows = cur.fetchall()
-        except Exception as e:
-            results[name] = f"ORACLE ERROR: {e}"
-            continue
-        sn, src, sh, s_norm = table_sig(s_cols, s_rows)
-        on, orc, oh, o_norm = table_sig(o_cols, o_rows)
-        if sn != on:
-            results[name] = f"SCHEMA spark={sn} oracle={on}"
-        elif src != orc:
-            results[name] = f"ROWS spark={src} oracle={orc}"
-        elif sh != oh:
-            diff = [f"  S:{a}\n  O:{b}" for a, b in zip(s_norm, o_norm) if a != b][:3]
-            results[name] = "HASH mismatch, first diffs:\n" + "\n".join(diff)
-        else:
-            results[name] = "OK"
+    for name in names:
+        t0 = time.time()
+        results[name] = check_one(con, oracle, out_dir, name)
+        mark = "PASS" if results[name] == "OK" else "FAIL"
+        print(f"{mark} {name}"
+              + ("" if results[name] == "OK" else f": {results[name]}"),
+              flush=True)
+        print(f"  [{name}: {time.time() - t0:.1f}s]", file=sys.stderr, flush=True)
     npass = sum(1 for v in results.values() if v == "OK")
-    for name, v in results.items():
-        mark = "PASS" if v == "OK" else "FAIL"
-        print(f"{mark} {name}" + ("" if v == "OK" else f": {v}"))
     print(f"\n{npass}/{len(results)} oracle-backed queries pass")
 
+
+def check_one(con, oracle, out_dir, name):
+    files = glob.glob(f"{out_dir}/{name}/*.parquet")
+    if not files:
+        return "MISSING spark output"
+    spark_t = pq.read_table(files[0])
+    # The driver's comparator is pandas-based and dies on list/struct
+    # columns (unhashable ndarray). Fail locally the same way so an
+    # array-typed declared output never ships looking green.
+    import pyarrow.types as pt
+    bad = [f.name for f in spark_t.schema
+           if pt.is_list(f.type) or pt.is_large_list(f.type)
+           or pt.is_struct(f.type) or pt.is_map(f.type)]
+    if bad:
+        return f"DRIVER-UNHASHABLE columns {bad}: serialize " \
+            "with array_join/to_json in the declared query + oracle"
+    s_cols = spark_t.column_names
+    s_rows = [tuple(spark_t.column(c)[i].as_py() for c in s_cols)
+              for i in range(spark_t.num_rows)]
+    try:
+        cur = con.execute(oracle[name])
+        o_cols = [d[0] for d in cur.description]
+        o_rows = cur.fetchall()
+    except Exception as e:
+        return f"ORACLE ERROR: {e}"
+    sn, src, sh, s_norm = table_sig(s_cols, s_rows)
+    on, orc, oh, o_norm = table_sig(o_cols, o_rows)
+    if sn != on:
+        return f"SCHEMA spark={sn} oracle={on}"
+    if src != orc:
+        return f"ROWS spark={src} oracle={orc}"
+    if sh != oh:
+        diff = [f"  S:{a}\n  O:{b}" for a, b in zip(s_norm, o_norm) if a != b][:3]
+        return "HASH mismatch, first diffs:\n" + "\n".join(diff)
+    return "OK"
+
+
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    args = sys.argv[1:]
+    kw = {}
+    pos = []
+    i = 0
+    while i < len(args):
+        if args[i] == "--shard":
+            kw["shard"] = args[i + 1]; i += 2
+        elif args[i] == "--skip":
+            kw["skip"] = set(args[i + 1].split(",")); i += 2
+        elif args[i] == "--only":
+            kw["only"] = set(args[i + 1].split(",")); i += 2
+        else:
+            pos.append(args[i]); i += 1
+    main(pos[0], pos[1], **kw)

@@ -11,7 +11,7 @@ queries = {}
 for line in sys.stdin:
     line = line.rstrip()
     if line.startswith("PASS "):
-        queries[line[5:]] = "pass"
+        queries[line[5:].split()[0].rstrip(":")] = "pass"
     elif line.startswith("FAIL "):
         name, _, msg = line[5:].partition(":")
         queries[name.strip()] = "FAIL: " + msg.strip()
@@ -21,13 +21,16 @@ out = {
         "sf_dir": "/root/testdata/sf0.1",
         "date": datetime.date.today().isoformat(),
         "method": ("graft.Verify at sf0.1 + tools/compare.py (local replica of "
-                   "the driver's DuckDB rows/schema/hash compare); the only "
-                   "queries without an oracleSql entry are x2p and x3 "
-                   "(minhash/simhash permutation hashes are engine-internal "
-                   "by design) - both covered by oracle-checked recall "
-                   "companions; x6/x10/y2/y3/y4/y5 carry full value oracles "
-                   "(md5-derived planes + deterministic grid-rounded k-means "
-                   "models, re-derived in SQL)"),
+                   "the driver's DuckDB rows/schema/hash compare); every "
+                   "declared query carries a full value oracle as of round 9 "
+                   "- x2p/x3 run the portable md5 hash family (md5-derived "
+                   "affine minhash lanes over the 2^61-1 field / 60-bit md5 "
+                   "simhash), x6/x10/y2/y3/y4/y5/y6 the md5-derived planes "
+                   "and deterministic grid-rounded k-means models, all "
+                   "re-derived end-to-end in SQL; x7/x12 (recursive-closure "
+                   "oracles, infeasible at sf0.1's 3728-doc near-clique) are "
+                   "checked by tools/cc_check.py - union-find + md5-coin "
+                   "replay over the oracle-verified x2 pair set"),
         "note": note,
     },
     "pass": npass,
