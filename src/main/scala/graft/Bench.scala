@@ -9,10 +9,15 @@ import org.apache.spark.sql.SparkSession
   * completes, the FULL cumulative state is re-printed as one JSON line —
   * so the last stdout line is always a complete, parseable record of
   * everything measured so far, no matter where a timeout lands. A
-  * wall-clock budget (`SPARK_GRAFT_BENCH_BUDGET_S`, default 1200) degrades
-  * the per-query passes 3 → 1 at 50% spent and stops timing new queries
-  * at 95% spent (reported in `skipped`), rather than overshooting the
-  * driver's deadline and forfeiting the artifact.
+  * wall-clock budget (`SPARK_GRAFT_BENCH_BUDGET_S`, default 1200) governs
+  * degradation: per-query passes drop 3 → 2 → 1 only when a pace
+  * estimate (observed per-pass cost × remaining queries, 1.25× margin)
+  * says the full 3-pass schedule would overshoot, and timing stops
+  * entirely at 95% spent (reported in `skipped`). The round-8 lesson: a
+  * fixed 50%-spent cliff degraded EVERY query to one cold pass on a
+  * throttled host even though the back half of the surface had budget to
+  * spare — pacing degrades the fewest queries, as late as possible,
+  * rather than wholesale.
   *
   * Tail-proofing: the cumulative line grows with the query count (~12 KB
   * at 141 queries) and a capture that keeps only the last ~2000 chars of
@@ -31,6 +36,34 @@ import org.apache.spark.sql.SparkSession
   * land-it-in-a-file posture as Verify's `oracle_sql.json`.
   */
 object Bench {
+  /** Pace-governed pass count for the next query. `est` is the observed
+    * mean wall cost of one timed pass including its settle (0.0 = no
+    * observations yet → full 3 passes); the 1.25× margin covers the heavy
+    * tail (ANN/cluster queries run ~4× the surface mean and sit late in
+    * declaration order); the 0.92 ceiling leaves the 95% hard stop as a
+    * backstop for a mis-estimate, not the primary control.
+    */
+  private[graft] def passesFor(est: Double, elapsedS: Double,
+      budgetS: Double, remainingQueries: Int): Int =
+    if (est <= 0.0) 3
+    else {
+      def fits(p: Int): Boolean =
+        elapsedS + est * 1.25 * remainingQueries * p <= budgetS * 0.92
+      if (fits(3)) 3 else if (fits(2)) 2 else 1
+    }
+
+  /** The reported statistic over a query's timed passes. n=3: middle value
+    * (discards the one cold/codegen outlier when warming was truncated).
+    * n=2 (pace-degraded): the MIN — `sorted.apply(1)` would pick the
+    * LARGER of the two, and on a budget-truncated host that larger value
+    * is the cold pass, exactly the outlier a median exists to discard.
+    * n=1: the value. Empty: -1 (failure sentinel, excluded from totals).
+    */
+  private[graft] def medianOf(times: Seq[Double]): Double =
+    if (times.isEmpty) -1.0
+    else if (times.size == 2) times.min
+    else times.sorted.apply(times.size / 2)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -88,10 +121,11 @@ object Bench {
     // long-running cluster never re-pays — the timed pass below measures
     // execution, which is what scales with data. Warm runs are untimed, so
     // they skip the GC settle (debris between warms lands in other warms);
-    // under a tight budget warming stops at 40% spent and the affected
-    // queries pay codegen in their first timed pass instead — degraded
-    // accuracy beats a forfeited artifact.
-    selected.takeWhile(_ => elapsed() < budgetS * 0.4)
+    // under a tight budget warming stops at 25% spent and the affected
+    // queries pay codegen in their first timed pass instead (median-of-3
+    // still discards that one cold outlier) — on a throttled host the
+    // budget is better spent on timed passes, which ARE the artifact.
+    selected.takeWhile(_ => elapsed() < budgetS * 0.25)
       .foreach { case (_, fn) =>
         try fn(spark, data).count() catch { case _: Throwable => () }
         spark.catalog.clearCache()
@@ -139,11 +173,22 @@ object Bench {
     }
     val names = selected.keys.toSeq
     var done = 0
-    names.foreach { name =>
+    // pace ledger: every timed pass's wall cost INCLUDING its settle —
+    // the quantity that actually drains the budget. The governor projects
+    // `mean × remaining-queries × passes` (1.25× margin for the heavy
+    // tail: ANN/cluster queries are ~4× the surface mean and sit late in
+    // declaration order) against 92% of budget and picks the largest pass
+    // count that fits; the 95% hard stop below still backstops a
+    // mis-estimate. First query has no estimate and gets 3 passes — at
+    // worst that's one over-budget query, not a wholesale degrade.
+    val passCosts = collection.mutable.ArrayBuffer[Double]()
+    names.zipWithIndex.foreach { case (name, qi) =>
       if (elapsed() >= budgetS * 0.95) ()
       else {
         val fn = SparkEntry.queries(name)
-        val passes = if (elapsed() < budgetS * 0.5) 3 else 1
+        val est =
+          if (passCosts.isEmpty) 0.0 else passCosts.sum / passCosts.size
+        val passes = passesFor(est, elapsed(), budgetS, names.size - qi)
         val times = (1 to passes).flatMap { _ =>
           val t0 = System.nanoTime()
           val ok =
@@ -156,10 +201,10 @@ object Bench {
           // unions); drop them so every pass is measured cold and doesn't
           // pressure the next query
           settle()
+          passCosts += (System.nanoTime() - t0) / 1e9
           if (ok) Some(dt) else None
         }
-        val median =
-          if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2)
+        val median = medianOf(times)
         // relative spread (max-min)/median: ≤0.1 means the median is solid;
         // larger means re-run before treating a delta as a regression
         val spread =
