@@ -37,6 +37,16 @@ object Prof {
       spark.stop()
       return
     }
+    // Build-vs-search breakdown for the IVF-PQ serving pair. This split is
+    // how the round-9 fusion bug was isolated: build-and-count was 0.1 s
+    // while the composed search was 12 s, because `count()` PRUNES non-key
+    // projections — the O(ksub·d) pq_encode only ran when a consumer
+    // actually read `codes`, and whole-stage codegen had inlined it into
+    // the probe join's output loop (once per CANDIDATE row; jstack showed
+    // PqEncode.encode under hashAgg). Kept as the regression probe for the
+    // by-cell exchange barrier now inside buildIvfPqIndex: `search` should
+    // stay within ~2x of `build+sum-codes`, and a return to ~10x means a
+    // rewrite re-fused the encode past the barrier.
     if (args.headOption.contains("y6parts")) {
       import org.apache.spark.sql.functions._
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -47,72 +57,13 @@ object Prof {
       val pq = ext.Similarity.trainPqDeterministic(snapshot, "vec_id",
         "embedding", m = 16, ksub = 256, iterations = 1, roundDigits = 6,
         dims = 64)
-      (1 to 2).foreach { i =>
-        time(s"build+count #$i") {
-          ext.Similarity.buildIvfPqIndex(snapshot, "vec_id", "embedding",
-            coarse, pq).count()
-        }
+      (1 to 3).foreach { i =>
         val index = ext.Similarity.buildIvfPqIndex(snapshot, "vec_id",
           "embedding", coarse, pq)
-        val coded = index.select(col("id").as("neighbor_id"), col("cell"),
-          col("codes"), col("cn"))
-        val probes = batch.select(
-          col("vec_id").as("query_id"),
-          explode(graft.functions.CellFunctions.nearest_cells(
-            col("embedding"), coarse.map(_.toSeq), 12)).as("cell"),
-          col("embedding").as("qv"),
-          graft.functions.VectorFunctions.vector_norm(col("embedding")).as("qn"))
-        time(s"probes #$i")(probes.count())
-        val joined = probes.join(coded, Seq("cell"))
-          .filter(col("query_id") =!= col("neighbor_id"))
-        time(s"joined #$i")(joined.count())
-        val scored = joined.select(col("query_id"), col("neighbor_id"),
-          try_divide(graft.functions.PqFunctions.pq_adc_dot(
-            col("qv"), col("codes"), pq), col("qn") * col("cn")).as("cosine"))
-        time(s"scored #$i")(scored.count())
-        val top = scored.groupBy("query_id")
-          .agg(graft.functions.TopKFunctions.top_k_pairs(
-            struct(col("cosine"), col("neighbor_id")), 80, dedupIds = true)
-            .as("_top"))
-        time(s"topk80 #$i")(top.count())
-        val cand = top.select(col("query_id"), posexplode(col("_top")))
-          .select(col("query_id"), col("col.id").as("neighbor_id"))
-        time(s"cand #$i")(cand.count())
-        val qv2 = batch.select(col("vec_id").as("query_id"),
-          col("embedding").as("qv"),
-          graft.functions.VectorFunctions.vector_norm(col("embedding")).as("qn"))
-        val cv2 = snapshot.select(col("vec_id").as("neighbor_id"),
-          col("embedding").as("cv"),
-          graft.functions.VectorFunctions.vector_norm(col("embedding")).as("cn"))
-        val rescored = cand.join(qv2, Seq("query_id"))
-          .join(cv2, Seq("neighbor_id"))
-          .select(col("query_id"), col("neighbor_id"),
-            (graft.functions.VectorFunctions.vector_dot(col("qv"), col("cv"))
-              / (col("qn") * col("cn"))).as("cosine"))
-        time(s"rescored #$i")(rescored.count())
-        time(s"cosine-sum #$i")(scored.agg(sum("cosine")).collect()(0))
-        val adcOnly = joined.select(
-          graft.functions.PqFunctions.pq_adc_dot(
-            col("qv"), col("codes"), pq).as("adc"))
-        time(s"adc-sum #$i")(adcOnly.agg(sum("adc")).collect()(0))
-        val divOnly = joined.select(
-          (graft.functions.PqFunctions.pq_adc_dot(
-            col("qv"), col("codes"), pq) / (col("qn") * col("cn"))).as("c2"))
-        time(s"plaindiv-sum #$i")(divOnly.agg(sum("c2")).collect()(0))
-        if (i == 1) scored.agg(sum("cosine")).explain("formatted")
-        val aggOnly = joined.select(col("query_id"),
-            struct(rand().as("score"), col("neighbor_id").as("id")).as("p"))
-          .groupBy("query_id")
-          .agg(graft.functions.TopKFunctions.top_k_pairs(col("p"), 80,
-            dedupIds = true).as("_top"))
-          .select(col("query_id"), posexplode(col("_top")))
-        time(s"agg-only #$i")(aggOnly.count())
-        val fin = rescored.groupBy("query_id")
-          .agg(graft.functions.TopKFunctions.top_k_pairs(
-            struct(col("cosine"), col("neighbor_id")), 5, dedupIds = true)
-            .as("_top"))
-          .select(col("query_id"), posexplode(col("_top")))
-        time(s"final #$i")(fin.count())
+        // sum over the codes forces the encode (count() would prune it)
+        time(s"build+sum-codes #$i") {
+          index.agg(sum(element_at(col("codes"), 1))).collect()(0)
+        }
         time(s"search #$i") {
           ext.Similarity.searchIvfPqIndex(batch, index,
             snapshot, "vec_id", "embedding", k = 5, coarse = coarse,
