@@ -1,0 +1,115 @@
+#!/usr/bin/env python3
+"""Assemble SCALING.md from three full-surface bench records.
+
+Usage: python3 tools/scaling.py <bench_sf0.001.json> <bench_sf0.01.json> \
+           <bench_sf0.1.json>
+
+Every query's 3-pass median at each scale, plus the step ratios. The
+interesting signal is the LAST step (sf0.01 -> sf0.1): at the small end
+fixed per-job overhead (scheduling, codegen'd stage dispatch, shuffle
+setup) dominates and ratios sit near 1 regardless of the operator's true
+complexity. A query is flagged when its last-step ratio exceeds its input
+family's data-growth factor by more than 1.5x — the threshold where
+"grew faster than its data" stops being host noise.
+"""
+import sys, json, re
+
+# data growth per family at the 0.01 -> 0.1 step (driver testdata):
+# TPC-H tables and events grow 10x; documents 10x; embeddings 4x;
+# region/nation are fixed dimensions.
+FAMILY_GROWTH = [
+    (re.compile(r"^(y\d|q8[6-9]|x10|x[468])"), 4.0, "embeddings (4x)"),
+    (re.compile(r"^(x\d|t\d+|m\d+|q9[12]|q6[567]|q5[1269]|q48|q49|q36|"
+                r"q37|q38|q39|q40|q7[58]|q8[1234]|q6[014])"), 10.0,
+     "documents/events (10x)"),
+    (re.compile(r"."), 10.0, "relational (10x)"),
+]
+
+
+def growth(name):
+    for rx, g, label in FAMILY_GROWTH:
+        if rx.match(name):
+            return g, label
+    raise AssertionError
+
+
+def main(p001, p01, p1):
+    b = [json.load(open(p)) for p in (p001, p01, p1)]
+    qs = [d["queries"] for d in b]
+    names = sorted(qs[2], key=lambda n: -qs[2][n])
+    rows = []
+    flagged = []
+    for n in names:
+        t0, t1, t2 = (q.get(n, -1.0) for q in qs)
+        r1 = t1 / t0 if t0 > 0 else float("nan")
+        r2 = t2 / t1 if t1 > 0 else float("nan")
+        g, glabel = growth(n)
+        flag = ""
+        if r2 > 1.5 * g:
+            flag = "FLAG"
+            flagged.append((n, r2, g, glabel))
+        rows.append((n, t0, t1, t2, r1, r2, flag))
+
+    def fmt(v):
+        return f"{v:.3f}" if v == v else "-"
+
+    out = ["# Scaling curves (full 148-query surface, local[32])", ""]
+    out.append(
+        "Measured 3-pass medians from `graft.Bench` at the three driver "
+        "scales. The\nlast-step ratio t(sf0.1)/t(sf0.01) is the signal; "
+        "the first step mostly\nmeasures fixed per-job overhead (sub-"
+        "second queries change little between\n6k and 60k lineitem rows "
+        "because scheduling+dispatch, not data, bounds them).\nA query "
+        "is flagged when the last step exceeds 1.5x its input family's\n"
+        "data growth (10x for relational/documents/events, 4x for "
+        "embeddings).")
+    out.append("")
+    out.append(f"Totals: sf0.001 {b[0]['value']:.1f}s | sf0.01 "
+               f"{b[1]['value']:.1f}s | sf0.1 {b[2]['value']:.1f}s "
+               f"(baseline record 89.8s at sf0.1).")
+    out.append("")
+    out.append("| query | t(0.001) | t(0.01) | t(0.1) | x0.001->0.01 | "
+               "x0.01->0.1 | family growth | flag |")
+    out.append("|---|---|---|---|---|---|---|---|")
+    for n, t0, t1, t2, r1, r2, flag in rows:
+        g, glabel = growth(n)
+        out.append(f"| {n} | {fmt(t0)} | {fmt(t1)} | {fmt(t2)} | "
+                   f"{fmt(r1)} | {fmt(r2)} | {glabel} | {flag} |")
+    out.append("")
+    if flagged:
+        out.append("## Flagged super-linear steps")
+        out.append("")
+        for n, r2, g, glabel in flagged:
+            out.append(f"- `{n}`: last step {r2:.1f}x vs {glabel}")
+    else:
+        out.append("## No super-linear steps flagged")
+    out.append("")
+    out.append("""## Reading the heavy tail
+
+- `x11_containment` / `x9_dedup_incremental` (~4.8x on 10x documents):
+  sub-linear — prefix-filter probes and the persisted minhash index keep
+  candidate growth below corpus growth; the fixed cost floor (~0.8-1.2s
+  at sf0.001, pure scheduling) still hides part of the data term.
+- `x7_dup_clusters` / `x12_leakage_safe_split` (~2-2.5x): dominated by
+  the O(log^2 n) star-contraction ROUNDS, whose count barely moves at
+  10x rows — the per-round work is the part that scales, and it's small.
+- `y3_knn_ivf` at 5.9x vs 4x vectors is the one ratio above its data
+  growth (below the flag bar): with nlist fixed at 16, cells hold 4x the
+  vectors, so probe candidate lists grow ~4x AND per-query rescans grow
+  with them. The production knob is nlist ~ sqrt(corpus) (documented in
+  Similarity): at a real snapshot size the cell population, not the cell
+  COUNT, stays constant. Same story applies to y2's band buckets.
+- The m-family (~4.4-4.9x on 10x blobs) is decode-bound mapPartitions;
+  sub-linear because sf0.1's larger row groups amortize batch setup.
+
+Totals context: sf0.001 and sf0.01 are within noise of each other -
+at these scales the surface is overhead-bound, which is exactly why the
+last step is the only ratio this artifact reads.""")
+    out.append("")
+    with open("SCALING.md", "w") as f:
+        f.write("\n".join(out) + "\n")
+    print(f"wrote SCALING.md: {len(rows)} queries, {len(flagged)} flagged")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:4])
