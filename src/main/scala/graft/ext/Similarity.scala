@@ -373,6 +373,15 @@ object Similarity {
     * points are trivial there); assignment and search are pure codegen'd
     * expressions + one equi-join on cell id. At 100 TB only the sample
     * collect touches the driver; everything else distributes.
+    *
+    * Sizing `nlist`: per-query candidate work is `nprobe × (corpus /
+    * nlist)`, so a FIXED nlist makes search grow linearly with the
+    * corpus — the cell POPULATION is what must stay constant, not the
+    * cell count. The standard rule (Jégou et al., and what the measured
+    * sf0.01→sf0.1 curve shows as y3's above-data-growth step) is
+    * nlist ≈ √corpus, which keeps both the per-cell scan and the
+    * centroid-ranking term at O(√n) per query. The tiny defaults here
+    * fit the driver testdata; at snapshot scale pass nlist explicitly.
     */
   def topKIvf(
       df: DataFrame,
@@ -873,6 +882,10 @@ object Similarity {
     * query batch from the three files via [[searchIvfPqIndex]] — the
     * production shape: the corpus is scanned (and PQ-encoded) once per
     * snapshot, not once per query batch.
+    */
+  /** Size the coarse codebook by the √corpus rule (see [[topKIvf]]):
+    * serving cost per query is nprobe × corpus / nlist, so the index's
+    * nlist must grow with the snapshot for search to stay sub-linear.
     */
   def buildIvfPqIndex(
       corpus: DataFrame,
