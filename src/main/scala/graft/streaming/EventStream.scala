@@ -537,6 +537,52 @@ object EventStream {
         ()
       }
 
+  /** Streaming ANN serving: each micro-batch of query vectors is searched
+    * against a STATIC, prebuilt IVF-PQ index —
+    * [[graft.ext.Similarity.searchIvfPqIndex]]'s serving split (y6)
+    * lifted to Structured Streaming, which is the actual deployment shape
+    * of an embedding index: the snapshot index is built once
+    * ([[graft.ext.Similarity.buildIvfPqIndex]], parquet in production)
+    * and new vectors arrive continuously.
+    *
+    * Per-batch top-k needs no cross-batch state: a query id occurs within
+    * exactly one micro-batch, so ranking is complete where it happens —
+    * foreachBatch runs the identical batch search plan per trigger (one
+    * definition, two execution modes, same posture as the rest of this
+    * module). Cost per trigger: the batch ships probe rows against the
+    * by-cell index; corpus float vectors are touched only by the
+    * id-list-sized rescore.
+    *
+    * Delivery: results append as parquet under `outPath`. Scoring is
+    * deterministic (total order: score desc, id asc), so an at-least-once
+    * replay rewrites byte-identical rows; a downstream reader that must
+    * be exactly-once dedups on (query_id, rank), the same fencing stance
+    * as [[summarySink]] without needing its applied-id protocol.
+    */
+  def annServeSink(
+      queries: DataFrame,
+      index: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      coarse: Seq[Array[Float]],
+      pq: Seq[Seq[Seq[Float]]],
+      nprobe: Int,
+      rescoreFactor: Int,
+      outPath: String,
+      checkpoint: String): DataStreamWriter[Row] =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ext.Similarity.searchIvfPqIndex(
+          batch, index, corpus, idCol, vecCol, k, coarse, pq,
+          nprobe, rescoreFactor)
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+
   /** Streaming materialized summary view: fold each micro-batch into a
     * parquet-backed [[graft.pipeline.IncrementalAgg]] summary table — the
     * streaming twin of incremental aggregate maintenance (q47). Each

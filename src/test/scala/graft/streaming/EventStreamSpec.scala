@@ -472,4 +472,54 @@ class EventStreamSpec extends SparkSpec {
       w2.foreach(r => assert(!r._5.isNaN && !r._5.isInfinite))
     } finally q.stop()
   }
+
+  test("annServeSink: streamed batches reproduce the batch index search") {
+    import graft.ext.{Clustering, Similarity}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // deterministic toy corpus: 40 vectors of 8 dims
+    val rng = new scala.util.Random(graft.Check.PinnedSeed)
+    def vec(): Seq[Float] = Seq.fill(8)((rng.nextDouble() * 2 - 1).toFloat)
+    val corpus = (0L until 40L).map(i => (i, vec())).toDF("vec_id", "embedding")
+    val queriesAll = (100L until 110L).map(i => (i, vec()))
+
+    // train once on the snapshot, build the static index once — the
+    // models and index never see the stream
+    val coarse = Clustering.kmeans(
+      corpus, "vec_id", "embedding", k = 4, iterations = 1,
+      roundDigits = 6).centroids
+    val pq = Similarity.trainPqDeterministic(
+      corpus, "vec_id", "embedding", m = 4, ksub = 8, iterations = 1,
+      roundDigits = 6, dims = 8)
+    val index = Similarity.buildIvfPqIndex(
+      corpus, "vec_id", "embedding", coarse, pq)
+
+    val expected = Similarity.searchIvfPqIndex(
+      queriesAll.toDF("vec_id", "embedding"), index, corpus,
+      "vec_id", "embedding", k = 3, coarse = coarse, pq = pq,
+      nprobe = 2, rescoreFactor = 2)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(expected.nonEmpty)
+
+    val outDir = Files.createTempDirectory("ann-serve-out").toString
+    val ckpt = Files.createTempDirectory("ann-serve-ckpt").toString
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = EventStream.annServeSink(
+      input.toDF().toDF("vec_id", "embedding"), index, corpus,
+      "vec_id", "embedding", k = 3, coarse = coarse, pq = pq,
+      nprobe = 2, rescoreFactor = 2, outPath = outDir, checkpoint = ckpt)
+      .start()
+    try {
+      input.addData(queriesAll.take(5): _*)
+      q.processAllAvailable()
+      input.addData(queriesAll.drop(5): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.read.parquet(outDir)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    got shouldBe expected
+  }
 }
