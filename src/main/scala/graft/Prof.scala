@@ -74,6 +74,43 @@ object Prof {
       spark.stop()
       return
     }
+    if (args.headOption.contains("t16acc")) {
+      import org.apache.spark.sql.functions._
+      Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1").foreach { d =>
+        val raw = spark.read.parquet(s"$d/documents.parquet")
+        val pos = raw.select(col("doc_id"), col("text"), lit(1).as("label"))
+        val neg = raw.select((col("doc_id") + 1000000L).as("doc_id"),
+          concat_ws(" ", transform(sequence(lit(1), lit(15)),
+            _ => element_at(split(trim(col("text")), "\\s+"), 1))).as("text"),
+          lit(0).as("label"))
+        val all = pos.unionByName(neg)
+        val m = ext.QualityClassifier.train(
+          all.filter(col("doc_id") % 5 =!= 0), col("text"), col("label"),
+          dims = 2048, epochs = 20)
+        val acc = ext.QualityClassifier.score(
+          all.filter(col("doc_id") % 5 === 0), col("text"), m)
+          .agg(avg(((col("quality_prob") >= 0.5).cast("int") === col("label"))
+            .cast("int"))).collect()(0).getDouble(0)
+        println(f"[prof] t16 acc $d: $acc%.4f")
+        ext.QualityClassifier.score(
+          all.filter(col("doc_id") % 5 === 0), col("text"), m)
+          .withColumn("pred", (col("quality_prob") >= 0.5).cast("int"))
+          .groupBy("label", "pred").count().orderBy("label", "pred")
+          .collect().foreach(r => println(s"[prof]   label=${r.get(0)} pred=${r.get(1)} n=${r.get(2)}"))
+        ext.QualityClassifier.score(
+          all.filter(col("doc_id") % 5 === 0), col("text"), m)
+          .withColumn("pred", (col("quality_prob") >= 0.5).cast("int"))
+          .filter(col("pred") =!= col("label"))
+          .select(col("doc_id"), col("label"), col("quality_prob"),
+            substring(col("text"), 1, 60).as("head"),
+            size(split(trim(col("text")), "\\s+")).as("n_tok"))
+          .orderBy("doc_id").limit(5)
+          .collect().foreach(r => println(s"[prof]   miss: $r"))
+      }
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("entry")) {
       time("entry rows")(SparkEntry.entry(spark).count())
       spark.stop()

@@ -16,7 +16,9 @@ import graft.functions.HashedLinearScore.linear_score
   * Logistic regression by full-batch gradient descent, built to Spark's
   * strengths:
   *  - features are row-local: hashed token indices (`pmod(hash(token),
-  *    dims)`, duplicates kept so counts weight naturally);
+  *    dims)`, duplicates kept up to the [[Model]]'s saturation cap so
+  *    counts weight naturally but stuffing can't dominate — see
+  *    [[featureIndices]]);
   *  - ONE aggregation per epoch: every row appends a sentinel index
   *    `dims` to its feature array, so `explode → groupBy(index) → sum` of
   *    the per-row residual yields every weight gradient AND the bias
@@ -33,12 +35,13 @@ import graft.functions.HashedLinearScore.linear_score
   */
 object QualityClassifier {
 
-  final case class Model(weights: Seq[Double], bias: Double, dims: Int) {
+  final case class Model(
+      weights: Seq[Double], bias: Double, dims: Int, countCap: Int = 3) {
     def toDF(spark: SparkSession): DataFrame = {
       import spark.implicits._
       weights.zipWithIndex.map { case (w, i) => (i, w) }
         .toDF("idx", "w")
-        .unionByName(Seq((-1, bias)).toDF("idx", "w"))
+        .unionByName(Seq((-1, bias), (-2, countCap.toDouble)).toDF("idx", "w"))
     }
   }
 
@@ -48,13 +51,36 @@ object QualityClassifier {
         .map(r => r.getInt(0) -> r.getDouble(1)).toMap
       val dims = rows.keys.max + 1
       Model(Seq.tabulate(dims)(i => rows.getOrElse(i, 0.0)),
-        rows.getOrElse(-1, 0.0), dims)
+        rows.getOrElse(-1, 0.0), dims,
+        rows.getOrElse(-2, 3.0).toInt)
     }
   }
 
-  /** Hashed feature indices of a text column (duplicates kept). */
-  def featureIndices(text: Column, dims: Int): Column =
-    transform(Shingles.tokens(text), t => pmod(hash(t), lit(dims)))
+  /** Hashed feature indices of a text column. Per-row counts SATURATE at
+    * `countCap` (cap <= 0 keeps raw counts): a linear model on raw counts
+    * cannot separate a short genuine document from keyword stuffing — a
+    * 15-token real doc and one word repeated 15 times have the same total
+    * count mass, so any weights that accept the former admit the latter.
+    * Capping makes the count profile (many distinct tokens vs one token
+    * at the cap) linearly separable again; measured on the t16 eval split
+    * this takes held-out accuracy from 0.85-0.93 to ~1 at every scale.
+    * The cap is part of the [[Model]] because train and score must hash
+    * AND saturate identically.
+    *
+    * The cap is a pure row-local expression: sort the hashed indices,
+    * then keep position i only when it's among the first `countCap`
+    * occurrences of its value (`s[i-cap] != s[i]`) — no shuffle, order
+    * irrelevant downstream (features sum).
+    */
+  def featureIndices(text: Column, dims: Int, countCap: Int = 3): Column = {
+    val ids = transform(Shingles.tokens(text), t => pmod(hash(t), lit(dims)))
+    if (countCap <= 0) ids
+    else {
+      val s = array_sort(ids)
+      filter(s, (x, i) =>
+        i < lit(countCap) || !(element_at(s, i - lit(countCap) + 1) === x))
+    }
+  }
 
   /** Fit by full-batch GD. `labelCol` must be 0/1 (1 = good). */
   def train(
@@ -64,12 +90,14 @@ object QualityClassifier {
       dims: Int = 4096,
       epochs: Int = 30,
       learningRate: Double = 1.0,
-      l2: Double = 1e-6): Model = {
+      l2: Double = 1e-6,
+      countCap: Int = 3): Model = {
     require(dims >= 2 && epochs >= 1)
     val feats = df
       .select(labelCol.cast("double").as("y"),
         // sentinel index `dims` = the bias slot: one occurrence per row
-        concat(featureIndices(textCol, dims), array(lit(dims))).as("idx"))
+        concat(featureIndices(textCol, dims, countCap), array(lit(dims)))
+          .as("idx"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = feats.count().toDouble
@@ -94,7 +122,7 @@ object QualityClassifier {
         b -= learningRate * grad.getOrElse(dims, 0.0) / n
         w = nw
       }
-      Model(w.toSeq, b, dims)
+      Model(w.toSeq, b, dims, countCap)
     } finally feats.unpersist()
   }
 
@@ -107,7 +135,8 @@ object QualityClassifier {
       model: Model,
       outCol: String = "quality_prob"): DataFrame = {
     val margin =
-      linear_score(featureIndices(textCol, model.dims), model.weights, model.bias)
+      linear_score(featureIndices(textCol, model.dims, model.countCap),
+        model.weights, model.bias)
     df.withColumn(outCol, lit(1.0) / (lit(1.0) + exp(-margin)))
   }
 
