@@ -67,19 +67,14 @@ object QualityClassifier {
     * The cap is part of the [[Model]] because train and score must hash
     * AND saturate identically.
     *
-    * The cap is a pure row-local expression: sort the hashed indices,
-    * then keep position i only when it's among the first `countCap`
-    * occurrences of its value (`s[i-cap] != s[i]`) — no shuffle, order
-    * irrelevant downstream (features sum).
+    * The cap is one row-local native kernel
+    * ([[graft.functions.CapOccurrences]]) — no shuffle, order irrelevant
+    * downstream (features sum).
     */
   def featureIndices(text: Column, dims: Int, countCap: Int = 3): Column = {
     val ids = transform(Shingles.tokens(text), t => pmod(hash(t), lit(dims)))
     if (countCap <= 0) ids
-    else {
-      val s = array_sort(ids)
-      filter(s, (x, i) =>
-        i < lit(countCap) || !(element_at(s, i - lit(countCap) + 1) === x))
-    }
+    else graft.functions.CapOccurrences.cap_occurrences(ids, countCap)
   }
 
   /** Fit by full-batch GD. `labelCol` must be 0/1 (1 = good). */
