@@ -919,6 +919,30 @@ object Similarity {
       .repartition(col("cell"))
   }
 
+  /** Incremental index maintenance — x9's daily-crawl convention lifted
+    * to ANN: fold a batch of NEW vectors into an existing
+    * [[buildIvfPqIndex]] snapshot WITHOUT touching the indexed corpus
+    * (only the delta is scanned and PQ-encoded; the existing index rows
+    * pass through untouched). The models stay FIXED — that is what makes
+    * append(index, delta) exactly equal to a full rebuild over
+    * corpus ∪ delta under the same models (deterministic encode), so
+    * served results never depend on arrival batching. The flip side is
+    * model staleness: the coarse/PQ codebooks describe the distribution
+    * they were trained on, so recall degrades as appended data drifts —
+    * retrain on the usual snapshot cadence (and re-size nlist by the
+    * √corpus rule) rather than appending forever. Caller guards id
+    * uniqueness across batches, same as [[minhashIndex]]'s contract.
+    */
+  def appendToIvfPqIndex(
+      index: DataFrame,
+      delta: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarse: Seq[Array[Float]],
+      pq: Seq[Seq[Seq[Float]]]): DataFrame =
+    index.unionByName(
+      buildIvfPqIndex(delta, idCol, vecCol, coarse, pq))
+
   /** Retrieval against a PREBUILT [[buildIvfPqIndex]] frame — the serving
     * half: a NEW query batch probes `nprobe` cells, candidates are ADC-
     * scored from the index's codes alone, and only each query's top

@@ -342,6 +342,38 @@ class SimilaritySpec extends SparkSpec {
     p should not include "pqencode"
   }
 
+  test("appendToIvfPqIndex: fold of a delta equals a full rebuild, and " +
+      "serving from the appended index matches the rebuilt one") {
+    import spark.implicits._
+    val coarse = Similarity.trainCentroids(
+      vectors, "vec_id", "embedding", nlist = 2, iterations = 5,
+      sampleSize = 1024, seed = 42L)
+    val pq = Similarity.trainPq(
+      vectors, "vec_id", "embedding", m = 2, ksub = 4,
+      iterations = 3, sampleSize = 1024, seed = 7L)
+    val old = vectors.filter(col("vec_id") % 3 =!= 0)
+    val delta = vectors.filter(col("vec_id") % 3 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"), col("cell"), col("codes"), col("cn"))
+      .as[(Long, Int, Seq[Int], Double)].collect().toSet
+    val appended = Similarity.appendToIvfPqIndex(
+      Similarity.buildIvfPqIndex(old, "vec_id", "embedding", coarse, pq),
+      delta, "vec_id", "embedding", coarse, pq)
+    // fixed models make the fold arrival-order-free: the appended index
+    // IS the full rebuild, row for row
+    rows(appended) shouldBe rows(
+      Similarity.buildIvfPqIndex(vectors, "vec_id", "embedding", coarse, pq))
+    // and a query batch served from it cannot tell the difference
+    def serve(idx: org.apache.spark.sql.DataFrame) = Similarity
+      .searchIvfPqIndex(vectors.limit(6), idx, vectors, "vec_id",
+        "embedding", k = 3, coarse = coarse, pq = pq, nprobe = 2,
+        rescoreFactor = 3)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    serve(appended) shouldBe serve(Similarity.buildIvfPqIndex(
+      vectors, "vec_id", "embedding", coarse, pq))
+  }
+
   test("md5Planes is the documented portable derivation and is stable") {
     // value-pinned: first component of band 0/plane 0 under salt "t" is
     // md5('hp|t|0|0|0') = 0x... -> first 8 hex chars as unsigned int u,
