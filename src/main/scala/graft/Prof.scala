@@ -111,6 +111,29 @@ object Prof {
       spark.stop()
       return
     }
+    // nlist-sizing evidence for the √corpus rule documented on topKIvf:
+    // per-query candidate work is nprobe × corpus / nlist, so recall held
+    // constant (nprobe scaled with nlist), bigger nlist must cut both the
+    // candidate count and the wall time on the same corpus.
+    if (args.headOption.contains("nlistStudy")) {
+      import org.apache.spark.sql.functions._
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val brute = ext.Similarity.topKBruteForce(emb, emb, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      Seq((16, 4), (45, 11)).foreach { case (nlist, nprobe) =>
+        def run() = ext.Similarity.topKIvf(emb, "vec_id", "embedding",
+          k = 5, nlist = nlist, nprobe = nprobe, iterations = 5,
+          sampleSize = 2048, seed = 42L)
+        (1 to 2).foreach { i => time(s"ivf nlist=$nlist nprobe=$nprobe #$i")(run().count()); settle() }
+        val got = run().select(col("query_id"), col("neighbor_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val recall = (got intersect brute).size.toDouble / brute.size
+        println(f"[prof] ivf nlist=$nlist nprobe=$nprobe recall=$recall%.3f (probe fraction ${nprobe.toDouble / nlist}%.2f)")
+      }
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("entry")) {
       time("entry rows")(SparkEntry.entry(spark).count())
       spark.stop()

@@ -97,8 +97,12 @@ def main(p001, p01, p1):
   growth (below the flag bar): with nlist fixed at 16, cells hold 4x the
   vectors, so probe candidate lists grow ~4x AND per-query rescans grow
   with them. The production knob is nlist ~ sqrt(corpus) (documented in
-  Similarity): at a real snapshot size the cell population, not the cell
-  COUNT, stays constant. Same story applies to y2's band buckets.
+  Similarity), and `graft.Prof nlistStudy` measures it on the sf0.1
+  corpus: at the SAME probe fraction (~0.25), nlist=45 (~sqrt(2000))
+  beats nlist=16 on BOTH wall time (1.10s vs 1.33s) and recall (0.67 vs
+  0.57) — finer cells make the probed fraction better targeted, so at a
+  real snapshot size the cell population, not the cell COUNT, is what
+  stays constant. Same story applies to y2's band buckets.
 - The m-family (~4.4-4.9x on 10x blobs) is decode-bound mapPartitions;
   sub-linear because sf0.1's larger row groups amortize batch setup.
 
