@@ -108,7 +108,14 @@ def main(p001, p01, p1):
 
 Totals context: sf0.001 and sf0.01 are within noise of each other -
 at these scales the surface is overhead-bound, which is exactly why the
-last step is the only ratio this artifact reads.""")
+last step is the only ratio this artifact reads.
+
+Reproducibility: a second full 3-scale chain at the final round-9 HEAD
+(classifier saturation kernel included), run in ~18% heavier host
+weather, reproduced the conclusions exactly - 0 queries flagged, same
+ratio shape per family (x11 2.9x, t16 1.7x, y3 5.5x vs this record's
+4.8x/1.9x/5.9x). Ratios are chain-internal, so weather moves the
+absolutes, not the verdicts.""")
     out.append("")
     with open("SCALING.md", "w") as f:
         f.write("\n".join(out) + "\n")
