@@ -52,17 +52,44 @@ object Bench {
       if (fits(3)) 3 else if (fits(2)) 2 else 1
     }
 
-  /** The reported statistic over a query's timed passes. n=3: middle value
-    * (discards the one cold/codegen outlier when warming was truncated).
-    * n=2 (pace-degraded): the MIN — `sorted.apply(1)` would pick the
-    * LARGER of the two, and on a budget-truncated host that larger value
-    * is the cold pass, exactly the outlier a median exists to discard.
-    * n=1: the value. Empty: -1 (failure sentinel, excluded from totals).
+  /** The reported statistic over a query's timed passes. 3 survivors:
+    * middle value (discards the one cold/codegen outlier when warming was
+    * truncated). 2 survivors BECAUSE THE GOVERNOR REQUESTED 2
+    * (pace-degraded): the MIN — `sorted.apply(1)` would pick the LARGER
+    * of the two, and on a budget-truncated host that larger value is the
+    * cold pass, exactly the outlier a median exists to discard. 2
+    * survivors of 3 REQUESTED (one pass errored): both survivors are
+    * equally warm, so the min rule would just bias low — keep the order
+    * statistic. n=1: the value. Empty: -1 (failure sentinel, excluded
+    * from totals).
     */
-  private[graft] def medianOf(times: Seq[Double]): Double =
+  private[graft] def medianOf(times: Seq[Double], requested: Int): Double =
     if (times.isEmpty) -1.0
-    else if (times.size == 2) times.min
+    else if (times.size == 2 && requested == 2) times.min
     else times.sorted.apply(times.size / 2)
+
+  /** Weather canary: one timed pass of a fixed in-memory workload (1e7-row
+    * codegen'd agg + one tiny distinct shuffle, zero I/O) whose cost is a
+    * property of the HOST, not the repo. Timed at bench start / middle /
+    * end and recorded as `"canary":[s,s,s]` in the JSON, it makes the
+    * record self-interpreting: rounds 8 and 9 each produced a driver
+    * record that looked like a 1.7-2.3× regression and needed a judge
+    * re-run on a quiet host to refute — with three canary readings any
+    * reader rescales by `canary_observed / canary_quiet` instead
+    * (`tools/normalize_bench.py`; quiet-host reference in README). Each
+    * reading is preceded by one untimed pass so all three measure warm
+    * execution under the same protocol.
+    */
+  private[graft] def canaryPass(spark: SparkSession): Double = {
+    def run(): Unit = spark.range(0L, 10000000L, 1L, 32)
+      .selectExpr("sum(id % 97) as a", "avg((id * 31) % 101) as b",
+        "count(distinct id % 1024) as c")
+      .collect()
+    run() // warm (codegen/JIT) — untimed
+    val t0 = System.nanoTime()
+    run()
+    (System.nanoTime() - t0) / 1e9
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -140,6 +167,13 @@ object Bench {
     // never make the bench look faster.
     val declared = selected.size
     val results = collection.mutable.LinkedHashMap[String, (Boolean, Double, Double, Int)]()
+    // start / middle / end host-weather readings (-1 = not yet taken), so
+    // every cumulative emit parses even if a timeout lands mid-run
+    val canary = Array(-1.0, -1.0, -1.0)
+    def readCanary(slot: Int): Unit = {
+      canary(slot) = math.rint(canaryPass(spark) * 1000) / 1000
+      settle()
+    }
     def emit(skipped: Int): Unit = {
       def jmap(f: ((Boolean, Double, Double, Int)) => Double) = results
         .map { case (k, v @ (ok, _, _, _)) =>
@@ -154,7 +188,8 @@ object Bench {
       val failed = results.count { case (_, (ok, _, _, _)) => !ok }
       val total = results.collect { case (_, (true, v, _, _)) => v }.sum
       val t = math.rint(total * 1000) / 1000
-      val full = s"""{"metric":"total","value":$t,"unit":"sec","queries":$qs,"spread":$spreads,"passes":$passes,"failed":$failed,"completed":${results.size},"declared":$declared,"skipped":$skipped,"elapsed_s":${math.rint(elapsed())},"sf":"$sfDir"}"""
+      val cj = canary.mkString("[", ",", "]")
+      val full = s"""{"metric":"total","value":$t,"unit":"sec","queries":$qs,"spread":$spreads,"passes":$passes,"canary":$cj,"failed":$failed,"completed":${results.size},"declared":$declared,"skipped":$skipped,"elapsed_s":${math.rint(elapsed())},"sf":"$sfDir"}"""
       println(full)
       // compact totals-only duplicate: survives any stdout-tail capture
       println(s"""{"metric":"total","value":$t,"unit":"sec","failed":$failed,"completed":${results.size},"declared":$declared,"skipped":$skipped,"elapsed_s":${math.rint(elapsed())},"sf":"$sfDir"}""")
@@ -173,6 +208,7 @@ object Bench {
     }
     val names = selected.keys.toSeq
     var done = 0
+    readCanary(0)
     // pace ledger: every timed pass's wall cost INCLUDING its settle —
     // the quantity that actually drains the budget. The governor projects
     // `mean × remaining-queries × passes` (1.25× margin for the heavy
@@ -204,7 +240,7 @@ object Bench {
           passCosts += (System.nanoTime() - t0) / 1e9
           if (ok) Some(dt) else None
         }
-        val median = medianOf(times)
+        val median = medianOf(times, passes)
         // relative spread (max-min)/median: ≤0.1 means the median is solid;
         // larger means re-run before treating a delta as a regression
         val spread =
@@ -212,9 +248,12 @@ object Bench {
           else (times.max - times.min) / median
         results(name) = (times.nonEmpty, median, spread, passes)
         done += 1
+        if (done == (names.size + 1) / 2) readCanary(1)
         emit(declared - done)
       }
     }
+    readCanary(2)
+    emit(declared - done)
     spark.stop()
   }
 }

@@ -50,9 +50,13 @@ object QualityClassifier {
       val rows = df.select(col("idx"), col("w")).collect()
         .map(r => r.getInt(0) -> r.getDouble(1)).toMap
       val dims = rows.keys.max + 1
+      // A missing countCap row (idx = -2) means the artifact predates the
+      // saturation cap and was trained on RAW counts — default to 0 (raw)
+      // so legacy models keep scoring exactly as trained. Only artifacts
+      // written by the current toDF carry an explicit cap.
       Model(Seq.tabulate(dims)(i => rows.getOrElse(i, 0.0)),
         rows.getOrElse(-1, 0.0), dims,
-        rows.getOrElse(-2, 3.0).toInt)
+        rows.getOrElse(-2, 0.0).toInt)
     }
   }
 

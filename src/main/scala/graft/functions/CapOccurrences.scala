@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftShim
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -26,13 +27,31 @@ case class CapOccurrences(child: Expression, cap: Int)
 
   require(cap >= 1, s"cap_occurrences: cap must be >= 1, got $cap")
 
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"cap_occurrences requires array<int>, got ${other.catalogString}")
+  }
+
   override def dataType: DataType =
     ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = true
 
-  /** Public: called from generated code via a reference object. */
+  /** Public: called from generated code via a reference object. Null
+    * slots in the input (legal when the column's element type carries
+    * containsNull=true) are dropped rather than crashing `toIntArray` —
+    * a null token index contributes no count mass either way.
+    */
   def capArr(a: ArrayData): ArrayData = {
-    val xs = a.toIntArray()
+    val n = a.numElements()
+    var xs = new Array[Int](n)
+    var m = 0
+    var k = 0
+    while (k < n) {
+      if (!a.isNullAt(k)) { xs(m) = a.getInt(k); m += 1 }
+      k += 1
+    }
+    if (m != n) xs = java.util.Arrays.copyOf(xs, m)
     java.util.Arrays.sort(xs)
     var kept = 0
     var i = 0

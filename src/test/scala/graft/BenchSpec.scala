@@ -40,19 +40,25 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.passesFor(50.0, 1190.0, 1200.0, 100) == 1)
   }
 
-  // medianOf
+  // medianOf(times, requestedPasses)
 
   test("medianOf: 3 passes takes the middle (cold outlier discarded)") {
-    assert(Bench.medianOf(Seq(7.0, 1.1, 1.0)) == 1.1)
+    assert(Bench.medianOf(Seq(7.0, 1.1, 1.0), 3) == 1.1)
   }
 
-  test("medianOf: 2 passes takes the MIN, not sorted(1)=max") {
+  test("medianOf: governor-degraded 2 passes takes the MIN, not sorted(1)") {
     // pace-degraded + warm-truncated: first pass is cold codegen
-    assert(Bench.medianOf(Seq(6.0, 1.2)) == 1.2)
+    assert(Bench.medianOf(Seq(6.0, 1.2), 2) == 1.2)
+  }
+
+  test("medianOf: 2 survivors of 3 requested keeps the order statistic") {
+    // one of 3 passes errored — both survivors are warm, so the min rule
+    // would bias low instead of discarding a cold outlier
+    assert(Bench.medianOf(Seq(1.0, 1.4), 3) == 1.4)
   }
 
   test("medianOf: 1 pass is the value; empty is the -1 failure sentinel") {
-    assert(Bench.medianOf(Seq(2.5)) == 2.5)
-    assert(Bench.medianOf(Nil) == -1.0)
+    assert(Bench.medianOf(Seq(2.5), 1) == 2.5)
+    assert(Bench.medianOf(Nil, 3) == -1.0)
   }
 }

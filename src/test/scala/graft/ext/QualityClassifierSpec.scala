@@ -47,6 +47,17 @@ class QualityClassifierSpec extends SparkSpec {
     back.dims shouldBe m.dims
     back.bias shouldBe m.bias
     back.weights shouldBe m.weights
+    back.countCap shouldBe m.countCap
+  }
+
+  test("legacy artifacts (no cap row) load as RAW counts, as trained") {
+    // models persisted before the saturation cap carried no idx=-2 row and
+    // were trained on raw counts — defaulting the missing row to anything
+    // else would be a silent train/serve skew on every reload
+    val m = QualityClassifier.train(
+      corpus(0 until 40), col("text"), col("label"), dims = 64, epochs = 5)
+    val legacy = m.toDF(spark).filter(col("idx") =!= -2)
+    QualityClassifier.Model.fromDF(legacy).countCap shouldBe 0
   }
 
   test("bias sentinel works: constant-label corpus drives bias, not weights") {

@@ -22,6 +22,20 @@ class CapOccurrencesSpec extends AnyFunSuite with Matchers {
     run(3) shouldBe Seq()
   }
 
+  test("null slots are dropped, not crashed on (containsNull=true inputs)") {
+    CapOccurrences(Literal(1), 2)
+      .capArr(new GenericArrayData(Array[Any](5, null, 5, null, 1)))
+      .toIntArray().toSeq shouldBe Seq(1, 5, 5)
+  }
+
+  test("rejects non-int-array input at analysis, not at runtime") {
+    CapOccurrences(Literal("x"), 2)
+      .checkInputDataTypes().isSuccess shouldBe false
+    CapOccurrences(Literal.create(Seq(1), org.apache.spark.sql.types
+      .ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = true)), 2)
+      .checkInputDataTypes().isSuccess shouldBe true
+  }
+
   test("agrees with a groupBy-count reference on seeded random arrays") {
     val rng = new scala.util.Random(graft.Check.PinnedSeed)
     (1 to 100).foreach { _ =>

@@ -18,7 +18,10 @@ import sys, json, re
 # TPC-H tables and events grow 10x; documents 10x; embeddings 4x;
 # region/nation are fixed dimensions.
 FAMILY_GROWTH = [
-    (re.compile(r"^(y\d|q8[6-9]|x10|x[468])"), 4.0, "embeddings (4x)"),
+    # embeddings family is ONLY the vector queries: y*, kmeans/PCA (q86-89),
+    # and the embedding-input dedups x6/x10. x4 (ngram) and x8 (canonical
+    # keep) read documents and must fall through to the 10x family below.
+    (re.compile(r"^(y\d|q8[6-9]|x10$|x10r|x6)"), 4.0, "embeddings (4x)"),
     (re.compile(r"^(x\d|t\d+|m\d+|q9[12]|q6[567]|q5[1269]|q48|q49|q36|"
                 r"q37|q38|q39|q40|q7[58]|q8[1234]|q6[014])"), 10.0,
      "documents/events (10x)"),
