@@ -964,6 +964,48 @@ object SparkEntry {
         Seq("query_id", "neighbor_id"), threshold = 0.9)
     }),
 
+    "y7_knn_artifact_served" -> ((s, dir) => {
+      // y6's serving shape, completed to the FULL production lifecycle:
+      // (a) the coarse codebook is RULE-SIZED per snapshot
+      // (Clustering.suggestNlist = round(√corpus); measured in Prof
+      // nlistStudy / commit fdd305e: at the SAME probe fraction, rule-
+      // sized cells beat fixed nlist=16 on wall time AND recall, because
+      // finer cells make the probed fraction better targeted — a fixed
+      // nlist under a growing corpus degrades toward a linear scan per
+      // cell), with nprobe = ceil(0.75·nlist) holding y6's probe
+      // fraction; (b) the models REACH SERVING THROUGH PARQUET — trained
+      // once per snapshot, written via centroidsToDF/pqToDF, read back
+      // via centroidsFromDF/pqFromDF (y7Models) — so this declaration,
+      // unlike y6's in-memory models, exercises the train-once/persist/
+      // serve artifact path under the full value oracle (the oracle
+      // re-derives the models from the raw table; a hash match proves
+      // persistence is value-neutral). ModelArtifactsSpec additionally
+      // pins frame round-trip equality and loaded-vs-inmemory serve
+      // equality.
+      val (snapshot, batch) = y6Parts(s, dir)
+      val (_, nprobe, coarse, pq) = y7Models(s, dir)
+      Similarity.searchIvfPqIndex(batch,
+        Similarity.buildIvfPqIndex(snapshot, "vec_id", "embedding",
+          coarse, pq),
+        snapshot, "vec_id", "embedding", k = 5, coarse = coarse, pq = pq,
+        nprobe = nprobe, rescoreFactor = 16)
+        .orderBy("query_id", "rank")
+    }),
+
+    "y7r_knn_artifact_recall" -> ((s, dir) => {
+      val (snapshot, batch) = y6Parts(s, dir)
+      val (_, nprobe, coarse, pq) = y7Models(s, dir)
+      recallCheck(
+        Similarity.topKBruteForce(batch, snapshot, "vec_id", "embedding",
+          k = 5),
+        Similarity.searchIvfPqIndex(batch,
+          Similarity.buildIvfPqIndex(snapshot, "vec_id", "embedding",
+            coarse, pq),
+          snapshot, "vec_id", "embedding", k = 5, coarse = coarse, pq = pq,
+          nprobe = nprobe, rescoreFactor = 16),
+        Seq("query_id", "neighbor_id"), threshold = 0.9)
+    }),
+
     "x6r_embedding_lsh_recall" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")
       recallCheck(
@@ -2344,6 +2386,39 @@ object SparkEntry {
           m = 16, ksub = 256, iterations = 1, roundDigits = 6, dims = 64))
     }
 
+  /** y7's models: [[y6Models]]' snapshot-trained recipes with the coarse
+    * codebook RULE-SIZED ([[ext.Clustering.suggestNlist]] = round √corpus)
+    * and, unlike every other declaration, routed through PARQUET MODEL
+    * ARTIFACTS: the trained models are written (`centroidsToDF`/`pqToDF` →
+    * `target/model-artifacts/`) and read back (`centroidsFromDF`/
+    * `pqFromDF`) before serving, so the declared query proves the
+    * train-once / persist / serve path end-to-end under the oracle.
+    * Returns (nlist, nprobe, loaded coarse, loaded pq); nprobe holds y6's
+    * 0.75 probe fraction (recall is set by cell coverage on this loosely-
+    * correlated corpus — at production scale with clustered embeddings
+    * nprobe stays fixed while nlist grows with the snapshot, which is the
+    * whole point of the rule). Memoized per dir: one write+load per
+    * snapshot per JVM — the same train-once cadence production would use.
+    */
+  private def y7Models(s: SparkSession, dir: String)
+      : (Int, Int, Seq[Array[Float]], Seq[Seq[Seq[Float]]]) =
+    cachedModel(s"y7|$dir") {
+      val (snapshot, _) = y6Parts(s, dir)
+      val nlist = ext.Clustering.suggestNlist(snapshot.count())
+      val nprobe = math.ceil(0.75 * nlist).toInt
+      val coarse = ext.Clustering.kmeans(snapshot, "vec_id", "embedding",
+        k = nlist, iterations = 1, roundDigits = 6).centroids
+      val (_, pq) = y6Models(s, dir) // same snapshot PQ recipe (m=16, ksub=256)
+      val base = s"target/model-artifacts/y7-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      ext.Similarity.centroidsToDF(s, coarse).coalesce(1)
+        .write.mode("overwrite").parquet(s"$base/coarse")
+      ext.Similarity.pqToDF(s, pq).coalesce(1)
+        .write.mode("overwrite").parquet(s"$base/pq")
+      (nlist, nprobe,
+        ext.Similarity.centroidsFromDF(s.read.parquet(s"$base/coarse")),
+        ext.Similarity.pqFromDF(s.read.parquet(s"$base/pq")))
+    }
+
   /** Portable md5-derived hyperplane models for the LSH declarations —
     * re-derivable value-for-value in DuckDB ([[ext.Similarity.md5Planes]]),
     * which is what upgrades y2/x6 from recall-only to full value oracles.
@@ -2757,22 +2832,11 @@ object SparkEntry {
         |  FROM e q JOIN e c ON q.vec_id < 100 AND c.vec_id <> q.vec_id) t
         |WHERE rank <= 5""".stripMargin,
 
-    // y6r ground truth: the 10% batch's exact top-5 within the 90%
+    // y6r/y7r ground truth: the 10% batch's exact top-5 within the 90%
     // snapshot (cross-split, so no self-exclusion is ever exercised)
-    "y6r_knn_indexed_recall" ->
-      """WITH e AS (SELECT vec_id, embedding,
-        |    sqrt(list_sum(list_transform(embedding,
-        |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
-        |  FROM embeddings)
-        |SELECT count(*) AS n_exact, 1 AS recall_ok FROM (
-        |  SELECT CAST(row_number() OVER (PARTITION BY q.vec_id
-        |      ORDER BY list_sum(list_transform(list_zip(q.embedding, c.embedding),
-        |        x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * c.nrm) DESC,
-        |      c.vec_id) AS INT) AS rank
-        |  FROM e q JOIN e c
-        |    ON q.vec_id % 10 = 9 AND c.vec_id % 10 < 9
-        |    AND c.vec_id <> q.vec_id) t
-        |WHERE rank <= 5""".stripMargin,
+    "y6r_knn_indexed_recall" -> snapshotKnnRecallOracle,
+
+    "y7r_knn_artifact_recall" -> snapshotKnnRecallOracle,
 
     "x3r_simhash_recall" ->
       """WITH g AS (SELECT
@@ -3182,42 +3246,7 @@ object SparkEntry {
     "y5_knn_ivfpq" ->
       s"""${kmeansOracle(16)},
         |$enCte,
-        |sv AS (SELECT e.vec_id, j.j AS sub,
-        |    e.embedding[j.j * 4 + 1 : j.j * 4 + 4] AS v
-        |  FROM e, range(16) j(j)),
-        |pinit AS (SELECT sub, CAST(rn - 1 AS INT) AS cell, v AS c FROM (
-        |    SELECT sv.sub, sv.v, row_number() OVER (PARTITION BY sv.sub
-        |      ORDER BY sv.vec_id) AS rn FROM sv) t4 WHERE rn <= 256),
-        |ps0 AS (SELECT sv.vec_id, sv.sub, sv.v, i.cell,
-        |    list_sum(list_transform(list_zip(sv.v, i.c),
-        |      x -> x[1]::DOUBLE * x[2]::DOUBLE))
-        |    - list_sum(list_transform(i.c, x -> x::DOUBLE * x::DOUBLE)) / 2
-        |      AS score
-        |  FROM sv JOIN pinit i ON sv.sub = i.sub),
-        |pa0 AS (SELECT vec_id, sub, v, cell FROM (
-        |    SELECT ps0.*, row_number() OVER (PARTITION BY vec_id, sub
-        |      ORDER BY score DESC, cell) AS rn FROM ps0) t5 WHERE rn = 1),
-        |pcomp AS (SELECT sub, cell, g.i AS pos,
-        |    CAST(floor(avg(v[g.i]::DOUBLE) * 1e6 + 0.5) / 1e6 AS REAL)
-        |      AS cval
-        |  FROM pa0, unnest(generate_series(1, len(v))) AS g(i)
-        |  GROUP BY sub, cell, g.i),
-        |pc1 AS (SELECT sub, cell, list(cval ORDER BY pos) AS c FROM pcomp
-        |  GROUP BY sub, cell),
-        |pcents AS (SELECT i.sub, i.cell, coalesce(pc1.c, i.c) AS c
-        |  FROM pinit i LEFT JOIN pc1
-        |    ON i.sub = pc1.sub AND i.cell = pc1.cell),
-        |enc AS (SELECT vec_id, sub, cell FROM (
-        |    SELECT sv.vec_id, sv.sub, t.cell,
-        |      row_number() OVER (PARTITION BY sv.vec_id, sv.sub
-        |        ORDER BY list_sum(list_transform(list_zip(sv.v, t.c),
-        |            x -> x[1]::DOUBLE * x[2]::DOUBLE))
-        |          - list_sum(list_transform(t.c,
-        |            x -> x::DOUBLE * x::DOUBLE)) / 2 DESC, t.cell) AS rn
-        |    FROM sv JOIN pcents t ON sv.sub = t.sub) t6 WHERE rn = 1),
-        |recon AS (SELECT c.vec_id, flatten(list(p.c ORDER BY c.sub)) AS rv
-        |  FROM enc c JOIN pcents p ON c.sub = p.sub AND c.cell = p.cell
-        |  GROUP BY c.vec_id),
+        |$pqTrainEncodeCtes,
         |probes AS (SELECT vec_id AS query_id, cell FROM (
         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
         |      ORDER BY score DESC, cell) AS rn
@@ -3254,78 +3283,23 @@ object SparkEntry {
     "y6_knn_indexed" ->
       s"""${kmeansOracle(16, " WHERE vec_id % 10 < 9")},
         |$enCte,
-        |eqn AS (SELECT vec_id, embedding,
-        |    sqrt(list_sum(list_transform(embedding,
-        |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
-        |  FROM embeddings WHERE vec_id % 10 = 9),
-        |sv AS (SELECT e.vec_id, j.j AS sub,
-        |    e.embedding[j.j * 4 + 1 : j.j * 4 + 4] AS v
-        |  FROM e, range(16) j(j)),
-        |pinit AS (SELECT sub, CAST(rn - 1 AS INT) AS cell, v AS c FROM (
-        |    SELECT sv.sub, sv.v, row_number() OVER (PARTITION BY sv.sub
-        |      ORDER BY sv.vec_id) AS rn FROM sv) t4 WHERE rn <= 256),
-        |ps0 AS (SELECT sv.vec_id, sv.sub, sv.v, i.cell,
-        |    list_sum(list_transform(list_zip(sv.v, i.c),
-        |      x -> x[1]::DOUBLE * x[2]::DOUBLE))
-        |    - list_sum(list_transform(i.c, x -> x::DOUBLE * x::DOUBLE)) / 2
-        |      AS score
-        |  FROM sv JOIN pinit i ON sv.sub = i.sub),
-        |pa0 AS (SELECT vec_id, sub, v, cell FROM (
-        |    SELECT ps0.*, row_number() OVER (PARTITION BY vec_id, sub
-        |      ORDER BY score DESC, cell) AS rn FROM ps0) t5 WHERE rn = 1),
-        |pcomp AS (SELECT sub, cell, g.i AS pos,
-        |    CAST(floor(avg(v[g.i]::DOUBLE) * 1e6 + 0.5) / 1e6 AS REAL)
-        |      AS cval
-        |  FROM pa0, unnest(generate_series(1, len(v))) AS g(i)
-        |  GROUP BY sub, cell, g.i),
-        |pc1 AS (SELECT sub, cell, list(cval ORDER BY pos) AS c FROM pcomp
-        |  GROUP BY sub, cell),
-        |pcents AS (SELECT i.sub, i.cell, coalesce(pc1.c, i.c) AS c
-        |  FROM pinit i LEFT JOIN pc1
-        |    ON i.sub = pc1.sub AND i.cell = pc1.cell),
-        |enc AS (SELECT vec_id, sub, cell FROM (
-        |    SELECT sv.vec_id, sv.sub, t.cell,
-        |      row_number() OVER (PARTITION BY sv.vec_id, sv.sub
-        |        ORDER BY list_sum(list_transform(list_zip(sv.v, t.c),
-        |            x -> x[1]::DOUBLE * x[2]::DOUBLE))
-        |          - list_sum(list_transform(t.c,
-        |            x -> x::DOUBLE * x::DOUBLE)) / 2 DESC, t.cell) AS rn
-        |    FROM sv JOIN pcents t ON sv.sub = t.sub) t6 WHERE rn = 1),
-        |recon AS (SELECT c.vec_id, flatten(list(p.c ORDER BY c.sub)) AS rv
-        |  FROM enc c JOIN pcents p ON c.sub = p.sub AND c.cell = p.cell
-        |  GROUP BY c.vec_id),
-        |qs AS (SELECT q.vec_id, t.cell,
-        |    list_sum(list_transform(list_zip(q.embedding, t.c),
-        |      x -> x[1]::DOUBLE * x[2]::DOUBLE))
-        |    - list_sum(list_transform(t.c, x -> x::DOUBLE * x::DOUBLE)) / 2
-        |      AS score
-        |  FROM eqn q CROSS JOIN cents t),
-        |probes AS (SELECT vec_id AS query_id, cell FROM (
-        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY score DESC, cell) AS rn FROM qs) t7 WHERE rn <= 12),
-        |adc AS (SELECT p.query_id, a.vec_id AS neighbor_id,
-        |    list_sum(list_transform(list_zip(q.embedding, r.rv),
-        |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * c.nrm) AS ascore
-        |  FROM probes p JOIN asg a ON p.cell = a.cell
-        |    JOIN eqn q ON p.query_id = q.vec_id
-        |    JOIN recon r ON a.vec_id = r.vec_id
-        |    JOIN en c ON a.vec_id = c.vec_id
-        |  WHERE p.query_id <> a.vec_id),
-        |surv AS (SELECT query_id, neighbor_id FROM (
-        |    SELECT adc.*, row_number() OVER (PARTITION BY query_id
-        |      ORDER BY ascore DESC, neighbor_id) AS rn
-        |    FROM adc WHERE ascore IS NOT NULL AND NOT isnan(ascore)) t8
-        |  WHERE rn <= 80),
-        |sc AS (SELECT s.query_id, s.neighbor_id,
-        |    list_sum(list_transform(list_zip(q.embedding, n.embedding),
-        |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * n.nrm) AS cosine
-        |  FROM surv s JOIN eqn q ON s.query_id = q.vec_id
-        |    JOIN en n ON s.neighbor_id = n.vec_id)
-        |SELECT query_id, neighbor_id, rank, cosine FROM (
-        |  SELECT sc.*, CAST(row_number() OVER (PARTITION BY query_id
-        |      ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
-        |  FROM sc WHERE cosine IS NOT NULL AND NOT isnan(cosine)) t9
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+        |$batchQueryCte,
+        |$pqTrainEncodeCtes,
+        |${indexedServeOracleTail("12")}""".stripMargin,
+
+    // y7: y6's serving pipeline with (a) the coarse codebook RULE-SIZED by
+    // the data itself (nlist = round(√snapshot), nprobe = ceil(0.75 ×
+    // nlist) — the params CTE re-derives both, so one oracle is correct at
+    // every scale) and (b) the Spark side routed through PARQUET MODEL
+    // ARTIFACTS (centroidsToDF/pqToDF → parquet → centroidsFromDF/
+    // pqFromDF before serving): the oracle re-derives the models from the
+    // raw table, so a hash match proves persistence is value-neutral.
+    "y7_knn_artifact_served" ->
+      s"""${kmeansOracleSqrt(" WHERE vec_id % 10 < 9")},
+        |$enCte,
+        |$batchQueryCte,
+        |$pqTrainEncodeCtes,
+        |${indexedServeOracleTail("(SELECT nb FROM params)")}""".stripMargin,
 
     "t1_lang_id" ->
       """WITH s AS (SELECT
@@ -4667,7 +4641,29 @@ object SparkEntry {
       |    AS cell, embedding AS c
       |  FROM (SELECT vec_id, embedding FROM e
       |        ORDER BY vec_id LIMIT $k) t0),
-      |s0 AS (SELECT e.vec_id, e.embedding, i.cell,
+      |$kmeansOracleBody""".stripMargin
+
+  /** [[kmeansOracle]] at the RULE-SIZED k — `nlist = round(√corpus)`
+    * ([[ext.Clustering.suggestNlist]]) derived from the data itself, plus
+    * the probe budget `nb = ceil(0.75 × k)`, both exposed as the `params`
+    * CTE so the y7 oracle stays correct at every scale the driver runs it.
+    */
+  private def kmeansOracleSqrt(where: String = ""): String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings$where),
+      |params AS (SELECT CAST(floor(sqrt(count(*)) + 0.5) AS INT) AS k,
+      |    CAST(ceil(0.75 * floor(sqrt(count(*)) + 0.5)) AS INT) AS nb
+      |  FROM e),
+      |init AS (SELECT CAST(rn - 1 AS INT) AS cell, embedding AS c FROM (
+      |    SELECT embedding, row_number() OVER (ORDER BY vec_id) AS rn
+      |    FROM e) t0 WHERE rn <= (SELECT k FROM params)),
+      |$kmeansOracleBody""".stripMargin
+
+  /** Everything after the init CTE — shared by [[kmeansOracle]] (literal
+    * k) and [[kmeansOracleSqrt]] (data-derived k): one assignment round,
+    * the grid-rounded refit, and the final scored frame / assignment.
+    */
+  private lazy val kmeansOracleBody: String =
+    s"""s0 AS (SELECT e.vec_id, e.embedding, i.cell,
       |    list_sum(list_transform(list_zip(e.embedding, i.c),
       |      x -> x[1]::DOUBLE * x[2]::DOUBLE))
       |    - list_sum(list_transform(i.c, x -> x::DOUBLE * x::DOUBLE)) / 2
@@ -4697,6 +4693,119 @@ object SparkEntry {
       .stripMargin
 
   private lazy val kmeansOraclePreamble: String = kmeansOracle(8)
+
+  /** y6r/y7r's shared exact ground truth: the 10% batch's brute-force
+    * top-5 within the 90% snapshot, counted for the recall companions.
+    */
+  private lazy val snapshotKnnRecallOracle: String =
+    """WITH e AS (SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
+      |  FROM embeddings)
+      |SELECT count(*) AS n_exact, 1 AS recall_ok FROM (
+      |  SELECT CAST(row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_sum(list_transform(list_zip(q.embedding, c.embedding),
+      |        x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * c.nrm) DESC,
+      |      c.vec_id) AS INT) AS rank
+      |  FROM e q JOIN e c
+      |    ON q.vec_id % 10 = 9 AND c.vec_id % 10 < 9
+      |    AND c.vec_id <> q.vec_id) t
+      |WHERE rank <= 5""".stripMargin
+
+  /** PQ training + corpus encode + reconstruction CTEs shared verbatim by
+    * the y5/y6/y7 oracles: the 16 per-subspace deterministic trainings
+    * over `e`, the code assignment of every `e` vector, and the
+    * reconstructed vectors the ADC scoring reads. `e` is whatever the
+    * preceding k-means preamble bound it to (full corpus for y5; the 90%
+    * snapshot for y6/y7).
+    */
+  private lazy val pqTrainEncodeCtes: String =
+    """sv AS (SELECT e.vec_id, j.j AS sub,
+      |    e.embedding[j.j * 4 + 1 : j.j * 4 + 4] AS v
+      |  FROM e, range(16) j(j)),
+      |pinit AS (SELECT sub, CAST(rn - 1 AS INT) AS cell, v AS c FROM (
+      |    SELECT sv.sub, sv.v, row_number() OVER (PARTITION BY sv.sub
+      |      ORDER BY sv.vec_id) AS rn FROM sv) t4 WHERE rn <= 256),
+      |ps0 AS (SELECT sv.vec_id, sv.sub, sv.v, i.cell,
+      |    list_sum(list_transform(list_zip(sv.v, i.c),
+      |      x -> x[1]::DOUBLE * x[2]::DOUBLE))
+      |    - list_sum(list_transform(i.c, x -> x::DOUBLE * x::DOUBLE)) / 2
+      |      AS score
+      |  FROM sv JOIN pinit i ON sv.sub = i.sub),
+      |pa0 AS (SELECT vec_id, sub, v, cell FROM (
+      |    SELECT ps0.*, row_number() OVER (PARTITION BY vec_id, sub
+      |      ORDER BY score DESC, cell) AS rn FROM ps0) t5 WHERE rn = 1),
+      |pcomp AS (SELECT sub, cell, g.i AS pos,
+      |    CAST(floor(avg(v[g.i]::DOUBLE) * 1e6 + 0.5) / 1e6 AS REAL)
+      |      AS cval
+      |  FROM pa0, unnest(generate_series(1, len(v))) AS g(i)
+      |  GROUP BY sub, cell, g.i),
+      |pc1 AS (SELECT sub, cell, list(cval ORDER BY pos) AS c FROM pcomp
+      |  GROUP BY sub, cell),
+      |pcents AS (SELECT i.sub, i.cell, coalesce(pc1.c, i.c) AS c
+      |  FROM pinit i LEFT JOIN pc1
+      |    ON i.sub = pc1.sub AND i.cell = pc1.cell),
+      |enc AS (SELECT vec_id, sub, cell FROM (
+      |    SELECT sv.vec_id, sv.sub, t.cell,
+      |      row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+      |        ORDER BY list_sum(list_transform(list_zip(sv.v, t.c),
+      |            x -> x[1]::DOUBLE * x[2]::DOUBLE))
+      |          - list_sum(list_transform(t.c,
+      |            x -> x::DOUBLE * x::DOUBLE)) / 2 DESC, t.cell) AS rn
+      |    FROM sv JOIN pcents t ON sv.sub = t.sub) t6 WHERE rn = 1),
+      |recon AS (SELECT c.vec_id, flatten(list(p.c ORDER BY c.sub)) AS rv
+      |  FROM enc c JOIN pcents p ON c.sub = p.sub AND c.cell = p.cell
+      |  GROUP BY c.vec_id)""".stripMargin
+
+  /** The `eqn` CTE — the 10% NEW-ARRIVAL query batch with norms, the side
+    * that never participates in training, encode, or the index (y6/y7).
+    */
+  private lazy val batchQueryCte: String =
+    """eqn AS (SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
+      |  FROM embeddings WHERE vec_id % 10 = 9)""".stripMargin
+
+  /** The indexed-serving oracle tail shared by y6 and y7: probe scoring of
+    * the query batch against the snapshot-trained cells, top-`probeBound`
+    * probes, ADC scoring from reconstructed codes, the k×rf=80 survivor
+    * cut, and the exact-float rescore. `probeBound` is y6's literal 12 or
+    * y7's data-derived `(SELECT nb FROM params)`.
+    */
+  private def indexedServeOracleTail(probeBound: String): String =
+    s"""qs AS (SELECT q.vec_id, t.cell,
+      |    list_sum(list_transform(list_zip(q.embedding, t.c),
+      |      x -> x[1]::DOUBLE * x[2]::DOUBLE))
+      |    - list_sum(list_transform(t.c, x -> x::DOUBLE * x::DOUBLE)) / 2
+      |      AS score
+      |  FROM eqn q CROSS JOIN cents t),
+      |probes AS (SELECT vec_id AS query_id, cell FROM (
+      |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY score DESC, cell) AS rn FROM qs) t7
+      |  WHERE rn <= $probeBound),
+      |adc AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+      |    list_sum(list_transform(list_zip(q.embedding, r.rv),
+      |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * c.nrm) AS ascore
+      |  FROM probes p JOIN asg a ON p.cell = a.cell
+      |    JOIN eqn q ON p.query_id = q.vec_id
+      |    JOIN recon r ON a.vec_id = r.vec_id
+      |    JOIN en c ON a.vec_id = c.vec_id
+      |  WHERE p.query_id <> a.vec_id),
+      |surv AS (SELECT query_id, neighbor_id FROM (
+      |    SELECT adc.*, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY ascore DESC, neighbor_id) AS rn
+      |    FROM adc WHERE ascore IS NOT NULL AND NOT isnan(ascore)) t8
+      |  WHERE rn <= 80),
+      |sc AS (SELECT s.query_id, s.neighbor_id,
+      |    list_sum(list_transform(list_zip(q.embedding, n.embedding),
+      |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * n.nrm) AS cosine
+      |  FROM surv s JOIN eqn q ON s.query_id = q.vec_id
+      |    JOIN en n ON s.neighbor_id = n.vec_id)
+      |SELECT query_id, neighbor_id, rank, cosine FROM (
+      |  SELECT sc.*, CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+      |  FROM sc WHERE cosine IS NOT NULL AND NOT isnan(cosine)) t9
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** Norm-carrying embeddings CTE fragment shared by the ANN oracles —
     * appended after a k-means preamble (which owns the WITH and the `e`

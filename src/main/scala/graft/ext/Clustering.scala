@@ -51,6 +51,21 @@ object Clustering {
       Model(Similarity.centroidsFromDF(df))
   }
 
+  /** The IVF sizing rule: `nlist ~ √corpus` (the standard FAISS guidance,
+    * and measured on this repo's corpus — `graft.Prof nlistStudy`: at the
+    * SAME probe fraction, rule-sized cells beat fixed nlist=16 on both
+    * wall time and recall, because finer cells make the probed fraction
+    * better targeted). Serving cost per query is `nprobe × corpus /
+    * nlist`, so a fixed nlist under a growing corpus silently degrades
+    * toward a linear scan per cell — size the codebook per snapshot with
+    * this, not a constant. Rounded √n, floored at 1; cap at the trainer's
+    * budget if the caller's sample is small (k-means needs ≥ k vectors).
+    */
+  def suggestNlist(corpusCount: Long): Int = {
+    require(corpusCount >= 0, s"suggestNlist: negative count $corpusCount")
+    math.max(1L, math.round(math.sqrt(corpusCount.toDouble))).toInt
+  }
+
   /** Lloyd's algorithm, full-corpus. `iterations` = number of refits after
     * the deterministic first-k-by-id init; a cell that captures no vectors
     * keeps its previous centroid (same policy as

@@ -932,6 +932,13 @@ object Similarity {
     * retrain on the usual snapshot cadence (and re-size nlist by the
     * √corpus rule) rather than appending forever. Caller guards id
     * uniqueness across batches, same as [[minhashIndex]]'s contract.
+    *
+    * Layout note: the returned union is NOT cell-co-partitioned in-session
+    * (each input half is clustered by cell, but union interleaves them),
+    * so serving the in-memory union reshuffles where a freshly-built index
+    * would not. Irrelevant at the parquet boundary — files keep their
+    * per-cell layout and production appends land as new files per cell —
+    * but a long-lived in-session union worth one `repartition("cell")`.
     */
   def appendToIvfPqIndex(
       index: DataFrame,

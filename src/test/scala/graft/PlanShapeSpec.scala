@@ -197,6 +197,21 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  // y7 is y6's serving plan with rule-sized nlist and parquet-loaded
+  // models — the models are plan CONSTANTS (reference objects) either
+  // way, so the physical shape must be identical to y6's: same pins.
+  test("y7_knn_artifact_served: same serving shape as y6 (no cartesian, " +
+      "<=3 shuffles, one pqencode below the cell shuffle)") {
+    val p = plan("y7_knn_artifact_served")
+    withClue(p.linesIterator.take(40).mkString("\n")) {
+      count(p, "CartesianProduct") shouldBe 0
+      count(p, "BroadcastNestedLoopJoin") shouldBe 0
+      count(p, "Exchange (hash|range)partitioning") should be <= 3
+      count(p, "BroadcastHashJoin") should be >= 1
+      count(p, "pqencode") shouldBe 1
+    }
+  }
+
   // leakage-safe split (x12): after the component contraction (iterative,
   // checkpoint-released per round — its plan is audited via x7), the
   // FINAL plan is docs LEFT JOIN cluster membership + the md5-coin

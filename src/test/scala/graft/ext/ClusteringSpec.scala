@@ -61,6 +61,16 @@ class ClusteringSpec extends SparkSpec {
     back.centroids.map(_.toSeq) shouldBe m.centroids.map(_.toSeq)
   }
 
+  test("suggestNlist is the rounded sqrt-corpus rule, floored at 1") {
+    // the y7 declaration and its DuckDB oracle both derive nlist from the
+    // data with floor(sqrt(n)+0.5) — this pins the Scala side to the rule
+    Clustering.suggestNlist(0) shouldBe 1
+    Clustering.suggestNlist(1) shouldBe 1
+    Clustering.suggestNlist(450) shouldBe 21 // sf0.01's 90% snapshot
+    Clustering.suggestNlist(1800) shouldBe 42 // sf0.1's 90% snapshot
+    Clustering.suggestNlist(2_000_000L) shouldBe 1414
+  }
+
   test("roundDigits pins centroids to the rounded grid") {
     val m = Clustering.kmeans(blobs, "id", "vec", k = 3, iterations = 1,
       roundDigits = 2)
