@@ -139,6 +139,40 @@ object Prof {
       spark.stop()
       return
     }
+    // Stage breakdown for x9_dedup_incremental (the round-9 heaviest
+    // query): index-build cost per side (bands forced via an aggregate
+    // over a bucket — count() would prune the signature), band-join
+    // candidate volume before/after distinct, and the verify tail.
+    if (args.headOption.contains("x9parts")) {
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(10)) < 8)
+      val batch = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+      def idx(d: org.apache.spark.sql.DataFrame) =
+        ext.Dedup.minhashIndex(d, "doc_id", "text", numHashes = 128, bands = 32)
+      def forceBands(d: org.apache.spark.sql.DataFrame) =
+        d.agg(sum(element_at(col("bands"), 1).getField("bucket"))).collect()(0)
+      (1 to 3).foreach { i =>
+        time(s"index(corpus) #$i")(forceBands(idx(corpus)))
+        time(s"index(batch) #$i")(forceBands(idx(batch)))
+        def expl(ix: org.apache.spark.sql.DataFrame, side: String) = ix
+          .select(col("id").as(s"${side}_id"), col("nsh").as(s"${side}_nsh"),
+            explode(col("bands")).as("bb"))
+          .select(col(s"${side}_id"), col(s"${side}_nsh"),
+            col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+        val joined = expl(idx(corpus), "corpus")
+          .join(expl(idx(batch), "new"), Seq("band", "bucket"))
+          .filter(least(col("corpus_nsh"), col("new_nsh")).cast("double") >=
+            greatest(col("corpus_nsh"), col("new_nsh")) * 0.8)
+        time(s"band-join rows #$i")(joined.count())
+        time(s"candidates distinct #$i")(
+          joined.select(col("corpus_id"), col("new_id")).distinct().count())
+        time(s"full x9 #$i")(run("x9_dedup_incremental"))
+        settle()
+      }
+      spark.stop()
+      return
+    }
     val names = if (args.nonEmpty) args.toSeq else Seq("x2_dedup_minhash")
     names.foreach { n =>
       time(s"$n warm")(run(n)); settle()

@@ -303,15 +303,28 @@ object Dedup {
     * then verified with exact Jaccard on the sorted shingle arrays both
     * sides already carry. Emits `(corpus_id, new_id, jaccard)`.
     *
+    * Both sides are first collapsed to UNIQUE TOKEN SETS — the same
+    * load-bearing trick as [[nearDuplicatesMinhash]], applied at query
+    * time so the stored index keeps its plain doc-level contract: Jaccard
+    * depends only on the set, so a group of m set-identical docs costs one
+    * banded row per band and one verify per partner GROUP, and members
+    * inherit the group pair's score in a pure explode. On a duplicate-
+    * heavy crawl batch (the norm) this cuts band-join volume, the
+    * candidate-distinct shuffle, and the verify count by the duplication
+    * factor; identical sets have identical signatures, so collapsing the
+    * prebuilt `bands` column by set key is exact, not approximate. The
+    * collapsed frames are persisted (MEMORY_AND_DISK — each is read by
+    * the band join, the verify attach, and the member expansion; without
+    * persistence Spark re-runs the index scan + aggregation per
+    * reference). Lifecycle: entries live in the CacheManager until the
+    * session calls `spark.catalog.clearCache()` — same posture as
+    * [[nearDuplicatesMinhash]].
+    *
     * Contract: id spaces of index and batch are disjoint (a recrawled doc
     * gets a new id; dedup is what finds the old one). Pairs WITHIN the new
     * batch are [[nearDuplicatesMinhash]] on the batch alone — run both and
     * union for full coverage. `numHashes`/`bands` must match the values
     * the index was built with (bucket hashes are parameter-dependent).
-    *
-    * The batch plan is referenced twice (band join + verify attach); for a
-    * large batch, persist or checkpoint `minhashIndex(batch...)` and pass
-    * it via `preIndexedBatch`.
     */
   def nearDuplicatesAgainstIndex(
       index: DataFrame,
@@ -325,34 +338,62 @@ object Dedup {
     val batch = preIndexedBatch.getOrElse(
       minhashIndex(newDocs, idCol, textCol, numHashes, bands))
 
+    // md5 of the sorted set as the group key (collision = silently
+    // fabricated pairs, so 128 bits, not 64); bands/nsh/shingles are
+    // identical within a group by construction — `first` is exact.
+    def collapse(ix: DataFrame): DataFrame = ix
+      .groupBy(md5(to_json(col("shingles"))).as("set_key"))
+      .agg(
+        min(col("id")).as("gid"),
+        collect_list(col("id")).as("members"),
+        first(col("nsh")).as("nsh"),
+        first(col("shingles")).as("shingles"),
+        first(col("bands")).as("bands"))
+      .drop("set_key")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val gIndex = collapse(index)
+    val gBatch = collapse(batch)
+
     def exploded(ix: DataFrame, side: String): DataFrame = ix
       .select(
-        col("id").as(s"${side}_id"),
+        col("gid").as(s"${side}_gid"),
         col("nsh").as(s"${side}_nsh"),
         explode(col("bands")).as("bb"))
       .select(
-        col(s"${side}_id"), col(s"${side}_nsh"),
+        col(s"${side}_gid"), col(s"${side}_nsh"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 
-    val candidates = exploded(index, "corpus")
-      .join(exploded(batch, "new"), Seq("band", "bucket"))
+    val candidates = exploded(gIndex, "corpus")
+      .join(exploded(gBatch, "new"), Seq("band", "bucket"))
       .filter(
         least(col("corpus_nsh"), col("new_nsh")).cast("double") >=
           greatest(col("corpus_nsh"), col("new_nsh")) * threshold)
-      .select(col("corpus_id"), col("new_id"))
+      .select(col("corpus_gid"), col("new_gid"))
       .distinct()
 
+    // verify once per group pair; members attach AFTER the threshold
+    // filter (to survivors) and expand by explode
     candidates
       .join(
-        index.select(col("id").as("corpus_id"), col("shingles").as("sh_a")),
-        Seq("corpus_id"))
+        gIndex.select(col("gid").as("corpus_gid"), col("shingles").as("sh_a")),
+        Seq("corpus_gid"))
       .join(
-        batch.select(col("id").as("new_id"), col("shingles").as("sh_b")),
-        Seq("new_id"))
+        gBatch.select(col("gid").as("new_gid"), col("shingles").as("sh_b")),
+        Seq("new_gid"))
       .select(
-        col("corpus_id"), col("new_id"),
+        col("corpus_gid"), col("new_gid"),
         jaccard_sorted(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+      .join(
+        gIndex.select(col("gid").as("corpus_gid"), col("members").as("ma")),
+        Seq("corpus_gid"))
+      .join(
+        gBatch.select(col("gid").as("new_gid"), col("members").as("mb")),
+        Seq("new_gid"))
+      .select(explode(col("ma")).as("corpus_id"), col("mb"), col("jaccard"))
+      .select(
+        col("corpus_id"), explode(col("mb")).as("new_id"), col("jaccard"))
   }
 
   // -------------------------------------------------------------- simhash
