@@ -134,6 +134,27 @@ object Prof {
       spark.stop()
       return
     }
+    // A/B: doc-graph vs group-graph connected components on the same host
+    if (args.headOption.contains("x7ab")) {
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      (1 to 3).foreach { i =>
+        time(s"doc-graph cc #$i") {
+          ext.Dedup.withNearDuplicatesMinhash(docs, "doc_id", "text",
+            threshold = 0.8, numHashes = 128, bands = 32) { pairs =>
+            ext.Clusters.connectedComponents(pairs, "id_a", "id_b").count()
+          }
+        }
+        settle()
+        time(s"group-graph cc #$i") {
+          ext.Dedup.nearDuplicateComponents(docs, "doc_id", "text",
+            threshold = 0.8, numHashes = 128, bands = 32).count()
+        }
+        spark.catalog.clearCache(); settle()
+      }
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("entry")) {
       time("entry rows")(SparkEntry.entry(spark).count())
       spark.stop()

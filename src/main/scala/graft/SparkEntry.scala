@@ -768,14 +768,14 @@ object SparkEntry {
       // pairs → connected components: "A~B, B~C" collapses to one cluster
       // with a deterministic min-id canonical label. k=128/b=32 as in x2 so
       // the LSH pair set provably equals the exact-Jaccard pair set and the
-      // recursive-CTE oracle walks identical edges. The scoped form owns
-      // the minhash persist; connectedComponents' eager first checkpoint
-      // consumes the pairs before the cache is dropped.
-      Dedup.withNearDuplicatesMinhash(
+      // recursive-CTE oracle walks identical edges. The contraction runs
+      // on the GROUP graph (one edge per unique-token-set pair — the m²
+      // member expansion of clique components never enters the loop) and
+      // expands members once at the fixpoint; result-identical to doc-
+      // level cc, asserted in ClustersSpec.
+      Dedup.nearDuplicateComponents(
         rd(s, dir, "documents"), "doc_id", "text", threshold = 0.8,
-        numHashes = 128, bands = 32) { pairs =>
-        Clusters.connectedComponents(pairs, "id_a", "id_b")
-      }.orderBy("id")
+        numHashes = 128, bands = 32).orderBy("id")
     }),
 
     "x8_keep_canonical" -> ((s, dir) => {
@@ -2177,12 +2177,14 @@ object SparkEntry {
       // component, flipping the split label of EVERY member of the
       // severed half — a future sf-scale oracle failure on this query
       // should be triaged as an LSH miss first.
+      // components come from the GROUP-graph contraction (see x7) — the
+      // coin logic is unchanged, so labels are bit-identical.
       val docs = rd(s, dir, "documents")
-      Dedup.withNearDuplicatesMinhash(docs, "doc_id", "text",
-        threshold = 0.8, numHashes = 128, bands = 32) { pairs =>
-        Curation.leakageSafeSplit(docs, "doc_id", pairs,
-          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "x12")
-      }.select("doc_id", "split").orderBy("doc_id")
+      Curation.leakageSafeSplitByComponents(docs, "doc_id",
+        Dedup.nearDuplicateComponents(docs, "doc_id", "text",
+          threshold = 0.8, numHashes = 128, bands = 32),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "x12")
+        .select("doc_id", "split").orderBy("doc_id")
     }),
 
     "t16_quality_classifier" -> ((s, dir) => {

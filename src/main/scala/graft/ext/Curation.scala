@@ -197,8 +197,23 @@ object Curation {
       splits: Seq[(String, Double)],
       pairACol: String = "id_a",
       pairBCol: String = "id_b",
+      salt: String = ""): DataFrame =
+    leakageSafeSplitByComponents(df, idCol,
+      Clusters.connectedComponents(pairs, pairACol, pairBCol), splits, salt)
+
+  /** [[leakageSafeSplit]] from PRECOMPUTED components `(id, cluster_id)` —
+    * the form to use when the component table already exists (persisted
+    * from a prior dedup pass) or is cheaper to compute at group level
+    * ([[Dedup.nearDuplicateComponents]]): the coin logic is identical, so
+    * the split labels are bit-for-bit the same for an equal clustering.
+    */
+  def leakageSafeSplitByComponents(
+      df: DataFrame,
+      idCol: String,
+      components: DataFrame,
+      splits: Seq[(String, Double)],
       salt: String = ""): DataFrame = {
-    val cc = Clusters.connectedComponents(pairs, pairACol, pairBCol)
+    val cc = components
       .select(col("id").as(idCol), col("cluster_id").as("_grp"))
     val grouped = df
       .join(cc, Seq(idCol), "left")

@@ -155,6 +155,51 @@ object Dedup {
       bands: Int,
       signature: Column => Column = null,
       bandKey: Column => Column = hash(_)): (DataFrame, DataFrame) = {
+    val (repPairs, groups) = buildMinhashGroupPairs(
+      df, idCol, textCol, threshold, numHashes, bands, signature, bandKey)
+
+    val cross = repPairs
+      .join(groups.select(col("gid").as("gid_a"), col("members").as("ma")),
+        Seq("gid_a"))
+      .join(groups.select(col("gid").as("gid_b"), col("members").as("mb")),
+        Seq("gid_b"))
+      .select(explode(col("ma")).as("a"), col("mb"), col("jaccard"))
+      .select(col("a"), explode(col("mb")).as("b"), col("jaccard"))
+      .select(
+        least(col("a"), col("b")).as("id_a"),
+        greatest(col("a"), col("b")).as("id_b"),
+        col("jaccard"))
+
+    // intra-group pairs: jaccard evaluated on the actual set (1 eval per
+    // group — preserves the empty-set → 0.0 edge exactly)
+    val intra = groups
+      .filter(size(col("members")) > 1)
+      .select(col("members"),
+        jaccard_sorted(col("shingles"), col("shingles")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select(explode(col("members")).as("a"), col("members"), col("jaccard"))
+      .select(col("a"), explode(col("members")).as("b"), col("jaccard"))
+      .filter(col("a") < col("b"))
+      .select(col("a").as("id_a"), col("b").as("id_b"), col("jaccard"))
+
+    (cross.unionByName(intra), groups)
+  }
+
+  /** The GROUP-level half of [[buildMinhashPairs]]: unique-token-set
+    * groups plus the verified near-duplicate pairs BETWEEN groups —
+    * everything up to (but not including) the member expansion. Returns
+    * `(repPairs (gid_a, gid_b, jaccard), groups (gid, members, shingles,
+    * …) persisted)`.
+    */
+  private def buildMinhashGroupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      numHashes: Int,
+      bands: Int,
+      signature: Column => Column = null,
+      bandKey: Column => Column = hash(_)): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val sigFn =
       if (signature != null) signature
@@ -226,31 +271,55 @@ object Dedup {
         jaccard_sorted(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
 
-    val cross = repPairs
-      .join(groups.select(col("gid").as("gid_a"), col("members").as("ma")),
-        Seq("gid_a"))
-      .join(groups.select(col("gid").as("gid_b"), col("members").as("mb")),
-        Seq("gid_b"))
-      .select(explode(col("ma")).as("a"), col("mb"), col("jaccard"))
-      .select(col("a"), explode(col("mb")).as("b"), col("jaccard"))
-      .select(
-        least(col("a"), col("b")).as("id_a"),
-        greatest(col("a"), col("b")).as("id_b"),
-        col("jaccard"))
+    (repPairs, groups)
+  }
 
-    // intra-group pairs: jaccard evaluated on the actual set (1 eval per
-    // group — preserves the empty-set → 0.0 edge exactly)
-    val intra = groups
-      .filter(size(col("members")) > 1)
-      .select(col("members"),
-        jaccard_sorted(col("shingles"), col("shingles")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-      .select(explode(col("members")).as("a"), col("members"), col("jaccard"))
-      .select(col("a"), explode(col("members")).as("b"), col("jaccard"))
-      .filter(col("a") < col("b"))
-      .select(col("a").as("id_a"), col("b").as("id_b"), col("jaccard"))
-
-    (cross.unionByName(intra), groups)
+  /** Connected components of the near-duplicate DOC graph, computed on
+    * the GROUP graph — result-identical to
+    * `Clusters.connectedComponents(nearDuplicatesMinhash(df, …))` but the
+    * star contraction iterates over one edge per GROUP pair instead of
+    * one per doc pair. On a duplicate-heavy corpus (the 100 TB crawl
+    * norm) that is the squared duplication factor off every clique-shaped
+    * component's edge set — the m²-member expansion that dominates the
+    * doc-level edge list is exactly the part the contraction never needs,
+    * because set-identical docs are connected BY CONSTRUCTION and always
+    * land in the same component. Members rejoin once, after the fixpoint.
+    *
+    * Equality argument: expanded cross pairs connect every member of
+    * group A to every member of group B, so contracting each group to its
+    * gid preserves reachability; a multi-member group with no cross pair
+    * is its own component (members interconnect via intra pairs) UNLESS
+    * its set cannot reach the threshold against itself — the empty-set
+    * group, whose docs have no edges at all and are absent from the
+    * doc-level result by contract. Both cases are restored below.
+    * `cluster_id` is unchanged: gid = min(member id), so the component's
+    * min gid IS the component's min doc id.
+    *
+    * The group table is persisted (CacheManager lifecycle — callers issue
+    * `spark.catalog.clearCache()` between jobs, as Verify/Bench do).
+    */
+  def nearDuplicateComponents(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      numHashes: Int = 64,
+      bands: Int = 16): DataFrame = {
+    val (repPairs, groups) = buildMinhashGroupPairs(
+      df, idCol, textCol, threshold, numHashes, bands)
+    val gcc = Clusters.connectedComponents(repPairs, "gid_a", "gid_b")
+      .withColumnRenamed("id", "gid")
+    // multi-member groups whose members interconnect (intra Jaccard ≥ t;
+    // false only for the empty set) but touch no cross-group pair
+    val isolated = groups
+      .filter(size(col("members")) > 1 &&
+        jaccard_sorted(col("shingles"), col("shingles")) >= threshold)
+      .select(col("gid"))
+      .join(gcc.select("gid"), Seq("gid"), "left_anti")
+      .select(col("gid"), col("gid").as("cluster_id"))
+    gcc.unionByName(isolated)
+      .join(groups.select(col("gid"), col("members")), Seq("gid"))
+      .select(explode(col("members")).as("id"), col("cluster_id"))
   }
 
   // ------------------------------------------------ incremental (indexed)

@@ -44,9 +44,15 @@ class PlanShapeSpec extends SparkSpec {
   // minhash LSH dedup: band equi-join + size-ratio prune, docs broadcast
   // into the small pair set at this scale
   checkShape("x2_dedup_minhash", maxExchanges = 9, minBroadcastJoins = 1)
-  // connected components: post-contraction plan — label propagation is
-  // checkpointed per round, the final plan re-shuffles at most twice
-  checkShape("x7_dup_clusters", maxExchanges = 2, minBroadcastJoins = 0)
+  // connected components on the GROUP graph: the contraction itself is
+  // checkpointed per round (its exchanges run during construction and are
+  // lineage-cut); the final plan is collapse-groupBy + candidate distinct
+  // + the isolated-group anti join + member expansion + orderBy. The
+  // printed count is inflated the same way as x9's: the persisted
+  // collapse plan (one groupBy exchange, run ONCE) is re-printed under
+  // every InMemoryTableScan consumer. Result equality with doc-level cc
+  // is asserted in ClustersSpec.
+  checkShape("x7_dup_clusters", maxExchanges = 18, minBroadcastJoins = 0)
   // incremental dedup vs persisted index: both sides collapse to unique
   // token sets (one groupBy exchange each, run ONCE — the frames are
   // persisted), candidates distinct + final orderBy = 4 runtime shuffles;
@@ -216,13 +222,13 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  // leakage-safe split (x12): after the component contraction (iterative,
-  // checkpoint-released per round — its plan is audited via x7), the
-  // FINAL plan is docs LEFT JOIN cluster membership + the md5-coin
-  // projection: membership dedup agg + the join's two sides + the
-  // orderBy, and never a cartesian (every doc meets its cluster by id
-  // equi-join)
-  checkShape("x12_leakage_safe_split", maxExchanges = 4,
+  // leakage-safe split (x12): after the GROUP-graph component contraction
+  // (iterative, checkpoint-released per round — its plan is audited via
+  // x7), the FINAL plan is docs LEFT JOIN the expanded component table +
+  // the md5-coin projection, never a cartesian. The printed exchange
+  // count carries x7's full expansion plan (incl. the per-consumer
+  // re-prints of the persisted collapse plan) below the left join.
+  checkShape("x12_leakage_safe_split", maxExchanges = 20,
     minBroadcastJoins = 0)
 
   // span excision: the REAL lazy plan (the declared query materializes

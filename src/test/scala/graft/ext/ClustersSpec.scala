@@ -83,6 +83,67 @@ class ClustersSpec extends SparkSpec {
       s"expected at most 1 pinned checkpoint, found ${after - before}")
   }
 
+  test("group-graph components equal doc-graph components (incl. isolated dup groups, empty text)") {
+    import spark.implicits._
+    // fixture exercises every branch of the group-level rewrite:
+    //  - a near-dup CHAIN across distinct token sets (cross-group edges)
+    //  - an exact-duplicate group fused to the chain (expansion inside a
+    //    cross component)
+    //  - an ISOLATED exact-duplicate group (30/31: no cross pair — must be
+    //    restored as its own component)
+    //  - blank-text docs (40/41: the tokenizer yields the {""} singleton
+    //    set for blank text, so they are set-identical at Jaccard 1 and
+    //    form their own isolated component — the truly-empty-set branch
+    //    (intra Jaccard 0) is unreachable through tokenSet but stays
+    //    guarded in nearDuplicateComponents for set-valued callers)
+    //  - an unrelated singleton (50: absent)
+    val docs = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog near the river",
+      2L -> "the quick brown fox jumps over the lazy dog near the creek",
+      3L -> "the quick brown fox jumps over the lazy dog near the creek bed",
+      4L -> "the quick brown fox jumps over the lazy dog near the river", // = 1
+      30L -> "columnar storage formats and shuffle services in depth",
+      31L -> "columnar storage formats and shuffle services in depth", // = 30
+      40L -> "   ",
+      41L -> "",
+      50L -> "completely unrelated content about distributed consensus protocols"
+    ).toDF("doc_id", "text")
+
+    val docLevel = Dedup.withNearDuplicatesMinhash(
+      docs, "doc_id", "text", threshold = 0.5,
+      numHashes = 128, bands = 32) { pairs =>
+      Clusters.connectedComponents(pairs, "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+    }
+    val groupLevel = Dedup.nearDuplicateComponents(
+      docs, "doc_id", "text", threshold = 0.5, numHashes = 128, bands = 32)
+      .as[(Long, Long)].collect().toMap
+
+    assert(groupLevel === docLevel)
+    assert(groupLevel.contains(30L) && groupLevel(31L) === 30L) // isolated group restored
+    assert(groupLevel(40L) === 40L && groupLevel(41L) === 40L) // blank text: {""} sets
+    assert(!groupLevel.contains(50L))
+    assert(groupLevel(4L) === groupLevel(1L)) // exact dup rides its group's component
+  }
+
+  test("leakageSafeSplitByComponents equals leakageSafeSplit on the same graph") {
+    import spark.implicits._
+    val docs = (0L until 40L)
+      .map(i => (i, if (i % 4 == 0) s"shared shared shared token doc" else s"unique text number $i with more words"))
+      .toDF("doc_id", "text")
+    val direct = Dedup.withNearDuplicatesMinhash(
+      docs, "doc_id", "text", threshold = 0.8) { pairs =>
+      Curation.leakageSafeSplit(docs, "doc_id", pairs,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "s")
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+    }
+    val byComponents = Curation.leakageSafeSplitByComponents(docs, "doc_id",
+      Dedup.nearDuplicateComponents(docs, "doc_id", "text", threshold = 0.8),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "s")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(byComponents === direct)
+  }
+
   test("keepCanonical keeps cluster minima and untouched rows") {
     import spark.implicits._
     val docs = (0L until 10L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
