@@ -43,11 +43,11 @@ object Plans {
     name match {
       case "x11_containment" =>
         val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-        val (plan, sets) = graft.ext.Dedup.containmentPairsPlan(
+        val (plan, caches) = graft.ext.Dedup.containmentPairsPlan(
           docs, "doc_id", "text", 0.8,
           shingleFn = graft.ext.Shingles.charNGrams(_, 8))
         Some((plan.orderBy("id", "container_id"),
-          () => { sets.unpersist(blocking = false); () }))
+          () => { caches.foreach(_.unpersist(blocking = false)); () }))
       case "q91_span_excise" =>
         val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         val (plan, pos) = graft.ext.Fingerprint.exciseSharedSpansPlan(

@@ -134,6 +134,48 @@ object Prof {
       spark.stop()
       return
     }
+    // Stage volumes for x11_containment: where do the 8-gram sets explode?
+    if (args.headOption.contains("x11parts")) {
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val (result, caches) = ext.Dedup.containmentPairsPlan(
+        docs, "doc_id", "text", 0.8,
+        shingleFn = ext.Shingles.charNGrams(_, 8))
+      val sets = caches.head
+      time("sets")(sets.count())
+      val toks = sets.select(col("id"), col("nsh"), explode(col("sh")).as("shingle"))
+      time("toks")(toks.count())
+      val docFreq = toks.groupBy("shingle").agg(count(lit(1)).as("df"))
+      time("docFreq")(docFreq.count())
+      val prefixLen = (col("nsh") - ceil(lit(0.8) * col("nsh")) + 1).cast("int")
+      val ranked = toks.join(docFreq, Seq("shingle"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy(col("df"), col("shingle"))))
+      val probes = ranked
+        .filter(col("rk") <= prefixLen)
+        .select(col("id").as("a"), col("nsh").as("nsh_a"), col("shingle"))
+      time("probes")(probes.count())
+      val postings = ranked.select(col("id").as("b"), col("nsh").as("nsh_b"), col("shingle"), col("rk").as("rk_b"))
+      val joined = probes.join(postings, Seq("shingle"))
+        .filter(col("a") =!= col("b") && col("nsh_b") >= lit(0.8) * col("nsh_a"))
+      time("probe-join rows (pre-positional)")(joined.count())
+      val positional = joined.filter(
+        col("rk_b") <= col("nsh_b") - ceil(lit(0.8) * col("nsh_a")) + 1)
+      time("rows into distinct (positional)")(positional.count())
+      val candidates = positional.select(col("a"), col("b")).distinct()
+      time("candidates")(candidates.count())
+      val bmPruned = candidates
+        .join(sets.select(col("id").as("a"), col("nsh").as("nsh_a"), col("bm").as("bm_a")), Seq("a"))
+        .join(sets.select(col("id").as("b"), col("bm").as("bm_b")), Seq("b"))
+        .filter(col("nsh_a") -
+          graft.functions.BitmapFunctions.bitmap_andnot_count(col("bm_a"), col("bm_b")) >=
+          lit(0.8) * col("nsh_a"))
+      time("bitmap survivors")(bmPruned.count())
+      time("full x11")(result.count())
+      caches.foreach(_.unpersist())
+      spark.stop()
+      return
+    }
     // A/B: doc-graph vs group-graph connected components on the same host
     if (args.headOption.contains("x7ab")) {
       import org.apache.spark.sql.functions._

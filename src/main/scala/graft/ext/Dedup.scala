@@ -689,18 +689,19 @@ object Dedup {
       threshold: Double,
       shingleFn: Column => Column = tokenSet,
       bitmapWords: Int = 64): DataFrame = {
-    val (result, sets) =
+    val (result, caches) =
       containmentPairsPlan(df, idCol, textCol, threshold, shingleFn,
         bitmapWords)
     try result.localCheckpoint(true)
-    finally sets.unpersist(blocking = false)
+    finally caches.foreach(_.unpersist(blocking = false))
   }
 
-  /** The lazy containment plan plus its persisted shingle frame — split
-    * out so [[containmentPairs]] can release the cache after
-    * materializing, and so the plan-shape spec can pin the REAL physical
-    * plan (the public method's executed plan is a checkpoint scan).
-    * Callers own unpersisting the returned `sets`.
+  /** The lazy containment plan plus its persisted intermediates (the
+    * shingle frame and the df-ranked token view) — split out so
+    * [[containmentPairs]] can release the caches after materializing, and
+    * so the plan-shape spec can pin the REAL physical plan (the public
+    * method's executed plan is a checkpoint scan). Callers own
+    * unpersisting every frame in the returned seq.
     */
   private[graft] def containmentPairsPlan(
       df: DataFrame,
@@ -708,7 +709,7 @@ object Dedup {
       textCol: String,
       threshold: Double,
       shingleFn: Column => Column = tokenSet,
-      bitmapWords: Int = 64): (DataFrame, DataFrame) = {
+      bitmapWords: Int = 64): (DataFrame, Seq[DataFrame]) = {
     require(threshold > 0 && threshold <= 1,
       s"containment threshold must be in (0, 1], got $threshold")
     val sets = ensureParallelism(df.select(col(idCol), col(textCol)))
@@ -724,31 +725,53 @@ object Dedup {
     val toks = sets.select(col("id"), col("nsh"),
       explode(col("sh")).as("shingle"))
     val docFreq = toks.groupBy("shingle").agg(count(lit(1)).as("df"))
-    // rarest-first rank of each document's own shingles; keep the prefix.
-    // Length is |A| − ceil(t·|A|) + 1, NOT floor((1−t)·|A|)+1: both are
-    // equal in exact arithmetic, but the latter under-counts by one when
-    // (1−t)·|A| lands just below an integer in doubles (t=0.8, |A|=10
-    // gives 1.9999…), silently dropping pairs that sit exactly ON the
-    // threshold. Deriving the prefix from the same `t·|A|` product the
-    // verify filter compares against makes prune and verify agree at the
-    // boundary by construction.
-    val prefixLen = (col("nsh") - ceil(lit(threshold) * col("nsh")) + 1)
-      .cast("int")
-    val probes = toks
+    // rarest-first rank of each document's own shingles under ONE global
+    // total order (ascending df, shingle breaking ties) — shared by the
+    // probe side (prefix) and the posting side (positional filter), so it
+    // is computed and persisted once.
+    val ranked = toks
       .join(docFreq, Seq("shingle"))
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("id").orderBy(col("df"), col("shingle"))))
+      .select(col("id"), col("nsh"), col("shingle"), col("rk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // Probe prefix length is |A| − ceil(t·|A|) + 1, NOT floor((1−t)·|A|)+1:
+    // both are equal in exact arithmetic, but the latter under-counts by
+    // one when (1−t)·|A| lands just below an integer in doubles (t=0.8,
+    // |A|=10 gives 1.9999…), silently dropping pairs that sit exactly ON
+    // the threshold. Deriving the prefix from the same `t·|A|` product the
+    // verify filter compares against makes prune and verify agree at the
+    // boundary by construction.
+    val prefixLen = (col("nsh") - ceil(lit(threshold) * col("nsh")) + 1)
+      .cast("int")
+    val probes = ranked
       .filter(col("rk") <= prefixLen)
       .select(col("id").as("a"), col("nsh").as("nsh_a"), col("shingle"))
 
-    val postings = sets.select(col("id").as("b"), col("nsh").as("nsh_b"),
-      explode(col("sh")).as("shingle"))
+    val postings = ranked.select(col("id").as("b"), col("nsh").as("nsh_b"),
+      col("shingle"), col("rk").as("rk_b"))
     val candidates = probes
       .join(postings, Seq("shingle"))
       .filter(col("a") =!= col("b") &&
         // |A∩B| <= |B|, so |B| < t·|A| can never reach the threshold
-        col("nsh_b") >= lit(threshold) * col("nsh_a"))
+        col("nsh_b") >= lit(threshold) * col("nsh_a") &&
+        // POSITIONAL prefix filter on the posting side (the AllPairs/
+        // SSJoin pigeonhole, both-sides form): if |A∩B| ≥ o = ⌈t·|A|⌉,
+        // the prefixes of length |A|−o+1 and |B|−o+1 under the SAME
+        // global order must share an element — so a join row whose
+        // shared shingle sits deeper than |B|−o+1 in B can be dropped
+        // without losing the pair (some other row of the same pair
+        // survives, or the pair provably misses the threshold). This is
+        // a per-ROW prune that runs inside the join's output pipeline,
+        // BEFORE the candidate-distinct shuffle — on a shared-text
+        // corpus it is the difference between deduplicating every
+        // probe×posting collision and deduplicating roughly the
+        // prefix×prefix ones (measured 19.3M → 3.3M rows into the
+        // distinct at sf0.1).
+        col("rk_b") <=
+          col("nsh_b") - ceil(lit(threshold) * col("nsh_a")) + 1)
       .select(col("a"), col("b"))
       .distinct()
 
@@ -780,7 +803,7 @@ object Dedup {
         col("a").as("id"),
         col("b").as("container_id"),
         (col("inter").cast("double") / col("nsh_a")).as("containment"))
-    (result, sets)
+    (result, Seq(sets, ranked))
   }
 
   /** Drop documents subsumed by another document. A document drops iff it

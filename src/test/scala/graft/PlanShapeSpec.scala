@@ -111,7 +111,7 @@ class PlanShapeSpec extends SparkSpec {
   // blind this guard.
   test("x11_containment: no cartesian, <=6 shuffles, >=1 broadcast joins") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-    val (lazyPairs, sets) = graft.ext.Dedup.containmentPairsPlan(
+    val (lazyPairs, caches) = graft.ext.Dedup.containmentPairsPlan(
       docs, "doc_id", "text", 0.8,
       shingleFn = graft.ext.Shingles.charNGrams(_, 8))
     try {
@@ -123,7 +123,7 @@ class PlanShapeSpec extends SparkSpec {
         count(p, "Exchange (hash|range)partitioning") should be <= 6
         count(p, "BroadcastHashJoin") should be >= 1
       }
-    } finally sets.unpersist(blocking = false)
+    } finally caches.foreach(_.unpersist(blocking = false))
   }
   // PCA covariance: THE contract — the moments aggregate's map-side
   // partial means NO hash/range exchange anywhere; rows never shuffle
