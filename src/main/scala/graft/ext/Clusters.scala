@@ -84,17 +84,25 @@ object Clusters {
       // just the edge list read as (large → small).
       val symLE = large.select(col("v").as("u"), col("u").as("v"))
       val minsS = symLE.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      // LAZY checkpoint, materialized by the count below — computing,
+      // caching, and lineage-truncating the round's edge set in ONE job
+      // instead of an eager-checkpoint job plus a count job. The loop is
+      // round-LATENCY-bound at moderate edge counts (measured identical
+      // wall time at 4 and 32 threads), so one fewer job per round is a
+      // direct wall-clock cut; the count fully materializes every
+      // partition before the next round's two-branch union reads them,
+      // so no partition is ever computed twice.
       val small = symLE.join(minsS, "u")
         .select(col("m").as("nu"), col("v"))
         .unionAll(minsS.select(col("m").as("nu"), col("u").as("v")))
         .select(col("nu").as("u"), col("v"))
         .filter(col("u") =!= col("v"))
         .distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(false)
 
       // exact fixpoint test (counts + one-sided except on the checkpointed
       // sets): equal counts and an empty difference ⇒ identical edge sets.
-      // One extra bounded job per round, no checksum false-positives.
+      // No checksum false-positives.
       val nPrev = if (prevCount >= 0) prevCount else edges.count()
       val nCurr = small.count()
       prevCount = nCurr

@@ -126,6 +126,37 @@ class ClustersSpec extends SparkSpec {
     assert(groupLevel(4L) === groupLevel(1L)) // exact dup rides its group's component
   }
 
+  test("group-graph components equal doc-graph components on a pinned random corpus") {
+    import spark.implicits._
+    // random docs drawn from a small template pool with per-doc mutations:
+    // produces a mix of exact-duplicate groups, near-dup chains, and
+    // singletons — the shapes that exercise contraction + restoration
+    val rng = new scala.util.Random(graft.Check.PinnedSeed)
+    val templates = Vector(
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      "one two three four five six seven eight nine ten eleven twelve",
+      "red orange yellow green blue indigo violet cyan magenta white")
+    val docs = (0L until 120L).map { i =>
+      val base = templates(rng.nextInt(templates.length)).split(" ")
+      val mutated =
+        if (rng.nextBoolean()) base
+        else base.updated(rng.nextInt(base.length), s"tok${rng.nextInt(4)}")
+      (i, mutated.mkString(" "))
+    }.toDF("doc_id", "text")
+
+    val docLevel = Dedup.withNearDuplicatesMinhash(
+      docs, "doc_id", "text", threshold = 0.7,
+      numHashes = 128, bands = 32) { pairs =>
+      Clusters.connectedComponents(pairs, "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+    }
+    val groupLevel = Dedup.nearDuplicateComponents(
+      docs, "doc_id", "text", threshold = 0.7, numHashes = 128, bands = 32)
+      .as[(Long, Long)].collect().toMap
+    assert(groupLevel === docLevel)
+    assert(groupLevel.nonEmpty) // the pool guarantees collisions
+  }
+
   test("leakageSafeSplitByComponents equals leakageSafeSplit on the same graph") {
     import spark.implicits._
     val docs = (0L until 40L)
