@@ -89,23 +89,26 @@ def main(p001, p01, p1):
     out.append("")
     out.append("""## Reading the heavy tail
 
-- `x11_containment` / `x9_dedup_incremental` (~4.8x on 10x documents):
-  sub-linear — prefix-filter probes and the persisted minhash index keep
-  candidate growth below corpus growth; the fixed cost floor (~0.8-1.2s
-  at sf0.001, pure scheduling) still hides part of the data term.
-- `x7_dup_clusters` / `x12_leakage_safe_split` (~2-2.5x): dominated by
+- `x9_dedup_incremental` / `x11_containment` (~1.8x on 10x documents,
+  round 10): strongly sub-linear after the unique-set collapse (x9) and
+  the positional prefix filter (x11) — candidate volume now tracks
+  content DIVERSITY, which this corpus's near-clique grows much slower
+  than its row count; the fixed cost floor (~0.8-1.3s at sf0.001, pure
+  scheduling) still hides part of the data term.
+- `x7_dup_clusters` / `x12_leakage_safe_split` (~2.1-2.4x): dominated by
   the O(log^2 n) star-contraction ROUNDS, whose count barely moves at
-  10x rows — the per-round work is the part that scales, and it's small.
-- `y3_knn_ivf` at 5.9x vs 4x vectors is the one ratio above its data
-  growth (below the flag bar): with nlist fixed at 16, cells hold 4x the
-  vectors, so probe candidate lists grow ~4x AND per-query rescans grow
-  with them. The production knob is nlist ~ sqrt(corpus) (documented in
-  Similarity), and `graft.Prof nlistStudy` measures it on the sf0.1
-  corpus: at the SAME probe fraction (~0.25), nlist=45 (~sqrt(2000))
-  beats nlist=16 on BOTH wall time (1.10s vs 1.33s) and recall (0.67 vs
-  0.57) — finer cells make the probed fraction better targeted, so at a
-  real snapshot size the cell population, not the cell COUNT, is what
-  stays constant. Same story applies to y2's band buckets.
+  10x rows — and since round 10 the per-round edge set is the GROUP
+  graph, so the part that scales shrank by the duplication factor too.
+- `y3_knn_ivf` at 4.0x vs 4x vectors vs `y7_knn_artifact_served` at
+  1.3x ON THE SAME SNAPSHOT is the nlist ~ sqrt(corpus) law measured
+  inside the declared surface: y3 keeps nlist fixed at 16, so cells
+  hold 4x the vectors and per-query candidate lists grow with the
+  corpus; y7 trains its coarse codebook at suggestNlist(corpus) =
+  round(sqrt(corpus)) with the probe FRACTION held, so per-cell
+  population — the serving cost term (nprobe x corpus / nlist) — stays
+  nearly flat. `graft.Prof nlistStudy` measures the same effect
+  off-surface (nlist=45 beats nlist=16 on wall time AND recall at equal
+  probe fraction). Same story applies to y2's band buckets.
 - The m-family (~4.4-4.9x on 10x blobs) is decode-bound mapPartitions;
   sub-linear because sf0.1's larger row groups amortize batch setup.
 
@@ -113,12 +116,12 @@ Totals context: sf0.001 and sf0.01 are within noise of each other -
 at these scales the surface is overhead-bound, which is exactly why the
 last step is the only ratio this artifact reads.
 
-Reproducibility: a second full 3-scale chain at the final round-9 HEAD
-(classifier saturation kernel included), run in ~18% heavier host
-weather, reproduced the conclusions exactly - 0 queries flagged, same
-ratio shape per family (x11 2.9x, t16 1.7x, y3 5.5x vs this record's
-4.8x/1.9x/5.9x). Ratios are chain-internal, so weather moves the
-absolutes, not the verdicts.""")
+Reproducibility: ratios are chain-internal, so host weather moves the
+absolutes, not the verdicts — the round-9 record's full 3-scale chain
+was reproduced at its HEAD in ~18% heavier weather with 0 flags and the
+same per-family ratio shape, and this round-10 chain (new: y7 pair;
+reshaped: x7/x9/x11/x12) again flags nothing, with every reshaped
+query's last step at or below its family growth.""")
     out.append("")
     with open("SCALING.md", "w") as f:
         f.write("\n".join(out) + "\n")
