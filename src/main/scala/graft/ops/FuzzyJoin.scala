@@ -67,27 +67,62 @@ object FuzzyJoin {
   }
 
   /** Self fuzzy join: unordered pairs (`id_a < id_b`) of rows whose keys
-    * are within `maxDist` edits. One variant explosion, one self-join.
+    * are within `maxDist` edits.
+    *
+    * Rows are first collapsed to UNIQUE KEYS — edit distance depends only
+    * on the key, so a group of m key-identical rows (the norm on dirty
+    * real-world keys) costs one variant explosion and one levenshtein
+    * verify per partner GROUP instead of per row pair, and its own m²/2
+    * intra pairs are emitted at dist 0 without touching the hash join at
+    * all (the same lever as `Dedup`'s unique-token-set collapse; members
+    * expand by explode after verification). The group table is persisted
+    * (it feeds the hash join, the verify attach, and the expansion) with
+    * the CacheManager lifecycle — callers issue
+    * `spark.catalog.clearCache()` between jobs, as Verify/Bench do.
     */
   def selfJoin(
       df: DataFrame, idCol: String, keyCol: String, maxDist: Int): DataFrame = {
     require(maxDist >= 1 && maxDist <= 2,
       s"fuzzy join supports maxDist 1..2, got $maxDist")
-    val keyed = df
+    val groups = df
       .select(col(idCol).as("_id"), col(keyCol).as("_k"))
       .where(col("_k").isNotNull)
-    val v = keyed.select(col("_id"),
+      .groupBy(col("_k"))
+      .agg(min(col("_id")).as("_gid"), collect_list(col("_id")).as("_members"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val v = groups.select(col("_gid"),
       explode(variantHashes(col("_k"), maxDist)).as("_vh"))
     val cand = v.as("a")
       .join(v.as("b"), col("a._vh") === col("b._vh") &&
-        col("a._id") < col("b._id"))
-      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
+        col("a._gid") < col("b._gid"))
+      .select(col("a._gid").as("_ga"), col("b._gid").as("_gb"))
       .distinct()
-    cand
-      .join(keyed.select(col("_id").as("id_a"), col("_k").as("_ka")), "id_a")
-      .join(keyed.select(col("_id").as("id_b"), col("_k").as("_kb")), "id_b")
+
+    // one exact verify per key pair; members attach to survivors only
+    val cross = cand
+      .join(groups.select(col("_gid").as("_ga"), col("_k").as("_ka"),
+        col("_members").as("_ma")), "_ga")
+      .join(groups.select(col("_gid").as("_gb"), col("_k").as("_kb"),
+        col("_members").as("_mb")), "_gb")
       .withColumn("dist", levenshtein(col("_ka"), col("_kb")))
       .where(col("dist") <= maxDist)
-      .select("id_a", "id_b", "dist")
+      .select(explode(col("_ma")).as("a"), col("_mb"), col("dist"))
+      .select(col("a"), explode(col("_mb")).as("b"), col("dist"))
+      .select(
+        least(col("a"), col("b")).as("id_a"),
+        greatest(col("a"), col("b")).as("id_b"),
+        col("dist"))
+
+    // key-identical rows: dist 0 by definition, no hash join involved
+    val intra = groups
+      .filter(size(col("_members")) > 1)
+      .select(explode(col("_members")).as("a"), col("_members"))
+      .select(col("a"), explode(col("_members")).as("b"))
+      .filter(col("a") < col("b"))
+      .select(col("a").as("id_a"), col("b").as("id_b"),
+        lit(0).cast("int").as("dist"))
+
+    cross.unionByName(intra)
   }
 }
