@@ -1153,6 +1153,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "t17_gopher_repetition" -> ((s, dir) => {
+      // Gopher-style repetition filters (Rae et al. 2021 quality rules):
+      // duplicate-LINE fraction, duplicate-line CHAR mass, and the char
+      // share of the most frequent word 2-gram — the boilerplate signals
+      // word-n-gram repetition (t9) dilutes. documents.text ships
+      // single-line, so lines are synthesized exactly as t14/q83 do (a
+      // newline before common stopwords); the oracle applies the
+      // identical rewrite and re-derives all three fractions. Divisions
+      // are int/int IEEE ops — exact cross-engine, no rounding.
+      TextAnalysis.gopherRepetitionSignals(
+        rd(s, dir, "documents").select(col("doc_id"),
+          regexp_replace(col("text"), " (the|a|and|of|to|in) ", "\n$1 ")
+            .as("text")),
+        "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     "t10_bpe_chars" -> ((s, dir) =>
       // the BPE machinery with zero merges: every non-whitespace code
       // point is its own token, so DuckDB can compute the exact count —
@@ -4303,6 +4320,38 @@ object SparkEntry {
     "q82_quantile_sketch" ->
       """SELECT source, 1 AS sketch_ok FROM documents
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "t17_gopher_repetition" ->
+      """WITH s AS (SELECT doc_id, regexp_replace(text,
+        |    ' (the|a|and|of|to|in) ', chr(10) || '\1 ', 'g') AS t
+        |  FROM documents),
+        |l0 AS (SELECT doc_id, trim(x) AS line
+        |  FROM s, unnest(str_split(t, chr(10))) AS u(x)),
+        |lg AS (SELECT doc_id, line, count(*) AS cnt, length(line) AS len
+        |  FROM l0 WHERE line <> '' GROUP BY doc_id, line),
+        |ls AS (SELECT doc_id,
+        |    1.0 - count(*)::DOUBLE / sum(cnt) AS dup_line_frac,
+        |    sum((cnt - 1) * len)::DOUBLE / sum(cnt * len)
+        |      AS dup_line_char_frac
+        |  FROM lg GROUP BY doc_id),
+        |w AS (SELECT doc_id, length(trim(t)) AS tchars,
+        |    regexp_split_to_array(trim(t), '\s+') AS a FROM s),
+        |b AS (SELECT doc_id, tchars, a[i] || ' ' || a[i+1] AS gram
+        |  FROM w, unnest(generate_series(1, len(a) - 1)) AS g(i)
+        |  WHERE len(a) >= 2),
+        |bc AS (SELECT doc_id, tchars, gram, count(*) AS cnt
+        |  FROM b GROUP BY doc_id, tchars, gram),
+        |bt AS (SELECT doc_id,
+        |    (cnt * length(gram))::DOUBLE / tchars AS top_bigram_char_frac
+        |  FROM (SELECT bc.*, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY cnt DESC, gram DESC) AS rk FROM bc)
+        |  WHERE rk = 1)
+        |SELECT s.doc_id,
+        |  coalesce(ls.dup_line_frac, 0.0) AS dup_line_frac,
+        |  coalesce(ls.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+        |  coalesce(bt.top_bigram_char_frac, 0.0) AS top_bigram_char_frac
+        |FROM s LEFT JOIN ls USING (doc_id) LEFT JOIN bt USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "t14_line_clean" ->
       """WITH s AS (SELECT doc_id, regexp_replace(text,

@@ -293,4 +293,72 @@ object TextAnalysis {
         // floor form, not round(): cross-engine-stable on decimal ties
         // (see SparkEntry t2_quality note)
         (floor(avg("quality") * 1e4 + 0.5) / 1e4).as("avg_quality"))
+
+  /** Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
+    * Models", table A1 quality filters): per document, the fraction of
+    * (trimmed, non-empty) LINES that are duplicate occurrences of another
+    * line, the fraction of line CHARACTERS inside those duplicate
+    * occurrences, and the fraction of the document's characters covered
+    * by its most frequent word 2-gram. Line-level repetition catches the
+    * boilerplate that word-n-gram scores ([[repetitionScore]], t9) dilute
+    * — nav bars, headers, timestamps repeated down a page — and the
+    * top-2-gram share catches degenerate generation/scrape loops.
+    *
+    * Scale shape: two explode→groupBy chains keyed by `(doc, line)` /
+    * `(doc, gram)` plus one per-doc window over the already-grouped gram
+    * counts — never a per-row O(n²) array lambda (the t16 lesson: a
+    * lambda that re-references a derived array re-evaluates it per
+    * ELEMENT under whole-stage codegen, so the explode→groupBy form IS
+    * the cheap one here).
+    *
+    * Output: `(idCol, dup_line_frac, dup_line_char_frac,
+    * top_bigram_char_frac)`, zeros for documents with no qualifying
+    * lines/grams. Every division is a single int/int IEEE op — exact
+    * cross-engine (jaccard precedent). The top-2-gram tie breaks by
+    * descending gram text, deterministically.
+    */
+  def gopherRepetitionSignals(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("_id"), col(textCol).as("_text"))
+
+    val lineGroups = base
+      .select(col("_id"), explode(split(col("_text"), "\n")).as("_raw"))
+      .select(col("_id"), trim(col("_raw")).as("_line"))
+      .filter(col("_line") =!= "")
+      .groupBy(col("_id"), col("_line"))
+      .agg(count(lit(1)).as("_cnt"))
+      .withColumn("_len", length(col("_line")))
+    val lineSignals = lineGroups
+      .groupBy(col("_id"))
+      .agg(
+        (lit(1.0) - count(lit(1)).cast("double") / sum(col("_cnt")))
+          .as("dup_line_frac"),
+        (sum((col("_cnt") - 1) * col("_len")).cast("double") /
+          sum(col("_cnt") * col("_len"))).as("dup_line_char_frac"))
+
+    val gramCounts = base
+      .select(col("_id"), length(trim(col("_text"))).as("_tchars"),
+        explode(wordNGramsAll(col("_text"), 2)).as("_gram"))
+      .groupBy(col("_id"), col("_tchars"), col("_gram"))
+      .agg(count(lit(1)).as("_cnt"))
+    val topGram = gramCounts
+      .withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("_id").orderBy(col("_cnt").desc, col("_gram").desc)))
+      .filter(col("_rk") === 1)
+      .select(col("_id"),
+        ((col("_cnt") * length(col("_gram"))).cast("double") /
+          col("_tchars")).as("top_bigram_char_frac"))
+
+    base.select(col("_id"))
+      .join(lineSignals, Seq("_id"), "left")
+      .join(topGram, Seq("_id"), "left")
+      .select(
+        col("_id").as(idCol),
+        coalesce(col("dup_line_frac"), lit(0.0)).as("dup_line_frac"),
+        coalesce(col("dup_line_char_frac"), lit(0.0))
+          .as("dup_line_char_frac"),
+        coalesce(col("top_bigram_char_frac"), lit(0.0))
+          .as("top_bigram_char_frac"))
+  }
 }

@@ -207,4 +207,37 @@ class TextAnalysisSpec extends SparkSpec {
     // schemeless input passes through trimmed (no canonical form)
     canon("  relative/path?x=1 ") shouldBe "relative/path?x=1"
   }
+
+  test("gopherRepetitionSignals: line dup fractions and top-bigram share by hand") {
+    import spark.implicits._
+    // doc 1: 4 non-empty lines, "nav bar" twice -> dup_line_frac = 1 - 3/4;
+    //   dup chars = 7 of (7+7+10+6=30); top bigram "nav bar" (count 2 of
+    //   words "nav bar nav bar first line second half", tchars = len)
+    // doc 2: no duplicate lines, every bigram unique
+    // doc 3: blank/whitespace-only text -> all zeros
+    val docs = Seq(
+      (1L, "nav bar\nnav bar\nfirst line\n\n  \nsecond"),
+      (2L, "alpha beta gamma"),
+      (3L, "   ")).toDF("doc_id", "text")
+    val out = TextAnalysis
+      .gopherRepetitionSignals(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Double, Double, Double)].collect()
+
+    val d1 = out(0)
+    assert(d1._2 === 1.0 - 3.0 / 4.0)
+    assert(d1._3 === 7.0 / 30.0)
+    // words: nav bar nav bar first line second (newlines are whitespace);
+    // top bigram "nav bar" count 2, len 7; tchars = trimmed text length
+    val tchars1 = "nav bar\nnav bar\nfirst line\n\n  \nsecond".trim.length
+    assert(d1._4 === 2.0 * 7.0 / tchars1)
+
+    val d2 = out(1)
+    assert(d2._2 === 0.0 && d2._3 === 0.0)
+    // both bigrams have count 1 and length 10; tie breaks by descending
+    // gram text -> "beta gamma", share 1*10/16
+    assert(d2._4 === 10.0 / 16.0)
+    val d3 = out(2)
+    assert(d3._2 === 0.0 && d3._3 === 0.0 && d3._4 === 0.0)
+  }
 }
