@@ -41,12 +41,26 @@ object Clusters {
     * @param maxIterations hard stop: throws rather than silently returning
     *         a partially-contracted (WRONG) clustering. The O(log² n)
     *         bound makes the default unreachable for any real input.
+    * @param driverFinishEdges when the current edge set (initial, or after
+    *         any contraction round) is at or below this many edges AND the
+    *         id type is LongType, finish with a driver-side union-find
+    *         instead of iterating to the distributed fixpoint. Every
+    *         round preserves connectivity and the node set, so union-find
+    *         over ANY round's edges yields the identical min-id
+    *         clustering (spec-pinned against the distributed path) — and
+    *         the loop is round-LATENCY-bound precisely in this regime, so
+    *         the tail rounds cost scheduling, not work. The collect is
+    *         explicitly bounded: 1M edges ≈ 16 MB, the same posture as
+    *         k-means' capped sample — at a 100 TB corpus the contracted
+    *         edge set is O(nodes) and simply never crosses the threshold,
+    *         leaving the distributed path in charge. 0 disables.
     */
   def connectedComponents(
       pairs: DataFrame,
       aCol: String,
       bCol: String,
-      maxIterations: Int = 25): DataFrame = {
+      maxIterations: Int = 25,
+      driverFinishEdges: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
 
@@ -58,6 +72,40 @@ object Clusters {
       .distinct()
       .localCheckpoint(true)
 
+    val longIds = edges.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+
+    def unionFindFinish(): DataFrame = {
+      val es = edges.select(col("u"), col("v"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      unpersistCheckpoint(edges)
+      // index-compressed union-find with path compression; the component
+      // label is resolved to the MINIMUM member id afterwards (the label
+      // contract of the distributed fixpoint)
+      val ids = scala.collection.mutable.HashMap.empty[Long, Int]
+      val order = new scala.collection.mutable.ArrayBuffer[Long](2 * es.length)
+      def idx(x: Long): Int =
+        ids.getOrElseUpdate(x, { order += x; order.length - 1 })
+      val parent = Array.tabulate(2 * es.length)(identity)
+      def find(x: Int): Int = {
+        var r = x; while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(idx(a)), find(idx(b)))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val minOf = scala.collection.mutable.HashMap.empty[Int, Long]
+      order.indices.foreach { i =>
+        val r = find(i)
+        if (!minOf.contains(r) || order(i) < minOf(r)) minOf(r) = order(i)
+      }
+      val rows = order.indices.map(i => (order(i), minOf(find(i))))
+      spark.createDataFrame(rows).toDF("id", "cluster_id")
+    }
+
     var converged = false
     var it = 0
     // the previous round's edge count, carried across rounds — recounting
@@ -65,6 +113,10 @@ object Clusters {
     // driver round-trip latency per iteration (the loop is latency-bound,
     // not work-bound: measured identical wall time at 4 and 32 threads)
     var prevCount = -1L
+    if (driverFinishEdges > 0 && longIds) {
+      prevCount = edges.count()
+      if (prevCount <= driverFinishEdges) return unionFindFinish()
+    }
     while (!converged && it < maxIterations) {
       // large-star: every node connects its LARGER neighbors to the
       // minimum of its neighborhood (incl. itself). Operates on the
@@ -108,14 +160,21 @@ object Clusters {
       prevCount = nCurr
       converged = nPrev == nCurr &&
         small.exceptAll(edges).limit(1).isEmpty
-      // `small` is EAGERLY checkpointed and the fixpoint test above is the
-      // last read of the previous round's edges — release its pinned blocks
-      // now, or 2-4 copies of the edge set sit in executor storage until
-      // driver GC happens to collect the DataFrames (at 100 TB that is the
-      // difference between fitting and spilling every later round).
+      // `small` is fully materialized by the count above and the fixpoint
+      // test is the last read of the previous round's edges — release the
+      // old blocks now, or 2-4 copies of the edge set sit in executor
+      // storage until driver GC happens to collect the DataFrames (at
+      // 100 TB that is the difference between fitting and spilling every
+      // later round).
       unpersistCheckpoint(edges)
       edges = small
       it += 1
+      // the first rounds do the massive contraction; once the survivor
+      // set is driver-sized, the remaining rounds cost scheduling
+      // latency, not work — finish locally
+      if (!converged && driverFinishEdges > 0 && longIds &&
+          nCurr <= driverFinishEdges)
+        return unionFindFinish()
     }
     require(converged,
       s"connectedComponents: no fixpoint after $maxIterations rounds " +

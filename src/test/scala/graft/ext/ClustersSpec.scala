@@ -6,9 +6,12 @@ import graft.SparkSpec
 
 class ClustersSpec extends SparkSpec {
 
-  private def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+  // driverFinish = 0 forces the DISTRIBUTED contraction path (the spec
+  // graphs are all tiny, so the default would finish on the driver)
+  private def cc(pairs: Seq[(Long, Long)], driverFinish: Long = 0L): Map[Long, Long] = {
     import spark.implicits._
-    Clusters.connectedComponents(pairs.toDF("id_a", "id_b"), "id_a", "id_b")
+    Clusters.connectedComponents(pairs.toDF("id_a", "id_b"), "id_a", "id_b",
+      driverFinishEdges = driverFinish)
       .as[(Long, Long)].collect().toMap
   }
 
@@ -34,10 +37,26 @@ class ClustersSpec extends SparkSpec {
     assert(cc(messy) === Map(2L -> 2L, 5L -> 2L, 9L -> 2L))
   }
 
-  test("empty pair set yields an empty clustering") {
+  test("empty pair set yields an empty clustering (both paths)") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Clusters.connectedComponents(empty, "id_a", "id_b").count() === 0L)
+    assert(Clusters.connectedComponents(empty, "id_a", "id_b",
+      driverFinishEdges = 0L).count() === 0L)
+  }
+
+  test("driver union-find finish equals the distributed fixpoint") {
+    // same pinned random graph through both paths: the default finishes
+    // on the driver (edges << 1M), driverFinishEdges = 0 iterates the
+    // star contraction to its fixpoint
+    val rng = new scala.util.Random(graft.Check.PinnedSeed + 1)
+    val pairs = Seq.fill(500)((rng.nextInt(300).toLong, rng.nextInt(300).toLong))
+      .filter(p => p._1 != p._2)
+    assert(cc(pairs, driverFinish = 1000000L) === cc(pairs, driverFinish = 0L))
+    // mid-loop trigger: threshold crossed only after the first round's
+    // contraction shrinks a long chain's edge set
+    val chain = (0L until 150L).map(i => (i, i + 1))
+    assert(cc(chain, driverFinish = 60L) === cc(chain, driverFinish = 0L))
   }
 
   test("matches union-find on a pinned random graph") {
@@ -76,7 +95,8 @@ class ClustersSpec extends SparkSpec {
     val before = spark.sparkContext.getPersistentRDDs.size
     val chain = (0L until 64L).sliding(2).map(w => (w(0), w(1))).toSeq
       .toDF("id_a", "id_b")
-    val out = Clusters.connectedComponents(chain, "id_a", "id_b").collect()
+    val out = Clusters.connectedComponents(chain, "id_a", "id_b",
+      driverFinishEdges = 0L).collect()
     assert(out.length === 64 && out.forall(_.getLong(1) == 0L))
     val after = spark.sparkContext.getPersistentRDDs.size
     assert(after - before <= 1,
