@@ -89,19 +89,18 @@ def main(p001, p01, p1):
     out.append("")
     out.append("""## Reading the heavy tail
 
-- `x9_dedup_incremental` / `x11_containment` (~2.2-2.4x on 10x
-  documents, round 10): strongly sub-linear after the unique-set
-  collapse (x9) and the positional prefix filter (x11) — candidate
-  volume now tracks content DIVERSITY, which this corpus's near-clique
-  grows much slower than its row count; the fixed cost floor
-  (~0.8-1.4s at sf0.001, pure scheduling) still hides part of the data
-  term.
-- `x7_dup_clusters` / `x12_leakage_safe_split` (~1.3-1.6x): dominated by
-  the O(log^2 n) star-contraction ROUNDS, whose count barely moves at
-  10x rows — and since round 10 the per-round edge set is the GROUP
-  graph, so the part that scales shrank by the duplication factor too.
-- `y3_knn_ivf` at ~4.5x vs 4x vectors vs `y7_knn_artifact_served` at
-  ~1.6x ON THE SAME SNAPSHOT is the nlist ~ sqrt(corpus) law measured
+- `x9_dedup_incremental` / `x11_containment` (~2-3x on 10x documents,
+  round 10): strongly sub-linear after the unique-set collapse (x9) and
+  the positional prefix filter (x11) — candidate volume now tracks
+  content DIVERSITY, which this corpus's near-clique grows much slower
+  than its row count; the fixed cost floor (~0.7-1.4s at sf0.001, pure
+  scheduling) still hides part of the data term.
+- `x7_dup_clusters` / `x12_leakage_safe_split` (~2x): the contraction
+  runs on the GROUP graph since round 10 and finishes driver-side once
+  the surviving edge set is under the bounded cap, so what scales is
+  the x2-style candidate pipeline feeding it, not the loop.
+- `y3_knn_ivf` at ~5x vs 4x vectors vs `y7_knn_artifact_served` at
+  ~1.8x ON THE SAME SNAPSHOT is the nlist ~ sqrt(corpus) law measured
   inside the declared surface: y3 keeps nlist fixed at 16, so cells
   hold 4x the vectors and per-query candidate lists grow with the
   corpus; y7 trains its coarse codebook at suggestNlist(corpus) =
