@@ -37,6 +37,80 @@ object Prof {
       spark.stop()
       return
     }
+    // q73_drift_ks bimodality root-cause (round-11 verdict #2): two
+    // canary-quiet records read ~1.8 s while clean subset runs read
+    // 0.24-0.35 s — the split only shows up in FULL-surface runs, so the
+    // suspect is cross-query JVM state (codegen-cache eviction → Janino
+    // recompile, JIT deopt, heap debris), not the query's own plan.
+    // Protocol: baseline passes in a fresh JVM, then one pass of every
+    // OTHER query to reproduce full-run pressure, then the same timed
+    // passes again — each pass annotated with ΔGC-time, ΔJIT-time and
+    // ΔJanino-compilation-count so a slow pass attributes itself, plus a
+    // watchdog stack dump at +900 ms for direct evidence.
+    if (args.headOption.contains("q73bi")) {
+      val target = args.lift(1).getOrElse("q73_drift_ks")
+      val data = Scratch.stage(dir)
+      val gcBeans = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans
+      def gcMs: Long = {
+        var s = 0L; gcBeans.forEach(b => s += b.getCollectionTime); s
+      }
+      val jitBean = java.lang.management.ManagementFactory.getCompilationMXBean
+      def jitMs: Long = jitBean.getTotalCompilationTime
+      def janinoCount: Long = org.apache.spark.metrics.source
+        .CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+      def janinoMs: Long = org.apache.spark.metrics.source
+        .CodegenMetrics.METRIC_COMPILATION_TIME.getSnapshot.getValues.sum
+      val watchdog = new java.util.Timer("q73bi-watchdog", true)
+      def dumpStacks(tag: String): Unit = {
+        val sb = new StringBuilder(s"[q73bi] STACKS $tag\n")
+        Thread.getAllStackTraces.forEach { (t, frames) =>
+          if (t.getState == Thread.State.RUNNABLE && frames.nonEmpty &&
+              frames.exists(f => f.getClassName.contains("spark") ||
+                f.getClassName.contains("janino") ||
+                f.getClassName.contains("codegen")))
+            sb.append(s"  ${t.getName}\n")
+              .append(frames.take(10).map(f => s"    $f").mkString("\n"))
+              .append("\n")
+        }
+        System.err.println(sb)
+      }
+      def settleB(): Unit = {
+        spark.catalog.clearCache(); System.gc(); Thread.sleep(100)
+      }
+      def pass(tag: String): Double = {
+        val g0 = gcMs; val j0 = jitMs; val c0 = janinoCount
+        val task = new java.util.TimerTask {
+          def run(): Unit = dumpStacks(tag)
+        }
+        watchdog.schedule(task, 900)
+        val t0 = System.nanoTime()
+        SparkEntry.queries(target)(spark, data).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        task.cancel()
+        println(f"[q73bi] $tag wall=$dt%.3fs gc=+${gcMs - g0}ms " +
+          f"jit=+${jitMs - j0}ms janino=+${janinoCount - c0}")
+        settleB()
+        dt
+      }
+      SparkEntry.queries(target)(spark, data).count() // warm
+      settleB()
+      (1 to 6).foreach(i => pass(s"baseline#$i"))
+      println(s"[q73bi] pressure: one pass of every other query " +
+        s"(janino total before=${janinoCount}, ${janinoMs / 1000000} ms)")
+      SparkEntry.queries.keys.filter(_ != target).foreach { n =>
+        try SparkEntry.queries(n)(spark, data).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[q73bi] $n failed: ${e.getMessage}") }
+        spark.catalog.clearCache()
+      }
+      settleB()
+      println(s"[q73bi] pressure done " +
+        s"(janino total=${janinoCount}, ${janinoMs / 1000000} ms)")
+      (1 to 6).foreach(i => pass(s"after-surface#$i"))
+      spark.stop()
+      return
+    }
     // Build-vs-search breakdown for the IVF-PQ serving pair. This split is
     // how the round-9 fusion bug was isolated: build-and-count was 0.1 s
     // while the composed search was 12 s, because `count()` PRUNES non-key

@@ -2318,6 +2318,66 @@ object SparkEntry {
           rnd(col("residual"), 4).as("residual"),
           rnd(col("z"), 4).as("z"), col("is_anomaly"))
         .orderBy("event_type", "idx")
+    }),
+
+    "q93_retention_expiry" -> ((s, dir) => {
+      // partition retention end-to-end (lake.Retention.expirePartitions):
+      // orders written Hive-partitioned by month, expiry deletes every
+      // partition DIRECTORY strictly below the cutoff via a driver-side
+      // O(partitions) listing — no data is read to decide, which is what
+      // makes nightly expiry free at 100 TB. The post-expiry table then
+      // aggregates to exactly what a date filter over the original
+      // produces, so the oracle is that filter in SQL. Aggregates are
+      // order-free-exact (count, BIGINT key sum, min/max).
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q93").toString
+      rd(s, dir, "orders")
+        .withColumn("od", date_format(col("o_orderdate"), "yyyy-MM"))
+        .write.mode("overwrite").partitionBy("od").parquet(s"$tmp/orders")
+      graft.lake.Retention.expirePartitions(
+        s, s"$tmp/orders", "od", cutoff = "1996-01")
+      s.read.parquet(s"$tmp/orders")
+        .groupBy("od")
+        .agg(count(lit(1)).as("n_rows"),
+          sum("o_orderkey").as("key_sum"),
+          min("o_totalprice").as("min_price"),
+          max("o_totalprice").as("max_price"))
+        .orderBy("od")
+    }),
+
+    "q94_schema_evolution" -> ((s, dir) => {
+      // schema evolution across parquet generations (lake.SchemaEvolution
+      // .readMerged + conform): generation 1 (even keys) predates the
+      // c_mktsegment column; generation 2 (odd keys) carries it plus an
+      // extra ingest_note the contract never adopted. readMerged unions
+      // the footers (metadata-only pass), conform projects the v2
+      // contract — typed null where a gen-1 row predates the column, the
+      // stray column dropped. The oracle is the same union-by-name in
+      // SQL, so a pass proves "new reader, old data" returns exactly the
+      // contract view.
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q94").toString
+      val c = rd(s, dir, "customer")
+      c.filter(col("c_custkey") % 2 === 0)
+        .select("c_custkey", "c_name", "c_acctbal")
+        .write.mode("overwrite").parquet(s"$tmp/t/gen=1")
+      c.filter(col("c_custkey") % 2 === 1)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_mktsegment"), lit("v2").as("ingest_note"))
+        .write.mode("overwrite").parquet(s"$tmp/t/gen=2")
+      val contract = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("c_custkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("c_name",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("c_mktsegment",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("c_acctbal",
+          org.apache.spark.sql.types.DoubleType)))
+      graft.lake.SchemaEvolution.conform(
+        graft.lake.SchemaEvolution.readMerged(s, s"$tmp/t").drop("gen"),
+        contract)
+        .orderBy("c_custkey")
     })
   )
 
@@ -2337,6 +2397,22 @@ object SparkEntry {
     */
   private val modelCache =
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  /** Force every [[cachedModel]] entry for `dir` so one-time training /
+    * persist / load cost lands HERE, never in an arbitrary timed slot.
+    * Bench calls this (untimed) before its warm phase: in the round-10
+    * record the y7 train+persist+load bill landed on whichever y7-family
+    * query the iteration order put first (y7r read 3.01 s vs its 0.39 s
+    * steady state). Training is deliberately excluded from serving
+    * claims — production trains once per snapshot, serves many batches.
+    */
+  def prewarmModels(s: SparkSession, dir: String): Unit = {
+    ivfDemo(s, dir, 8)
+    ivfDemo(s, dir, 16)
+    pqDemo(s, dir)
+    y6Models(s, dir)
+    y7Models(s, dir)
+  }
+
   private def cachedModel[T <: AnyRef](key: String)(train: => T): T = {
     // two-step (not computeIfAbsent): the trainer runs Spark jobs, and
     // nesting those inside a CHM mapping function risks re-entrancy;
@@ -4674,7 +4750,26 @@ object SparkEntry {
         |  floor(residual * 1e4 + 0.5) / 1e4 AS residual,
         |  floor(zs * 1e4 + 0.5) / 1e4 AS z,
         |  coalesce(abs(zs) > 2.5, false) AS is_anomaly
-        |FROM z ORDER BY event_type, idx""".stripMargin
+        |FROM z ORDER BY event_type, idx""".stripMargin,
+
+    "q93_retention_expiry" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS od,
+        |  count(*) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  min(o_totalprice) AS min_price,
+        |  max(o_totalprice) AS max_price
+        |FROM orders
+        |WHERE strftime(o_orderdate, '%Y-%m') >= '1996-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q94_schema_evolution" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(NULL AS VARCHAR) AS c_mktsegment, c_acctbal
+        |FROM customer WHERE c_custkey % 2 = 0
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+        |FROM customer WHERE c_custkey % 2 = 1
+        |ORDER BY c_custkey""".stripMargin
   )
 
   /** The q86-q88/x10/y3/y5 oracles' shared training loop, generalized

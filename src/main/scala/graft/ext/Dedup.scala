@@ -296,7 +296,9 @@ object Dedup {
     * min gid IS the component's min doc id.
     *
     * The group table is persisted (CacheManager lifecycle — callers issue
-    * `spark.catalog.clearCache()` between jobs, as Verify/Bench do).
+    * `spark.catalog.clearCache()` between jobs, as Verify/Bench do);
+    * long-lived sessions should use [[withNearDuplicateComponents]],
+    * which unpersists it when the callback returns.
     */
   def nearDuplicateComponents(
       df: DataFrame,
@@ -304,7 +306,35 @@ object Dedup {
       textCol: String,
       threshold: Double,
       numHashes: Int = 64,
-      bands: Int = 16): DataFrame = {
+      bands: Int = 16): DataFrame =
+    nearDuplicateComponentsPlan(df, idCol, textCol, threshold,
+      numHashes, bands)._1
+
+  /** Scoped form of [[nearDuplicateComponents]] that OWNS the persist
+    * lifecycle (same contract as [[withNearDuplicatesMinhash]]): the
+    * cached group table is unpersisted when `f` returns or throws. `f`
+    * must CONSUME the DataFrame before returning.
+    */
+  def withNearDuplicateComponents[T](
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      numHashes: Int = 64,
+      bands: Int = 16)(f: DataFrame => T): T = {
+    val (cc, groups) = nearDuplicateComponentsPlan(
+      df, idCol, textCol, threshold, numHashes, bands)
+    try f(cc)
+    finally groups.unpersist(blocking = false)
+  }
+
+  private def nearDuplicateComponentsPlan(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      numHashes: Int,
+      bands: Int): (DataFrame, DataFrame) = {
     val (repPairs, groups) = buildMinhashGroupPairs(
       df, idCol, textCol, threshold, numHashes, bands)
     val gcc = Clusters.connectedComponents(repPairs, "gid_a", "gid_b")
@@ -317,9 +347,10 @@ object Dedup {
       .select(col("gid"))
       .join(gcc.select("gid"), Seq("gid"), "left_anti")
       .select(col("gid"), col("gid").as("cluster_id"))
-    gcc.unionByName(isolated)
+    val cc = gcc.unionByName(isolated)
       .join(groups.select(col("gid"), col("members")), Seq("gid"))
       .select(explode(col("members")).as("id"), col("cluster_id"))
+    (cc, groups)
   }
 
   // ------------------------------------------------ incremental (indexed)
@@ -387,7 +418,9 @@ object Dedup {
     * persistence Spark re-runs the index scan + aggregation per
     * reference). Lifecycle: entries live in the CacheManager until the
     * session calls `spark.catalog.clearCache()` — same posture as
-    * [[nearDuplicatesMinhash]].
+    * [[nearDuplicatesMinhash]]; long-lived sessions should use
+    * [[withNearDuplicatesAgainstIndex]], which unpersists both collapsed
+    * frames when the callback returns.
     *
     * Contract: id spaces of index and batch are disjoint (a recrawled doc
     * gets a new id; dedup is what finds the old one). Pairs WITHIN the new
@@ -403,7 +436,42 @@ object Dedup {
       threshold: Double,
       numHashes: Int = 64,
       bands: Int = 16,
-      preIndexedBatch: Option[DataFrame] = None): DataFrame = {
+      preIndexedBatch: Option[DataFrame] = None): DataFrame =
+    nearDuplicatesAgainstIndexPlan(index, newDocs, idCol, textCol,
+      threshold, numHashes, bands, preIndexedBatch)._1
+
+  /** Scoped form of [[nearDuplicatesAgainstIndex]] that OWNS the persist
+    * lifecycle (same contract as [[withNearDuplicatesMinhash]]): hands the
+    * pair plan to `f` and unpersists BOTH collapsed frames when `f`
+    * returns or throws — no CacheManager entry outlives the call, so
+    * repeated incremental batches in a long-lived session never accumulate
+    * cached frames. `f` must CONSUME the DataFrame before returning; an
+    * escaped lazy plan would re-run the index scan + collapse per
+    * downstream action once the caches drop.
+    */
+  def withNearDuplicatesAgainstIndex[T](
+      index: DataFrame,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      numHashes: Int = 64,
+      bands: Int = 16)(f: DataFrame => T): T = {
+    val (pairs, caches) = nearDuplicatesAgainstIndexPlan(
+      index, newDocs, idCol, textCol, threshold, numHashes, bands, None)
+    try f(pairs)
+    finally caches.foreach(_.unpersist(blocking = false))
+  }
+
+  private def nearDuplicatesAgainstIndexPlan(
+      index: DataFrame,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      numHashes: Int,
+      bands: Int,
+      preIndexedBatch: Option[DataFrame]): (DataFrame, Seq[DataFrame]) = {
     val batch = preIndexedBatch.getOrElse(
       minhashIndex(newDocs, idCol, textCol, numHashes, bands))
 
@@ -443,7 +511,7 @@ object Dedup {
 
     // verify once per group pair; members attach AFTER the threshold
     // filter (to survivors) and expand by explode
-    candidates
+    val pairs = candidates
       .join(
         gIndex.select(col("gid").as("corpus_gid"), col("shingles").as("sh_a")),
         Seq("corpus_gid"))
@@ -463,6 +531,7 @@ object Dedup {
       .select(explode(col("ma")).as("corpus_id"), col("mb"), col("jaccard"))
       .select(
         col("corpus_id"), explode(col("mb")).as("new_id"), col("jaccard"))
+    (pairs, Seq(gIndex, gBatch))
   }
 
   // -------------------------------------------------------------- simhash

@@ -79,6 +79,43 @@ class DedupSpec extends SparkSpec {
     assert(cm.isEmpty)
   }
 
+  test("withNearDuplicatesAgainstIndex unpersists both collapsed frames") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    val cm = spark.sharedState.cacheManager
+    val corpus = df.filter(col("doc_id") <= 3)
+    val batch = Seq(
+      (6L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (8L, "unrelated content on columnar storage formats and shuffle services"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.minhashIndex(corpus, "doc_id", "text")
+    val pairs = Dedup.withNearDuplicatesAgainstIndex(
+      idx, batch, "doc_id", "text", threshold = 0.5) { p =>
+      p.select("corpus_id", "new_id").as[(Long, Long)].collect().toSet
+    }
+    assert(pairs.contains((1L, 6L)))
+    assert(cm.isEmpty, "a collapsed frame outlived the scoped call")
+    intercept[RuntimeException] {
+      Dedup.withNearDuplicatesAgainstIndex(
+        idx, batch, "doc_id", "text", 0.5) { p =>
+        p.count(); throw new RuntimeException("boom")
+      }
+    }
+    assert(cm.isEmpty)
+  }
+
+  test("withNearDuplicateComponents unpersists the group table") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    val cm = spark.sharedState.cacheManager
+    val clusters = Dedup.withNearDuplicateComponents(
+      df, "doc_id", "text", threshold = 0.5) { c =>
+      c.as[(Long, Long)].collect().toMap
+    }
+    assert(clusters(1L) === clusters(2L)) // exact set-dups share a cluster
+    assert(cm.isEmpty, "the group table outlived the scoped call")
+  }
+
   test("x3 simhash: identical token sets at hamming 0; unrelated text apart") {
     import spark.implicits._
     val pairs = Dedup.nearDuplicatesSimhash(df, "doc_id", "text", maxHamming = 3)

@@ -36,6 +36,22 @@ class FuzzyJoinSpec extends SparkSpec {
     FuzzyJoin.selfJoin(names, "id", "name", d)
       .as[(Long, Long, Int)].collect().toSeq.sorted
 
+  test("withSelfJoin matches selfJoin and leaves no cache entry behind") {
+    spark.catalog.clearCache()
+    val cm = spark.sharedState.cacheManager
+    val scoped = FuzzyJoin.withSelfJoin(names, "id", "name", 1) { p =>
+      p.as[(Long, Long, Int)].collect().toSeq.sorted
+    }
+    scoped shouldBe naivePairs(1)
+    assert(cm.isEmpty, "the key-group table outlived the scoped call")
+    intercept[RuntimeException] {
+      FuzzyJoin.withSelfJoin(names, "id", "name", 1) { p =>
+        p.count(); throw new RuntimeException("boom")
+      }
+    }
+    assert(cm.isEmpty)
+  }
+
   test("self join at maxDist=1 equals the naive all-pairs definition") {
     got(1) shouldBe naivePairs(1)
   }
