@@ -1170,6 +1170,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "t18_gopher_battery" -> ((s, dir) => {
+      // the full Gopher quality battery (ext.TextAnalysis
+      // .gopherQualitySignals, Rae et al. 2021 §A1.1): word count, mean
+      // word length, symbol-to-word ratio, bullet/ellipsis line
+      // fractions, alphabetic-word fraction, distinct-stopword hits, and
+      // the combined pass verdict. Lines synthesized exactly as t17; the
+      // oracle re-derives every signal — all divisions are int/int IEEE
+      // ops, so even the boolean verdict compares exactly.
+      TextAnalysis.gopherQualitySignals(
+        rd(s, dir, "documents").select(col("doc_id"),
+          regexp_replace(col("text"), " (the|a|and|of|to|in) ", "\n$1 ")
+            .as("text")),
+        "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     "t10_bpe_chars" -> ((s, dir) =>
       // the BPE machinery with zero merges: every non-whitespace code
       // point is its own token, so DuckDB can compute the exact count —
@@ -2025,13 +2041,19 @@ object SparkEntry {
     "q81_curation_e2e" -> ((s, dir) => {
       // the whole curation chain as ONE declarative plan (ext
       // .CorpusPipeline.curate): exact dedup → rounded quality floor →
-      // 13-gram decontamination vs the doc_id%50 eval set → split
-      // labels. Every stage is an operator with its own oracle-backed
-      // query; the composition's oracle replays the chain end-to-end.
+      // Gopher rule battery (t18's signals as a corpus-tuned filter:
+      // minWords 20 / minStopwords 1 — the paper floors reject 100% of
+      // this word-soup corpus, see GopherThresholds) → 13-gram
+      // decontamination vs the doc_id%50 eval set → split labels. Every
+      // stage is an operator with its own oracle-backed query; the
+      // composition's oracle replays the chain end-to-end, battery
+      // included.
       val docs = rd(s, dir, "documents")
       CorpusPipeline.curate(docs, "doc_id", "text",
         docs.filter(col("doc_id") % 50 === 0), "doc_id", "text",
-        minQuality = 0.5, nGram = 13, salt = "g81")
+        minQuality = 0.5, nGram = 13, salt = "g81",
+        gopher = Some(TextAnalysis.GopherThresholds(
+          minWords = 20, minStopwords = 1)))
         .orderBy("doc_id")
     }),
 
@@ -2093,13 +2115,15 @@ object SparkEntry {
 
     "q84_curation_report" -> ((s, dir) => {
       // the curation funnel as numbers (ext.CorpusPipeline.report):
-      // survivors per stage plus the split breakdown — the drop-rate
-      // dashboard a corpus release ships with; same chain as q81, so
+      // survivors per stage — now including the 2g_gopher battery stage
+      // — plus the split breakdown; same chain and thresholds as q81, so
       // the counts cannot drift from the curate outcome.
       val docs = rd(s, dir, "documents")
       CorpusPipeline.report(docs, "doc_id", "text",
         docs.filter(col("doc_id") % 50 === 0), "doc_id", "text",
-        minQuality = 0.5, nGram = 13, salt = "g81")
+        minQuality = 0.5, nGram = 13, salt = "g81",
+        gopher = Some(TextAnalysis.GopherThresholds(
+          minWords = 20, minStopwords = 1)))
         .orderBy("stage")
     }),
 
@@ -4369,8 +4393,45 @@ object SparkEntry {
         |    + (1.0 - length(regexp_replace(text, '[A-Za-z0-9\s]', '',
         |        'g'))::DOUBLE / length(text)) * 0.1) * 1e6 + 0.5) / 1e6
         |    >= 0.5),
+        |gw AS (SELECT doc_id, x AS w FROM q,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS u(x)
+        |  WHERE x <> ''),
+        |gws AS (SELECT doc_id, count(*) AS n_words,
+        |    CAST(sum(length(w)) AS BIGINT) AS wchars,
+        |    CAST(sum(CASE WHEN regexp_matches(w, '[A-Za-z]')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS alpha_words,
+        |    count(DISTINCT CASE WHEN lower(w) IN ('the','be','to','of',
+        |      'and','that','have','with') THEN lower(w) END) AS stop_hits
+        |  FROM gw GROUP BY doc_id),
+        |gls AS (SELECT doc_id, count(*) AS n_lines,
+        |    CAST(sum(CASE WHEN regexp_matches(line, '^[-*•]')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS bullets,
+        |    CAST(sum(CASE WHEN line LIKE '%...' OR line LIKE '%…'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS ellipses
+        |  FROM (SELECT doc_id, trim(x) AS line FROM q,
+        |      unnest(str_split(text, chr(10))) AS u(x))
+        |  WHERE line <> '' GROUP BY doc_id),
+        |gsy AS (SELECT doc_id,
+        |    (length(text) - length(replace(text, '#', '')))
+        |    + (length(text) - length(replace(text, '…', '')))
+        |    + (length(text) - length(replace(text, '...', ''))) // 3
+        |      AS syms
+        |  FROM q),
+        |gf AS (SELECT q.doc_id, q.text FROM q
+        |    LEFT JOIN gws USING (doc_id) LEFT JOIN gls USING (doc_id)
+        |    JOIN gsy ON q.doc_id = gsy.doc_id
+        |  WHERE coalesce(gws.n_words, 0) >= 20
+        |    AND coalesce(gws.n_words, 0) <= 100000
+        |    AND coalesce(gws.wchars::DOUBLE / gws.n_words, 0.0) >= 3.0
+        |    AND coalesce(gws.wchars::DOUBLE / gws.n_words, 0.0) <= 10.0
+        |    AND coalesce(gsy.syms::DOUBLE / gws.n_words, 0.0) < 0.1
+        |    AND coalesce(gls.bullets::DOUBLE / gls.n_lines, 0.0) < 0.9
+        |    AND coalesce(gls.ellipses::DOUBLE / gls.n_lines, 0.0) < 0.3
+        |    AND coalesce(gws.alpha_words::DOUBLE / gws.n_words, 0.0)
+        |      > 0.8
+        |    AND coalesce(gws.stop_hits, 0) >= 1),
         |tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+')
-        |    AS a FROM q),
+        |    AS a FROM gf),
         |g AS (SELECT doc_id, unnest(list_distinct(
         |    list_transform(range(1, len(a) - 11),
         |      i -> array_to_string(a[i:i+12], ' ')))) AS gram
@@ -4382,7 +4443,7 @@ object SparkEntry {
         |      i -> array_to_string(a[i:i+12], ' ')))) AS gram
         |  FROM etok WHERE len(a) >= 13),
         |hit AS (SELECT DISTINCT g.doc_id FROM g JOIN eg USING (gram)),
-        |clean AS (SELECT doc_id FROM q
+        |clean AS (SELECT doc_id FROM gf
         |  WHERE doc_id NOT IN (SELECT doc_id FROM hit)
         |    AND doc_id % 50 <> 0)
         |SELECT doc_id,
@@ -4428,6 +4489,58 @@ object SparkEntry {
         |  coalesce(bt.top_bigram_char_frac, 0.0) AS top_bigram_char_frac
         |FROM s LEFT JOIN ls USING (doc_id) LEFT JOIN bt USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "t18_gopher_battery" ->
+      """WITH s AS (SELECT doc_id, regexp_replace(text,
+        |    ' (the|a|and|of|to|in) ', chr(10) || '\1 ', 'g') AS t
+        |  FROM documents),
+        |w AS (SELECT doc_id, x AS w FROM s,
+        |    unnest(regexp_split_to_array(trim(t), '\s+')) AS u(x)
+        |  WHERE x <> ''),
+        |ws AS (SELECT doc_id, count(*) AS n_words,
+        |    CAST(sum(length(w)) AS BIGINT) AS wchars,
+        |    CAST(sum(CASE WHEN regexp_matches(w, '[A-Za-z]')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS alpha_words,
+        |    count(DISTINCT CASE WHEN lower(w) IN ('the','be','to','of',
+        |      'and','that','have','with') THEN lower(w) END) AS stop_hits
+        |  FROM w GROUP BY doc_id),
+        |l AS (SELECT doc_id, trim(x) AS line FROM s,
+        |    unnest(str_split(t, chr(10))) AS u(x)),
+        |ls AS (SELECT doc_id, count(*) AS n_lines,
+        |    CAST(sum(CASE WHEN regexp_matches(line, '^[-*•]')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS bullets,
+        |    CAST(sum(CASE WHEN line LIKE '%...' OR line LIKE '%…'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS ellipses
+        |  FROM l WHERE line <> '' GROUP BY doc_id),
+        |sy AS (SELECT doc_id,
+        |    (length(t) - length(replace(t, '#', '')))
+        |    + (length(t) - length(replace(t, '…', '')))
+        |    + (length(t) - length(replace(t, '...', ''))) // 3 AS syms
+        |  FROM s),
+        |j AS (SELECT s.doc_id,
+        |    CAST(coalesce(ws.n_words, 0) AS BIGINT) AS n_words,
+        |    coalesce(ws.wchars::DOUBLE / ws.n_words, 0.0)
+        |      AS mean_word_len,
+        |    coalesce(sy.syms::DOUBLE / ws.n_words, 0.0)
+        |      AS symbol_word_ratio,
+        |    coalesce(ls.bullets::DOUBLE / ls.n_lines, 0.0)
+        |      AS bullet_line_frac,
+        |    coalesce(ls.ellipses::DOUBLE / ls.n_lines, 0.0)
+        |      AS ellipsis_line_frac,
+        |    coalesce(ws.alpha_words::DOUBLE / ws.n_words, 0.0)
+        |      AS alpha_word_frac,
+        |    CAST(coalesce(ws.stop_hits, 0) AS BIGINT) AS stopword_hits
+        |  FROM s LEFT JOIN ws USING (doc_id) LEFT JOIN ls USING (doc_id)
+        |    JOIN sy ON s.doc_id = sy.doc_id)
+        |SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+        |  bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+        |  stopword_hits,
+        |  (n_words >= 50 AND n_words <= 100000
+        |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |   AND symbol_word_ratio < 0.1 AND bullet_line_frac < 0.9
+        |   AND ellipsis_line_frac < 0.3 AND alpha_word_frac > 0.8
+        |   AND stopword_hits >= 2) AS gopher_pass
+        |FROM j ORDER BY doc_id""".stripMargin,
 
     "t14_line_clean" ->
       """WITH s AS (SELECT doc_id, regexp_replace(text,
@@ -4484,8 +4597,45 @@ object SparkEntry {
         |    + (1.0 - length(regexp_replace(text, '[A-Za-z0-9\s]', '',
         |        'g'))::DOUBLE / length(text)) * 0.1) * 1e6 + 0.5) / 1e6
         |    >= 0.5),
+        |gw AS (SELECT doc_id, x AS w FROM q,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS u(x)
+        |  WHERE x <> ''),
+        |gws AS (SELECT doc_id, count(*) AS n_words,
+        |    CAST(sum(length(w)) AS BIGINT) AS wchars,
+        |    CAST(sum(CASE WHEN regexp_matches(w, '[A-Za-z]')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS alpha_words,
+        |    count(DISTINCT CASE WHEN lower(w) IN ('the','be','to','of',
+        |      'and','that','have','with') THEN lower(w) END) AS stop_hits
+        |  FROM gw GROUP BY doc_id),
+        |gls AS (SELECT doc_id, count(*) AS n_lines,
+        |    CAST(sum(CASE WHEN regexp_matches(line, '^[-*•]')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS bullets,
+        |    CAST(sum(CASE WHEN line LIKE '%...' OR line LIKE '%…'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS ellipses
+        |  FROM (SELECT doc_id, trim(x) AS line FROM q,
+        |      unnest(str_split(text, chr(10))) AS u(x))
+        |  WHERE line <> '' GROUP BY doc_id),
+        |gsy AS (SELECT doc_id,
+        |    (length(text) - length(replace(text, '#', '')))
+        |    + (length(text) - length(replace(text, '…', '')))
+        |    + (length(text) - length(replace(text, '...', ''))) // 3
+        |      AS syms
+        |  FROM q),
+        |gf AS (SELECT q.doc_id, q.text FROM q
+        |    LEFT JOIN gws USING (doc_id) LEFT JOIN gls USING (doc_id)
+        |    JOIN gsy ON q.doc_id = gsy.doc_id
+        |  WHERE coalesce(gws.n_words, 0) >= 20
+        |    AND coalesce(gws.n_words, 0) <= 100000
+        |    AND coalesce(gws.wchars::DOUBLE / gws.n_words, 0.0) >= 3.0
+        |    AND coalesce(gws.wchars::DOUBLE / gws.n_words, 0.0) <= 10.0
+        |    AND coalesce(gsy.syms::DOUBLE / gws.n_words, 0.0) < 0.1
+        |    AND coalesce(gls.bullets::DOUBLE / gls.n_lines, 0.0) < 0.9
+        |    AND coalesce(gls.ellipses::DOUBLE / gls.n_lines, 0.0) < 0.3
+        |    AND coalesce(gws.alpha_words::DOUBLE / gws.n_words, 0.0)
+        |      > 0.8
+        |    AND coalesce(gws.stop_hits, 0) >= 1),
         |tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+')
-        |    AS a FROM q),
+        |    AS a FROM gf),
         |g AS (SELECT doc_id, unnest(list_distinct(
         |    list_transform(range(1, len(a) - 11),
         |      i -> array_to_string(a[i:i+12], ' ')))) AS gram
@@ -4503,12 +4653,13 @@ object SparkEntry {
         |         WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'g81'), 1, 8)
         |           < 'e6666667' THEN 'val'
         |         ELSE 'test' END AS split
-        |  FROM q WHERE doc_id NOT IN (SELECT doc_id FROM hit)
+        |  FROM gf WHERE doc_id NOT IN (SELECT doc_id FROM hit)
         |    AND doc_id % 50 <> 0)
         |SELECT '0_input' AS stage, CAST(count(*) AS BIGINT) AS n_docs
         |  FROM documents
         |UNION ALL SELECT '1_deduped', count(*) FROM k0
         |UNION ALL SELECT '2_quality', count(*) FROM q
+        |UNION ALL SELECT '2g_gopher', count(*) FROM gf
         |UNION ALL SELECT '3_decontaminated', count(*) FROM lab
         |UNION ALL SELECT '4_split_' || split, count(*) FROM lab
         |  GROUP BY split

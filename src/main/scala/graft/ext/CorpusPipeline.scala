@@ -23,9 +23,12 @@ object CorpusPipeline {
     *
     * Drops: non-canonical exact duplicates (min-id survives), documents
     * under `minQuality` ([[TextAnalysis.qualityScore]]'s 0..1 blend),
-    * documents sharing any distinct word `nGram`-gram with `evalDocs`,
-    * and the eval documents themselves if present in `docs`. Survivors
-    * get a deterministic `split` label ([[Curation.assignSplit]]).
+    * documents failing the Gopher rule battery when `gopher` is set
+    * ([[TextAnalysis.gopherQualitySignals]] at the given thresholds —
+    * the published quality floor, tuned per corpus), documents sharing
+    * any distinct word `nGram`-gram with `evalDocs`, and the eval
+    * documents themselves if present in `docs`. Survivors get a
+    * deterministic `split` label ([[Curation.assignSplit]]).
     *
     * Output: `(idCol, split)` — join back to `docs` for payloads, so the
     * curated id set stays a narrow frame however wide the corpus is.
@@ -41,7 +44,8 @@ object CorpusPipeline {
       nGram: Int = 13,
       splits: Seq[(String, Double)] =
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
-      salt: String = ""): DataFrame = {
+      salt: String = "",
+      gopher: Option[TextAnalysis.GopherThresholds] = None): DataFrame = {
     require(minQuality >= 0.0 && minQuality <= 1.0,
       s"minQuality out of [0,1]: $minQuality")
     val canonical = Dedup.dedupExact(docs, idCol, textCol)
@@ -53,16 +57,36 @@ object CorpusPipeline {
       // within one ulp of the threshold between engines)
       .filter(floor(TextAnalysis.qualityScore(col(textCol)) * 1e6 + 0.5)
         / 1e6 >= minQuality)
+    val floored = gopherFloor(kept, idCol, textCol, gopher)
     val hits = Curation.contamination(
-      kept, idCol, textCol, evalDocs, evalIdCol, evalTextCol, nGram)
+      floored, idCol, textCol, evalDocs, evalIdCol, evalTextCol, nGram)
       .select(col(idCol))
     val evalIds = evalDocs.select(col(evalIdCol).as(idCol))
-    val clean = kept
+    val clean = floored
       .join(broadcast(hits), Seq(idCol), "left_anti")
       .join(broadcast(evalIds), Seq(idCol), "left_anti")
     Curation.assignSplit(clean, idCol, splits, salt)
       .select(col(idCol), col("split"))
   }
+
+  /** The Gopher quality floor as a stage: survivors of the rule battery
+    * at `thresholds`, or `docs` untouched when no thresholds are given.
+    * The battery's fractions are all int/int IEEE divisions, so the
+    * boolean cut is engine-stable without rounding (unlike the score
+    * blend above, which needs the 1e-6 grid).
+    */
+  private def gopherFloor(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      gopher: Option[TextAnalysis.GopherThresholds]): DataFrame =
+    gopher.fold(docs) { th =>
+      docs.join(
+        TextAnalysis.gopherQualitySignals(docs, idCol, textCol, th)
+          .filter(col("gopher_pass"))
+          .select(col(idCol)),
+        Seq(idCol), "left_semi")
+    }
 
   /** The curation funnel as numbers — one row per stage with the
     * surviving document count, the drop-rate dashboard every corpus
@@ -82,21 +106,29 @@ object CorpusPipeline {
       nGram: Int = 13,
       splits: Seq[(String, Double)] =
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
-      salt: String = ""): DataFrame = {
+      salt: String = "",
+      gopher: Option[TextAnalysis.GopherThresholds] = None): DataFrame = {
     val canonical = Dedup.dedupExact(docs, idCol, textCol)
       .select(col("keep_id").as(idCol))
     val deduped = docs.join(canonical, Seq(idCol), "left_semi")
     val qualified = deduped
       .filter(floor(TextAnalysis.qualityScore(col(textCol)) * 1e6 + 0.5)
         / 1e6 >= minQuality)
+    val floored = gopherFloor(qualified, idCol, textCol, gopher)
     val labeled = curate(docs, idCol, textCol,
-      evalDocs, evalIdCol, evalTextCol, minQuality, nGram, splits, salt)
+      evalDocs, evalIdCol, evalTextCol, minQuality, nGram, splits, salt,
+      gopher)
     def stage(name: String, df: DataFrame) =
       df.agg(count(lit(1)).as("n_docs"))
         .select(lit(name).as("stage"), col("n_docs"))
+    // the gopher stage key sorts between 2_quality and 3_decontaminated
+    // ('_' < 'g'), so the funnel stays in pipeline order; the row only
+    // appears when the battery is on — existing reports are unchanged
     stage("0_input", docs)
       .unionByName(stage("1_deduped", deduped))
       .unionByName(stage("2_quality", qualified))
+      .unionByName(gopher.fold(stage("2_quality", qualified).limit(0))(
+        _ => stage("2g_gopher", floored)))
       .unionByName(stage("3_decontaminated", labeled))
       .unionByName(labeled.groupBy("split")
         .agg(count(lit(1)).as("n_docs"))

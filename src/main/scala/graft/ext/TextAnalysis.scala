@@ -361,4 +361,130 @@ object TextAnalysis {
         coalesce(col("top_bigram_char_frac"), lit(0.0))
           .as("top_bigram_char_frac"))
   }
+
+  /** The Gopher stopword-presence set (Rae et al. 2021 §A1.1): a document
+    * must contain at least [[GopherMinStopwords]] DISTINCT members
+    * (matched as whole lowercased whitespace tokens) to pass the battery.
+    */
+  final val GopherStopwords =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  final val GopherMinStopwords = 2
+
+  /** Threshold set for [[gopherQualitySignals]]' `gopher_pass` verdict.
+    * Defaults are the published Gopher rules (Rae et al. 2021 §A1.1);
+    * callers tune per corpus — a filter battery is only useful when its
+    * thresholds match the corpus's actual signal distributions (the
+    * driver testdata's word-soup documents run 10-99 words and carry at
+    * most one distinct stopword, so the paper's 50-word / 2-stopword
+    * floors would reject 100% — the declared q81/q84 use
+    * `minWords = 20, minStopwords = 1` instead).
+    */
+  case class GopherThresholds(
+      minWords: Long = 50,
+      maxWords: Long = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      maxBulletFrac: Double = 0.9,
+      maxEllipsisFrac: Double = 0.3,
+      minAlphaFrac: Double = 0.8,
+      minStopwords: Int = GopherMinStopwords)
+
+  /** The full Gopher quality-rule battery (Rae et al. 2021 §A1.1), the
+    * companion of [[gopherRepetitionSignals]] (t17): per-document word
+    * count, mean word length, symbol-to-word ratio (`#`, `…`, `...`),
+    * bullet-led and ellipsis-terminated line fractions, alphabetic-word
+    * fraction, distinct-stopword hits, and the combined `gopher_pass`
+    * verdict against [[GopherThresholds]] (paper defaults: words in
+    * [50, 100000], mean length in [3, 10], symbol ratio < 0.1, bullet
+    * lines < 0.9, ellipsis lines < 0.3, alpha words > 0.8, stopword
+    * hits ≥ 2).
+    *
+    * Scale shape (the t16 lesson applied at design time, same as t17):
+    * one explode→groupBy chain per SHAPE — words and lines each
+    * aggregate once keyed by doc — plus a scan-local projection for the
+    * symbol counts (pure length arithmetic, no explode). Every fraction
+    * is a single int/int IEEE division — exact cross-engine — and the
+    * threshold compares run on those exact doubles, so the boolean
+    * verdict itself is engine-exact.
+    *
+    * Output: `(idCol, n_words, mean_word_len, symbol_word_ratio,
+    * bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+    * stopword_hits, gopher_pass)`; zero-word documents report zeros and
+    * fail the battery.
+    */
+  def gopherQualitySignals(
+      df: DataFrame, idCol: String, textCol: String,
+      thresholds: GopherThresholds = GopherThresholds()): DataFrame = {
+    val th = thresholds
+    val base = df.select(col(idCol).as("_id"), col(textCol).as("_text"))
+
+    val wordStats = base
+      .select(col("_id"),
+        explode(split(trim(col("_text")), "\\s+")).as("_w"))
+      .filter(col("_w") =!= "")
+      .groupBy(col("_id"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(length(col("_w"))).as("_wchars"),
+        sum(when(col("_w").rlike("[A-Za-z]"), 1L).otherwise(0L))
+          .as("_alpha_words"),
+        countDistinct(when(
+          lower(col("_w")).isin(GopherStopwords: _*), lower(col("_w"))))
+          .as("stopword_hits"))
+
+    val lineStats = base
+      .select(col("_id"), explode(split(col("_text"), "\n")).as("_raw"))
+      .select(col("_id"), trim(col("_raw")).as("_line"))
+      .filter(col("_line") =!= "")
+      .groupBy(col("_id"))
+      .agg(
+        count(lit(1)).as("_n_lines"),
+        sum(when(col("_line").rlike("^[-*•]"), 1L).otherwise(0L))
+          .as("_bullets"),
+        sum(when(col("_line").endsWith("...") ||
+          col("_line").endsWith("…"), 1L).otherwise(0L))
+          .as("_ellipses"))
+
+    // symbol occurrences by length arithmetic — `replace` removes
+    // non-overlapping matches left-to-right identically in Spark and
+    // DuckDB, so the '...'-count division by 3 is exact
+    def occurrences(needle: String, width: Int): Column = {
+      val diff = length(col("_text")) -
+        length(regexp_replace(col("_text"),
+          java.util.regex.Pattern.quote(needle), ""))
+      (if (width == 1) diff else diff / width).cast("long")
+    }
+    val symbols = base.select(col("_id"),
+      (occurrences("#", 1) + occurrences("…", 1) +
+        occurrences("...", 3)).as("_syms"))
+
+    base.select(col("_id"))
+      .join(wordStats, Seq("_id"), "left")
+      .join(lineStats, Seq("_id"), "left")
+      .join(symbols, Seq("_id"))
+      .select(
+        col("_id").as(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("_wchars").cast("double") / col("n_words"), lit(0.0))
+          .as("mean_word_len"),
+        coalesce(col("_syms").cast("double") / col("n_words"), lit(0.0))
+          .as("symbol_word_ratio"),
+        coalesce(col("_bullets").cast("double") / col("_n_lines"),
+          lit(0.0)).as("bullet_line_frac"),
+        coalesce(col("_ellipses").cast("double") / col("_n_lines"),
+          lit(0.0)).as("ellipsis_line_frac"),
+        coalesce(col("_alpha_words").cast("double") / col("n_words"),
+          lit(0.0)).as("alpha_word_frac"),
+        coalesce(col("stopword_hits"), lit(0L)).as("stopword_hits"))
+      .withColumn("gopher_pass",
+        col("n_words") >= th.minWords && col("n_words") <= th.maxWords &&
+          col("mean_word_len") >= th.minMeanWordLen &&
+          col("mean_word_len") <= th.maxMeanWordLen &&
+          col("symbol_word_ratio") < th.maxSymbolRatio &&
+          col("bullet_line_frac") < th.maxBulletFrac &&
+          col("ellipsis_line_frac") < th.maxEllipsisFrac &&
+          col("alpha_word_frac") > th.minAlphaFrac &&
+          col("stopword_hits") >= th.minStopwords)
+  }
 }

@@ -240,4 +240,50 @@ class TextAnalysisSpec extends SparkSpec {
     val d3 = out(2)
     assert(d3._2 === 0.0 && d3._3 === 0.0 && d3._4 === 0.0)
   }
+
+  test("gopherQualitySignals: full battery by hand") {
+    import spark.implicits._
+    // doc 1: clean prose — 8 words of total length 33, two distinct
+    //   stopwords (the, of), all alphabetic, no symbols/bullets/ellipses
+    // doc 2: degenerate — bullet-led lines, ellipsis line, # symbols,
+    //   one stopword, a numeric token
+    // doc 3: whitespace-only -> zeros, fails
+    val docs = Seq(
+      (1L, "the quality of documents matters for training corpora"),
+      (2L, "- bullet one...\n- bullet two\n## see 42 the end…"),
+      (3L, " \n  ")).toDF("doc_id", "text")
+    val out = TextAnalysis
+      .gopherQualitySignals(docs, "doc_id", "text",
+        TextAnalysis.GopherThresholds(minWords = 5, minStopwords = 2))
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Double, Double, Double, Double, Long,
+        Boolean)].collect()
+
+    val d1 = out(0)
+    assert(d1._2 === 8L)
+    assert(d1._3 === ("thequalityofdocumentsmattersfortrainingcorpora"
+      .length.toDouble / 8))
+    assert(d1._4 === 0.0) // no symbols
+    assert(d1._5 === 0.0 && d1._6 === 0.0) // no bullet/ellipsis lines
+    assert(d1._7 === 1.0) // all words alphabetic
+    assert(d1._8 === 2L) // the, of
+    assert(d1._9) // passes the relaxed battery
+
+    val d2 = out(1)
+    // words: "- bullet one... - bullet two ## see 42 the end…" -> 11
+    assert(d2._2 === 11L)
+    // symbols: two '#', one '…', one '...' -> 4 of 11 words
+    assert(d2._4 === 4.0 / 11.0)
+    // 3 lines, 2 bullet-led ('-' prefix; '##' doesn't count), 2
+    // ellipsis-terminated ('one...' line and the '…' line)
+    assert(d2._5 === 2.0 / 3.0)
+    assert(d2._6 === 2.0 / 3.0)
+    // non-alpha words: '-', '-', '##', '42' -> 7/11 alphabetic
+    assert(d2._7 === 7.0 / 11.0)
+    assert(d2._8 === 1L) // only 'the'
+    assert(!d2._9) // symbol ratio, bullets, ellipses, alpha all fail
+
+    val d3 = out(2)
+    assert(d3._2 === 0L && d3._3 === 0.0 && d3._8 === 0L && !d3._9)
+  }
 }
