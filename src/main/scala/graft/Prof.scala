@@ -111,6 +111,68 @@ object Prof {
       spark.stop()
       return
     }
+    // x13 composition breakdown: the halves (y7-shaped serve over the
+    // post-expiry store; x9-shaped dedup against the stored minhash index)
+    // each run ~1s standalone, so a slow x13 is a composition effect —
+    // time each stage separately to find it.
+    if (args.headOption.contains("x13parts")) {
+      import org.apache.spark.sql.functions._
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val s1 = emb.filter(pmod(col("vec_id"), lit(10)) < 8)
+      val s2 = emb.filter(pmod(col("vec_id"), lit(10)) === 8)
+      val batch = emb.filter(pmod(col("vec_id"), lit(10)) === 9)
+      val t0 = System.nanoTime()
+      val nlist = ext.Clustering.suggestNlist(s1.count())
+      val nprobe = math.ceil(0.75 * nlist).toInt
+      val coarse = ext.Clustering.kmeans(s1, "vec_id", "embedding",
+        k = nlist, iterations = 1, roundDigits = 6).centroids
+      val pq = ext.Similarity.trainPqDeterministic(s1, "vec_id",
+        "embedding", m = 16, ksub = 256, iterations = 1, roundDigits = 6,
+        dims = 64)
+      println(f"[x13] train: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("prof-x13").toString
+      time("write ann store") {
+        ext.Similarity.buildIvfPqIndex(s1, "vec_id", "embedding", coarse, pq)
+          .withColumn("snap", when(pmod(col("id"), lit(10)) < 2,
+            lit("2024-01")).otherwise(lit("2024-02")))
+          .write.mode("overwrite").partitionBy("snap").parquet(s"$tmp/ann")
+      }
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      time("write mh store") {
+        ext.Dedup.minhashIndex(docs.filter(pmod(col("doc_id"), lit(10)) < 8),
+          "doc_id", "text", numHashes = 128, bands = 32)
+          .write.mode("overwrite").parquet(s"$tmp/mh")
+      }
+      time("expire") {
+        lake.Retention.expirePartitions(spark, s"$tmp/ann", "snap", "2024-02")
+      }
+      val index = ext.Similarity.appendToIvfPqIndex(
+        spark.read.parquet(s"$tmp/ann").drop("snap"),
+        s2, "vec_id", "embedding", coarse, pq)
+      val corpus = emb.filter(pmod(col("vec_id"), lit(10)).between(2, 8))
+      val knn = ext.Similarity.searchIvfPqIndex(batch, index, corpus,
+        "vec_id", "embedding", k = 5, coarse = coarse, pq = pq,
+        nprobe = nprobe, rescoreFactor = 16)
+      time("knn count") { knn.count() }
+      val dup = ext.Dedup.nearDuplicatesAgainstIndex(
+        spark.read.parquet(s"$tmp/mh"),
+        docs.filter(pmod(col("doc_id"), lit(10)) >= 8),
+        "doc_id", "text", threshold = 0.8, numHashes = 128, bands = 32)
+      time("dup count") { dup.count() }
+      val u = knn.select(lit("knn").as("kind"), col("query_id").as("a"),
+          col("neighbor_id").as("b"), col("rank"), col("cosine").as("score"))
+        .unionByName(dup.select(lit("dup").as("kind"),
+          col("corpus_id").as("a"), col("new_id").as("b"),
+          lit(0).as("rank"), col("jaccard").as("score")))
+        .orderBy("kind", "a", "b", "rank")
+      time("union orderBy count") { u.count() }
+      time("union write (verify shape)") {
+        u.write.mode("overwrite").parquet(s"$tmp/out")
+      }
+      spark.stop()
+      return
+    }
     // Build-vs-search breakdown for the IVF-PQ serving pair. This split is
     // how the round-9 fusion bug was isolated: build-and-count was 0.1 s
     // while the composed search was 12 s, because `count()` PRUNES non-key

@@ -2402,6 +2402,65 @@ object SparkEntry {
         graft.lake.SchemaEvolution.readMerged(s, s"$tmp/t").drop("gen"),
         contract)
         .orderBy("c_custkey")
+    }),
+
+    "x13_snapshot_lifecycle" -> ((s, dir) => {
+      // the multi-snapshot lifecycle as ONE declared query (reference
+      // semantics: the is_incremental append cadence,
+      // datalake_sub_dag_builder.py:71,110-113, elevated to the
+      // LLM-pipeline stack). Snapshot 1 (vec_id % 10 < 8; its oldest
+      // fifth tagged snap=2024-01) trains the rule-sized y7 models,
+      // builds the IVF-PQ index — written Hive-partitioned by snapshot
+      // label — and persists the x9 minhash doc index. Then snapshot 2
+      // arrives: Retention.expirePartitions drops the 2024-01 index
+      // partition, appendToIvfPqIndex joins the surviving store with the
+      // new rows (encoded by the SAME persisted models — the append
+      // contract), the %10 == 9 batch serves against exactly the
+      // surviving+appended rows, and the new documents dedup against the
+      // stored minhash index. One result frame: 'knn' rows (y7's serving
+      // shape over the post-expiry corpus) unioned with 'dup' rows (x9's
+      // pair shape). The oracle re-derives the models from the train
+      // split and replays assignment/encode/serve over vec_id % 10 in
+      // [2, 8] — a hash match proves build→persist→expire→append→serve
+      // is value-neutral end-to-end.
+      val emb = rd(s, dir, "embeddings")
+      val s1 = emb.filter(pmod(col("vec_id"), lit(10)) < 8)
+      val s2 = emb.filter(pmod(col("vec_id"), lit(10)) === 8)
+      val batch = emb.filter(pmod(col("vec_id"), lit(10)) === 9)
+      val (_, nprobe, coarse, pq) = x13Models(s, dir)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-x13").toString
+
+      Similarity.buildIvfPqIndex(s1, "vec_id", "embedding", coarse, pq)
+        .withColumn("snap", when(pmod(col("id"), lit(10)) < 2,
+          lit("2024-01")).otherwise(lit("2024-02")))
+        .write.mode("overwrite").partitionBy("snap").parquet(s"$tmp/ann")
+      val docs = rd(s, dir, "documents")
+      Dedup.minhashIndex(docs.filter(pmod(col("doc_id"), lit(10)) < 8),
+        "doc_id", "text", numHashes = 128, bands = 32)
+        .write.mode("overwrite").parquet(s"$tmp/mh")
+
+      graft.lake.Retention.expirePartitions(
+        s, s"$tmp/ann", "snap", cutoff = "2024-02")
+
+      val index = Similarity.appendToIvfPqIndex(
+        s.read.parquet(s"$tmp/ann").drop("snap"),
+        s2, "vec_id", "embedding", coarse, pq)
+      val corpus = emb.filter(pmod(col("vec_id"), lit(10)).between(2, 8))
+      val knn = Similarity.searchIvfPqIndex(batch, index, corpus,
+        "vec_id", "embedding", k = 5, coarse = coarse, pq = pq,
+        nprobe = nprobe, rescoreFactor = 16)
+      val dup = Dedup.nearDuplicatesAgainstIndex(
+        s.read.parquet(s"$tmp/mh"),
+        docs.filter(pmod(col("doc_id"), lit(10)) >= 8),
+        "doc_id", "text", threshold = 0.8, numHashes = 128, bands = 32)
+      knn.select(lit("knn").as("kind"), col("query_id").as("a"),
+          col("neighbor_id").as("b"), col("rank"),
+          col("cosine").as("score"))
+        .unionByName(dup.select(lit("dup").as("kind"),
+          col("corpus_id").as("a"), col("new_id").as("b"),
+          lit(0).as("rank"), col("jaccard").as("score")))
+        .orderBy("kind", "a", "b", "rank")
     })
   )
 
@@ -2435,7 +2494,28 @@ object SparkEntry {
     pqDemo(s, dir)
     y6Models(s, dir)
     y7Models(s, dir)
+    x13Models(s, dir)
   }
+
+  /** x13's models: y7's rule-sized recipes trained on the INITIAL 80%
+    * snapshot only (`vec_id % 10 < 8`) — the appended snapshot 2 rows are
+    * encoded with these same models (the [[ext.Similarity
+    * .appendToIvfPqIndex]] contract: models persist across appends and
+    * retention; only a re-train rebuilds them). Memoized per dir.
+    */
+  private def x13Models(s: SparkSession, dir: String)
+      : (Int, Int, Seq[Array[Float]], Seq[Seq[Seq[Float]]]) =
+    cachedModel(s"x13|$dir") {
+      val s1 = rd(s, dir, "embeddings")
+        .filter(pmod(col("vec_id"), lit(10)) < 8)
+      val nlist = ext.Clustering.suggestNlist(s1.count())
+      val nprobe = math.ceil(0.75 * nlist).toInt
+      (nlist, nprobe,
+        ext.Clustering.kmeans(s1, "vec_id", "embedding",
+          k = nlist, iterations = 1, roundDigits = 6).centroids,
+        ext.Similarity.trainPqDeterministic(s1, "vec_id", "embedding",
+          m = 16, ksub = 256, iterations = 1, roundDigits = 6, dims = 64))
+    }
 
   private def cachedModel[T <: AnyRef](key: String)(train: => T): T = {
     // two-step (not computeIfAbsent): the trainer runs Spark jobs, and
@@ -4920,7 +5000,67 @@ object SparkEntry {
         |UNION ALL
         |SELECT c_custkey, c_name, c_mktsegment, c_acctbal
         |FROM customer WHERE c_custkey % 2 = 1
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+
+    // x13: models re-derived from the vec_id%10<8 train split
+    // (kmeansOracleSqrt + pqTrainEncodeCtes — y7's preambles at the x13
+    // filter); the SERVED corpus is the post-expiry union vec_id%10 in
+    // [2,8], so its assignments (asg2), encodes (enc2/recon2) and norms
+    // (spn) are replayed over that wider-than-train row set before y7's
+    // serving tail; the dup rows are x9's exact cross-split Jaccard.
+    "x13_snapshot_lifecycle" ->
+      s"""${kmeansOracleSqrt(" WHERE vec_id % 10 < 8")},
+        |$pqTrainEncodeCtes,
+        |sp AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id % 10 BETWEEN 2 AND 8),
+        |spn AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
+        |  FROM sp),
+        |xs AS (SELECT sp.vec_id, t.cell,
+        |    list_sum(list_transform(list_zip(sp.embedding, t.c),
+        |      x -> x[1]::DOUBLE * x[2]::DOUBLE))
+        |    - list_sum(list_transform(t.c, x -> x::DOUBLE * x::DOUBLE))
+        |      / 2 AS score
+        |  FROM sp CROSS JOIN cents t),
+        |asg2 AS (SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY score DESC, cell) AS rn FROM xs) tx WHERE rn = 1),
+        |sv2 AS (SELECT sp.vec_id, j.j AS sub,
+        |    sp.embedding[j.j * 4 + 1 : j.j * 4 + 4] AS v
+        |  FROM sp, range(16) j(j)),
+        |enc2 AS (SELECT vec_id, sub, cell FROM (
+        |    SELECT sv2.vec_id, sv2.sub, t.cell,
+        |      row_number() OVER (PARTITION BY sv2.vec_id, sv2.sub
+        |        ORDER BY list_sum(list_transform(list_zip(sv2.v, t.c),
+        |            x -> x[1]::DOUBLE * x[2]::DOUBLE))
+        |          - list_sum(list_transform(t.c,
+        |            x -> x::DOUBLE * x::DOUBLE)) / 2 DESC, t.cell) AS rn
+        |    FROM sv2 JOIN pcents t ON sv2.sub = t.sub) ty WHERE rn = 1),
+        |recon2 AS (SELECT c.vec_id, flatten(list(p.c ORDER BY c.sub))
+        |    AS rv
+        |  FROM enc2 c JOIN pcents p ON c.sub = p.sub AND c.cell = p.cell
+        |  GROUP BY c.vec_id),
+        |$batchQueryCte,
+        |${indexedServeCtes("(SELECT nb FROM params)",
+             "asg2", "recon2", "spn")},
+        |d AS (SELECT doc_id,
+        |    list_distinct(regexp_split_to_array(trim(text), '\\s+'))
+        |      AS ws
+        |  FROM documents),
+        |dup AS (SELECT a.doc_id AS corpus_id, b.doc_id AS new_id,
+        |    len(list_intersect(a.ws, b.ws))::DOUBLE
+        |      / len(list_distinct(list_concat(a.ws, b.ws))) AS jaccard
+        |  FROM d a JOIN d b
+        |    ON a.doc_id % 10 < 8 AND b.doc_id % 10 >= 8
+        |  WHERE len(list_intersect(a.ws, b.ws))::DOUBLE
+        |      / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.8)
+        |SELECT kind, a, b, rank, score FROM (
+        |  SELECT 'knn' AS kind, query_id AS a, neighbor_id AS b, rank,
+        |    cosine AS score FROM served
+        |  UNION ALL
+        |  SELECT 'dup', corpus_id, new_id, 0, jaccard FROM dup) u
+        |ORDER BY kind, a, b, rank""".stripMargin
   )
 
   /** The q86-q88/x10/y3/y5 oracles' shared training loop, generalized
@@ -5063,13 +5203,23 @@ object SparkEntry {
       |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
       |  FROM embeddings WHERE vec_id % 10 = 9)""".stripMargin
 
-  /** The indexed-serving oracle tail shared by y6 and y7: probe scoring of
-    * the query batch against the snapshot-trained cells, top-`probeBound`
-    * probes, ADC scoring from reconstructed codes, the k×rf=80 survivor
-    * cut, and the exact-float rescore. `probeBound` is y6's literal 12 or
-    * y7's data-derived `(SELECT nb FROM params)`.
+  /** The indexed-serving CTE chain shared by y6, y7 and x13: probe
+    * scoring of the query batch against the snapshot-trained cells,
+    * top-`probeBound` probes, ADC scoring from reconstructed codes, the
+    * k×rf=80 survivor cut, and the exact-float rescore — ending in a
+    * `served` CTE so callers can either select it directly (y6/y7) or
+    * union it with other result shapes (x13). `probeBound` is y6's
+    * literal 12 or the data-derived `(SELECT nb FROM params)`; `asg` /
+    * `recon` / `corpus` name the CTEs carrying the SERVED rows'
+    * assignments, reconstructions and norm-bearing vectors — "asg" /
+    * "recon" / "en" when the served corpus IS the training corpus
+    * (y6/y7), the post-expiry variants for x13.
     */
-  private def indexedServeOracleTail(probeBound: String): String =
+  private def indexedServeCtes(
+      probeBound: String,
+      asg: String = "asg",
+      recon: String = "recon",
+      corpus: String = "en"): String =
     s"""qs AS (SELECT q.vec_id, t.cell,
       |    list_sum(list_transform(list_zip(q.embedding, t.c),
       |      x -> x[1]::DOUBLE * x[2]::DOUBLE))
@@ -5083,10 +5233,10 @@ object SparkEntry {
       |adc AS (SELECT p.query_id, a.vec_id AS neighbor_id,
       |    list_sum(list_transform(list_zip(q.embedding, r.rv),
       |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * c.nrm) AS ascore
-      |  FROM probes p JOIN asg a ON p.cell = a.cell
+      |  FROM probes p JOIN $asg a ON p.cell = a.cell
       |    JOIN eqn q ON p.query_id = q.vec_id
-      |    JOIN recon r ON a.vec_id = r.vec_id
-      |    JOIN en c ON a.vec_id = c.vec_id
+      |    JOIN $recon r ON a.vec_id = r.vec_id
+      |    JOIN $corpus c ON a.vec_id = c.vec_id
       |  WHERE p.query_id <> a.vec_id),
       |surv AS (SELECT query_id, neighbor_id FROM (
       |    SELECT adc.*, row_number() OVER (PARTITION BY query_id
@@ -5097,12 +5247,17 @@ object SparkEntry {
       |    list_sum(list_transform(list_zip(q.embedding, n.embedding),
       |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * n.nrm) AS cosine
       |  FROM surv s JOIN eqn q ON s.query_id = q.vec_id
-      |    JOIN en n ON s.neighbor_id = n.vec_id)
-      |SELECT query_id, neighbor_id, rank, cosine FROM (
-      |  SELECT sc.*, CAST(row_number() OVER (PARTITION BY query_id
-      |      ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
-      |  FROM sc WHERE cosine IS NOT NULL AND NOT isnan(cosine)) t9
-      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+      |    JOIN $corpus n ON s.neighbor_id = n.vec_id),
+      |served AS (SELECT query_id, neighbor_id, rank, cosine FROM (
+      |    SELECT sc.*, CAST(row_number() OVER (PARTITION BY query_id
+      |        ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+      |    FROM sc WHERE cosine IS NOT NULL AND NOT isnan(cosine)) t9
+      |  WHERE rank <= 5)""".stripMargin
+
+  private def indexedServeOracleTail(probeBound: String): String =
+    s"""${indexedServeCtes(probeBound)}
+      |SELECT query_id, neighbor_id, rank, cosine FROM served
+      |ORDER BY query_id, rank""".stripMargin
 
   /** Norm-carrying embeddings CTE fragment shared by the ANN oracles —
     * appended after a k-means preamble (which owns the WITH and the `e`
