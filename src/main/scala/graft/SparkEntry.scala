@@ -2357,6 +2357,12 @@ object SparkEntry {
         .createTempDirectory("graft-q93").toString
       rd(s, dir, "orders")
         .withColumn("od", date_format(col("o_orderdate"), "yyyy-MM"))
+        // one shuffle keyed by the partition column: without it every
+        // task writes a sliver of every month (tasks × partitions files
+        // — the small-files antipattern Retention.compactPartition
+        // exists to repair); with it the file count IS the partition
+        // count, at any scale
+        .repartition(col("od"))
         .write.mode("overwrite").partitionBy("od").parquet(s"$tmp/orders")
       graft.lake.Retention.expirePartitions(
         s, s"$tmp/orders", "od", cutoff = "1996-01")
