@@ -2410,6 +2410,23 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    "q95_dsir_select" -> ((s, dir) => {
+      // DSIR data selection (ext.Dsir.select — Xie et al., NeurIPS 2023):
+      // hashed unigram+bigram bag-of-n-grams models fit on a target
+      // sample (every 17th doc) vs the raw rest; per-doc importance
+      // weight = one broadcast-joined sum of 1e-6-grid bucket log-ratios;
+      // selection = Gumbel top-k with md5-deterministic noise, ranked on
+      // the 1e-4-grid score with doc_id tiebreak. The oracle replays the
+      // whole pipeline (portable md5 bucket hash, Laplace smoothing,
+      // identical grids) in SQL.
+      val docs = rd(s, dir, "documents")
+      val target = docs.filter(pmod(col("doc_id"), lit(17)) === 0)
+      val raw = docs.filter(pmod(col("doc_id"), lit(17)) =!= 0)
+      graft.ext.Dsir.select(raw, target, "doc_id", "text",
+        buckets = 8192, k = 500)
+        .orderBy("rank")
+    }),
+
     "x13_snapshot_lifecycle" -> ((s, dir) => {
       // the multi-snapshot lifecycle as ONE declared query (reference
       // semantics: the is_incremental append cadence,
@@ -5007,6 +5024,46 @@ object SparkEntry {
         |SELECT c_custkey, c_name, c_mktsegment, c_acctbal
         |FROM customer WHERE c_custkey % 2 = 1
         |ORDER BY c_custkey""".stripMargin,
+
+    "q95_dsir_select" ->
+      """WITH dd AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> length(x) > 0) AS ws
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        |g AS (SELECT doc_id, unnest(list_concat(ws,
+        |      list_transform(range(1, len(ws)),
+        |        i -> ws[i] || ' ' || ws[i + 1]))) AS gram
+        |  FROM dd WHERE len(ws) > 0),
+        |b AS (SELECT doc_id,
+        |    ('0x' || substr(md5('dsir|' || gram), 1, 15))::BIGINT % 8192
+        |      AS bucket
+        |  FROM g),
+        |tc AS (SELECT bucket, count(*) AS ct FROM b
+        |  WHERE doc_id % 17 = 0 GROUP BY 1),
+        |rc AS (SELECT bucket, count(*) AS cr FROM b
+        |  WHERE doc_id % 17 <> 0 GROUP BY 1),
+        |tot AS (SELECT
+        |    (SELECT count(*) FROM b WHERE doc_id % 17 = 0) AS tt,
+        |    (SELECT count(*) FROM b WHERE doc_id % 17 <> 0) AS tr),
+        |lam AS (SELECT sp.bucket,
+        |    floor((ln((coalesce(ct, 0) + 1)::DOUBLE / (tt + 8192))
+        |         - ln((coalesce(cr, 0) + 1)::DOUBLE / (tr + 8192)))
+        |      * 1e6 + 0.5) / 1e6 AS lam
+        |  FROM (SELECT unnest(range(8192)) AS bucket) sp
+        |  LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket), tot),
+        |w AS (SELECT b.doc_id, sum(lam) AS lw
+        |  FROM b JOIN lam USING (bucket)
+        |  WHERE b.doc_id % 17 <> 0 GROUP BY 1),
+        |sc AS (SELECT doc_id,
+        |    floor((lw + -ln(-ln(
+        |        (('0x' || substr(md5('dsir-g|' || doc_id), 1, 13))::BIGINT
+        |          + 0.5) / 4503599627370496.0))) * 1e4 + 0.5) / 1e4
+        |      AS score
+        |  FROM w)
+        |SELECT doc_id,
+        |  row_number() OVER (ORDER BY score DESC, doc_id) AS rank, score
+        |FROM sc ORDER BY score DESC, doc_id LIMIT 500""".stripMargin,
 
     // x13: models re-derived from the vec_id%10<8 train split
     // (kmeansOracleSqrt + pqTrainEncodeCtes — y7's preambles at the x13

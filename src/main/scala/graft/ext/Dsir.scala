@@ -1,0 +1,154 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS
+  * 2023): pick the `k` raw-corpus documents whose hashed-n-gram
+  * distribution looks most like a target corpus. The published recipe,
+  * re-expressed as four Catalyst stages:
+  *
+  *   1. featurize: unigrams + bigrams of whitespace tokens, feature-hashed
+  *      into `buckets` counts (the hash is the repo's PORTABLE md5 family,
+  *      so an external engine can re-derive every bucket bit-for-bit);
+  *   2. fit two bag-of-n-grams models: Laplace-smoothed bucket
+  *      probabilities on the target sample and on the raw corpus;
+  *   3. score: per-document importance weight
+  *      log w(x) = Σ_grams [ln p_target(bucket) − ln p_raw(bucket)];
+  *   4. resample: Gumbel top-k — argmax_k of (log w + g_i) with g_i
+  *      standard Gumbel noise is a draw WITHOUT replacement from the
+  *      softmax of the weights, which is exactly the paper's importance
+  *      resampling. The noise here is deterministic (inverse-CDF of an
+  *      md5-derived uniform), so the selected corpus is re-derivable
+  *      months later — same posture as [[Curation.stratifiedSample]].
+  *
+  * Scale shape (the reason this fits a 100 TB raw corpus): the two model
+  * fits reduce to `buckets`-row tables (map-side partial aggregation makes
+  * the shuffle O(buckets × partitions), independent of corpus size); the
+  * log-ratio table is broadcast, so scoring adds NO shuffle beyond one
+  * map-side-combined per-document sum; and the final top-k is a
+  * TakeOrdered, not a global sort. Nothing grows with the corpus except
+  * the one linear scan every selection method must pay.
+  *
+  * Reference basis: the reference repo has no data-selection surface at
+  * all (its processors stop at column hygiene —
+  * etl_projects/base/processors/spark/spark_dataframe_service.py); this is
+  * part of the LLM-training-pipeline extension the north star asks for.
+  */
+object Dsir {
+
+  private val Mersenne60 = "%015x" // 15 hex chars = 60 bits, fits a Long
+
+  /** Whitespace tokens of `textCol`, empties dropped. */
+  private def tokens(textCol: String) =
+    filter(split(trim(col(textCol)), "\\s+"), w => length(w) > 0)
+
+  /** (id, bucket) — one row per unigram AND bigram occurrence (with
+    * multiplicity, as the generative bag-of-n-grams model requires),
+    * feature-hashed into `[0, buckets)` via the portable
+    * `md5(salt|gram)` → first 15 hex chars → mod. Documents with no
+    * tokens contribute nothing.
+    */
+  def hashedGramBuckets(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int,
+      salt: String = "dsir"): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val ws = tokens(textCol)
+    // bigram i pairs token i with token i+1 (transform's index is 0-based,
+    // element_at is 1-based); slice caps the unigram list at size-1 so the
+    // last token opens no dangling pair.
+    val bigrams = transform(
+      slice(col("_ws"), lit(1), size(col("_ws")) - 1),
+      (w, i) => concat(w, lit(" "), element_at(col("_ws"), i + lit(2))))
+    df.filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(idCol), ws.as("_ws"))
+      .filter(size(col("_ws")) > 0)
+      .select(col(idCol),
+        explode(concat(col("_ws"), bigrams)).as("_gram"))
+      .select(col(idCol),
+        pmod(
+          conv(substring(md5(concat(lit(salt + "|"), col("_gram"))), 1, 15),
+            16, 10).cast("long"),
+          lit(buckets.toLong)).as("bucket"))
+  }
+
+  /** `buckets`-row log-ratio table (bucket, lam): Laplace-smoothed
+    * ln p_target − ln p_raw per bucket, each value snapped to the 1e-6
+    * grid so the per-gram addends are cross-engine-identical (the repo's
+    * floor(x·1e6 + 0.5)/1e6 convention — never `round`, whose HALF_UP
+    * BigDecimal ties disagree with double math). Buckets unseen on either
+    * side get the smoothed floor, not NULL — the spine is `range(buckets)`.
+    */
+  def logRatios(
+      targetGrams: DataFrame,
+      rawGrams: DataFrame,
+      buckets: Int): DataFrame = {
+    val spark = targetGrams.sparkSession
+    val tC = targetGrams.groupBy("bucket").agg(count(lit(1)).as("ct"))
+    val rC = rawGrams.groupBy("bucket").agg(count(lit(1)).as("cr"))
+    val tots = tC.agg(sum("ct").as("tt"))
+      .crossJoin(rC.agg(sum("cr").as("tr")))
+    val spine = spark.range(buckets.toLong).select(col("id").as("bucket"))
+    val lam =
+      log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+        (col("tt") + buckets).cast("double")) -
+      log((coalesce(col("cr"), lit(0L)) + 1).cast("double") /
+        (col("tr") + buckets).cast("double"))
+    spine
+      .join(broadcast(tC), Seq("bucket"), "left")
+      .join(broadcast(rC), Seq("bucket"), "left")
+      .crossJoin(broadcast(tots))
+      .select(col("bucket"),
+        (floor(lam * 1e6 + 0.5) / 1e6).as("lam"))
+  }
+
+  /** Deterministic standard-Gumbel noise for Gumbel top-k: inverse CDF
+    * −ln(−ln(u)) of u = (md5-52-bit-int + 0.5) / 2^52 — u is an exact
+    * double in (0, 1), so both halves of the oracle compute the identical
+    * value.
+    */
+  private def gumbel(idCol: String, salt: String) = {
+    val u = (conv(substring(
+        md5(concat(lit(salt + "-g|"), col(idCol).cast("string"))), 1, 13),
+        16, 10).cast("double") + 0.5) / 4503599627370496.0 // 2^52
+    -log(-log(u))
+  }
+
+  /** The full DSIR selection: score every `raw` document against the
+    * target model and keep the Gumbel-top-`k`. Returns
+    * (idCol, rank, score) ordered by rank; `score` is the Gumbel-perturbed
+    * importance weight snapped to the 1e-4 grid (ranking happens on the
+    * snapped value with `idCol` as tiebreak, the cross-engine-stable
+    * ordering the BM25/TF-IDF queries established).
+    */
+  def select(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 8192,
+      k: Int = 500,
+      salt: String = "dsir"): DataFrame = {
+    val rawGrams = hashedGramBuckets(raw, idCol, textCol, buckets, salt)
+    val targetGrams = hashedGramBuckets(target, idCol, textCol, buckets, salt)
+    val lam = logRatios(targetGrams, rawGrams, buckets)
+    val scored = rawGrams
+      .join(broadcast(lam), "bucket")
+      .groupBy(col(idCol))
+      .agg(sum("lam").as("_lw"))
+      .select(col(idCol),
+        (floor((col("_lw") + gumbel(idCol, salt)) * 1e4 + 0.5) / 1e4)
+          .as("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+    // rank the k survivors; the single-partition window is over k rows,
+    // not the corpus — the global ordering above is a TakeOrdered.
+    scored.withColumn("rank",
+        row_number().over(Window.orderBy(desc("score"), col(idCol))))
+      .select(col(idCol), col("rank"), col("score"))
+  }
+}
