@@ -5052,9 +5052,10 @@ object SparkEntry {
         |      * 1e6 + 0.5) / 1e6 AS lam
         |  FROM (SELECT unnest(range(8192)) AS bucket) sp
         |  LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket), tot),
-        |w AS (SELECT b.doc_id, sum(lam) AS lw
-        |  FROM b JOIN lam USING (bucket)
-        |  WHERE b.doc_id % 17 <> 0 GROUP BY 1),
+        |db AS (SELECT doc_id, bucket, count(*) AS cnt FROM b
+        |  WHERE doc_id % 17 <> 0 GROUP BY 1, 2),
+        |w AS (SELECT doc_id, sum(cnt * lam) AS lw
+        |  FROM db JOIN lam USING (bucket) GROUP BY 1),
         |sc AS (SELECT doc_id,
         |    floor((lw + -ln(-ln(
         |        (('0x' || substr(md5('dsir-g|' || doc_id), 1, 13))::BIGINT

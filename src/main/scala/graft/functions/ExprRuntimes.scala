@@ -469,12 +469,7 @@ object ExprRuntimes {
     */
   private def md5Base60(md: java.security.MessageDigest, s: UTF8String): Long = {
     md.reset()
-    val d = md.digest(s.getBytes)
-    val top = ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
-      ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
-      ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
-      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
-    top >>> 4
+    digestTop60(md.digest(s.getBytes))
   }
 
   /** k-lane PORTABLE MinHash signature: lane j applies the affine
@@ -536,5 +531,51 @@ object ExprRuntimes {
       j += 1
     }
     sig
+  }
+
+  /** DSIR feature-hash kernel: bucket ids of every unigram AND bigram of
+    * a token array in ONE pass — `bucket = md5Base60(salt|gram) mod
+    * buckets`, gram = token or `token + " " + next`. One reused digest
+    * per row and no hex/decimal string round-trips (the composed column
+    * form pays concat + md5-hex + substring + conv PER GRAM — the
+    * dominant cost of the whole selection at corpus scale). SQL twin per
+    * element: `('0x' || substr(md5(salt || '|' || gram), 1, 15))::BIGINT
+    * % buckets`. Output length 2n−1 (n ≥ 1): unigrams first, then
+    * bigrams, multiplicity preserved — the generative bag-of-n-grams
+    * model counts occurrences, not distinct grams.
+    */
+  def dsirGramBuckets(
+      tokens: ArrayData, buckets: Long, saltPrefix: Array[Byte]): ArrayData = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = tokens.numElements()
+    val out = new Array[Long](if (n >= 1) 2 * n - 1 else 0)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      md.update(saltPrefix)
+      md.update(tokens.getUTF8String(i).getBytes)
+      out(i) = digestTop60(md.digest()) % buckets
+      i += 1
+    }
+    i = 0
+    while (i < n - 1) {
+      md.reset()
+      md.update(saltPrefix)
+      md.update(tokens.getUTF8String(i).getBytes)
+      md.update(' '.toByte)
+      md.update(tokens.getUTF8String(i + 1).getBytes)
+      out(n + i) = digestTop60(md.digest()) % buckets
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** First 60 bits of an MD5 digest, the [[md5Base60]] extraction. */
+  private def digestTop60(d: Array[Byte]): Long = {
+    val top = ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+      ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+      ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+    top >>> 4
   }
 }

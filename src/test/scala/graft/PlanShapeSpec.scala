@@ -299,6 +299,14 @@ class PlanShapeSpec extends SparkSpec {
   checkShape("x13_snapshot_lifecycle", maxExchanges = 6,
     minBroadcastJoins = 2)
 
+  // DSIR selection (q95): the text is tokenized+hashed ONCE into the
+  // persisted per-(doc,bucket) count frame (one groupBy exchange, run
+  // once); the target model fit is its own groupBy; the bucket-count
+  // re-aggregation and the per-doc score sum are the only other hash
+  // shuffles. The buckets-row log-ratio table reaches scoring as a
+  // broadcast, and the top-k is a TakeOrdered — no global sort exchange.
+  checkShape("q95_dsir_select", maxExchanges = 5, minBroadcastJoins = 1)
+
   // span excision: the REAL lazy plan (the declared query materializes
   // eagerly via localCheckpoint, whose executed plan is just a checkpoint
   // scan). The gram stream never cross-joins; the hot-gram join is
