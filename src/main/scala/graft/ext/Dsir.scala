@@ -180,4 +180,55 @@ object Dsir {
         row_number().over(Window.orderBy(desc("score"), col(idCol))))
       .select(col(idCol), col("rank"), col("score"))
   }
+
+  // ------------------------------------------- model artifact lifecycle
+
+  /** Fit the DSIR model alone: the `buckets`-row (bucket, lam) log-ratio
+    * table, the artifact a pipeline persists once and scores MANY raw
+    * shards/snapshots against (the train-once/persist/serve cadence the
+    * ANN stack established with its parquet-backed codebooks). Writing it
+    * is just `fit(...).write.parquet(path)` — it is already a DataFrame
+    * of two primitive columns, value-identical after a parquet round trip
+    * (bigint bucket + a 1e-6-grid double).
+    */
+  def fit(
+      target: DataFrame,
+      raw: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 8192,
+      salt: String = "dsir"): DataFrame =
+    logRatios(
+      hashedGramBuckets(target, idCol, textCol, buckets, salt),
+      hashedGramBuckets(raw, idCol, textCol, buckets, salt),
+      buckets)
+
+  /** Score + Gumbel-top-`k` against a PRE-FIT model (the serving half of
+    * [[select]]): one tokenize scan of `raw`, the model broadcast, one
+    * per-doc sum, a TakeOrdered. Same output contract as [[select]];
+    * `buckets` and `salt` must match the fit.
+    */
+  def selectWithModel(
+      raw: DataFrame,
+      lam: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 8192,
+      k: Int = 500,
+      salt: String = "dsir"): DataFrame = {
+    val scored = hashedGramBuckets(raw, idCol, textCol, buckets, salt)
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(lam), "bucket")
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt") * col("lam")).as("_lw"))
+      .select(col(idCol),
+        (floor((col("_lw") + gumbel(idCol, salt)) * 1e4 + 0.5) / 1e4)
+          .as("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+    scored.withColumn("rank",
+        row_number().over(Window.orderBy(desc("score"), col(idCol))))
+      .select(col(idCol), col("rank"), col("score"))
+  }
 }

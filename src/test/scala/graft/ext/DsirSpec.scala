@@ -72,6 +72,22 @@ class DsirSpec extends SparkSpec {
       s"expected math-flavoured docs to dominate, got ${ids.mkString(",")}")
   }
 
+  test("fit -> parquet -> selectWithModel equals the fused select") {
+    import spark.implicits._
+    val target = corpus.filter(col("doc_id") % 2 === 0)
+    val raw = corpus.filter(col("doc_id") % 2 =!= 0)
+    val fused = Dsir.select(raw, target, "doc_id", "text",
+      buckets = 512, k = 8).as[(Long, Int, Double)].collect().toSeq
+    val tmp = java.nio.file.Files.createTempDirectory("dsir-model").toString
+    Dsir.fit(target, raw, "doc_id", "text", buckets = 512)
+      .write.mode("overwrite").parquet(s"$tmp/lam")
+    val served = Dsir.selectWithModel(raw,
+        spark.read.parquet(s"$tmp/lam"), "doc_id", "text",
+        buckets = 512, k = 8)
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(served === fused)
+  }
+
   test("select is deterministic and ranks on (score desc, id)") {
     import spark.implicits._
     val target = corpus.filter(col("doc_id") % 2 === 0)
