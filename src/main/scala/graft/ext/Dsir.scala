@@ -40,10 +40,6 @@ object Dsir {
 
   private val Mersenne60 = "%015x" // 15 hex chars = 60 bits, fits a Long
 
-  /** Whitespace tokens of `textCol`, empties dropped. */
-  private def tokens(textCol: String) =
-    filter(split(trim(col(textCol)), "\\s+"), w => length(w) > 0)
-
   /** (id, bucket) — one row per unigram AND bigram occurrence (with
     * multiplicity, as the generative bag-of-n-grams model requires),
     * feature-hashed into `[0, buckets)` via the portable
@@ -57,18 +53,18 @@ object Dsir {
       buckets: Int,
       salt: String = "dsir"): DataFrame = {
     require(buckets > 0, s"buckets must be positive: $buckets")
-    val ws = tokens(textCol)
-    // the native one-pass kernel (functions.DsirGramBuckets) emits all
-    // 2n−1 unigram + bigram buckets per row with one reused digest — the
-    // composed-column alternative (explode + concat + md5 + substring +
-    // conv PER GRAM) pays string round-trips on the hottest path of the
-    // whole selection.
-    df.filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
-      .select(col(idCol), ws.as("_ws"))
-      .filter(size(col("_ws")) > 0)
+    // the native kernel (functions.DsirGramBuckets) fuses tokenization
+    // and hashing into one byte scan and emits all 2n−1 unigram + bigram
+    // buckets per row with one reused digest — the composed-column
+    // alternative (regex split + explode + concat + md5 + substring +
+    // conv PER GRAM) pays a regex engine, a token-array materialization,
+    // and string round-trips on the hottest path of the whole selection.
+    // Whitespace-only rows yield an empty bucket array, which explode
+    // drops.
+    df.filter(col(textCol).isNotNull)
       .select(col(idCol),
         explode(graft.functions.DsirHashFunctions
-          .dsir_gram_buckets(col("_ws"), buckets, salt)).as("bucket"))
+          .dsir_gram_buckets(col(textCol), buckets, salt)).as("bucket"))
   }
 
   /** `buckets`-row log-ratio table (bucket, lam): Laplace-smoothed

@@ -534,26 +534,57 @@ object ExprRuntimes {
   }
 
   /** DSIR feature-hash kernel: bucket ids of every unigram AND bigram of
-    * a token array in ONE pass — `bucket = md5Base60(salt|gram) mod
-    * buckets`, gram = token or `token + " " + next`. One reused digest
-    * per row and no hex/decimal string round-trips (the composed column
-    * form pays concat + md5-hex + substring + conv PER GRAM — the
-    * dominant cost of the whole selection at corpus scale). SQL twin per
-    * element: `('0x' || substr(md5(salt || '|' || gram), 1, 15))::BIGINT
-    * % buckets`. Output length 2n−1 (n ≥ 1): unigrams first, then
-    * bigrams, multiplicity preserved — the generative bag-of-n-grams
-    * model counts occurrences, not distinct grams.
+    * a raw text in ONE byte scan — tokenization (maximal runs of
+    * non-ASCII-whitespace bytes; multibyte UTF-8 is ≥ 0x80 so a bytewise
+    * scan can never split a code point) is FUSED with the hashing:
+    * `bucket = md5Base60(salt|gram) mod buckets`, gram = token or
+    * `token + " " + next`, digests fed from offsets into the original
+    * byte array. No regex split, no token-array materialization, no
+    * hex/decimal string round-trips, one reused digest per row — the
+    * composed column form (split + explode + concat + md5-hex +
+    * substring + conv PER GRAM) pays all of those on the hottest path of
+    * the whole selection. Equivalent to hashing
+    * `filter(split(trim(text), "\\s+"), length > 0)` grams: both define
+    * tokens as maximal non-whitespace runs under Java's ASCII `\s`
+    * class. SQL twin per element: `('0x' || substr(md5(salt || '|' ||
+    * gram), 1, 15))::BIGINT % buckets`. Output length 2n−1 (n ≥ 1):
+    * unigrams first, then bigrams, multiplicity preserved — the
+    * generative bag-of-n-grams model counts occurrences, not distinct
+    * grams.
     */
   def dsirGramBuckets(
-      tokens: ArrayData, buckets: Long, saltPrefix: Array[Byte]): ArrayData = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val n = tokens.numElements()
-    val out = new Array[Long](if (n >= 1) 2 * n - 1 else 0)
+      text: UTF8String, buckets: Long, saltPrefix: Array[Byte]): ArrayData = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    def ws(b: Byte): Boolean =
+      b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' ||
+        b == '\r'
+    // token boundary scan: starts(i) inclusive, ends(i) exclusive
+    var cap = 16
+    var starts = new Array[Int](cap)
+    var ends = new Array[Int](cap)
+    var n = 0
     var i = 0
+    while (i < len) {
+      while (i < len && ws(bytes(i))) i += 1
+      if (i < len) {
+        val s = i
+        while (i < len && !ws(bytes(i))) i += 1
+        if (n == cap) {
+          cap *= 2
+          starts = java.util.Arrays.copyOf(starts, cap)
+          ends = java.util.Arrays.copyOf(ends, cap)
+        }
+        starts(n) = s; ends(n) = i; n += 1
+      }
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Long](if (n >= 1) 2 * n - 1 else 0)
+    i = 0
     while (i < n) {
       md.reset()
       md.update(saltPrefix)
-      md.update(tokens.getUTF8String(i).getBytes)
+      md.update(bytes, starts(i), ends(i) - starts(i))
       out(i) = digestTop60(md.digest()) % buckets
       i += 1
     }
@@ -561,9 +592,9 @@ object ExprRuntimes {
     while (i < n - 1) {
       md.reset()
       md.update(saltPrefix)
-      md.update(tokens.getUTF8String(i).getBytes)
+      md.update(bytes, starts(i), ends(i) - starts(i))
       md.update(' '.toByte)
-      md.update(tokens.getUTF8String(i + 1).getBytes)
+      md.update(bytes, starts(i + 1), ends(i + 1) - starts(i + 1))
       out(n + i) = digestTop60(md.digest()) % buckets
       i += 1
     }
