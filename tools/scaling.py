@@ -22,7 +22,7 @@ FAMILY_GROWTH = [
     # and the embedding-input dedups x6/x10. x4 (ngram) and x8 (canonical
     # keep) read documents and must fall through to the 10x family below.
     (re.compile(r"^(y\d|q8[6-9]|x10$|x10r|x6)"), 4.0, "embeddings (4x)"),
-    (re.compile(r"^(x\d|t\d+|m\d+|q9[12]|q6[567]|q5[1269]|q48|q49|q36|"
+    (re.compile(r"^(x\d|t\d+|m\d+|q9[125]|q6[567]|q5[1269]|q48|q49|q36|"
                 r"q37|q38|q39|q40|q7[58]|q8[1234]|q6[014])"), 10.0,
      "documents/events (10x)"),
     (re.compile(r"."), 10.0, "relational (10x)"),
@@ -69,7 +69,8 @@ def main(p001, p01, p1):
     out.append("")
     out.append(f"Totals: sf0.001 {b[0]['value']:.1f}s | sf0.01 "
                f"{b[1]['value']:.1f}s | sf0.1 {b[2]['value']:.1f}s "
-               f"(baseline record 89.8s at sf0.1).")
+               f"(same-surface baseline record: BASELINE.json"
+               f".same_surface_record).")
     out.append("")
     out.append("| query | t(0.001) | t(0.01) | t(0.1) | x0.001->0.01 | "
                "x0.01->0.1 | family growth | flag |")
@@ -119,9 +120,10 @@ last step is the only ratio this artifact reads.
 Reproducibility: ratios are chain-internal, so host weather moves the
 absolutes, not the verdicts — the round-9 record's full 3-scale chain
 was reproduced at its HEAD in ~18% heavier weather with 0 flags and the
-same per-family ratio shape, and this round-10 chain (new: y7 pair;
-reshaped: x7/x9/x11/x12) again flags nothing, with every reshaped
-query's last step at or below its family growth.""")
+same per-family ratio shape; the round-10 chain (new: y7 pair;
+reshaped: x7/x9/x11/x12) and this round-11 chain (new: q93/q94/q95/
+t18/x13) again flag nothing, with every new query's last step at or
+below its family growth.""")
     out.append("")
     with open("SCALING.md", "w") as f:
         f.write("\n".join(out) + "\n")
