@@ -2190,6 +2190,22 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    "q96_d4_diversify" -> ((s, dir) => {
+      // D4 diversification (ext.Clustering.diversify — Tirumala et al.
+      // 2023): after dedup, drop the quarter of each k-means cluster
+      // CLOSEST to its centroid (most prototypical = most redundant);
+      // ranking on the 1e-6-grid squared distance with vec_id tiebreak,
+      // so the oracle re-derives the exact kept set from the same
+      // deterministic model as q86-q88. dropFraction 0.25 is binary-
+      // exact, so the per-cluster ceil boundary is engine-independent.
+      val emb = rd(s, dir, "embeddings")
+      val m = kmeansDemo(s, dir)
+      ext.Clustering.diversify(emb, "vec_id", "embedding", m,
+        dropFraction = 0.25)
+        .select(col("vec_id"), col("cell"), col("dist2"))
+        .orderBy("vec_id")
+    }),
+
     "x11_containment" -> ((s, dir) => {
       // asymmetric containment dedup (Dedup.containmentPairs): the
       // excerpt-inside-host relation minhash can't see. Exact via the
@@ -4812,6 +4828,25 @@ object SparkEntry {
          |    1, 8))::BIGINT
          |  < least(1.0, 30.0 / csize) * 4294967296.0
          |ORDER BY vec_id""".stripMargin,
+
+    "q96_d4_diversify" ->
+      s"""$kmeansOraclePreamble,
+         |dd AS (SELECT a.vec_id, a.cell,
+         |    floor((
+         |      list_sum(list_transform(e.embedding,
+         |        x -> x::DOUBLE * x::DOUBLE))
+         |      - 2 * list_sum(list_transform(list_zip(e.embedding, ct.c),
+         |          x -> x[1]::DOUBLE * x[2]::DOUBLE))
+         |      + list_sum(list_transform(ct.c, x -> x::DOUBLE * x::DOUBLE))
+         |    ) * 1e6 + 0.5) / 1e6 AS dist2
+         |  FROM asg a JOIN e USING (vec_id) JOIN cents ct USING (cell)),
+         |rr AS (SELECT vec_id, cell, dist2,
+         |    row_number() OVER (PARTITION BY cell
+         |      ORDER BY dist2, vec_id) AS rn,
+         |    count(*) OVER (PARTITION BY cell) AS cn
+         |  FROM dd)
+         |SELECT vec_id, cell, dist2 FROM rr
+         |WHERE rn > ceil(0.25 * cn) ORDER BY vec_id""".stripMargin,
 
     // intersection sizes come from a grouped join-count over the inverted
     // index — exact (a pair with containment > 0 shares >= 1 gram, and

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{CellFunctions, VectorFunctions}
@@ -172,5 +173,54 @@ object Clustering {
         conv(substring(md5(concat_ws("|", col(idCol), lit(salt))), 1, 8),
           16, 10).cast("long") < rate * 4294967296.0)
       .drop("_csize")
+  }
+
+  /** D4-style diversification (Tirumala et al. 2023, "D4: Improving LLM
+    * Pretraining via Document De-Duplication and Diversification"): after
+    * dedup, drop the `dropFraction` of each k-means cluster CLOSEST to
+    * its centroid — the most prototypical points are the most
+    * semantically redundant; the kept set preserves each cluster's
+    * diverse fringe. Returns the kept rows plus `(cell, dist2)`, where
+    * `dist2` is the squared centroid distance snapped to the 1e-6 grid
+    * (the `|v|² − 2 v·c + |c|²` expansion inside the codegen'd dot
+    * kernel, q87's oracle-proven arithmetic) — ranking happens on the
+    * snapped value with `idCol` as tiebreak, so the exact kept set is
+    * re-derivable by any engine.
+    *
+    * The per-cluster cut is ONE window over `cell`: a task is bounded by
+    * the largest cluster, which at the D4 operating point (k ~ √corpus,
+    * the [[suggestNlist]] rule) is ~√corpus rows — not a skew hazard.
+    * Exactly ⌈dropFraction·n⌉ rows drop per cluster; prefer fractions
+    * with exact binary representations (0.25, 0.5) so the ceil boundary
+    * is engine-independent.
+    */
+  def diversify(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: Model,
+      dropFraction: Double,
+      cellCol: String = "cell",
+      distCol: String = "dist2"): DataFrame = {
+    require(dropFraction >= 0.0 && dropFraction < 1.0,
+      s"dropFraction must be in [0, 1): $dropFraction")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toDF(cellCol, "_centroid")
+    val d2 =
+      VectorFunctions.vector_dot(col(vecCol), col(vecCol)) -
+        lit(2.0) * VectorFunctions.vector_dot(col(vecCol), col("_centroid")) +
+        VectorFunctions.vector_dot(col("_centroid"), col("_centroid"))
+    val byDist = Window.partitionBy(col(cellCol))
+      .orderBy(col(distCol), col(idCol))
+    val whole = Window.partitionBy(col(cellCol))
+    assign(df, vecCol, model, cellCol)
+      .join(broadcast(cents), Seq(cellCol))
+      .withColumn(distCol, floor(d2 * 1e6 + 0.5) / 1e6)
+      .withColumn("_rn", row_number().over(byDist))
+      .withColumn("_cn", count(lit(1)).over(whole))
+      .filter(col("_rn") > ceil(lit(dropFraction) * col("_cn")))
+      .drop("_rn", "_cn", "_centroid")
   }
 }

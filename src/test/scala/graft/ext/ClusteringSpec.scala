@@ -107,4 +107,22 @@ class ClusteringSpec extends SparkSpec {
       .select("id").as[Long].collect().sorted shouldBe
       sampled.select("id").as[Long].collect().sorted
   }
+
+  test("diversify drops exactly the ceil(f*n) most prototypical per cluster") {
+    // one tight blob around (0,1): members at increasing distance, ids
+    // ordered so distance rank is known
+    val d = (0 until 8).map(i => (i.toLong, Seq(i * 0.1f, 1.0f)))
+      .toDF("id", "vec")
+    val m = Clustering.Model(Seq(Array(0.0f, 1.0f)))
+    val kept = Clustering.diversify(d, "id", "vec", m, dropFraction = 0.25)
+      .select("id").as[Long].collect().sorted.toSeq
+    // ceil(0.25*8)=2 closest to (0,1) drop: ids 0,1
+    kept shouldBe (2L to 7L)
+    // dropFraction 0 keeps everything
+    Clustering.diversify(d, "id", "vec", m, dropFraction = 0.0)
+      .count() shouldBe 8L
+    // deterministic
+    Clustering.diversify(d, "id", "vec", m, dropFraction = 0.25)
+      .select("id").as[Long].collect().sorted.toSeq shouldBe kept
+  }
 }
