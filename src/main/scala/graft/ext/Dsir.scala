@@ -199,10 +199,34 @@ object Dsir {
       hashedGramBuckets(raw, idCol, textCol, buckets, salt),
       buckets)
 
+  /** Per-document Gumbel-perturbed importance scores against a PRE-FIT
+    * model: one tokenize scan (the fused kernel), the model broadcast,
+    * one map-side-combined per-doc sum — stateless per input row set,
+    * which is what lets the streaming sink
+    * ([[graft.streaming.EventStream.dsirScoreSink]]) run it per
+    * micro-batch with no state store. Returns (idCol, score) on the
+    * 1e-4 grid; `buckets` and `salt` must match the fit.
+    */
+  def scoreWithModel(
+      raw: DataFrame,
+      lam: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 8192,
+      salt: String = "dsir"): DataFrame =
+    hashedGramBuckets(raw, idCol, textCol, buckets, salt)
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(lam), "bucket")
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt") * col("lam")).as("_lw"))
+      .select(col(idCol),
+        (floor((col("_lw") + gumbel(idCol, salt)) * 1e4 + 0.5) / 1e4)
+          .as("score"))
+
   /** Score + Gumbel-top-`k` against a PRE-FIT model (the serving half of
-    * [[select]]): one tokenize scan of `raw`, the model broadcast, one
-    * per-doc sum, a TakeOrdered. Same output contract as [[select]];
-    * `buckets` and `salt` must match the fit.
+    * [[select]]): [[scoreWithModel]] + a TakeOrdered. Same output
+    * contract as [[select]]; `buckets` and `salt` must match the fit.
     */
   def selectWithModel(
       raw: DataFrame,
@@ -212,15 +236,7 @@ object Dsir {
       buckets: Int = 8192,
       k: Int = 500,
       salt: String = "dsir"): DataFrame = {
-    val scored = hashedGramBuckets(raw, idCol, textCol, buckets, salt)
-      .groupBy(col(idCol), col("bucket"))
-      .agg(count(lit(1)).as("cnt"))
-      .join(broadcast(lam), "bucket")
-      .groupBy(col(idCol))
-      .agg(sum(col("cnt") * col("lam")).as("_lw"))
-      .select(col(idCol),
-        (floor((col("_lw") + gumbel(idCol, salt)) * 1e4 + 0.5) / 1e4)
-          .as("score"))
+    val scored = scoreWithModel(raw, lam, idCol, textCol, buckets, salt)
       .orderBy(desc("score"), col(idCol))
       .limit(k)
     scored.withColumn("rank",

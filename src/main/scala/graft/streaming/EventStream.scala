@@ -583,6 +583,35 @@ object EventStream {
         ()
       }
 
+  /** Streaming DSIR scoring sink: score each micro-batch of raw documents
+    * against a PRE-FIT hashed-n-gram log-ratio model
+    * ([[graft.ext.Dsir.fit]] → parquet → this) and append the
+    * Gumbel-perturbed importance scores — the streaming half of the
+    * selection lifecycle: fit once per snapshot offline, gate the
+    * incoming crawl continuously. Top-k selection is a corpus-level
+    * decision, so the sink emits SCORES (threshold or rank downstream);
+    * per-batch everything is stateless — the model broadcasts, the
+    * text tokenizes once through the fused kernel, no state store.
+    */
+  def dsirScoreSink(
+      docs: DataFrame,
+      lam: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int,
+      salt: String,
+      outPath: String,
+      checkpoint: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ext.Dsir.scoreWithModel(
+          batch, lam, idCol, textCol, buckets, salt)
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+
   /** Streaming materialized summary view: fold each micro-batch into a
     * parquet-backed [[graft.pipeline.IncrementalAgg]] summary table — the
     * streaming twin of incremental aggregate maintenance (q47). Each

@@ -587,4 +587,44 @@ class EventStreamSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().toSet
     got shouldBe expected
   }
+
+  test("dsirScoreSink: streamed batches reproduce the batch model scores") {
+    import graft.ext.Dsir
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val target = Seq((1L, "theorem proof lemma algebra"),
+      (2L, "proof of the lemma by induction")).toDF("doc_id", "text")
+    val rawAll = (10L until 30L).map { i =>
+      (i, if (i % 2 == 0) s"algebra proof notes v$i"
+          else s"goal striker penalty stadium v$i")
+    }
+    // fit once offline; the stream only ever sees the persisted model
+    val tmp = Files.createTempDirectory("dsir-stream").toString
+    Dsir.fit(target, rawAll.toDF("doc_id", "text"), "doc_id", "text",
+      buckets = 256).write.parquet(s"$tmp/lam")
+    val lam = spark.read.parquet(s"$tmp/lam")
+
+    val expected = Dsir.scoreWithModel(
+      rawAll.toDF("doc_id", "text"), lam, "doc_id", "text", buckets = 256)
+      .as[(Long, Double)].collect().toSet
+    assert(expected.size === rawAll.size)
+
+    val outDir = Files.createTempDirectory("dsir-score-out").toString
+    val ckpt = Files.createTempDirectory("dsir-score-ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val q = EventStream.dsirScoreSink(
+      input.toDF().toDF("doc_id", "text"), lam, "doc_id", "text",
+      buckets = 256, salt = "dsir", outPath = outDir, checkpoint = ckpt)
+      .start()
+    try {
+      input.addData(rawAll.take(7): _*)
+      q.processAllAvailable()
+      input.addData(rawAll.drop(7): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.read.parquet(outDir)
+      .as[(Long, Double)].collect().toSet
+    got shouldBe expected
+  }
 }
