@@ -21,7 +21,7 @@ FAMILY_GROWTH = [
     # embeddings family is ONLY the vector queries: y*, kmeans/PCA (q86-89),
     # and the embedding-input dedups x6/x10. x4 (ngram) and x8 (canonical
     # keep) read documents and must fall through to the 10x family below.
-    (re.compile(r"^(y\d|q8[6-9]|x10$|x10r|x6)"), 4.0, "embeddings (4x)"),
+    (re.compile(r"^(y\d|q8[6-9]|q96|x10$|x10r|x6)"), 4.0, "embeddings (4x)"),
     (re.compile(r"^(x\d|t\d+|m\d+|q9[125]|q6[567]|q5[1269]|q48|q49|q36|"
                 r"q37|q38|q39|q40|q7[58]|q8[1234]|q6[014])"), 10.0,
      "documents/events (10x)"),
@@ -84,7 +84,16 @@ def main(p001, p01, p1):
         out.append("## Flagged super-linear steps")
         out.append("")
         for n, r2, g, glabel in flagged:
-            out.append(f"- `{n}`: last step {r2:.1f}x vs {glabel}")
+            note = ""
+            if n == "y3_knn_ivf":
+                note = (" — DELIBERATE contrast query: y3 holds nlist "
+                        "fixed at 16 while the corpus grows, so per-cell "
+                        "candidate lists grow with the corpus; it exists "
+                        "to measure the nlist~sqrt(corpus) serving law "
+                        "that y7 (same snapshot, rule-sized nlist, "
+                        "~2x step below) implements. See 'Reading the "
+                        "heavy tail'.")
+            out.append(f"- `{n}`: last step {r2:.1f}x vs {glabel}{note}")
     else:
         out.append("## No super-linear steps flagged")
     out.append("")
