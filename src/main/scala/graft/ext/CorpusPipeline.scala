@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The curation chain assembled end-to-end from the library's proven
@@ -92,8 +92,20 @@ object CorpusPipeline {
     * surviving document count, the drop-rate dashboard every corpus
     * release ships with. Stage keys are ordinal-prefixed so the report
     * sorts in pipeline order; the split rows break the final stage down.
-    * A union of O(1)-row aggregations over the same chain [[curate]]
-    * runs — no extra pass logic to drift out of sync with it.
+    *
+    * Shape: stage membership reduces to ONE narrow per-document flags
+    * frame — each expensive subplan (the dedup groupBy, the Gopher
+    * battery, the contamination gram join) is evaluated exactly once,
+    * and every stage count is a conditional sum over the persisted
+    * (id, flags, split) frame. The obvious union-of-`count()`s
+    * alternative re-evaluates the whole chain per stage row (measured:
+    * 59 parquet scans of the corpus in one report plan, zero exchange
+    * reuse) — per-stage counts must never cost one corpus pass per
+    * stage at 100 TB. Stage semantics are [[curate]]'s, applied to the
+    * same inputs in the same order: flags AND rather than re-filter, so
+    * the counts cannot drift from the curate outcome (the split column
+    * is [[Curation.assignSplit]]'s pure md5 projection, identical
+    * per id).
     */
   def report(
       docs: DataFrame,
@@ -108,29 +120,64 @@ object CorpusPipeline {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
       salt: String = "",
       gopher: Option[TextAnalysis.GopherThresholds] = None): DataFrame = {
+    val spark = docs.sparkSession
     val canonical = Dedup.dedupExact(docs, idCol, textCol)
-      .select(col("keep_id").as(idCol))
-    val deduped = docs.join(canonical, Seq(idCol), "left_semi")
-    val qualified = deduped
-      .filter(floor(TextAnalysis.qualityScore(col(textCol)) * 1e6 + 0.5)
-        / 1e6 >= minQuality)
-    val floored = gopherFloor(qualified, idCol, textCol, gopher)
-    val labeled = curate(docs, idCol, textCol,
-      evalDocs, evalIdCol, evalTextCol, minQuality, nGram, splits, salt,
-      gopher)
-    def stage(name: String, df: DataFrame) =
-      df.agg(count(lit(1)).as("n_docs"))
+      .select(col("keep_id").as(idCol), lit(true).as("_d"))
+    val gopherMark = gopher.map { th =>
+      // per-doc signals — computing them corpus-wide flags exactly the
+      // docs the sequential battery would (no corpus-level terms)
+      TextAnalysis.gopherQualitySignals(docs, idCol, textCol, th)
+        .filter(col("gopher_pass"))
+        .select(col(idCol), lit(true).as("_g"))
+    }
+    // narrow survival frame: id + one boolean per stage (persisted — a
+    // few bytes per document, read by every count below)
+    val qOk = (floor(TextAnalysis.qualityScore(col(textCol)) * 1e6 + 0.5)
+      / 1e6 >= minQuality).as("_q")
+    val base0 = docs.select(col(idCol), qOk)
+      .join(canonical, Seq(idCol), "left")
+    val base = gopherMark.fold(base0.withColumn("_g", lit(true)))(gm =>
+        base0.join(gm, Seq(idCol), "left"))
+      .select(col(idCol),
+        coalesce(col("_d"), lit(false)).as("_d"),
+        coalesce(col("_q"), lit(false)).as("_q"),
+        coalesce(col("_g"), lit(false)).as("_g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // contamination runs against the FLOORED survivors (curate's input
+    // to it) — the text rejoins from the scan, the expensive upstream
+    // flags come from the persisted base
+    val floored = base.filter(col("_d") && col("_q") && col("_g"))
+      .select(col(idCol))
+      .join(docs.select(col(idCol), col(textCol)), Seq(idCol))
+    val hits = Curation.contamination(
+      floored, idCol, textCol, evalDocs, evalIdCol, evalTextCol, nGram)
+      .select(col(idCol), lit(true).as("_h"))
+    val evalIds = evalDocs.select(col(evalIdCol).as(idCol)).distinct()
+      .withColumn("_e", lit(true))
+    // persisted as well: the contamination subplan lives inside this
+    // frame, and the stage rows below are union branches — without the
+    // cache each branch would re-run the gram join
+    val flags = Curation.assignSplit(
+      base
+        .join(broadcast(hits), Seq(idCol), "left")
+        .join(broadcast(evalIds), Seq(idCol), "left")
+        .withColumn("_s", col("_d") && col("_q") && col("_g") &&
+          col("_h").isNull && col("_e").isNull),
+      idCol, splits, salt)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def row(name: String, c: Column) =
+      flags.agg(sum(when(c, 1L).otherwise(0L)).as("n_docs"))
         .select(lit(name).as("stage"), col("n_docs"))
     // the gopher stage key sorts between 2_quality and 3_decontaminated
     // ('_' < 'g'), so the funnel stays in pipeline order; the row only
     // appears when the battery is on — existing reports are unchanged
-    stage("0_input", docs)
-      .unionByName(stage("1_deduped", deduped))
-      .unionByName(stage("2_quality", qualified))
-      .unionByName(gopher.fold(stage("2_quality", qualified).limit(0))(
-        _ => stage("2g_gopher", floored)))
-      .unionByName(stage("3_decontaminated", labeled))
-      .unionByName(labeled.groupBy("split")
+    row("0_input", lit(true))
+      .unionByName(row("1_deduped", col("_d")))
+      .unionByName(row("2_quality", col("_d") && col("_q")))
+      .unionByName(gopher.fold(row("", lit(true)).limit(0))(_ =>
+        row("2g_gopher", col("_d") && col("_q") && col("_g"))))
+      .unionByName(row("3_decontaminated", col("_s")))
+      .unionByName(flags.filter(col("_s")).groupBy("split")
         .agg(count(lit(1)).as("n_docs"))
         .select(concat(lit("4_split_"), col("split")).as("stage"),
           col("n_docs")))
