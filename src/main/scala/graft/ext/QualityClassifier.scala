@@ -81,7 +81,21 @@ object QualityClassifier {
     else graft.functions.CapOccurrences.cap_occurrences(ids, countCap)
   }
 
-  /** Fit by full-batch GD. `labelCol` must be 0/1 (1 = good). */
+  /** Fit by full-batch GD. `labelCol` must be 0/1 (1 = good).
+    *
+    * Feature extraction (tokenize → hash → saturate, the part that scans
+    * text) runs through the Catalyst expressions once; the epoch loop
+    * then runs over the extracted `(y, idx)` RDD with one
+    * `treeAggregate` per epoch. The loop is the one place in the library
+    * where an RDD genuinely wins: each epoch's gradient depends on the
+    * previous epoch's weights, so a DataFrame formulation builds a NEW
+    * plan per epoch — 20 epochs paid 20 Catalyst plannings + 20 Janino
+    * compiles + 20 shuffled aggregations to move a 2 KB gradient
+    * (measured: the whole-plan loop was ~2× the extraction cost at every
+    * scale). The labeled training set is bounded by construction (labels
+    * are expensive); the 100 TB path — [[score]]/[[keepGood]] — stays a
+    * codegen'd projection.
+    */
   def train(
       df: DataFrame,
       textCol: Column,
@@ -92,37 +106,58 @@ object QualityClassifier {
       l2: Double = 1e-6,
       countCap: Int = 3): Model = {
     require(dims >= 2 && epochs >= 1)
-    val feats = df
+    val rows = df
       .select(labelCol.cast("double").as("y"),
         // sentinel index `dims` = the bias slot: one occurrence per row
         concat(featureIndices(textCol, dims, countCap), array(lit(dims)))
           .as("idx"))
+      .rdd
+      .map { r =>
+        val s = r.getSeq[Int](1)
+        val a = new Array[Int](s.length)
+        var i = 0
+        while (i < a.length) { a(i) = s(i); i += 1 }
+        (r.getDouble(0), a)
+      }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val n = feats.count().toDouble
+      val n = rows.count().toDouble
       require(n > 0, "train: empty input")
       var w = new Array[Double](dims)
       var b = 0.0
       for (_ <- 0 until epochs) {
-        val margin = linear_score(col("idx"), w.toSeq, b)
-        val p = lit(1.0) / (lit(1.0) + exp(-margin))
-        val grad = feats
-          .select((p - col("y")).as("r"), explode(col("idx")).as("i"))
-          .groupBy("i").agg(sum("r").as("g"))
-          .collect()
-          .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        val wl = w
+        val bl = b
+        // acc slot `dims` accumulates the bias gradient
+        val grad = rows.treeAggregate(new Array[Double](dims + 1))(
+          seqOp = { case (acc, (y, idx)) =>
+            var m = bl
+            var i = 0
+            while (i < idx.length) {
+              if (idx(i) < dims) m += wl(idx(i))
+              i += 1
+            }
+            val r = 1.0 / (1.0 + math.exp(-m)) - y
+            i = 0
+            while (i < idx.length) { acc(idx(i)) += r; i += 1 }
+            acc
+          },
+          combOp = { (a, c) =>
+            var i = 0
+            while (i < a.length) { a(i) += c(i); i += 1 }
+            a
+          })
         val nw = new Array[Double](dims)
         var j = 0
         while (j < dims) {
-          nw(j) = w(j) - learningRate *
-            (grad.getOrElse(j, 0.0) / n + l2 * w(j))
+          nw(j) = w(j) - learningRate * (grad(j) / n + l2 * w(j))
           j += 1
         }
-        b -= learningRate * grad.getOrElse(dims, 0.0) / n
+        b -= learningRate * grad(dims) / n
         w = nw
       }
       Model(w.toSeq, b, dims, countCap)
-    } finally feats.unpersist()
+    } finally rows.unpersist(blocking = false)
   }
 
   /** Input plus `quality_prob` — P(good) under the model. A pure
