@@ -91,6 +91,37 @@ object Scratch {
         }
     }
 
+  /** A NAMED ephemeral directory for queries that must round-trip
+    * through a persisted artifact mid-plan (x13's index store). Fixed
+    * path per name — every evaluation overwrites the same tree (the
+    * writers use `mode("overwrite")`), so repeated bench/verify/spec
+    * runs leave at most ONE residue tree, and a JVM shutdown hook
+    * removes even that. Placed under the fast scratch root when enabled
+    * (tmpfs — RAM-backed, process-wiped) else `java.io.tmpdir`.
+    */
+  def ephemeralDir(name: String): String = {
+    val root = fastLocalDir().getOrElse(System.getProperty("java.io.tmpdir"))
+    val dir = new java.io.File(new java.io.File(root, "ephemeral"), name)
+    dir.mkdirs()
+    ephemeralRegistered.synchronized {
+      if (ephemeralRegistered.add(dir.getPath))
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          deleteTree(dir)))
+    }
+    dir.getPath
+  }
+
+  private val ephemeralRegistered =
+    scala.collection.mutable.HashSet.empty[String]
+
+  private def deleteTree(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles() match {
+      case null => ()
+      case kids => kids.foreach(deleteTree)
+    }
+    f.delete(): Unit
+  }
+
   private def copyTree(src: java.io.File, dst: java.io.File): Unit = {
     dst.mkdirs()
     src.listFiles().foreach { f =>

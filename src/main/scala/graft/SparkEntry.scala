@@ -2467,8 +2467,10 @@ object SparkEntry {
       val s2 = emb.filter(pmod(col("vec_id"), lit(10)) === 8)
       val batch = emb.filter(pmod(col("vec_id"), lit(10)) === 9)
       val (_, nprobe, coarse, pq) = x13Models(s, dir)
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-x13").toString
+      // fixed ephemeral path: every evaluation overwrites the same tree
+      // (no /tmp/graft-x13-* accumulation across bench/verify/spec runs)
+      // and a shutdown hook removes the last one
+      val tmp = Scratch.ephemeralDir("x13")
 
       Similarity.buildIvfPqIndex(s1, "vec_id", "embedding", coarse, pq)
         .withColumn("snap", when(pmod(col("id"), lit(10)) < 2,

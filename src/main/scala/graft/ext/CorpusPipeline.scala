@@ -62,8 +62,11 @@ object CorpusPipeline {
       floored, idCol, textCol, evalDocs, evalIdCol, evalTextCol, nGram)
       .select(col(idCol))
     val evalIds = evalDocs.select(col(evalIdCol).as(idCol))
+    // hits is bounded by the CORPUS (every doc could be contaminated),
+    // not the eval set — so it must not be broadcast; evalIds IS bounded
+    // by the eval set and broadcasts safely
     val clean = floored
-      .join(broadcast(hits), Seq(idCol), "left_anti")
+      .join(hits, Seq(idCol), "left_anti")
       .join(broadcast(evalIds), Seq(idCol), "left_anti")
     Curation.assignSplit(clean, idCol, splits, salt)
       .select(col(idCol), col("split"))
@@ -120,7 +123,6 @@ object CorpusPipeline {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
       salt: String = "",
       gopher: Option[TextAnalysis.GopherThresholds] = None): DataFrame = {
-    val spark = docs.sparkSession
     val canonical = Dedup.dedupExact(docs, idCol, textCol)
       .select(col("keep_id").as(idCol), lit(true).as("_d"))
     val gopherMark = gopher.map { th =>
@@ -157,9 +159,11 @@ object CorpusPipeline {
     // persisted as well: the contamination subplan lives inside this
     // frame, and the stage rows below are union branches — without the
     // cache each branch would re-run the gram join
+    // hits joins shuffled (corpus-bounded, same reasoning as curate);
+    // evalIds broadcasts (eval-set-bounded)
     val flags = Curation.assignSplit(
       base
-        .join(broadcast(hits), Seq(idCol), "left")
+        .join(hits, Seq(idCol), "left")
         .join(broadcast(evalIds), Seq(idCol), "left")
         .withColumn("_s", col("_d") && col("_q") && col("_g") &&
           col("_h").isNull && col("_e").isNull),

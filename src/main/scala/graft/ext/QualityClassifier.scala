@@ -111,6 +111,10 @@ object QualityClassifier {
         // sentinel index `dims` = the bias slot: one occurrence per row
         concat(featureIndices(textCol, dims, countCap), array(lit(dims)))
           .as("idx"))
+      // Null text tokenizes to a null idx array (concat propagates null).
+      // Drop such rows from the gradient AND from n — the pre-RDD epoch
+      // loop did the same implicitly (explode(null) contributed nothing).
+      .filter(col("y").isNotNull && col("idx").isNotNull)
       .rdd
       .map { r =>
         val s = r.getSeq[Int](1)

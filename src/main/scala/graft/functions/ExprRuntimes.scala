@@ -546,7 +546,13 @@ object ExprRuntimes {
     * the whole selection. Equivalent to hashing
     * `filter(split(trim(text), "\\s+"), length > 0)` grams: both define
     * tokens as maximal non-whitespace runs under Java's ASCII `\s`
-    * class. SQL twin per element: `('0x' || substr(md5(salt || '|' ||
+    * class. One caveat to that equivalence: Java's `\s` (and this
+    * kernel) counts 0x0B vertical tab as whitespace, while RE2-based
+    * engines (DuckDB's regexp_split_to_array) EXCLUDE 0x0B from `\s` —
+    * a document containing a vertical tab tokenizes differently across
+    * the two. The testdata corpora contain no 0x0B so oracle parity
+    * holds; when cross-engine replay matters, normalize 0x0B away at
+    * ingest. SQL twin per element: `('0x' || substr(md5(salt || '|' ||
     * gram), 1, 15))::BIGINT % buckets`. Output length 2n−1 (n ≥ 1):
     * unigrams first, then bigrams, multiplicity preserved — the
     * generative bag-of-n-grams model counts occurrences, not distinct

@@ -72,6 +72,29 @@ class DsirSpec extends SparkSpec {
       s"expected math-flavoured docs to dominate, got ${ids.mkString(",")}")
   }
 
+  test("withSelect matches select and unpersists the count cache") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    val cm = spark.sharedState.cacheManager
+    val target = corpus.filter(col("doc_id") % 2 === 0)
+    val raw = corpus.filter(col("doc_id") % 2 =!= 0)
+    val bare = Dsir.select(raw, target, "doc_id", "text",
+      buckets = 512, k = 8).as[(Long, Int, Double)].collect().toSeq
+    spark.catalog.clearCache() // the bare form's cache is caller-managed
+    val scoped = Dsir.withSelect(raw, target, "doc_id", "text",
+      buckets = 512, k = 8) { sel =>
+      sel.as[(Long, Int, Double)].collect().toSeq
+    }
+    assert(scoped === bare)
+    assert(cm.isEmpty, "rawCounts cache outlived the scoped selection")
+    intercept[RuntimeException] {
+      Dsir.withSelect(raw, target, "doc_id", "text", buckets = 512, k = 8) {
+        sel => sel.count(); throw new RuntimeException("boom")
+      }
+    }
+    assert(cm.isEmpty)
+  }
+
   test("fit -> parquet -> selectWithModel equals the fused select") {
     import spark.implicits._
     val target = corpus.filter(col("doc_id") % 2 === 0)

@@ -70,6 +70,23 @@ class QualityClassifierSpec extends SparkSpec {
     m.bias should be > 0.1
   }
 
+  test("train tolerates null-text rows and excludes them from the gradient") {
+    // a null text tokenizes to a null idx array — such rows must be
+    // dropped (not NPE) and must not count toward n: the model trained
+    // with nulls mixed in equals the model trained on the non-null rows
+    val clean = corpus(0 until 40)
+    val withNulls = clean.unionByName(
+      Seq((1000L, null.asInstanceOf[String], 1),
+          (1001L, null.asInstanceOf[String], 0))
+        .toDF("id", "text", "label"))
+    val mClean = QualityClassifier.train(
+      clean, col("text"), col("label"), dims = 64, epochs = 5)
+    val mNulls = QualityClassifier.train(
+      withNulls, col("text"), col("label"), dims = 64, epochs = 5)
+    mNulls.bias shouldBe mClean.bias
+    mNulls.weights shouldBe mClean.weights
+  }
+
   test("score is a pure projection (no shuffle in the plan)") {
     val m = QualityClassifier.Model(Seq.fill(64)(0.1), 0.0, 64)
     val plan = QualityClassifier.score(
