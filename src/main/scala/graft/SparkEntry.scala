@@ -2369,8 +2369,7 @@ object SparkEntry {
       // aggregates to exactly what a date filter over the original
       // produces, so the oracle is that filter in SQL. Aggregates are
       // order-free-exact (count, BIGINT key sum, min/max).
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-q93").toString
+      val tmp = Scratch.ephemeralDir("q93")
       rd(s, dir, "orders")
         .withColumn("od", date_format(col("o_orderdate"), "yyyy-MM"))
         // one shuffle keyed by the partition column: without it every
@@ -2401,8 +2400,7 @@ object SparkEntry {
       // stray column dropped. The oracle is the same union-by-name in
       // SQL, so a pass proves "new reader, old data" returns exactly the
       // contract view.
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-q94").toString
+      val tmp = Scratch.ephemeralDir("q94")
       val c = rd(s, dir, "customer")
       c.filter(col("c_custkey") % 2 === 0)
         .select("c_custkey", "c_name", "c_acctbal")
@@ -2423,6 +2421,32 @@ object SparkEntry {
       graft.lake.SchemaEvolution.conform(
         graft.lake.SchemaEvolution.readMerged(s, s"$tmp/t").drop("gen"),
         contract)
+        .orderBy("c_custkey")
+    }),
+
+    "q97_compaction" -> ((s, dir) => {
+      // small-file compaction end-to-end (lake.Retention.compactPartition):
+      // one Hive partition fragmented into 40 shards (the tasks ×
+      // partitions sliver pattern q93's repartition exists to prevent) is
+      // rewritten into ~recordsPerFile-row files through the
+      // crash-recoverable ._next/._bak swap. recordsPerFile = 250000 is
+      // the reference writer's own maxRecordsPerFile
+      // (s3_loader.py:27-33). The declared result is the post-compaction
+      // read-back — a hash match proves the rewrite is value-neutral —
+      // plus the shrink verdict as a column (compactPartition's returned
+      // (before, after) file counts must strictly drop; the spec
+      // additionally pins after == 1 at this row count).
+      val part = s"${Scratch.ephemeralDir("q97")}/t/seg=ALL"
+      rd(s, dir, "customer")
+        .repartition(40)
+        .write.mode("overwrite").parquet(part)
+      val (before, after) =
+        graft.lake.Retention.compactPartition(s, part,
+          recordsPerFile = 250000L)
+      s.read.parquet(part)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_mktsegment"))
+        .withColumn("compacted", lit(after < before))
         .orderBy("c_custkey")
     }),
 
@@ -2502,6 +2526,44 @@ object SparkEntry {
           col("corpus_id").as("a"), col("new_id").as("b"),
           lit(0).as("rank"), col("jaccard").as("score")))
         .orderBy("kind", "a", "b", "rank")
+    }),
+
+    "x14_visual_near_dup" -> ((s, dir) => {
+      // the multimodal → similarity composition: m8's codec-decoded
+      // luminance-histogram features feed the IVF serving stack — the
+      // visual near-dup pass a multimodal training pipeline runs on each
+      // new image batch. Batch (media_id % 10 == 9) probes the corpus-
+      // trained quantizer's 4 nearest cells, exact cosine ranks the top-5
+      // visually nearest corpus images, and is_dup flags matches at
+      // ≥ 0.9999 (for these count/64 histograms that is histogram
+      // identity). Plain IVF, no PQ: at 16 dims the exact-cosine
+      // candidate scan is already cheap (Similarity.searchIvf scaladoc).
+      // A THRESHOLD-pair declaration (cosinePairsIvf) is deliberately
+      // avoided: measured on this corpus, byte-class histograms are so
+      // clumped that even cosine = 1.0 exactly holds ~2% of ALL pairs
+      // (245k pairs at sf0.1) — near-quadratic however the candidates
+      // are generated. Top-k bounds the output at batch × k by
+      // construction. The oracle re-derives the histograms as byte math
+      // (m8's proof), replays the k-means training / home assignment /
+      // probe ranking / exact-cosine top-5 in SQL — the full x10-style
+      // value check over the composed stack.
+      //
+      // The feature frame materializes to parquet FIRST (x13's store
+      // posture): the codec decode is the expensive pass, and the serve
+      // below reads the feature table four ways (probes, home cells, both
+      // rescore sides) — a real pipeline extracts features once per
+      // corpus and serves every batch from the table, never re-decoding
+      // per consumer subplan.
+      val featPath = s"${Scratch.ephemeralDir("x14")}/feat"
+      imageFeatureFrame(s, dir)
+        .write.mode("overwrite").parquet(featPath)
+      val feats = s.read.parquet(featPath)
+      val corpus = feats.filter(pmod(col("media_id"), lit(10)) < 9)
+      val batch = feats.filter(pmod(col("media_id"), lit(10)) === 9)
+      Similarity.searchIvf(batch, corpus, "media_id", "features", k = 5,
+        centroids = x14Model(s, dir).centroids, nprobe = 4)
+        .withColumn("is_dup", col("cosine") >= 0.9999)
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -2556,6 +2618,31 @@ object SparkEntry {
           k = nlist, iterations = 1, roundDigits = 6).centroids,
         ext.Similarity.trainPqDeterministic(s1, "vec_id", "embedding",
           m = 16, ksub = 256, iterations = 1, roundDigits = 6, dims = 64))
+    }
+
+  /** x14's feature frame: m8's codec-decoded luminance-histogram image
+    * features over the documents table — `(media_id, features)` with
+    * features a 16-bin count/64 histogram of the REAL decoded pixels
+    * (packAsBmp → imageio decode, the byte math m8's oracle proves).
+    */
+  private def imageFeatureFrame(s: SparkSession, dir: String): DataFrame =
+    ext.Multimodal.imageFeatures(s,
+      ext.Multimodal.packAsBmp(s, asciiGuard(rd(s, dir, "documents"),
+        "x14_visual_near_dup"), "doc_id", "text", w = 8, h = 8), dim = 16)
+      .toDF()
+      .select(col("media_id"), col("features"))
+
+  /** x14's IVF quantizer: the q86 deterministic k-means recipe (first-8-
+    * by-id init, one 1e-6-grid refit) trained on the CORPUS side's image
+    * features only — production semantics, the index's model never sees
+    * the query batch. Memoized per dir like [[ivfDemo]].
+    */
+  private def x14Model(s: SparkSession, dir: String): ext.Clustering.Model =
+    cachedModel(s"x14|$dir") {
+      ext.Clustering.kmeans(
+        imageFeatureFrame(s, dir)
+          .filter(pmod(col("media_id"), lit(10)) < 9),
+        "media_id", "features", k = 8, iterations = 1, roundDigits = 6)
     }
 
   private def cachedModel[T <: AnyRef](key: String)(train: => T): T = {
@@ -5062,6 +5149,15 @@ object SparkEntry {
         |FROM customer WHERE c_custkey % 2 = 1
         |ORDER BY c_custkey""".stripMargin,
 
+    // q97: compaction is a physical rewrite — the logical content must be
+    // exactly the source partition, so the oracle is the source itself
+    // (plus the shrink verdict the Spark side derives from the returned
+    // file counts)
+    "q97_compaction" ->
+      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+        |  true AS compacted
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
     "q95_dsir_select" ->
       """WITH dd AS (SELECT doc_id,
         |    list_filter(regexp_split_to_array(trim(text), '\s+'),
@@ -5161,7 +5257,59 @@ object SparkEntry {
         |    cosine AS score FROM served
         |  UNION ALL
         |  SELECT 'dup', corpus_id, new_id, 0, jaccard FROM dup) u
-        |ORDER BY kind, a, b, rank""".stripMargin
+        |ORDER BY kind, a, b, rank""".stripMargin,
+
+    // x14: re-derive the 16-bin count/64 luminance histograms as byte
+    // math (m8's proof: pixel = text byte, zero-padded past 64; ascii('')
+    // = 0 lands padding in bin 0), bind the k-means preamble's `e` to the
+    // corpus half, replay the q86 training loop, then the batch's probe
+    // ranking + exact-cosine top-5 against corpus home cells.
+    "x14_visual_near_dup" ->
+      s"""WITH px AS (SELECT doc_id,
+        |    CAST(ascii(substr(text, g.i, 1)) // 16 AS INT) AS bin
+        |  FROM documents, unnest(range(1, 65)) AS g(i)),
+        |hist AS (SELECT doc_id, bin, count(*) AS cnt
+        |  FROM px GROUP BY doc_id, bin),
+        |feat AS (SELECT d.doc_id AS vec_id,
+        |    list(CAST(coalesce(h.cnt, 0) / 64.0 AS REAL) ORDER BY bb.b)
+        |      AS embedding
+        |  FROM documents d CROSS JOIN range(16) bb(b)
+        |  LEFT JOIN hist h ON h.doc_id = d.doc_id AND h.bin = bb.b
+        |  GROUP BY d.doc_id),
+        |e AS (SELECT vec_id, embedding FROM feat WHERE vec_id % 10 < 9),
+        |init AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+        |      AS INT) AS cell, embedding AS c
+        |  FROM (SELECT vec_id, embedding FROM e
+        |        ORDER BY vec_id LIMIT 8) t0),
+        |$kmeansOracleBody,
+        |$enCte,
+        |eqn AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
+        |  FROM feat WHERE vec_id % 10 = 9),
+        |qs AS (SELECT q.vec_id, t.cell,
+        |    list_sum(list_transform(list_zip(q.embedding, t.c),
+        |      x -> x[1]::DOUBLE * x[2]::DOUBLE))
+        |    - list_sum(list_transform(t.c, x -> x::DOUBLE * x::DOUBLE)) / 2
+        |      AS score
+        |  FROM eqn q CROSS JOIN cents t),
+        |probes AS (SELECT vec_id AS query_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY score DESC, cell) AS rn FROM qs) t7 WHERE rn <= 4),
+        |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+        |  FROM probes p JOIN asg a ON p.cell = a.cell
+        |  WHERE p.query_id <> a.vec_id),
+        |sc AS (SELECT c.query_id, c.neighbor_id,
+        |    list_sum(list_transform(list_zip(q.embedding, n.embedding),
+        |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * n.nrm) AS cosine
+        |  FROM cand c JOIN eqn q ON c.query_id = q.vec_id
+        |    JOIN en n ON c.neighbor_id = n.vec_id)
+        |SELECT query_id, neighbor_id, rank, cosine,
+        |  cosine >= 0.9999 AS is_dup
+        |FROM (SELECT sc.*, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+        |  FROM sc WHERE cosine IS NOT NULL AND NOT isnan(cosine)) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   )
 
   /** The q86-q88/x10/y3/y5 oracles' shared training loop, generalized

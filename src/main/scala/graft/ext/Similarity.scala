@@ -413,32 +413,60 @@ object Similarity {
       centroids: Seq[Array[Float]],
       nprobe: Int = 4): DataFrame = {
     require(centroids.nonEmpty, "topKIvfWithCentroids: empty codebook")
+    searchIvf(df, df, idCol, vecCol, k, centroids, nprobe)
+  }
 
-    // Ids-only through the cell join (the wide vectors attach per candidate
-    // afterwards), and NO pair dedup: every neighbor lives in exactly one
-    // cell, so a (query, neighbor) pair can surface at most once — a
-    // distinct here would be a full extra shuffle of the candidate set.
-    val base = df.select(
+  /** Serve a NEW query batch against a SEPARATE corpus through plain IVF
+    * (no PQ): queries probe their `nprobe` nearest cells, candidates are
+    * the corpus vectors homed there, exact cosine ranks the top `k`. The
+    * batch-vs-corpus sibling of [[topKIvfWithCentroids]] (which is this
+    * with queries = corpus) and the no-PQ sibling of
+    * [[searchIvfPqIndex]] — the right serving shape when vectors are
+    * short (tens of dims, e.g. [[Multimodal.imageFeatures]] histograms):
+    * at that width the exact-cosine candidate scan IS cheap and a PQ
+    * layer would add a second model for nothing.
+    *
+    * Scale shape: ids-only through the cell equi-join (vectors attach per
+    * candidate afterwards); no pair dedup needed — every corpus vector
+    * lives in exactly one home cell and a query's probe rows are
+    * distinct cells, so a (query, neighbor) pair surfaces at most once.
+    * Candidate volume per query is nprobe × corpus / nlist on evenly
+    * spread cells — size nlist by [[Clustering.suggestNlist]]'s √corpus
+    * rule as the corpus grows.
+    */
+  def searchIvf(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Seq[Array[Float]],
+      nprobe: Int = 4): DataFrame = {
+    require(centroids.nonEmpty, "searchIvf: empty codebook")
+
+    val base = corpus.select(
       col(idCol).as("neighbor_id"),
       nearestCells(col(vecCol), centroids, 1).getItem(0).as("cell"))
 
-    val probes = df.select(
+    val probes = queries.select(
       col(idCol).as("query_id"),
       explode(nearestCells(col(vecCol), centroids, nprobe)).as("cell"))
 
-    val vecs = df.select(
-      col(idCol).as("id"),
-      col(vecCol).as("v"),
-      vector_norm(col(vecCol)).as("n"))
+    val qvecs = queries.select(
+      col(idCol).as("query_id"),
+      col(vecCol).as("qv"),
+      vector_norm(col(vecCol)).as("qn"))
+    val cvecs = corpus.select(
+      col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"),
+      vector_norm(col(vecCol)).as("cn"))
 
     probes
       .join(base, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
-      .join(vecs.select(col("id").as("query_id"), col("v").as("qv"),
-        col("n").as("qn")), Seq("query_id"))
-      .join(vecs.select(col("id").as("neighbor_id"), col("v").as("cv"),
-        col("n").as("cn")), Seq("neighbor_id"))
+      .join(qvecs, Seq("query_id"))
+      .join(cvecs, Seq("neighbor_id"))
       .select(
         col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("qn"), col("cv"), col("cn")).as("cosine"))

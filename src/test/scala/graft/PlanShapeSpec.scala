@@ -307,6 +307,13 @@ class PlanShapeSpec extends SparkSpec {
   // broadcast, and the top-k is a TakeOrdered — no global sort exchange.
   checkShape("q95_dsir_select", maxExchanges = 5, minBroadcastJoins = 1)
 
+  // visual near-dup serve (x14): the feature table is a PARQUET artifact
+  // written once by the declaration (the codec decode never re-runs per
+  // consumer); the serve is the plain-IVF batch shape — cell equi-join
+  // with ids only, vectors rejoining by broadcast at this scale, one
+  // window shuffle for the top-k rank and the final orderBy.
+  checkShape("x14_visual_near_dup", maxExchanges = 3, minBroadcastJoins = 2)
+
   // span excision: the REAL lazy plan (the declared query materializes
   // eagerly via localCheckpoint, whose executed plan is just a checkpoint
   // scan). The gram stream never cross-joins; the hot-gram join is

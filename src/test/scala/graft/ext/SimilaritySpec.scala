@@ -158,6 +158,34 @@ class SimilaritySpec extends SparkSpec {
     assert(again === ivf) // seeded training: reproducible run-to-run
   }
 
+  test("searchIvf: batch-vs-corpus serve matches brute force and excludes " +
+      "the batch from candidates") {
+    import spark.implicits._
+    val corpus = vectors.filter($"vec_id" =!= 0L)
+    val batch = vectors.filter($"vec_id" === 0L)
+    val cents = Similarity.trainCentroids(
+      corpus, "vec_id", "embedding", nlist = 2, iterations = 3,
+      sampleSize = 16, seed = 42L)
+    val served = Similarity.searchIvf(
+        batch, corpus, "vec_id", "embedding", k = 3, cents, nprobe = 2)
+      .as[(Long, Long, Int, Double)].collect().sortBy(_._3)
+    // nprobe = nlist ⇒ every corpus vector is a candidate ⇒ exact top-3
+    val exact = Similarity.topKBruteForce(
+        batch, corpus, "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Int, Double)].collect().sortBy(_._3)
+    assert(served.toSeq === exact.toSeq)
+    assert(served.head._2 === 6L) // the planted exact dup ranks first
+    assert(served.forall(_._1 === 0L)) // only batch ids query
+    // self-search special case: topKIvfWithCentroids(df) ≡ searchIvf(df, df)
+    val self = Similarity.topKIvfWithCentroids(
+        vectors, "vec_id", "embedding", k = 2, cents, nprobe = 2)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val both = Similarity.searchIvf(
+        vectors, vectors, "vec_id", "embedding", k = 2, cents, nprobe = 2)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(self === both)
+  }
+
   test("IVF codebook persists: parquet round-trip gives identical results") {
     import spark.implicits._
     // build-once/reuse: a pipeline trains per corpus snapshot, persists

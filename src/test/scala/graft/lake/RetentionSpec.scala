@@ -60,6 +60,22 @@ class RetentionSpec extends SparkSpec {
     fs.exists(new org.apache.hadoop.fs.Path(part + "._bak")) shouldBe false
   }
 
+  test("q97 declared query: compaction leaves exactly one data file " +
+      "and the shrink verdict is true on every row") {
+    // the CORRECTNESS row proves value neutrality; this pins the physical
+    // outcome — 40 shards at this row count compact to a single file
+    val df = graft.SparkEntry.queries("q97_compaction")(
+      spark, "/root/testdata/sf0.001")
+    df.select("compacted").distinct().as[Boolean].collect() shouldBe
+      Array(true)
+    val part = new java.io.File(
+      graft.Scratch.ephemeralDir("q97"), "t/seg=ALL")
+    // hadoop's hidden-file convention: skip _SUCCESS AND the .crc
+    // sidecars java.io.File shows but FileSystem.listStatus hides
+    part.listFiles().count(f => f.isFile &&
+      !f.getName.startsWith("_") && !f.getName.startsWith(".")) shouldBe 1
+  }
+
   test("smallFileReport flags only partitions above the threshold") {
     val root = Files.createTempDirectory("graft-report-").toString + "/t"
     (1L to 100L).toDF("v").repartition(10)
