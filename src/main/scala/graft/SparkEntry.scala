@@ -818,6 +818,12 @@ object SparkEntry {
       // regime): the oracle re-derives the planes, both band signatures,
       // the candidate join and the exact-cosine ranking in SQL — a full
       // value check; y2r still MEASURES recall vs brute force.
+      // DELIBERATE contrast (y3's LSH twin): the FIXED (12, 3) model
+      // means bucket population n/2^3 grows with the corpus — the
+      // super-linear SCALING step this query exists to measure. The
+      // sizing rule a growing corpus applies is
+      // Similarity.suggestPlanesPerBand (log2(n)/2 pins buckets at ~√n);
+      // bands remain the recall knob.
       Similarity.topKLshWithPlanes(
         rd(s, dir, "embeddings"), "vec_id", "embedding", k = 5,
         planes = y2Planes)

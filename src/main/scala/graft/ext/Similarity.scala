@@ -58,6 +58,26 @@ object Similarity {
     }
   }
 
+  /** Size LSH band DEPTH by the corpus — the banded-LSH analogue of
+    * [[Clustering.suggestNlist]]'s √corpus rule for IVF. Expected bucket
+    * population is n / 2^planesPerBand per band, so holding planesPerBand
+    * fixed under a growing corpus grows every bucket — and the candidate
+    * join — linearly with n (y2's measured 3.07× step on 4× vectors, the
+    * same fixed-capacity law y3 demonstrates for nlist). This rule pins
+    * the bucket population at ≈√n (planesPerBand = log2(n)/2), which
+    * keeps per-band candidate volume ≈ n·√n — the same growth class as a
+    * √corpus-sized IVF serve. Deeper bands cut recall per band; BANDS is
+    * the recall knob (add bands as depth grows — the standard banding
+    * trade), and the recall twins (y2r/x6r) stay the measurement.
+    */
+  def suggestPlanesPerBand(corpusCount: Long): Int = {
+    require(corpusCount >= 0,
+      s"suggestPlanesPerBand: negative count $corpusCount")
+    if (corpusCount < 4) 1
+    else math.max(1L,
+      math.round(math.log(corpusCount.toDouble) / math.log(2.0) / 2.0)).toInt
+  }
+
   /** Cosine similarity given precomputed norms (fast custom expressions).
     * `try_divide`, not `/`: a zero-norm vector has divisor 0, which under
     * Spark 4's default ANSI mode would FAIL the whole query

@@ -186,6 +186,24 @@ class SimilaritySpec extends SparkSpec {
     assert(self === both)
   }
 
+  test("suggestPlanesPerBand pins expected bucket population near sqrt(n)") {
+    // n / 2^p ≈ √n  ⇔  p ≈ log2(n)/2
+    Similarity.suggestPlanesPerBand(0L) shouldBe 1
+    Similarity.suggestPlanesPerBand(3L) shouldBe 1
+    Similarity.suggestPlanesPerBand(16L) shouldBe 2
+    Similarity.suggestPlanesPerBand(5000L) shouldBe 6 // log2(5000)/2 = 6.14
+    Similarity.suggestPlanesPerBand(1000000L) shouldBe 10
+    // the invariant, not just the spots: bucket population within
+    // [√n/2, 2√n] across six orders of magnitude
+    for (n <- Seq(100L, 1000L, 10000L, 100000L, 1000000L, 10000000L)) {
+      val p = Similarity.suggestPlanesPerBand(n)
+      val bucket = n.toDouble / math.pow(2.0, p)
+      val root = math.sqrt(n.toDouble)
+      assert(bucket >= root / 2 && bucket <= root * 2,
+        s"n=$n p=$p bucket=$bucket sqrt=$root")
+    }
+  }
+
   test("IVF codebook persists: parquet round-trip gives identical results") {
     import spark.implicits._
     // build-once/reuse: a pipeline trains per corpus snapshot, persists

@@ -93,6 +93,17 @@ def main(p001, p01, p1):
                         "that y7 (same snapshot, rule-sized nlist, "
                         "~2x step below) implements. See 'Reading the "
                         "heavy tail'.")
+            elif n == "y2_knn_lsh":
+                note = (" — DELIBERATE contrast query, y3's LSH twin: "
+                        "y2 holds its (12, 3) band model fixed while the "
+                        "corpus grows, so expected bucket population "
+                        "(n / 2^planesPerBand) — and the candidate join — "
+                        "grows linearly with n. The shipped sizing rule "
+                        "is Similarity.suggestPlanesPerBand (log2(n)/2 "
+                        "pins buckets at ~sqrt(n), the same growth class "
+                        "as a rule-sized IVF serve); the declared query "
+                        "keeps the fixed model to measure the law, and "
+                        "y2r keeps measuring recall.")
             out.append(f"- `{n}`: last step {r2:.1f}x vs {glabel}{note}")
     else:
         out.append("## No super-linear steps flagged")
@@ -118,7 +129,16 @@ def main(p001, p01, p1):
   population — the serving cost term (nprobe x corpus / nlist) — stays
   nearly flat. `graft.Prof nlistStudy` measures the same effect
   off-surface (nlist=45 beats nlist=16 on wall time AND recall at equal
-  probe fraction). Same story applies to y2's band buckets.
+  probe fraction).
+- `y2_knn_lsh` (~3.1x on 4x vectors) is the SECOND deliberate contrast
+  — the same fixed-capacity law in LSH form: the declared (12, 3) band
+  model holds planesPerBand fixed, so expected bucket population
+  (n / 2^planesPerBand) grows linearly with the corpus. The shipped
+  sizing rule is `Similarity.suggestPlanesPerBand` (log2(n)/2 pins
+  buckets at ~sqrt(n) — the growth class of a rule-sized IVF serve;
+  bands stay the recall knob). The declared query keeps the fixed model
+  so the law stays measured inside the surface, exactly like y3 vs y7;
+  y2r keeps measuring recall.
 - The m-family (~4.4-4.9x on 10x blobs) is decode-bound mapPartitions;
   sub-linear because sf0.1's larger row groups amortize batch setup.
 
