@@ -1192,6 +1192,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "t19_ccnet_buckets" -> ((s, dir) => {
+      // CCNet per-language quality tiers (ext.LanguageModel
+      // .perplexityBuckets, Wenzek et al., LREC 2020): t15's self-trained
+      // trigram LM scores every document, then ntile(3) over
+      // (1e-4-grid avg_nll, doc_id) WITHIN each language labels
+      // head/middle/tail — the published head-keep/tail-drop cut. The
+      // corpus text never shuffles (broadcast model projection); only
+      // the narrow scored frame ranks. The oracle replays model
+      // training, scoring, and the tie-broken ntile in SQL.
+      val docs = rd(s, dir, "documents")
+      val model = LanguageModel.train(docs, col("text"), n = 3)
+      LanguageModel.perplexityBuckets(docs, "doc_id", col("text"),
+        "lang", model, n = 3, addK = 0.5, alphabetSize = 64)
+        .orderBy("doc_id")
+    }),
+
     "t10_bpe_chars" -> ((s, dir) =>
       // the BPE machinery with zero merges: every non-whitespace code
       // point is its own token, so DuckDB can compute the exact count —
@@ -3775,6 +3791,30 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(a3,
         |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips
         |FROM s3 ORDER BY doc_id""".stripMargin,
+
+    // t19: t15's model/scoring CTEs + the language join + the tie-broken
+    // ntile — head/middle/tail per language, engine-exact
+    "t19_ccnet_buckets" ->
+      """WITH g AS (SELECT doc_id, substr(text, i, 3) AS gram
+        |  FROM documents,
+        |    unnest(generate_series(1, length(text) - 2)) AS t(i)),
+        |cnt AS (SELECT gram, count(*) AS c FROM g GROUP BY gram),
+        |ctx AS (SELECT substr(gram, 1, 2) AS pre, sum(c) AS cc
+        |  FROM cnt GROUP BY pre),
+        |s AS (SELECT doc_id, count(*) AS n_grams,
+        |    floor(avg(-ln((c + 0.5) / (cc + 0.5 * 64))) * 1e4 + 0.5) / 1e4
+        |      AS avg_nll
+        |  FROM g JOIN cnt USING (gram)
+        |    JOIN ctx ON substr(gram, 1, 2) = ctx.pre
+        |  GROUP BY doc_id),
+        |sl AS (SELECT s.doc_id, d.lang, s.n_grams, s.avg_nll,
+        |    CAST(ntile(3) OVER (PARTITION BY d.lang
+        |      ORDER BY s.avg_nll, s.doc_id) AS INT) AS bucket
+        |  FROM s JOIN documents d USING (doc_id))
+        |SELECT doc_id, lang, n_grams, avg_nll, bucket,
+        |  CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        |    ELSE 'tail' END AS tier
+        |FROM sl ORDER BY doc_id""".stripMargin,
 
     "t10_bpe_chars" ->
       """SELECT doc_id,

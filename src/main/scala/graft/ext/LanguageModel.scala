@@ -104,6 +104,60 @@ object LanguageModel {
       .withColumn("ppl", exp(col("avg_nll")))
   }
 
+  /** CCNet-style per-language quality tiers (Wenzek et al., LREC 2020,
+    * §3: "we divide each language's documents into head/middle/tail by
+    * perplexity terciles"): rank every scoreable document by its LM
+    * average NLL WITHIN its language and cut into `buckets`
+    * equal-frequency tiers — tier "head" (bucket 1, lowest perplexity)
+    * is the slice the published pipeline keeps outright, the tail is
+    * dropped or down-weighted. The rank runs on the 1e-4-grid avg_nll
+    * with the id as tiebreak, and ntile's fill is the SQL-standard
+    * ceil/floor split in both Spark and DuckDB — so the tier labels are
+    * engine-exact, not approximately so.
+    *
+    * Scale shape: scoring is [[score]]'s broadcast-model projection (the
+    * corpus text never shuffles); what the window ranks is the NARROW
+    * (id, lang, n_grams, avg_nll) frame, shuffled once per language
+    * partition. At 100 TB that frame is bytes per document — the same
+    * class as the dedup stacks' ids-only shuffles. Languages are the
+    * window partitions, so skew follows the corpus's language mix; the
+    * dominant language's partition is a sort over narrow rows, and
+    * CCNet's own cadence (per-snapshot batch job) matches.
+    *
+    * Output: `(idCol, langCol, n_grams, avg_nll, bucket, tier)`; tier is
+    * head/middle/tail at buckets = 3, `b<k>` otherwise. Documents shorter
+    * than `n` chars are absent ([[score]]'s contract).
+    */
+  def perplexityBuckets(
+      docs: DataFrame,
+      idCol: String,
+      textCol: Column,
+      langCol: String,
+      model: DataFrame,
+      n: Int = 3,
+      addK: Double = 0.5,
+      alphabetSize: Int = 64,
+      buckets: Int = 3): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2: $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val scored = score(docs, Seq(idCol, langCol), textCol, model,
+        n, addK, alphabetSize)
+      .withColumn("avg_nll", floor(col("avg_nll") * 1e4 + 0.5) / 1e4)
+    val w = Window.partitionBy(col(langCol))
+      .orderBy(col("avg_nll"), col(idCol))
+    val withBucket = scored.withColumn("bucket", ntile(buckets).over(w))
+    val tier =
+      if (buckets == 3)
+        when(col("bucket") === 1, "head")
+          .when(col("bucket") === 2, "middle")
+          .otherwise("tail")
+      else concat(lit("b"), col("bucket"))
+    withBucket
+      .withColumn("tier", tier)
+      .select(col(idCol), col(langCol), col("n_grams"), col("avg_nll"),
+        col("bucket"), col("tier"))
+  }
+
   /** The filter: keep documents whose model perplexity is at most
     * `maxPpl`. Self-trained or cross-trained — pass the same frame as
     * `docs` and the training corpus for the usual "train on trusted, score

@@ -94,6 +94,38 @@ class LanguageModelSpec extends SparkSpec {
       .count() shouldBe 0L
   }
 
+  test("perplexityBuckets: per-language balanced tiers, head = lowest nll") {
+    // two "languages": lang a fluent-ish repeats, lang b mixes in noise
+    val rows = (0 until 12).map { i =>
+      val lang = if (i % 2 == 0) "aa" else "bb"
+      val text =
+        if (i < 8) s"the cat sat on the mat number $i"
+        else s"zq${i}xv jkw qpzzt $i wvxk"
+      (i.toLong, text, lang)
+    }
+    val d = rows.toDF("doc_id", "text", "lang")
+    val m = LanguageModel.train(d, col("text"), n = 3)
+    val out = LanguageModel.perplexityBuckets(
+        d, "doc_id", col("text"), "lang", m)
+      .as[(Long, String, Long, Double, Int, String)].collect()
+    out.length shouldBe 12
+    // equal-frequency fill: each language's 6 docs split 2/2/2
+    out.groupBy(r => (r._2, r._5)).view.mapValues(_.length).toMap.values
+      .foreach(_ shouldBe 2)
+    // tier labels follow the bucket
+    out.foreach { r =>
+      r._6 shouldBe (r._5 match {
+        case 1 => "head"; case 2 => "middle"; case _ => "tail" })
+    }
+    // within every language, max head nll <= min tail nll
+    out.groupBy(_._2).foreach { case (_, g) =>
+      g.filter(_._5 == 1).map(_._4).max should be <=
+        g.filter(_._5 == 3).map(_._4).min
+    }
+    // the noise docs land in their language's tail
+    out.filter(_._1 >= 8).foreach(_._6 shouldBe "tail")
+  }
+
   test("model save/load round-trips and scores identically") {
     val d = docs(1L -> "abcabcabc")
     val m = LanguageModel.train(d, col("text"), n = 3)
