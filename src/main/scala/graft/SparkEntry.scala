@@ -2620,6 +2620,7 @@ object SparkEntry {
     y6Models(s, dir)
     y7Models(s, dir)
     x13Models(s, dir)
+    x14Model(s, dir)
   }
 
   /** x13's models: y7's rule-sized recipes trained on the INITIAL 80%
