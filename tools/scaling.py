@@ -56,7 +56,7 @@ def main(p001, p01, p1):
     def fmt(v):
         return f"{v:.3f}" if v == v else "-"
 
-    out = ["# Scaling curves (full 148-query surface, local[32])", ""]
+    out = [f"# Scaling curves (full {len(rows)}-query surface, local[32])", ""]
     out.append(
         "Measured 3-pass medians from `graft.Bench` at the three driver "
         "scales. The\nlast-step ratio t(sf0.1)/t(sf0.01) is the signal; "
