@@ -1858,8 +1858,7 @@ object SparkEntry {
       // parquet original, so a pass proves export+import fidelity.
       // Aggregates are order-free-exact (count, integral-valued sum,
       // min/max), no fp-summation-order hazard.
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-orc-q68").toString
+      val tmp = Scratch.ephemeralDir("q68")
       graft.lake.TableWriter.write(
         rd(s, dir, "lineitem").select(col("l_orderkey"),
           col("l_returnflag"), col("l_quantity"), col("l_extendedprice")),
@@ -2548,6 +2547,40 @@ object SparkEntry {
           col("corpus_id").as("a"), col("new_id").as("b"),
           lit(0).as("rank"), col("jaccard").as("score")))
         .orderBy("kind", "a", "b", "rank")
+    }),
+
+    "x15_curate_then_select" -> ((s, dir) => {
+      // the training-data pipeline's two halves COMPOSED: curation
+      // (exact dedup → 1e-6-grid quality floor → 13-gram
+      // decontamination vs the doc_id%50 eval set → the eval ids
+      // themselves dropped; CorpusPipeline.curate, gopher off) feeding
+      // DSIR selection (the q95 recipe at salt x15, k = 200, target =
+      // curated %17 == 0). Selection must budget over the CURATED
+      // corpus, not the raw crawl — duplicates and junk otherwise hog
+      // the importance weights (the DSIR paper's own preprocessing
+      // order). Both halves are the oracle-proven operators (q81 /
+      // q95); this row proves the composition: the oracle replays
+      // dedup, the quality cut, the gram join, the eval anti-joins,
+      // and then the full DSIR model/score/Gumbel-top-k over exactly
+      // the surviving corpus.
+      val docs = rd(s, dir, "documents")
+      val evalDocs = docs.filter(col("doc_id") % 50 === 0)
+      // the curated id set feeds BOTH dsir sides (target sample + raw
+      // pool) — persist the NARROW id frame so the whole curation chain
+      // (dedup groupBy, gram join, anti joins) evaluates once, not once
+      // per side. Bytes per document; lifecycle = the session's
+      // clearCache between jobs, the bare-Dsir.select contract.
+      val curatedIds = CorpusPipeline.curate(docs, "doc_id", "text",
+          evalDocs, "doc_id", "text", minQuality = 0.5, nGram = 13,
+          salt = "x15")
+        .select("doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val corpus = docs.join(curatedIds, Seq("doc_id"), "left_semi")
+      val target = corpus.filter(pmod(col("doc_id"), lit(17)) === 0)
+      val raw = corpus.filter(pmod(col("doc_id"), lit(17)) =!= 0)
+      graft.ext.Dsir.select(raw, target, "doc_id", "text",
+        buckets = 8192, k = 200, salt = "x15")
+        .orderBy("rank")
     }),
 
     "x14_visual_near_dup" -> ((s, dir) => {
@@ -5305,6 +5338,84 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'dup', corpus_id, new_id, 0, jaccard FROM dup) u
         |ORDER BY kind, a, b, rank""".stripMargin,
+
+    // x15: q81's dedup + quality CTEs → the q40-shape distinct-13-gram
+    // contamination join vs the %50 eval set → eval ids dropped → q95's
+    // full DSIR chain (bucket hash, Laplace log-ratios, Gumbel top-k at
+    // salt x15) bound to the surviving corpus instead of raw documents.
+    "x15_curate_then_select" ->
+      """WITH fp AS (SELECT min(doc_id) AS doc_id FROM documents
+        |  GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ',
+        |    'g'))))),
+        |k0 AS (SELECT d.doc_id, d.text FROM documents d
+        |  JOIN fp USING (doc_id)),
+        |q AS (SELECT doc_id, text FROM k0 WHERE floor((
+        |    least(len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE
+        |      / 50.0, 1.0) * 0.4
+        |    + (len(list_distinct(regexp_split_to_array(trim(text),
+        |        '\s+')))::DOUBLE
+        |       / len(regexp_split_to_array(trim(text), '\s+'))) * 0.3
+        |    + least((length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
+        |       / len(regexp_split_to_array(trim(text), '\s+'))) / 8.0,
+        |       1.0) * 0.2
+        |    + (1.0 - length(regexp_replace(text, '[A-Za-z0-9\s]', '',
+        |        'g'))::DOUBLE / length(text)) * 0.1) * 1e6 + 0.5) / 1e6
+        |    >= 0.5),
+        |tok AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS a FROM q),
+        |gq AS (SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(a) - 11),
+        |      i -> array_to_string(a[i:i+12], ' ')))) AS gram
+        |  FROM tok WHERE len(a) >= 13),
+        |etok AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS a
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |ge AS (SELECT DISTINCT unnest(list_distinct(
+        |    list_transform(range(1, len(a) - 11),
+        |      i -> array_to_string(a[i:i+12], ' ')))) AS gram
+        |  FROM etok WHERE len(a) >= 13),
+        |hits AS (SELECT DISTINCT gq.doc_id FROM gq JOIN ge USING (gram)),
+        |cur AS (SELECT doc_id, text FROM q WHERE doc_id % 50 <> 0
+        |  AND doc_id NOT IN (SELECT doc_id FROM hits)),
+        |dd AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> length(x) > 0) AS ws
+        |  FROM cur
+        |  WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        |gb AS (SELECT doc_id, unnest(list_concat(ws,
+        |      list_transform(range(1, len(ws)),
+        |        i -> ws[i] || ' ' || ws[i + 1]))) AS gram
+        |  FROM dd WHERE len(ws) > 0),
+        |b AS (SELECT doc_id,
+        |    ('0x' || substr(md5('x15|' || gram), 1, 15))::BIGINT % 8192
+        |      AS bucket
+        |  FROM gb),
+        |tc AS (SELECT bucket, count(*) AS ct FROM b
+        |  WHERE doc_id % 17 = 0 GROUP BY 1),
+        |rc AS (SELECT bucket, count(*) AS cr FROM b
+        |  WHERE doc_id % 17 <> 0 GROUP BY 1),
+        |tot AS (SELECT
+        |    (SELECT count(*) FROM b WHERE doc_id % 17 = 0) AS tt,
+        |    (SELECT count(*) FROM b WHERE doc_id % 17 <> 0) AS tr),
+        |lam AS (SELECT sp.bucket,
+        |    floor((ln((coalesce(ct, 0) + 1)::DOUBLE / (tt + 8192))
+        |         - ln((coalesce(cr, 0) + 1)::DOUBLE / (tr + 8192)))
+        |      * 1e6 + 0.5) / 1e6 AS lam
+        |  FROM (SELECT unnest(range(8192)) AS bucket) sp
+        |  LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket), tot),
+        |db AS (SELECT doc_id, bucket, count(*) AS cnt FROM b
+        |  WHERE doc_id % 17 <> 0 GROUP BY 1, 2),
+        |w AS (SELECT doc_id, sum(cnt * lam) AS lw
+        |  FROM db JOIN lam USING (bucket) GROUP BY 1),
+        |sc AS (SELECT doc_id,
+        |    floor((lw + -ln(-ln(
+        |        (('0x' || substr(md5('x15-g|' || doc_id), 1, 13))::BIGINT
+        |          + 0.5) / 4503599627370496.0))) * 1e4 + 0.5) / 1e4
+        |      AS score
+        |  FROM w)
+        |SELECT doc_id,
+        |  row_number() OVER (ORDER BY score DESC, doc_id) AS rank, score
+        |FROM sc ORDER BY score DESC, doc_id LIMIT 200""".stripMargin,
 
     // x14: re-derive the 16-bin count/64 luminance histograms as byte
     // math (m8's proof: pixel = text byte, zero-padded past 64; ascii('')

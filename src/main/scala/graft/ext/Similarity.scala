@@ -69,6 +69,18 @@ object Similarity {
     * √corpus-sized IVF serve. Deeper bands cut recall per band; BANDS is
     * the recall knob (add bands as depth grows — the standard banding
     * trade), and the recall twins (y2r/x6r) stay the measurement.
+    *
+    * Measured caveat (this corpus, top-5 cosine ≈ 0.3): at sf0.1 the
+    * rule gives p = 6, and top-5 recall reads 0.51 / 0.66 / 0.76 at
+    * 12 / 18 / 24 bands vs (12, 3)'s ≥ 0.9 — on WEAKLY correlated
+    * vectors, random-hyperplane collision probability decays too fast
+    * with depth for band count to claw back affordably. The rule holds
+    * its cost promise on any corpus; its recall is acceptable only on
+    * clustered embeddings (where neighbor angles are small). For a
+    * corpus like this one, the rule-sized production path is the
+    * data-adaptive IVF quantizer ([[Clustering.suggestNlist]] — y7),
+    * which earns sub-linear serving from the corpus's own structure
+    * instead of from random planes.
     */
   def suggestPlanesPerBand(corpusCount: Long): Int = {
     require(corpusCount >= 0,

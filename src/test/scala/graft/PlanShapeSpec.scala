@@ -307,6 +307,14 @@ class PlanShapeSpec extends SparkSpec {
   // broadcast, and the top-k is a TakeOrdered — no global sort exchange.
   checkShape("q95_dsir_select", maxExchanges = 5, minBroadcastJoins = 1)
 
+  // curate → select composition (x15): curation's stages (dedup groupBy,
+  // quality projection, broadcast eval-gram contamination join, two anti
+  // joins) feed DSIR's persisted count frame + broadcast model. Bounds
+  // measured on the composed tree; still zero cartesian, and the model
+  // reaches scoring as a broadcast.
+  checkShape("x15_curate_then_select", maxExchanges = 8,
+    minBroadcastJoins = 2)
+
   // visual near-dup serve (x14): the feature table is a PARQUET artifact
   // written once by the declaration (the codec decode never re-runs per
   // consumer); the serve is the plain-IVF batch shape — cell equi-join
