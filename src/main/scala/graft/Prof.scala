@@ -130,8 +130,7 @@ object Prof {
         "embedding", m = 16, ksub = 256, iterations = 1, roundDigits = 6,
         dims = 64)
       println(f"[x13] train: ${(System.nanoTime() - t0) / 1e9}%.1fs")
-      val tmp = java.nio.file.Files
-        .createTempDirectory("prof-x13").toString
+      val tmp = Scratch.ephemeralDir("prof-x13")
       time("write ann store") {
         ext.Similarity.buildIvfPqIndex(s1, "vec_id", "embedding", coarse, pq)
           .withColumn("snap", when(pmod(col("id"), lit(10)) < 2,
