@@ -612,6 +612,43 @@ object EventStream {
         ()
       }
 
+  /** CCNet-style streaming quality gate: score each micro-batch of raw
+    * documents against a PRE-TRAINED char-n-gram LM (the parquet model
+    * artifact [[graft.ext.LanguageModel.save]] writes) and land only
+    * the at-or-under-`maxPpl` survivors — [[dsirScoreSink]]'s
+    * train-offline/gate-continuously cadence applied to the perplexity
+    * filter, which is Wenzek et al.'s production shape (the crawl is
+    * gated as it arrives; the trusted-corpus model retrains per
+    * snapshot, not per batch). Stateless per micro-batch: the O(vocab)
+    * model and its derived context table broadcast into map-side joins
+    * ([[graft.ext.LanguageModel.filterByPerplexity]]), so there is no
+    * state store, and a redelivered batch appends the same survivor
+    * rows (at-least-once × downstream dedup-by-id, the score sink's
+    * contract). Survivors keep their full payload — the gate slots
+    * directly in front of [[cdcSink]]/[[parquetSink]].
+    */
+  def lmGateSink(
+      docs: DataFrame,
+      model: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxPpl: Double,
+      outPath: String,
+      checkpoint: String,
+      n: Int = 3,
+      addK: Double = 0.5,
+      alphabetSize: Int = 64): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ext.LanguageModel.filterByPerplexity(
+          batch, Seq(idCol), col(textCol), model, maxPpl,
+          n, addK, alphabetSize)
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+
   /** Streaming materialized summary view: fold each micro-batch into a
     * parquet-backed [[graft.pipeline.IncrementalAgg]] summary table — the
     * streaming twin of incremental aggregate maintenance (q47). Each

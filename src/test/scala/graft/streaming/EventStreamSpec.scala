@@ -627,4 +627,49 @@ class EventStreamSpec extends SparkSpec {
       .as[(Long, Double)].collect().toSet
     got shouldBe expected
   }
+
+  test("lmGateSink: streamed gate keeps exactly the batch filter's survivors") {
+    import graft.ext.LanguageModel
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // trusted corpus: plain sentences; the crawl mixes fluent and noise
+    val trusted = Seq((1L, "the cat sat on the mat and looked out"),
+      (2L, "the dog sat on the mat and looked in")).toDF("doc_id", "text")
+    val crawlAll = (10L until 26L).map { i =>
+      (i, if (i % 2 == 0) s"the cat sat on the mat v$i"
+          else s"zqx jwv qpt kzz v$i")
+    }
+    // train once offline, persist, gate the stream from the artifact
+    val tmp = Files.createTempDirectory("lm-gate").toString
+    LanguageModel.save(
+      LanguageModel.train(trusted, col("text"), n = 3), s"$tmp/model")
+    val model = LanguageModel.load(spark, s"$tmp/model")
+
+    val expected = LanguageModel.filterByPerplexity(
+      crawlAll.toDF("doc_id", "text"), Seq("doc_id"), col("text"),
+      model, maxPpl = 40.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(expected.nonEmpty && expected.size < crawlAll.size,
+      s"gate should split the crawl, kept $expected")
+
+    val outDir = Files.createTempDirectory("lm-gate-out").toString
+    val ckpt = Files.createTempDirectory("lm-gate-ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val q = EventStream.lmGateSink(
+      input.toDF().toDF("doc_id", "text"), model, "doc_id", "text",
+      maxPpl = 40.0, outPath = outDir, checkpoint = ckpt)
+      .start()
+    try {
+      input.addData(crawlAll.take(5): _*)
+      q.processAllAvailable()
+      input.addData(crawlAll.drop(5): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect()
+    got.toSet shouldBe expected
+    got.length shouldBe expected.size // each survivor landed exactly once
+  }
 }
