@@ -93,20 +93,29 @@ object Scratch {
 
   /** A NAMED ephemeral directory for queries that must round-trip
     * through a persisted artifact mid-plan (x13's index store). Fixed
-    * path per name — every evaluation overwrites the same tree (the
-    * writers use `mode("overwrite")`), so repeated bench/verify/spec
-    * runs leave at most ONE residue tree, and a JVM shutdown hook
-    * removes even that. Placed under the fast scratch root when enabled
-    * (tmpfs — RAM-backed, process-wiped) else `java.io.tmpdir`.
+    * path per (process, name) — every evaluation IN THIS JVM overwrites
+    * the same tree (the writers use `mode("overwrite")`), so repeated
+    * bench/verify/spec runs leave at most one residue tree per process,
+    * and a JVM shutdown hook removes even that. The path embeds the pid
+    * so two JVMs (a `sbt test` beside a `graft.Verify`, or two
+    * checkouts on one host) can never overwrite each other's live trees
+    * or shutdown-delete under a survivor — the safety the old
+    * per-evaluation `createTempDirectory` had, without its
+    * accumulation. Placed under the fast scratch root when enabled
+    * (tmpfs — RAM-backed, host-reset-wiped) else `java.io.tmpdir`, so
+    * even a kill -9's residue is bounded at one tree per killed
+    * process on a volatile mount.
     */
   def ephemeralDir(name: String): String = {
     val root = fastLocalDir().getOrElse(System.getProperty("java.io.tmpdir"))
-    val dir = new java.io.File(new java.io.File(root, "ephemeral"), name)
+    val pidRoot = new java.io.File(new java.io.File(root, "ephemeral"),
+      s"pid-${ProcessHandle.current().pid()}")
+    val dir = new java.io.File(pidRoot, name)
     dir.mkdirs()
     ephemeralRegistered.synchronized {
-      if (ephemeralRegistered.add(dir.getPath))
+      if (ephemeralRegistered.add(pidRoot.getPath))
         Runtime.getRuntime.addShutdownHook(new Thread(() =>
-          deleteTree(dir)))
+          deleteTree(pidRoot)))
     }
     dir.getPath
   }

@@ -2604,15 +2604,13 @@ object SparkEntry {
       // value check over the composed stack.
       //
       // The feature frame materializes to parquet FIRST (x13's store
-      // posture): the codec decode is the expensive pass, and the serve
-      // below reads the feature table four ways (probes, home cells, both
-      // rescore sides) — a real pipeline extracts features once per
-      // corpus and serves every batch from the table, never re-decoding
-      // per consumer subplan.
-      val featPath = s"${Scratch.ephemeralDir("x14")}/feat"
-      imageFeatureFrame(s, dir)
-        .write.mode("overwrite").parquet(featPath)
-      val feats = s.read.parquet(featPath)
+      // posture, memoized in x14FeaturePath): the codec decode is the
+      // expensive pass, and the serve below reads the feature table four
+      // ways (probes, home cells, both rescore sides) — a real pipeline
+      // extracts features once per corpus and serves every batch (and
+      // trains its quantizer) from the table, never re-decoding per
+      // consumer subplan.
+      val feats = s.read.parquet(x14FeaturePath(s, dir))
       val corpus = feats.filter(pmod(col("media_id"), lit(10)) < 9)
       val batch = feats.filter(pmod(col("media_id"), lit(10)) === 9)
       Similarity.searchIvf(batch, corpus, "media_id", "features", k = 5,
@@ -2688,15 +2686,32 @@ object SparkEntry {
       .toDF()
       .select(col("media_id"), col("features"))
 
+  /** x14's materialized feature table: [[imageFeatureFrame]] written to
+    * parquet ONCE per (session, dir) — the codec decode is the expensive
+    * pass, and BOTH consumers (the quantizer training scan below and the
+    * declared query's four-way serve) read the table instead of
+    * re-decoding. Memoized like the models: the write is idempotent
+    * (deterministic content per dir, overwrite mode), so later
+    * evaluations just reuse the path.
+    */
+  private def x14FeaturePath(s: SparkSession, dir: String): String =
+    cachedModel(s"x14feat|$dir") {
+      val p = s"${Scratch.ephemeralDir("x14")}/feat"
+      imageFeatureFrame(s, dir).write.mode("overwrite").parquet(p)
+      p
+    }
+
   /** x14's IVF quantizer: the q86 deterministic k-means recipe (first-8-
     * by-id init, one 1e-6-grid refit) trained on the CORPUS side's image
     * features only — production semantics, the index's model never sees
-    * the query batch. Memoized per dir like [[ivfDemo]].
+    * the query batch. Trains from the materialized feature TABLE
+    * ([[x14FeaturePath]]), never a second decode. Memoized per dir like
+    * [[ivfDemo]].
     */
   private def x14Model(s: SparkSession, dir: String): ext.Clustering.Model =
     cachedModel(s"x14|$dir") {
       ext.Clustering.kmeans(
-        imageFeatureFrame(s, dir)
+        s.read.parquet(x14FeaturePath(s, dir))
           .filter(pmod(col("media_id"), lit(10)) < 9),
         "media_id", "features", k = 8, iterations = 1, roundDigits = 6)
     }
