@@ -108,17 +108,39 @@ object Scratch {
     */
   def ephemeralDir(name: String): String = {
     val root = fastLocalDir().getOrElse(System.getProperty("java.io.tmpdir"))
-    val pidRoot = new java.io.File(new java.io.File(root, "ephemeral"),
+    val ephRoot = new java.io.File(root, "ephemeral")
+    val pidRoot = new java.io.File(ephRoot,
       s"pid-${ProcessHandle.current().pid()}")
     val dir = new java.io.File(pidRoot, name)
     dir.mkdirs()
     ephemeralRegistered.synchronized {
-      if (ephemeralRegistered.add(pidRoot.getPath))
+      if (ephemeralRegistered.add(pidRoot.getPath)) {
         Runtime.getRuntime.addShutdownHook(new Thread(() =>
           deleteTree(pidRoot)))
+        // sweep siblings left by KILLED processes (their shutdown hooks
+        // never ran): a pid-N dir whose pid is dead is garbage — and on
+        // a disk-backed scratch root (the SPARK_GRAFT_LOCAL_DIR escape
+        // hatch) killed runs would otherwise accumulate full index
+        // trees. A recycled pid that belongs to a LIVE process is
+        // skipped, which can only ever keep a dir one sweep longer.
+        sweepDeadPidDirs(ephRoot, pidRoot.getName)
+      }
     }
     dir.getPath
   }
+
+  private def sweepDeadPidDirs(
+      ephRoot: java.io.File, self: String): Unit =
+    try {
+      Option(ephRoot.listFiles()).getOrElse(Array.empty).foreach { f =>
+        if (f.isDirectory && f.getName.startsWith("pid-") &&
+            f.getName != self) {
+          val alive = f.getName.stripPrefix("pid-").toLongOption
+            .exists(p => ProcessHandle.of(p).isPresent)
+          if (!alive) deleteTree(f)
+        }
+      }
+    } catch { case _: Exception => () } // sweeping is best-effort only
 
   private val ephemeralRegistered =
     scala.collection.mutable.HashSet.empty[String]

@@ -2696,7 +2696,13 @@ object SparkEntry {
     */
   private def x14FeaturePath(s: SparkSession, dir: String): String =
     cachedModel(s"x14feat|$dir") {
-      val p = s"${Scratch.ephemeralDir("x14")}/feat"
+      // the path must be DIR-dependent like the memo key: a session that
+      // evaluates x14 over two data dirs (spec suites share one JVM)
+      // must never serve one dir's features from the other's table
+      val dirTag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_))
+        .mkString
+      val p = s"${Scratch.ephemeralDir("x14")}/feat-$dirTag"
       imageFeatureFrame(s, dir).write.mode("overwrite").parquet(p)
       p
     }
@@ -4679,24 +4685,8 @@ object SparkEntry {
         |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q81_curation_e2e" ->
-      """WITH fp AS (SELECT min(doc_id) AS doc_id FROM documents
-        |  GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ',
-        |    'g'))))),
-        |k0 AS (SELECT d.doc_id, d.text FROM documents d
-        |  JOIN fp USING (doc_id)),
-        |q AS (SELECT doc_id, text FROM k0 WHERE floor((
-        |    least(len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE
-        |      / 50.0, 1.0) * 0.4
-        |    + (len(list_distinct(regexp_split_to_array(trim(text),
-        |        '\s+')))::DOUBLE
-        |       / len(regexp_split_to_array(trim(text), '\s+'))) * 0.3
-        |    + least((length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
-        |       / len(regexp_split_to_array(trim(text), '\s+'))) / 8.0,
-        |       1.0) * 0.2
-        |    + (1.0 - length(regexp_replace(text, '[A-Za-z0-9\s]', '',
-        |        'g'))::DOUBLE / length(text)) * 0.1) * 1e6 + 0.5) / 1e6
-        |    >= 0.5),
-        |gw AS (SELECT doc_id, x AS w FROM q,
+      ("WITH " + dedupQualityCtes + ",\n" +
+      """gw AS (SELECT doc_id, x AS w FROM q,
         |    unnest(regexp_split_to_array(trim(text), '\s+')) AS u(x)
         |  WHERE x <> ''),
         |gws AS (SELECT doc_id, count(*) AS n_words,
@@ -4755,7 +4745,7 @@ object SparkEntry {
         |       WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'g81'), 1, 8)
         |         < 'e6666667' THEN 'val'
         |       ELSE 'test' END AS split
-        |FROM clean ORDER BY doc_id""".stripMargin,
+        |FROM clean ORDER BY doc_id""".stripMargin),
 
     "q82_quantile_sketch" ->
       """SELECT source, 1 AS sketch_ok FROM documents
@@ -5254,45 +5244,7 @@ object SparkEntry {
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q95_dsir_select" ->
-      """WITH dd AS (SELECT doc_id,
-        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
-        |      x -> length(x) > 0) AS ws
-        |  FROM documents
-        |  WHERE text IS NOT NULL AND length(trim(text)) > 0),
-        |g AS (SELECT doc_id, unnest(list_concat(ws,
-        |      list_transform(range(1, len(ws)),
-        |        i -> ws[i] || ' ' || ws[i + 1]))) AS gram
-        |  FROM dd WHERE len(ws) > 0),
-        |b AS (SELECT doc_id,
-        |    ('0x' || substr(md5('dsir|' || gram), 1, 15))::BIGINT % 8192
-        |      AS bucket
-        |  FROM g),
-        |tc AS (SELECT bucket, count(*) AS ct FROM b
-        |  WHERE doc_id % 17 = 0 GROUP BY 1),
-        |rc AS (SELECT bucket, count(*) AS cr FROM b
-        |  WHERE doc_id % 17 <> 0 GROUP BY 1),
-        |tot AS (SELECT
-        |    (SELECT count(*) FROM b WHERE doc_id % 17 = 0) AS tt,
-        |    (SELECT count(*) FROM b WHERE doc_id % 17 <> 0) AS tr),
-        |lam AS (SELECT sp.bucket,
-        |    floor((ln((coalesce(ct, 0) + 1)::DOUBLE / (tt + 8192))
-        |         - ln((coalesce(cr, 0) + 1)::DOUBLE / (tr + 8192)))
-        |      * 1e6 + 0.5) / 1e6 AS lam
-        |  FROM (SELECT unnest(range(8192)) AS bucket) sp
-        |  LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket), tot),
-        |db AS (SELECT doc_id, bucket, count(*) AS cnt FROM b
-        |  WHERE doc_id % 17 <> 0 GROUP BY 1, 2),
-        |w AS (SELECT doc_id, sum(cnt * lam) AS lw
-        |  FROM db JOIN lam USING (bucket) GROUP BY 1),
-        |sc AS (SELECT doc_id,
-        |    floor((lw + -ln(-ln(
-        |        (('0x' || substr(md5('dsir-g|' || doc_id), 1, 13))::BIGINT
-        |          + 0.5) / 4503599627370496.0))) * 1e4 + 0.5) / 1e4
-        |      AS score
-        |  FROM w)
-        |SELECT doc_id,
-        |  row_number() OVER (ORDER BY score DESC, doc_id) AS rank, score
-        |FROM sc ORDER BY score DESC, doc_id LIMIT 500""".stripMargin,
+      ("WITH " + dsirOracleTail("documents", "dsir", 500)),
 
     // x13: models re-derived from the vec_id%10<8 train split
     // (kmeansOracleSqrt + pqTrainEncodeCtes — y7's preambles at the x13
@@ -5359,78 +5311,24 @@ object SparkEntry {
     // full DSIR chain (bucket hash, Laplace log-ratios, Gumbel top-k at
     // salt x15) bound to the surviving corpus instead of raw documents.
     "x15_curate_then_select" ->
-      """WITH fp AS (SELECT min(doc_id) AS doc_id FROM documents
-        |  GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ',
-        |    'g'))))),
-        |k0 AS (SELECT d.doc_id, d.text FROM documents d
-        |  JOIN fp USING (doc_id)),
-        |q AS (SELECT doc_id, text FROM k0 WHERE floor((
-        |    least(len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE
-        |      / 50.0, 1.0) * 0.4
-        |    + (len(list_distinct(regexp_split_to_array(trim(text),
-        |        '\s+')))::DOUBLE
-        |       / len(regexp_split_to_array(trim(text), '\s+'))) * 0.3
-        |    + least((length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
-        |       / len(regexp_split_to_array(trim(text), '\s+'))) / 8.0,
-        |       1.0) * 0.2
-        |    + (1.0 - length(regexp_replace(text, '[A-Za-z0-9\s]', '',
-        |        'g'))::DOUBLE / length(text)) * 0.1) * 1e6 + 0.5) / 1e6
-        |    >= 0.5),
-        |tok AS (SELECT doc_id,
-        |    regexp_split_to_array(trim(text), '\s+') AS a FROM q),
-        |gq AS (SELECT doc_id, unnest(list_distinct(
-        |    list_transform(range(1, len(a) - 11),
-        |      i -> array_to_string(a[i:i+12], ' ')))) AS gram
-        |  FROM tok WHERE len(a) >= 13),
-        |etok AS (SELECT doc_id,
-        |    regexp_split_to_array(trim(text), '\s+') AS a
-        |  FROM documents WHERE doc_id % 50 = 0),
-        |ge AS (SELECT DISTINCT unnest(list_distinct(
-        |    list_transform(range(1, len(a) - 11),
-        |      i -> array_to_string(a[i:i+12], ' ')))) AS gram
-        |  FROM etok WHERE len(a) >= 13),
-        |hits AS (SELECT DISTINCT gq.doc_id FROM gq JOIN ge USING (gram)),
-        |cur AS (SELECT doc_id, text FROM q WHERE doc_id % 50 <> 0
-        |  AND doc_id NOT IN (SELECT doc_id FROM hits)),
-        |dd AS (SELECT doc_id,
-        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
-        |      x -> length(x) > 0) AS ws
-        |  FROM cur
-        |  WHERE text IS NOT NULL AND length(trim(text)) > 0),
-        |gb AS (SELECT doc_id, unnest(list_concat(ws,
-        |      list_transform(range(1, len(ws)),
-        |        i -> ws[i] || ' ' || ws[i + 1]))) AS gram
-        |  FROM dd WHERE len(ws) > 0),
-        |b AS (SELECT doc_id,
-        |    ('0x' || substr(md5('x15|' || gram), 1, 15))::BIGINT % 8192
-        |      AS bucket
-        |  FROM gb),
-        |tc AS (SELECT bucket, count(*) AS ct FROM b
-        |  WHERE doc_id % 17 = 0 GROUP BY 1),
-        |rc AS (SELECT bucket, count(*) AS cr FROM b
-        |  WHERE doc_id % 17 <> 0 GROUP BY 1),
-        |tot AS (SELECT
-        |    (SELECT count(*) FROM b WHERE doc_id % 17 = 0) AS tt,
-        |    (SELECT count(*) FROM b WHERE doc_id % 17 <> 0) AS tr),
-        |lam AS (SELECT sp.bucket,
-        |    floor((ln((coalesce(ct, 0) + 1)::DOUBLE / (tt + 8192))
-        |         - ln((coalesce(cr, 0) + 1)::DOUBLE / (tr + 8192)))
-        |      * 1e6 + 0.5) / 1e6 AS lam
-        |  FROM (SELECT unnest(range(8192)) AS bucket) sp
-        |  LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket), tot),
-        |db AS (SELECT doc_id, bucket, count(*) AS cnt FROM b
-        |  WHERE doc_id % 17 <> 0 GROUP BY 1, 2),
-        |w AS (SELECT doc_id, sum(cnt * lam) AS lw
-        |  FROM db JOIN lam USING (bucket) GROUP BY 1),
-        |sc AS (SELECT doc_id,
-        |    floor((lw + -ln(-ln(
-        |        (('0x' || substr(md5('x15-g|' || doc_id), 1, 13))::BIGINT
-        |          + 0.5) / 4503599627370496.0))) * 1e4 + 0.5) / 1e4
-        |      AS score
-        |  FROM w)
-        |SELECT doc_id,
-        |  row_number() OVER (ORDER BY score DESC, doc_id) AS rank, score
-        |FROM sc ORDER BY score DESC, doc_id LIMIT 200""".stripMargin,
+      ("WITH " + dedupQualityCtes + ",\n" +
+        """tok AS (SELECT doc_id,
+          |    regexp_split_to_array(trim(text), '\s+') AS a FROM q),
+          |gq AS (SELECT doc_id, unnest(list_distinct(
+          |    list_transform(range(1, len(a) - 11),
+          |      i -> array_to_string(a[i:i+12], ' ')))) AS gram
+          |  FROM tok WHERE len(a) >= 13),
+          |etok AS (SELECT doc_id,
+          |    regexp_split_to_array(trim(text), '\s+') AS a
+          |  FROM documents WHERE doc_id % 50 = 0),
+          |ge AS (SELECT DISTINCT unnest(list_distinct(
+          |    list_transform(range(1, len(a) - 11),
+          |      i -> array_to_string(a[i:i+12], ' ')))) AS gram
+          |  FROM etok WHERE len(a) >= 13),
+          |hits AS (SELECT DISTINCT gq.doc_id FROM gq JOIN ge USING (gram)),
+          |cur AS (SELECT doc_id, text FROM q WHERE doc_id % 50 <> 0
+          |  AND doc_id NOT IN (SELECT doc_id FROM hits)),""".stripMargin +
+        "\n" + dsirOracleTail("cur", "x15", 200)),
 
     // x14: re-derive the 16-bin count/64 luminance histograms as byte
     // math (m8's proof: pixel = text byte, zero-padded past 64; ascii('')
@@ -5691,6 +5589,81 @@ object SparkEntry {
       |    sqrt(list_sum(list_transform(embedding,
       |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
       |  FROM e)""".stripMargin
+
+  /** q81/x15's shared curation prefix — exact-dedup keep set (fp/k0) and
+    * the 1e-6-grid quality floor (q) — extracted so the composed oracle
+    * (x15) can never silently diverge from the standalone one (q81): a
+    * fix to the quality blend lands in exactly one place.
+    */
+  private lazy val dedupQualityCtes: String =
+    """fp AS (SELECT min(doc_id) AS doc_id FROM documents
+      |  GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ',
+      |    'g'))))),
+      |k0 AS (SELECT d.doc_id, d.text FROM documents d
+      |  JOIN fp USING (doc_id)),
+      |q AS (SELECT doc_id, text FROM k0 WHERE floor((
+      |    least(len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE
+      |      / 50.0, 1.0) * 0.4
+      |    + (len(list_distinct(regexp_split_to_array(trim(text),
+      |        '\s+')))::DOUBLE
+      |       / len(regexp_split_to_array(trim(text), '\s+'))) * 0.3
+      |    + least((length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
+      |       / len(regexp_split_to_array(trim(text), '\s+'))) / 8.0,
+      |       1.0) * 0.2
+      |    + (1.0 - length(regexp_replace(text, '[A-Za-z0-9\s]', '',
+      |        'g'))::DOUBLE / length(text)) * 0.1) * 1e6 + 0.5) / 1e6
+      |    >= 0.5)""".stripMargin
+
+  /** q95/x15's shared DSIR replay — tokenize → hashed unigram+bigram
+    * buckets → Laplace-smoothed log-ratios over the 8192-bucket spine →
+    * per-doc importance weight → deterministic Gumbel top-k — over
+    * `source` (a table or CTE of (doc_id, text)) at the given salt and
+    * k. Plain-literal templating (no interpolation) keeps the regex
+    * escapes byte-identical to the proven q95 text.
+    */
+  private def dsirOracleTail(source: String, salt: String, k: Int): String =
+    """dd AS (SELECT doc_id,
+      |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |      x -> length(x) > 0) AS ws
+      |  FROM __SRC__
+      |  WHERE text IS NOT NULL AND length(trim(text)) > 0),
+      |gb AS (SELECT doc_id, unnest(list_concat(ws,
+      |      list_transform(range(1, len(ws)),
+      |        i -> ws[i] || ' ' || ws[i + 1]))) AS gram
+      |  FROM dd WHERE len(ws) > 0),
+      |b AS (SELECT doc_id,
+      |    ('0x' || substr(md5('__SALT__|' || gram), 1, 15))::BIGINT % 8192
+      |      AS bucket
+      |  FROM gb),
+      |tc AS (SELECT bucket, count(*) AS ct FROM b
+      |  WHERE doc_id % 17 = 0 GROUP BY 1),
+      |rc AS (SELECT bucket, count(*) AS cr FROM b
+      |  WHERE doc_id % 17 <> 0 GROUP BY 1),
+      |tot AS (SELECT
+      |    (SELECT count(*) FROM b WHERE doc_id % 17 = 0) AS tt,
+      |    (SELECT count(*) FROM b WHERE doc_id % 17 <> 0) AS tr),
+      |lam AS (SELECT sp.bucket,
+      |    floor((ln((coalesce(ct, 0) + 1)::DOUBLE / (tt + 8192))
+      |         - ln((coalesce(cr, 0) + 1)::DOUBLE / (tr + 8192)))
+      |      * 1e6 + 0.5) / 1e6 AS lam
+      |  FROM (SELECT unnest(range(8192)) AS bucket) sp
+      |  LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket), tot),
+      |db AS (SELECT doc_id, bucket, count(*) AS cnt FROM b
+      |  WHERE doc_id % 17 <> 0 GROUP BY 1, 2),
+      |w AS (SELECT doc_id, sum(cnt * lam) AS lw
+      |  FROM db JOIN lam USING (bucket) GROUP BY 1),
+      |sc AS (SELECT doc_id,
+      |    floor((lw + -ln(-ln(
+      |        (('0x' || substr(md5('__SALT__-g|' || doc_id), 1, 13))::BIGINT
+      |          + 0.5) / 4503599627370496.0))) * 1e4 + 0.5) / 1e4
+      |      AS score
+      |  FROM w)
+      |SELECT doc_id,
+      |  row_number() OVER (ORDER BY score DESC, doc_id) AS rank, score
+      |FROM sc ORDER BY score DESC, doc_id LIMIT __K__""".stripMargin
+      .replace("__SRC__", source)
+      .replace("__SALT__", salt)
+      .replace("__K__", k.toString)
 
   private lazy val contaminationOracle: String =
     """WITH tok AS (SELECT doc_id,
