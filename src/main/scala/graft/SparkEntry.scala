@@ -2488,6 +2488,29 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    "q98_doremi_weights" -> ((s, dir) => {
+      // DoReMi domain reweighting (ext.Doremi.domainWeights — Xie et
+      // al., NeurIPS 2023): the Group-DRO minimax over the count-LM
+      // closed forms — proxy = the α-weighted mixture trigram LM (one
+      // vocabulary-bounded reweighting per step), reference = each
+      // domain's specialist LM, outer player = 3 exponentiated-gradient
+      // steps on 1e-6-grid clipped excess NLL (η = 1, uniform smoothing
+      // 1e-3), α snapped to 1e-9 after every normalize. add-k = 0.01:
+      // at 0.5 the smoothing mass drowns the small specialist models and
+      // every clipped excess is exactly 0 (measured at all three SFs) —
+      // the light smoothing keeps the minimax dynamics non-degenerate on
+      // this corpus (every domain shows positive excess). Output is
+      // O(domains): the averaged-iterate weight, the final excess, and
+      // the downsample-only md5-coin resample verdict per source. The
+      // oracle replays the per-(doc, gram) counts, both model families,
+      // all three EG steps, and the coin — bit-for-bit.
+      graft.ext.Doremi.domainWeights(rd(s, dir, "documents"),
+        "doc_id", "text", "source", n = 3, addK = 0.01,
+        alphabetSize = 64, steps = 3, eta = 1.0, smoothing = 1e-3,
+        salt = "q98")
+        .orderBy("source")
+    }),
+
     "x13_snapshot_lifecycle" -> ((s, dir) => {
       // the multi-snapshot lifecycle as ONE declared query (reference
       // semantics: the is_incremental append cadence,
@@ -5246,6 +5269,12 @@ object SparkEntry {
     "q95_dsir_select" ->
       ("WITH " + dsirOracleTail("documents", "dsir", 500)),
 
+    // q98: the DoReMi replay — specialist reference LMs, three unrolled
+    // EG steps over the α-weighted mixture LM, and the md5-coin resample
+    // (doremiOracle generates the step CTEs with the engine's exact
+    // arithmetic order and grids).
+    "q98_doremi_weights" -> doremiOracle(3, "0.01"),
+
     // x13: models re-derived from the vec_id%10<8 train split
     // (kmeansOracleSqrt + pqTrainEncodeCtes — y7's preambles at the x13
     // filter); the SERVED corpus is the post-expiry union vec_id%10 in
@@ -5392,6 +5421,87 @@ object SparkEntry {
     * centroid — then the final scored frame `s1` (for top-nprobe probes)
     * and top-1 assignment `asg`.
     */
+  /** q98's oracle: the full DoReMi replay — per-(doc, gram) counts, the
+    * per-domain specialist reference scoring, and `steps` unrolled
+    * exponentiated-gradient blocks (mixture model m{k} → context x{k} →
+    * per-doc NLL l{k} → clipped excess e{k} → EG update a{k+1}), each
+    * arithmetic sequence pinned to the engine's ((c · (a · (T / tot))),
+    * 1e-4 / 1e-6 / 1e-9 grid) order so the hash compares exactly.
+    */
+  private def doremiOracle(steps: Int, addK: String = "0.5"): String = {
+    val stepCtes = (0 until steps).map { k =>
+      s"""m$k AS MATERIALIZED (SELECT dgc.gram,
+        |    sum(CAST(dgc.dc AS DOUBLE)
+        |      * (a.a * ((SELECT tg FROM gl) / tots.tot))) AS w
+        |  FROM dgc JOIN a$k a USING (source) JOIN tots USING (source)
+        |  GROUP BY dgc.gram),
+        |x$k AS MATERIALIZED (SELECT substr(gram, 1, 2) AS pre, sum(w) AS wc
+        |  FROM m$k GROUP BY 1),
+        |l$k AS MATERIALIZED (SELECT pg.doc_id, pg.source,
+        |    floor(sum(pg.c * -ln((m.w + $addK) / (x.wc + $addK * 64)))
+        |      / CAST(sum(pg.c) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS l
+        |  FROM pg JOIN m$k m USING (gram)
+        |    JOIN x$k x ON substr(pg.gram, 1, 2) = x.pre
+        |  GROUP BY 1, 2),
+        |e$k AS MATERIALIZED (SELECT l.source,
+        |    floor(avg(greatest(l.l - r.lref, 0)) * 1e6 + 0.5) / 1e6 AS ex
+        |  FROM l$k l JOIN ref r ON l.doc_id = r.doc_id GROUP BY 1),
+        |u$k AS MATERIALIZED (SELECT a.source, a.a * exp(1.0 * coalesce(e.ex, 0)) AS ua
+        |  FROM a$k a LEFT JOIN e$k e USING (source)),
+        |a${k + 1} AS MATERIALIZED (SELECT source,
+        |    floor(((1.0 - 0.001) * (ua / (SELECT sum(ua) FROM u$k))
+        |      + 0.001 / (SELECT nd FROM gl)) * 1e9 + 0.5) / 1e9 AS a
+        |  FROM u$k)""".stripMargin
+    }.mkString(",\n")
+    val wsum = (1 to steps).map(k => s"a$k.a").mkString(" + ")
+    val wjoin = (1 to steps)
+      .map(k => s"JOIN a$k ON n.source = a$k.source").mkString(" ")
+    s"""WITH d0 AS MATERIALIZED (SELECT doc_id, source, text FROM documents
+      |  WHERE text IS NOT NULL),
+      |g AS MATERIALIZED (SELECT doc_id, source, substr(text, i, 3) AS gram
+      |  FROM d0, unnest(generate_series(1, length(text) - 2)) AS t(i)),
+      |pg AS MATERIALIZED (SELECT doc_id, source, gram, count(*) AS c
+      |  FROM g GROUP BY 1, 2, 3),
+      |dgc AS MATERIALIZED (SELECT source, gram, sum(c) AS dc FROM pg GROUP BY 1, 2),
+      |dctx AS MATERIALIZED (SELECT source, substr(gram, 1, 2) AS pre, sum(dc) AS dcc
+      |  FROM dgc GROUP BY 1, 2),
+      |tots AS MATERIALIZED (SELECT source, sum(dc) AS tot FROM dgc GROUP BY 1),
+      |gl AS MATERIALIZED (SELECT CAST(sum(tot) AS DOUBLE) AS tg, count(*) AS nd
+      |  FROM tots),
+      |nd0 AS MATERIALIZED (SELECT source, count(*) AS n_docs FROM documents
+      |  GROUP BY 1),
+      |ref AS MATERIALIZED (SELECT pg.doc_id, pg.source,
+      |    floor(sum(pg.c * -ln((dgc.dc + $addK) / (dctx.dcc + $addK * 64)))
+      |      / CAST(sum(pg.c) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS lref
+      |  FROM pg JOIN dgc ON pg.source = dgc.source AND pg.gram = dgc.gram
+      |    JOIN dctx ON pg.source = dctx.source
+      |      AND substr(pg.gram, 1, 2) = dctx.pre
+      |  GROUP BY 1, 2),
+      |a0 AS MATERIALIZED (SELECT source, 1.0 / (SELECT nd FROM gl) AS a FROM nd0),
+      |$stepCtes,
+      |fin AS MATERIALIZED (SELECT n.source, n.n_docs,
+      |    floor(CAST(n.n_docs AS DOUBLE)
+      |      / (SELECT CAST(sum(n_docs) AS DOUBLE) FROM nd0)
+      |      * 1e6 + 0.5) / 1e6 AS share,
+      |    coalesce(e${steps - 1}.ex, 0) AS excess,
+      |    floor((($wsum) / $steps) * 1e9 + 0.5) / 1e9 AS weight
+      |  FROM nd0 n $wjoin
+      |    LEFT JOIN e${steps - 1} ON n.source = e${steps - 1}.source),
+      |fr AS MATERIALIZED (SELECT source, n_docs, share, excess, weight,
+      |    floor(least(1.0, weight / share) * 1e6 + 0.5) / 1e6 AS rate
+      |  FROM fin),
+      |k1 AS MATERIALIZED (SELECT d.source, count(*) AS n_kept
+      |  FROM documents d JOIN fr f ON d.source = f.source
+      |  WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'q98'),
+      |      1, 5) AS BIGINT)
+      |    < CAST(floor(f.rate * 1048576) AS BIGINT)
+      |  GROUP BY 1)
+      |SELECT f.source, f.n_docs, f.share, f.excess, f.weight, f.rate,
+      |  coalesce(k1.n_kept, 0) AS n_kept
+      |FROM fr f LEFT JOIN k1 USING (source)
+      |ORDER BY f.source""".stripMargin
+  }
+
   private def kmeansOracle(k: Int, where: String = ""): String =
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings$where),
       |init AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
