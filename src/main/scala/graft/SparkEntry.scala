@@ -2511,6 +2511,28 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "x16_semantic_decontam" -> ((s, dir) => {
+      // SEMANTIC eval-set decontamination (Curation
+      // .semanticContaminationReport over Similarity.crossPairsIvf —
+      // Yang et al. 2023, arXiv:2311.04850): exact 13-gram overlap (q40)
+      // misses rephrased benchmark leakage; here a corpus embedding
+      // within cosine 0.45 of ANY eval embedding (vec_id % 10 == 9, the
+      // y6 split convention) is flagged. The quantizer is the q86
+      // deterministic k-means recipe at k = 8 trained on the CORPUS side
+      // only (production decontamination must not leak eval vectors
+      // into the model); eval probes its top-4 cells, corpus vectors
+      // answer from their home cell, exact cosine verifies. The oracle
+      // replays training, home/probe assignment, the cosine verify, and
+      // the per-doc verdict — a full value check like x10.
+      val emb = rd(s, dir, "embeddings")
+      val corpus = emb.filter(pmod(col("vec_id"), lit(10)) < 9)
+      val evalSet = emb.filter(pmod(col("vec_id"), lit(10)) === 9)
+      Curation.semanticContaminationReport(corpus, evalSet,
+        "vec_id", "embedding", minCosine = 0.45,
+        centroids = x16Model(s, dir).centroids, nprobe = 4)
+        .orderBy("vec_id")
+    }),
+
     "x13_snapshot_lifecycle" -> ((s, dir) => {
       // the multi-snapshot lifecycle as ONE declared query (reference
       // semantics: the is_incremental append cadence,
@@ -2772,6 +2794,17 @@ object SparkEntry {
     cachedModel(s"ivf|$dir|$k") {
       ext.Clustering.kmeans(rd(s, dir, "embeddings"), "vec_id", "embedding",
         k = k, iterations = 1, roundDigits = 6)
+    }
+
+  /** x16's quantizer: the q86 deterministic k-means recipe at k = 8
+    * trained on the CORPUS split only (vec_id % 10 < 9) — eval vectors
+    * must not shape the decontamination model. Memoized per dir.
+    */
+  private def x16Model(s: SparkSession, dir: String): ext.Clustering.Model =
+    cachedModel(s"x16|$dir") {
+      ext.Clustering.kmeans(
+        rd(s, dir, "embeddings").filter(pmod(col("vec_id"), lit(10)) < 9),
+        "vec_id", "embedding", k = 8, iterations = 1, roundDigits = 6)
     }
 
   /** Cross-engine-reproducible PQ codebooks for y5: m=16 subspaces of
@@ -5268,6 +5301,45 @@ object SparkEntry {
 
     "q95_dsir_select" ->
       ("WITH " + dsirOracleTail("documents", "dsir", 500)),
+
+    // x16: corpus-side k-means replay (kmeansOracle at the %10<9 split),
+    // eval probe scoring against those cells, exact-cosine verify of
+    // every (eval probe, corpus home) candidate, per-corpus-doc verdict.
+    "x16_semantic_decontam" ->
+      s"""${kmeansOracle(8, " WHERE vec_id % 10 < 9")},
+        |enx AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
+        |  FROM embeddings),
+        |eq AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id % 10 = 9),
+        |qs AS (SELECT q.vec_id, t.cell,
+        |    list_sum(list_transform(list_zip(q.embedding, t.c),
+        |      x -> x[1]::DOUBLE * x[2]::DOUBLE))
+        |    - list_sum(list_transform(t.c, x -> x::DOUBLE * x::DOUBLE)) / 2
+        |      AS score
+        |  FROM eq q CROSS JOIN cents t),
+        |eprobes AS (SELECT vec_id AS eval_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY score DESC, cell) AS rn FROM qs) t7 WHERE rn <= 4),
+        |cand AS (SELECT p.eval_id, a.vec_id AS corpus_id
+        |  FROM eprobes p JOIN asg a ON p.cell = a.cell),
+        |scx AS (SELECT c.corpus_id,
+        |    list_sum(list_transform(list_zip(q.embedding, n.embedding),
+        |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * n.nrm)
+        |      AS cosine
+        |  FROM cand c JOIN enx q ON c.eval_id = q.vec_id
+        |    JOIN enx n ON c.corpus_id = n.vec_id),
+        |hits AS (SELECT corpus_id, count(*) AS n_eval_hits,
+        |    max(cosine) AS max_cosine
+        |  FROM scx WHERE cosine IS NOT NULL AND NOT isnan(cosine)
+        |    AND cosine >= 0.45
+        |  GROUP BY 1)
+        |SELECT e.vec_id, coalesce(h.n_eval_hits, 0) AS n_eval_hits,
+        |  h.max_cosine,
+        |  coalesce(h.n_eval_hits, 0) > 0 AS contaminated
+        |FROM e LEFT JOIN hits h ON e.vec_id = h.corpus_id
+        |ORDER BY e.vec_id""".stripMargin,
 
     // q98: the DoReMi replay — specialist reference LMs, three unrolled
     // EG steps over the α-weighted mixture LM, and the md5-coin resample

@@ -425,6 +425,72 @@ object Curation {
         countDistinct(col("_eval_id")).as("n_eval_docs"))
   }
 
+  /** SEMANTIC eval-set contamination — the embedding sibling of
+    * [[contamination]]: a corpus document is contaminated when its
+    * embedding sits within `minCosine` of ANY eval-set embedding. Exact
+    * n-gram overlap misses rephrased/translated benchmark leakage; the
+    * embedding check is the published countermeasure (Yang et al. 2023,
+    * "Rethinking Benchmark and Contamination for Language Models with
+    * Rephrased Samples", arXiv:2311.04850 — cosine-similar neighbors of
+    * eval items are flagged, then dropped or audited).
+    *
+    * Returns one row per CORPUS id:
+    * `(idCol, n_eval_hits, max_cosine, contaminated)` — how many eval
+    * vectors sit above the threshold (0 when clean), the strongest of
+    * those cosines (NULL when clean), and the drop verdict. Candidates
+    * come from [[Similarity.crossPairsIvf]]'s IVF blocking under the
+    * caller's trained quantizer (train it on the CORPUS — production
+    * decontamination must not leak eval vectors into the model), so
+    * precision is exact and recall follows the home-vs-probe geometry
+    * the x10r companion measures.
+    *
+    * Scale shape: the eval side broadcasts (bounded by nature); the hit
+    * aggregation is O(corpus) narrow rows; the verdict attaches with a
+    * plain shuffled left join — the hit set is bounded by the CORPUS,
+    * not the eval set, so it is never broadcast (the
+    * [[CorpusPipeline]] report lesson).
+    */
+  def semanticContaminationReport(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCosine: Double,
+      centroids: Seq[Array[Float]],
+      nprobe: Int = 4): DataFrame = {
+    val hits = Similarity.crossPairsIvf(evalSet, corpus, idCol, vecCol,
+        minCosine, centroids, nprobe)
+      .groupBy(col("corpus_id"))
+      .agg(count(lit(1)).as("n_eval_hits"),
+        max(col("cosine")).as("max_cosine"))
+    corpus.select(col(idCol))
+      .join(hits, col(idCol) === col("corpus_id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_eval_hits"), lit(0L)).as("n_eval_hits"),
+        col("max_cosine"),
+        (coalesce(col("n_eval_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** The filter form: corpus rows whose embedding is NOT within
+    * `minCosine` of any eval vector — one anti-join on the hit ids, the
+    * full corpus schema preserved. Equal to
+    * `semanticContaminationReport(...).filter(!contaminated)` on the id
+    * set (spec-pinned), without materializing the per-doc verdicts.
+    */
+  def semanticDecontaminate(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCosine: Double,
+      centroids: Seq[Array[Float]],
+      nprobe: Int = 4): DataFrame = {
+    val hitIds = Similarity.crossPairsIvf(evalSet, corpus, idCol, vecCol,
+        minCosine, centroids, nprobe)
+      .select(col("corpus_id"))
+    corpus.join(hitIds, col(idCol) === col("corpus_id"), "left_anti")
+  }
+
   /** Per-key contribution cap: keep at most `maxPerKey` rows per value of
     * `keyCol`, chosen by `orderCols` (which must totally order rows
     * within a key — include a unique id last) — the per-domain/source cap

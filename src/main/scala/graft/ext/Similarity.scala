@@ -575,6 +575,63 @@ object Similarity {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** ALL cross-frame pairs above a cosine threshold, IVF-blocked: each
+    * `queries` vector probes its `nprobe` nearest cells, candidates are
+    * the `corpus` vectors HOMED there, exact cosine verifies every
+    * candidate — the threshold sibling of [[searchIvf]] (which ranks
+    * top-k instead) and the two-frame sibling of [[cosinePairsIvf]].
+    * Built for eval-set decontamination
+    * ([[Curation.semanticContaminationReport]]): queries = the bounded
+    * eval/benchmark set, corpus = the training candidates.
+    *
+    * Output: `(query_id, corpus_id, cosine)`. A pair surfaces at most
+    * once with no dedup pass — a corpus vector lives in exactly one home
+    * cell and a query's probe cells are distinct. The two frames are
+    * assumed id-disjoint (different tables); no self-pair filter runs.
+    *
+    * Scale shape: the probe side is O(queries × nprobe) rows and the
+    * query vectors O(queries) — both broadcast, because eval sets are
+    * bounded by nature (the q40 contamination assumption); the corpus
+    * never shuffles before the narrow candidate join, and recall follows
+    * the same home-vs-probe geometry x10r measures. For corpus-scale
+    * "eval" sets, assign cells to both sides and shuffle on the cell
+    * instead ([[cosinePairsIvf]] on the union is that plan).
+    */
+  def crossPairsIvf(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCosine: Double,
+      centroids: Seq[Array[Float]],
+      nprobe: Int = 4): DataFrame = {
+    require(centroids.nonEmpty, "crossPairsIvf: empty codebook")
+    require(nprobe >= 1, s"crossPairsIvf: nprobe must be >= 1, got $nprobe")
+    val base = corpus.select(
+      col(idCol).as("corpus_id"),
+      nearestCells(col(vecCol), centroids, 1).getItem(0).as("cell"))
+    val probes = queries.select(
+      col(idCol).as("query_id"),
+      explode(nearestCells(col(vecCol), centroids, nprobe)).as("cell"))
+    val qvecs = queries.select(
+      col(idCol).as("query_id"),
+      col(vecCol).as("qv"),
+      vector_norm(col(vecCol)).as("qn"))
+    val cvecs = corpus.select(
+      col(idCol).as("corpus_id"),
+      col(vecCol).as("cv"),
+      vector_norm(col(vecCol)).as("cn"))
+    broadcast(probes)
+      .join(base, Seq("cell"))
+      .select("query_id", "corpus_id")
+      .join(broadcast(qvecs), Seq("query_id"))
+      .join(cvecs, Seq("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("qv"), col("qn"), col("cv"), col("cn")).as("cosine"))
+      .filter(col("cosine").isNotNull && !isnan(col("cosine")) &&
+        col("cosine") >= minCosine)
+  }
+
   /** The `nprobe` nearest centroid ids for a vector, nearest first — a
     * single compact expression ([[graft.functions.NearestCells]]); the
     * codebook rides along as a reference object instead of nlist × dims

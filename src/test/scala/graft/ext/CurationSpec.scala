@@ -348,4 +348,39 @@ class CurationSpec extends SparkSpec {
     out(1).getSeq[org.apache.spark.sql.Row](2).map(_.getLong(1)) shouldBe
       Seq(9L)
   }
+
+  test("semantic decontamination: report flags the planted eval neighbor; " +
+      "the filter form equals report.filter(!contaminated)") {
+    import spark.implicits._
+    val dims = 8
+    def vec(axis: Int, seed: Int, noise: Float): Seq[Float] = {
+      val rng = new scala.util.Random(seed)
+      Seq.tabulate(dims)(i =>
+        (if (i == axis) 1f else 0f) + (rng.nextFloat() - 0.5f) * noise)
+    }
+    // corpus doc 0 is a near-copy of eval doc 100 (same seed, tiny
+    // noise); the rest of the corpus sits on the other axis
+    val corpus = (Seq((0L, vec(0, 7, 0.05f))) ++
+      (1L to 5L).map(i => (i, vec(1, i.toInt, 0.4f)))).toDF(
+      "vec_id", "embedding")
+    val evalSet = Seq((100L, vec(0, 7, 0.0f))).toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(
+      corpus, "vec_id", "embedding", nlist = 2, iterations = 3,
+      sampleSize = 16, seed = 42L)
+    val report = Curation.semanticContaminationReport(corpus, evalSet,
+      "vec_id", "embedding", minCosine = 0.9, cents, nprobe = 2)
+    val rows = report.orderBy("vec_id").collect()
+    assert(rows.length === 6) // one verdict row per corpus doc
+    assert(rows.head.getLong(0) === 0L && rows.head.getBoolean(3),
+      "planted near-copy not flagged")
+    assert(rows.head.getLong(1) === 1L && rows.head.getDouble(2) > 0.9)
+    assert(rows.tail.forall(r => !r.getBoolean(3) && r.isNullAt(2)))
+    val survivors = Curation.semanticDecontaminate(corpus, evalSet,
+        "vec_id", "embedding", minCosine = 0.9, cents, nprobe = 2)
+      .select("vec_id").as[Long].collect().toSet
+    val fromReport = report.filter(!col("contaminated"))
+      .select("vec_id").as[Long].collect().toSet
+    assert(survivors === fromReport)
+    assert(survivors === (1L to 5L).toSet)
+  }
 }

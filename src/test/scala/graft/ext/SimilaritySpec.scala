@@ -186,6 +186,30 @@ class SimilaritySpec extends SparkSpec {
     assert(self === both)
   }
 
+  test("crossPairsIvf at full probe equals the brute-force threshold " +
+      "cross join; each pair surfaces once") {
+    import spark.implicits._
+    val corpus = vectors.filter($"vec_id" % 2 === 0L)
+    val queries = vectors.filter($"vec_id" % 2 === 1L)
+    val cents = Similarity.trainCentroids(
+      corpus, "vec_id", "embedding", nlist = 2, iterations = 3,
+      sampleSize = 16, seed = 42L)
+    // nprobe = nlist ⇒ complete candidate coverage ⇒ exact pair set
+    val got = Similarity.crossPairsIvf(queries, corpus,
+        "vec_id", "embedding", minCosine = 0.3, cents, nprobe = 2)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.size === got.map(p => (p._1, p._2)).distinct.size,
+      "a pair surfaced more than once")
+    val brute = queries.select($"vec_id".as("query_id"), $"embedding".as("q"))
+      .crossJoin(corpus.select($"vec_id".as("corpus_id"), $"embedding".as("c")))
+      .select($"query_id", $"corpus_id",
+        vector_cosine($"q", $"c").as("cosine"))
+      .filter($"cosine" >= 0.3)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.toSet === brute.toSet)
+    assert(got.nonEmpty) // clusters guarantee some cross-split pairs
+  }
+
   test("suggestPlanesPerBand pins expected bucket population near sqrt(n)") {
     // n / 2^p ≈ √n  ⇔  p ≈ log2(n)/2
     Similarity.suggestPlanesPerBand(0L) shouldBe 1
