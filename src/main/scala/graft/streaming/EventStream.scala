@@ -649,6 +649,38 @@ object EventStream {
         ()
       }
 
+  /** Streaming semantic decontamination gate — [[lmGateSink]]'s sibling
+    * for the embedding check (x16): each micro-batch of candidate
+    * documents drops every row whose embedding sits within `minCosine`
+    * of ANY vector in the STATIC eval-set frame
+    * ([[graft.ext.Curation.semanticDecontaminate]] under the persisted
+    * quantizer — train offline per eval-suite snapshot, gate the crawl
+    * continuously). Stateless per batch: the verdict depends only on
+    * the row and the fixed eval set, so there is no state store, and a
+    * redelivered batch appends the same survivor rows (at-least-once ×
+    * downstream dedup-by-id, the gate sinks' shared contract).
+    * Survivors keep their full payload.
+    */
+  def decontamGateSink(
+      docs: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCosine: Double,
+      centroids: Seq[Array[Float]],
+      outPath: String,
+      checkpoint: String,
+      nprobe: Int = 4): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ext.Curation.semanticDecontaminate(
+          batch, evalSet, idCol, vecCol, minCosine, centroids, nprobe)
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+
   /** Streaming materialized summary view: fold each micro-batch into a
     * parquet-backed [[graft.pipeline.IncrementalAgg]] summary table — the
     * streaming twin of incremental aggregate maintenance (q47). Each

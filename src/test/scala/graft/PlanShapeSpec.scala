@@ -315,6 +315,22 @@ class PlanShapeSpec extends SparkSpec {
   checkShape("x15_curate_then_select", maxExchanges = 8,
     minBroadcastJoins = 2)
 
+  // DoReMi weights (q98): the EG loop's corpus-sized work (per-(doc,
+  // gram) counts, specialist + per-step mixture scoring) runs during
+  // declaration as persisted-frame jobs with broadcast models; the
+  // declared RESULT frame is the O(domains) weight table joined with the
+  // md5-coin kept-count pass — one docs-scan groupBy, the rate table
+  // broadcast into it, and the final O(domains) left join + sort.
+  checkShape("q98_doremi_weights", maxExchanges = 3, minBroadcastJoins = 1)
+
+  // semantic decontamination (x16): eval probes and eval vectors
+  // broadcast (bounded-eval-set contract), so the corpus reaches the
+  // candidate join without shuffling; the hit aggregation reuses the
+  // candidate join's corpus_id partitioning; the per-doc verdict left
+  // join and the final orderBy are the remaining exchanges.
+  checkShape("x16_semantic_decontam", maxExchanges = 3,
+    minBroadcastJoins = 3)
+
   // visual near-dup serve (x14): the feature table is a PARQUET artifact
   // written once by the declaration (the codec decode never re-runs per
   // consumer); the serve is the plain-IVF batch shape — cell equi-join

@@ -672,4 +672,52 @@ class EventStreamSpec extends SparkSpec {
     got.toSet shouldBe expected
     got.length shouldBe expected.size // each survivor landed exactly once
   }
+
+  test("decontamGateSink: streamed gate equals the batch decontamination") {
+    import graft.ext.{Curation, Similarity}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dims = 8
+    def vec(axis: Int, seed: Int, noise: Float): Seq[Float] = {
+      val rng = new scala.util.Random(seed)
+      Seq.tabulate(dims)(i =>
+        (if (i == axis) 1f else 0f) + (rng.nextFloat() - 0.5f) * noise)
+    }
+    // eval suite on axis 0; the crawl mixes eval-like (even ids) and
+    // unrelated (odd ids) vectors
+    val evalSet = Seq((100L, vec(0, 7, 0.0f)), (101L, vec(0, 8, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val crawlAll = (10L until 26L).map { i =>
+      (i, if (i % 2 == 0) vec(0, 7, 0.05f) else vec(1, i.toInt, 0.4f))
+    }
+    val crawlDF = crawlAll.toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(
+      crawlDF, "vec_id", "embedding", nlist = 2, iterations = 3,
+      sampleSize = 16, seed = 42L)
+    val expected = Curation.semanticDecontaminate(crawlDF, evalSet,
+        "vec_id", "embedding", minCosine = 0.9, cents, nprobe = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(expected.nonEmpty && expected.size < crawlAll.size,
+      s"gate should split the crawl, kept $expected")
+
+    val outDir = Files.createTempDirectory("dc-gate-out").toString
+    val ckpt = Files.createTempDirectory("dc-gate-ckpt").toString
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = EventStream.decontamGateSink(
+      input.toDF().toDF("vec_id", "embedding"), evalSet,
+      "vec_id", "embedding", minCosine = 0.9, cents,
+      outPath = outDir, checkpoint = ckpt, nprobe = 2)
+      .start()
+    try {
+      input.addData(crawlAll.take(5): _*)
+      q.processAllAvailable()
+      input.addData(crawlAll.drop(5): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.read.parquet(outDir)
+      .select("vec_id").as[Long].collect()
+    got.toSet shouldBe expected
+    got.length shouldBe expected.size // each survivor landed exactly once
+  }
 }
