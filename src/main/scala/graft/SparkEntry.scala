@@ -2511,6 +2511,25 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "q99_unimax_sampling" -> ((s, dir) => {
+      // UniMax language sampling (ext.Curation.unimaxAllocation — Chung
+      // et al., ICLR 2023): waterfill a character budget of 1.5× the
+      // corpus across languages, smallest first, capping every language
+      // at 2 epochs — low-resource languages repeat up to the cap
+      // (never past it, temperature sampling's memorization failure
+      // mode) and the freed budget flows to the head language. At this
+      // corpus the four small languages cap at 2.0 epochs and en takes
+      // the equal-share remainder (~0.8 epochs) — both waterfilling
+      // branches exercised at every SF. n_virtual counts the
+      // materialized corpus (⌊epochs⌋ copies + the md5-coin fractional
+      // epoch); the oracle replays sizes, the closed-form prefix
+      // waterfill, the grids, and the coin.
+      Curation.unimaxAllocation(rd(s, dir, "documents"),
+        "doc_id", "text", "lang", epochCap = 2.0, budgetFraction = 1.5,
+        salt = "q99")
+        .orderBy("lang")
+    }),
+
     "x16_semantic_decontam" -> ((s, dir) => {
       // SEMANTIC eval-set decontamination (Curation
       // .semanticContaminationReport over Similarity.crossPairsIvf —
@@ -5301,6 +5320,61 @@ object SparkEntry {
 
     "q95_dsir_select" ->
       ("WITH " + dsirOracleTail("documents", "dsir", 500)),
+
+    // q99: per-language sizes, the closed-form prefix waterfill (capped
+    // prefix found by the min-over-prefix window on the fair-share
+    // test, every division fed exact integer doubles), the 1e-6/1e-9
+    // grids, and the md5-coin fractional-epoch count.
+    "q99_unimax_sampling" ->
+      """WITH c AS MATERIALIZED (SELECT lang, count(*) AS n_docs,
+        |    coalesce(sum(length(text)), 0) AS chars
+        |  FROM documents GROUP BY 1),
+        |gl AS MATERIALIZED (SELECT count(*) AS L, sum(chars) AS tc
+        |  FROM c),
+        |prm AS MATERIALIZED (SELECT CAST(floor(tc * 1.5) AS BIGINT) AS B
+        |  FROM gl),
+        |ordx AS MATERIALIZED (SELECT c.*,
+        |    row_number() OVER (ORDER BY chars, lang) AS rn,
+        |    coalesce(sum(chars) OVER (ORDER BY chars, lang
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum0
+        |  FROM c),
+        |cap AS MATERIALIZED (SELECT rn,
+        |    CASE WHEN 2.0 * chars <= ((SELECT B FROM prm) - 2.0 * cum0)
+        |        / ((SELECT L FROM gl) - rn + 1) THEN 1 ELSE 0 END AS ok
+        |  FROM ordx),
+        |pfx AS MATERIALIZED (SELECT rn, min(ok) OVER (ORDER BY rn
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS allok
+        |  FROM cap),
+        |mx AS MATERIALIZED (SELECT coalesce(max(rn), 0) AS m FROM pfx
+        |  WHERE allok = 1),
+        |cm AS MATERIALIZED (SELECT coalesce(sum(chars), 0) AS cum_m
+        |  FROM ordx WHERE rn <= (SELECT m FROM mx)),
+        |w AS MATERIALIZED (SELECT o.lang, o.n_docs, o.chars,
+        |    CASE WHEN o.rn <= (SELECT m FROM mx) THEN 2.0 * o.chars
+        |      ELSE ((SELECT B FROM prm) - 2.0 * (SELECT cum_m FROM cm))
+        |        / greatest((SELECT L FROM gl) - (SELECT m FROM mx), 1)
+        |      END AS b
+        |  FROM ordx o),
+        |w2 AS MATERIALIZED (SELECT lang, n_docs, chars,
+        |    floor(b * 1e6 + 0.5) / 1e6 AS alloc,
+        |    CASE WHEN chars = 0 THEN 0.0
+        |      ELSE floor(b / chars * 1e6 + 0.5) / 1e6 END AS epochs,
+        |    floor(b / (SELECT B FROM prm) * 1e9 + 0.5) / 1e9 AS p
+        |  FROM w),
+        |w3 AS MATERIALIZED (SELECT *,
+        |    CAST(floor(epochs) AS BIGINT) AS k,
+        |    CAST(floor((epochs - CAST(floor(epochs) AS BIGINT))
+        |      * 1048576) AS BIGINT) AS thr
+        |  FROM w2),
+        |v AS MATERIALIZED (SELECT d.lang,
+        |    sum(w3.k + CASE WHEN CAST('0x' || substr(md5(
+        |        CAST(d.doc_id AS VARCHAR) || 'q99'), 1, 5) AS BIGINT)
+        |      < w3.thr THEN 1 ELSE 0 END) AS n_virtual
+        |  FROM documents d JOIN w3 USING (lang) GROUP BY 1)
+        |SELECT w3.lang, w3.n_docs, w3.chars, w3.alloc, w3.epochs, w3.p,
+        |  coalesce(v.n_virtual, 0) AS n_virtual
+        |FROM w3 LEFT JOIN v USING (lang) ORDER BY w3.lang""".stripMargin,
 
     // x16: corpus-side k-means replay (kmeansOracle at the %10<9 split),
     // eval probe scoring against those cells, exact-cosine verify of

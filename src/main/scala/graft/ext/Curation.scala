@@ -259,6 +259,159 @@ object Curation {
       .drop("_rate")
   }
 
+  /** UniMax language sampling (Chung et al., ICLR 2023, "UniMax: Fairer
+    * and More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining", Algorithm 1): allocate a total character budget
+    * across languages by waterfilling — visit languages smallest-first;
+    * each takes `min(fair share of the remaining budget, epochCap × its
+    * own size)`. Low-resource languages are repeated up to `epochCap`
+    * epochs, never more (the temperature-sampling failure mode UniMax
+    * removes: no language is memorized through dozens of epochs), and
+    * the freed budget flows to the head languages.
+    *
+    * The sequential loop has a closed form this implementation (and its
+    * SQL oracle twin) computes instead: in ascending size order the
+    * capped languages form a PREFIX — once a language's fair share binds
+    * (`b = u`), the share stays constant for everyone after it — so
+    * `b_l = epochCap · c_l` for the longest prefix where
+    * `epochCap · c_l ≤ (B − epochCap · cum0_l) / L_remaining`, and every
+    * later language gets the equal share
+    * `(B − epochCap · Σ_prefix c) / (L − prefix)`. All inputs to the
+    * division are exact integers in doubles, so both engines compute
+    * identical allocations bit-for-bit.
+    *
+    * `budgetFraction` sets `B = ⌊totalChars · budgetFraction⌋` — the
+    * budget scales with the corpus, so one declaration is meaningful at
+    * every SF. Output, one row per language:
+    * `(langCol, n_docs, chars, alloc (1e-6 grid), epochs (1e-6),
+    * p (1e-9), n_virtual)` — `epochs = alloc / chars`, `p = alloc / B`,
+    * and `n_virtual` the materialized-corpus row count:
+    * `⌊epochs⌋` full copies of every document plus one more decided by
+    * the md5 coin at the fractional epoch (the repo's deterministic
+    * sampler contract; [[unimaxSample]] materializes exactly those
+    * rows).
+    *
+    * Scale shape: one narrow aggregation to O(languages) rows, the
+    * waterfilling on the driver at O(languages) (the bounded-model-state
+    * exception), and one ids-only corpus pass for `n_virtual` with the
+    * allocation broadcast.
+    */
+  def unimaxAllocation(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      epochCap: Double = 2.0,
+      budgetFraction: Double = 0.5,
+      salt: String = "unimax"): DataFrame = {
+    require(epochCap > 0, s"epochCap must be positive: $epochCap")
+    require(budgetFraction > 0, s"budgetFraction must be positive")
+    val spark = docs.sparkSession
+    def grid(v: Double, g: Double): Double = math.floor(v * g + 0.5) / g
+
+    val sizes = docs.groupBy(col(langCol))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(length(col(textCol))), lit(0L)).as("chars"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._3, t._1)) // ascending size, language tiebreak
+    val nLang = sizes.length
+    val totalChars = sizes.map(_._3).sum
+    val budget = math.floor(totalChars * budgetFraction).toLong
+
+    // longest capped prefix: epochCap·c must fit under the running fair
+    // share computed AS IF every earlier language was capped (valid —
+    // capping is a prefix property in ascending order)
+    var cum0 = 0L
+    var m = 0
+    var broken = false
+    for (((_, _, c), i) <- sizes.zipWithIndex if !broken) {
+      val fair = (budget - epochCap * cum0) / (nLang - i)
+      if (epochCap * c <= fair) { m = i + 1; cum0 += c }
+      else broken = true
+    }
+    val cumM = sizes.take(m).map(_._3).sum
+    val equalShare =
+      (budget - epochCap * cumM) / math.max(nLang - m, 1)
+
+    val rows = sizes.zipWithIndex.map { case ((lang, nd, c), i) =>
+      val b = if (i < m) epochCap * c else equalShare
+      val epochs = if (c == 0L) 0.0 else grid(b / c, 1e6)
+      val k = math.floor(epochs).toLong
+      val thr = math.floor((epochs - k) * 1048576L).toLong
+      org.apache.spark.sql.Row(lang, nd, c, grid(b, 1e6), epochs,
+        grid(b / budget, 1e9), k, thr)
+    }
+    val allocDF = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(langCol,
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_docs",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("chars",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("alloc",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("epochs",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("p",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("_k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("_thr",
+          org.apache.spark.sql.types.LongType))))
+
+    // one ids-only corpus pass: full copies + the fractional-epoch coin
+    val coin = conv(substring(
+      md5(concat(col(idCol).cast("string"), lit(salt))), 1, 5), 16, 10)
+      .cast("long")
+    val virt = docs
+      .join(broadcast(allocDF.select(col(langCol), col("_k"), col("_thr"))),
+        Seq(langCol))
+      .select(col(langCol),
+        (col("_k") + when(coin < col("_thr"), 1L).otherwise(0L)).as("_c"))
+      .groupBy(col(langCol))
+      .agg(sum("_c").as("n_virtual"))
+    allocDF
+      .join(virt, Seq(langCol), "left")
+      .select(col(langCol), col("n_docs"), col("chars"), col("alloc"),
+        col("epochs"), col("p"),
+        coalesce(col("n_virtual"), lit(0L)).as("n_virtual"))
+  }
+
+  /** Materialize the UniMax corpus: each document repeated
+    * `⌊epochs⌋` times plus one more when the md5 coin lands under the
+    * fractional epoch — exactly the rows [[unimaxAllocation]]'s
+    * `n_virtual` counts (spec-pinned). Output adds an `epoch` index
+    * (1-based) to the full document payload; downstream shuffles see
+    * repeated docs as distinct rows, which is the paper's semantics
+    * (the corpus is trained for that many epochs).
+    */
+  def unimaxSample(
+      docs: DataFrame,
+      idCol: String,
+      langCol: String,
+      allocation: DataFrame,
+      salt: String = "unimax"): DataFrame = {
+    val coin = conv(substring(
+      md5(concat(col(idCol).cast("string"), lit(salt))), 1, 5), 16, 10)
+      .cast("long")
+    val rates = allocation.select(col(langCol), col("epochs"))
+      .withColumn("_k", floor(col("epochs")).cast("long"))
+      .withColumn("_thr",
+        floor((col("epochs") - col("_k")) * 1048576L).cast("long"))
+      .drop("epochs")
+    docs
+      .join(broadcast(rates), Seq(langCol))
+      .withColumn("_copies",
+        col("_k") + when(coin < col("_thr"), 1L).otherwise(0L))
+      .filter(col("_copies") > 0)
+      .withColumn("epoch",
+        explode(sequence(lit(1L), col("_copies"))))
+      .drop("_k", "_thr", "_copies")
+  }
+
   /** Ordered per-entity event history, the training-sequence assembly
     * step (conversation building, behavioral-sequence features): each
     * key's events collected, sorted by the struct's leading fields, and

@@ -323,6 +323,13 @@ class PlanShapeSpec extends SparkSpec {
   // broadcast into it, and the final O(domains) left join + sort.
   checkShape("q98_doremi_weights", maxExchanges = 3, minBroadcastJoins = 1)
 
+  // UniMax (q99): the waterfill runs on O(languages) driver state; the
+  // declared frame is one narrow per-language groupBy, the broadcast
+  // allocation meeting the ids-only coin pass, its groupBy, and the
+  // final O(languages) join + sort.
+  checkShape("q99_unimax_sampling", maxExchanges = 3,
+    minBroadcastJoins = 1)
+
   // semantic decontamination (x16): eval probes and eval vectors
   // broadcast (bounded-eval-set contract), so the corpus reaches the
   // candidate join without shuffling; the hit aggregation reuses the

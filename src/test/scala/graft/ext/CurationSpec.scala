@@ -349,6 +349,41 @@ class CurationSpec extends SparkSpec {
       Seq(9L)
   }
 
+  test("unimaxAllocation: waterfill matches hand math, caps bind " +
+      "smallest-first, sample count equals n_virtual") {
+    import spark.implicits._
+    // sizes 10 / 20 / 100 chars; budget = 1.0x total = 130, cap 2.
+    // lo: 2x10=20 <= 130/3 -> capped; mid: 2x20=40 <= (130-20)/2=55 ->
+    // capped; hi: equal share (130-60)/1 = 70 -> 0.7 epochs.
+    val docs = Seq(
+      (1L, "lo", "a" * 10),
+      (2L, "mid", "b" * 20),
+      (3L, "hi", "c" * 50), (4L, "hi", "d" * 50))
+      .toDF("doc_id", "lang", "text")
+    val alloc = Curation.unimaxAllocation(docs, "doc_id", "text", "lang",
+      epochCap = 2.0, budgetFraction = 1.0, salt = "spec")
+    val byLang = alloc.collect().map(r => r.getString(0) -> r).toMap
+    assert(byLang("lo").getDouble(3) === 20.0) // alloc = 2 epochs x 10
+    assert(byLang("lo").getDouble(4) === 2.0)
+    assert(byLang("mid").getDouble(3) === 40.0)
+    assert(byLang("mid").getDouble(4) === 2.0)
+    assert(byLang("hi").getDouble(3) === 70.0) // the equal-share rest
+    assert(byLang("hi").getDouble(4) === 0.7)
+    // materialized corpus: per-lang row count equals n_virtual, epoch
+    // index never exceeds the cap's ceiling
+    val sample = Curation.unimaxSample(docs, "doc_id", "lang", alloc,
+      salt = "spec")
+    val counts = sample.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    alloc.collect().foreach { r =>
+      assert(counts.getOrElse(r.getString(0), 0L) === r.getLong(6),
+        s"lang ${r.getString(0)}")
+    }
+    assert(sample.agg(max("epoch")).head().getLong(0) <= 2L)
+    // capped languages materialize exactly cap x n_docs rows
+    assert(counts("lo") === 2L && counts("mid") === 2L)
+  }
+
   test("semantic decontamination: report flags the planted eval neighbor; " +
       "the filter form equals report.filter(!contaminated)") {
     import spark.implicits._
