@@ -2647,6 +2647,33 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    "x17_curate_then_reweight" -> ((s, dir) => {
+      // the DOMAIN-mixture sibling of x15: the same curation half (exact
+      // dedup → quality floor → 13-gram decontamination vs the %50 eval
+      // set → eval ids dropped) feeding DoReMi domain reweighting (the
+      // q98 recipe at salt x17) over exactly the surviving corpus.
+      // Mixture weights must be computed over CURATED data — duplicate
+      // and junk mass otherwise inflates a domain's size and distorts
+      // both its share and its excess (the DoReMi paper reweights the
+      // cleaned Pile, not raw crawls). The oracle replays curation and
+      // then the full three-step EG chain over the survivors.
+      val docs = rd(s, dir, "documents")
+      val evalDocs = docs.filter(col("doc_id") % 50 === 0)
+      // x15's persist posture: the narrow curated-id frame evaluates the
+      // curation chain once, not once per DoReMi pass (pg build, share
+      // count, coin pass all read it)
+      val curatedIds = CorpusPipeline.curate(docs, "doc_id", "text",
+          evalDocs, "doc_id", "text", minQuality = 0.5, nGram = 13,
+          salt = "x17")
+        .select("doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val corpus = docs.join(curatedIds, Seq("doc_id"), "left_semi")
+      graft.ext.Doremi.domainWeights(corpus, "doc_id", "text", "source",
+        n = 3, addK = 0.01, alphabetSize = 64, steps = 3, eta = 1.0,
+        smoothing = 1e-3, salt = "x17")
+        .orderBy("source")
+    }),
+
     "x14_visual_near_dup" -> ((s, dir) => {
       // the multimodal → similarity composition: m8's codec-decoded
       // luminance-histogram features feed the IVF serving stack — the
@@ -5505,6 +5532,32 @@ object SparkEntry {
           |  AND doc_id NOT IN (SELECT doc_id FROM hits)),""".stripMargin +
         "\n" + dsirOracleTail("cur", "x15", 200)),
 
+    // x17: x15's curation prefix (dedup + quality CTEs, the 13-gram
+    // contamination join, the eval anti-joins) re-joined with documents
+    // for the source column, then the full q98 DoReMi chain bound to the
+    // surviving corpus at salt x17.
+    "x17_curate_then_reweight" ->
+      ("WITH " + dedupQualityCtes + ",\n" +
+        """tok AS (SELECT doc_id,
+          |    regexp_split_to_array(trim(text), '\s+') AS a FROM q),
+          |gq AS (SELECT doc_id, unnest(list_distinct(
+          |    list_transform(range(1, len(a) - 11),
+          |      i -> array_to_string(a[i:i+12], ' ')))) AS gram
+          |  FROM tok WHERE len(a) >= 13),
+          |etok AS (SELECT doc_id,
+          |    regexp_split_to_array(trim(text), '\s+') AS a
+          |  FROM documents WHERE doc_id % 50 = 0),
+          |ge AS (SELECT DISTINCT unnest(list_distinct(
+          |    list_transform(range(1, len(a) - 11),
+          |      i -> array_to_string(a[i:i+12], ' ')))) AS gram
+          |  FROM etok WHERE len(a) >= 13),
+          |hits AS (SELECT DISTINCT gq.doc_id FROM gq JOIN ge USING (gram)),
+          |cur AS (SELECT doc_id, text FROM q WHERE doc_id % 50 <> 0
+          |  AND doc_id NOT IN (SELECT doc_id FROM hits)),
+          |curd AS MATERIALIZED (SELECT c.doc_id, d.source, c.text
+          |  FROM cur c JOIN documents d USING (doc_id)),""".stripMargin +
+        "\n" + doremiOracleTail("curd", "x17", 3, "0.01")),
+
     // x14: re-derive the 16-bin count/64 luminance histograms as byte
     // math (m8's proof: pixel = text byte, zero-padded past 64; ascii('')
     // = 0 lands padding in bin 0), bind the k-means preamble's `e` to the
@@ -5574,7 +5627,15 @@ object SparkEntry {
     * arithmetic sequence pinned to the engine's ((c · (a · (T / tot))),
     * 1e-4 / 1e-6 / 1e-9 grid) order so the hash compares exactly.
     */
-  private def doremiOracle(steps: Int, addK: String = "0.5"): String = {
+  private def doremiOracle(steps: Int, addK: String = "0.5"): String =
+    "WITH " + doremiOracleTail("documents", "q98", steps, addK)
+
+  /** The parameterized body: `docsFrom` is any relation/CTE with
+    * (doc_id, source, text) — "documents" for q98, the curated corpus
+    * CTE for x17 — and `salt` feeds the resample coin.
+    */
+  private def doremiOracleTail(
+      docsFrom: String, salt: String, steps: Int, addK: String): String = {
     val stepCtes = (0 until steps).map { k =>
       s"""m$k AS MATERIALIZED (SELECT dgc.gram,
         |    sum(CAST(dgc.dc AS DOUBLE)
@@ -5602,7 +5663,7 @@ object SparkEntry {
     val wsum = (1 to steps).map(k => s"a$k.a").mkString(" + ")
     val wjoin = (1 to steps)
       .map(k => s"JOIN a$k ON n.source = a$k.source").mkString(" ")
-    s"""WITH d0 AS MATERIALIZED (SELECT doc_id, source, text FROM documents
+    s"""d0 AS MATERIALIZED (SELECT doc_id, source, text FROM $docsFrom
       |  WHERE text IS NOT NULL),
       |g AS MATERIALIZED (SELECT doc_id, source, substr(text, i, 3) AS gram
       |  FROM d0, unnest(generate_series(1, length(text) - 2)) AS t(i)),
@@ -5614,8 +5675,8 @@ object SparkEntry {
       |tots AS MATERIALIZED (SELECT source, sum(dc) AS tot FROM dgc GROUP BY 1),
       |gl AS MATERIALIZED (SELECT CAST(sum(tot) AS DOUBLE) AS tg, count(*) AS nd
       |  FROM tots),
-      |nd0 AS MATERIALIZED (SELECT source, count(*) AS n_docs FROM documents
-      |  GROUP BY 1),
+      |nd0 AS MATERIALIZED (SELECT source, count(*) AS n_docs
+      |  FROM $docsFrom GROUP BY 1),
       |ref AS MATERIALIZED (SELECT pg.doc_id, pg.source,
       |    floor(sum(pg.c * -ln((dgc.dc + $addK) / (dctx.dcc + $addK * 64)))
       |      / CAST(sum(pg.c) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS lref
@@ -5637,9 +5698,9 @@ object SparkEntry {
       |    floor(least(1.0, weight / share) * 1e6 + 0.5) / 1e6 AS rate
       |  FROM fin),
       |k1 AS MATERIALIZED (SELECT d.source, count(*) AS n_kept
-      |  FROM documents d JOIN fr f ON d.source = f.source
-      |  WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'q98'),
-      |      1, 5) AS BIGINT)
+      |  FROM $docsFrom d JOIN fr f ON d.source = f.source
+      |  WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+      |      || '$salt'), 1, 5) AS BIGINT)
       |    < CAST(floor(f.rate * 1048576) AS BIGINT)
       |  GROUP BY 1)
       |SELECT f.source, f.n_docs, f.share, f.excess, f.weight, f.rate,

@@ -323,6 +323,14 @@ class PlanShapeSpec extends SparkSpec {
   // broadcast into it, and the final O(domains) left join + sort.
   checkShape("q98_doremi_weights", maxExchanges = 3, minBroadcastJoins = 1)
 
+  // curate → reweight composition (x17): the curation chain (dedup
+  // groupBy, broadcast eval-gram contamination join, two anti joins)
+  // builds the persisted curated-id frame once; the declared result is
+  // the O(domains) weight table joined with the coin pass over the
+  // curated corpus. Zero cartesian on the composed tree.
+  checkShape("x17_curate_then_reweight", maxExchanges = 7,
+    minBroadcastJoins = 4)
+
   // UniMax (q99): the waterfill runs on O(languages) driver state; the
   // declared frame is one narrow per-language groupBy, the broadcast
   // allocation meeting the ids-only coin pass, its groupBy, and the
