@@ -31,7 +31,9 @@ object Plans {
     "t16_quality_classifier", "y2_knn_lsh", "y3_knn_ivf", "y5_knn_ivfpq",
     "y6_knn_indexed", "y7_knn_artifact_served", "x12_leakage_safe_split",
     "t18_gopher_battery", "x13_snapshot_lifecycle", "q95_dsir_select",
-    "x14_visual_near_dup", "x15_curate_then_select")
+    "x14_visual_near_dup", "x15_curate_then_select",
+    "q98_doremi_weights", "q99_unimax_sampling", "x16_semantic_decontam",
+    "x17_curate_then_reweight")
 
   /** x11 and q91 materialize eagerly in their public form (persist +
     * localCheckpoint — the executed plan of the DECLARED query is just a
