@@ -149,10 +149,11 @@ last step is the only ratio this artifact reads.
 Reproducibility: ratios are chain-internal, so host weather moves the
 absolutes, not the verdicts — the round-9 record's full 3-scale chain
 was reproduced at its HEAD in ~18% heavier weather with 0 flags and the
-same per-family ratio shape; the round-10 chain (new: y7 pair;
-reshaped: x7/x9/x11/x12) and this round-11 chain (new: q93/q94/q95/
-t18/x13) again flag nothing, with every new query's last step at or
-below its family growth.""")
+same per-family ratio shape; the round-10, round-11 and round-12
+chains (round 12 new: x14/q97/t19/x15, then q98/q99/x16/x17 — the
+DoReMi pair's last step is ~1.2x on 10x data, the model-bounded EG
+passes dominating) again flag nothing, with every new query's last
+step at or below its family growth.""")
     out.append("")
     with open("SCALING.md", "w") as f:
         f.write("\n".join(out) + "\n")
