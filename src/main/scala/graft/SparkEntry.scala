@@ -1208,6 +1208,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "t20_blocklist" -> ((s, dir) => {
+      // C4 bad-words rule (ext.TextAnalysis.blocklistSignals — Raffel
+      // et al. 2020 §2.2: any page containing a banned word is dropped;
+      // exact-token match, not substring, so no scunthorpe false
+      // positives). One row-local codegen'd projection: the blocklist
+      // rides the StopwordHits expression as a reference object, the
+      // corpus never shuffles. 'dup' hits ~5% of this corpus; the two
+      // absent words prove the zero-hit path. The oracle recounts
+      // occurrences with the same tokenization.
+      TextAnalysis.blocklistSignals(rd(s, dir, "documents"),
+        "doc_id", "text", Seq("dup", "casino", "lottery"))
+        .orderBy("doc_id")
+    }),
+
     "t10_bpe_chars" -> ((s, dir) =>
       // the BPE machinery with zero merges: every non-whitespace code
       // point is its own token, so DuckDB can compute the exact count —
@@ -3972,6 +3986,17 @@ object SparkEntry {
         |  CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
         |    ELSE 'tail' END AS tier
         |FROM sl ORDER BY doc_id""".stripMargin,
+
+    "t20_blocklist" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'),
+        |    w -> w IN ('dup', 'casino', 'lottery'))) AS BIGINT)
+        |    AS blocked_hits,
+        |  len(list_filter(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'),
+        |    w -> w IN ('dup', 'casino', 'lottery'))) > 0 AS blocked
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "t10_bpe_chars" ->
       """SELECT doc_id,

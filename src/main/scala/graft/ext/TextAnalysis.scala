@@ -487,4 +487,50 @@ object TextAnalysis {
           col("alpha_word_frac") > th.minAlphaFrac &&
           col("stopword_hits") >= th.minStopwords)
   }
+
+  /** Word-blocklist signals — the C4 "bad words" rule (Raffel et al.
+    * 2020, §2.2: any page containing a word from the banned list is
+    * removed; Dolma and RefinedWeb keep the same stage with their own
+    * lists). Output per document: `(idCol, blocked_hits, blocked)` —
+    * total blocklist-token OCCURRENCES (case-insensitive, whitespace
+    * tokenization, exact token match — no substring false positives:
+    * the published failure mode of naive contains-matching) and the
+    * drop verdict. Null text propagates null signals.
+    *
+    * 100 TB shape: one row-local codegen'd projection — the blocklist
+    * rides the [[graft.functions.StopwordHits]] expression as a
+    * reference object (binary search per token), so the corpus never
+    * shuffles and nothing broadcasts. URL/domain blocklists compose the
+    * same way over [[canonicalizeUrl]]'s host output.
+    */
+  def blocklistSignals(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      words: Seq[String]): DataFrame = {
+    require(words.nonEmpty, "blocklistSignals: empty blocklist")
+    val ts = split(lower(trim(col(textCol))), "\\s+")
+    docs.select(
+      col(idCol),
+      graft.functions.StopwordFunctions.stopword_hits(ts, words)
+        .cast("long").as("blocked_hits"))
+      .withColumn("blocked", col("blocked_hits") > 0)
+  }
+
+  /** The filter form: documents with ZERO blocklist hits (C4 drops the
+    * whole page on any hit). Null-text rows are dropped too — an
+    * unscannable page fails closed, matching the published pipelines.
+    */
+  def blocklistFilter(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      words: Seq[String]): DataFrame = {
+    require(words.nonEmpty, "blocklistFilter: empty blocklist")
+    // the verdict is row-local, so the filter is a plain codegen'd
+    // predicate — no join, nothing shuffles
+    val ts = split(lower(trim(col(textCol))), "\\s+")
+    docs.filter(
+      graft.functions.StopwordFunctions.stopword_hits(ts, words) === 0)
+  }
 }

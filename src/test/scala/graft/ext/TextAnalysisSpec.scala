@@ -286,4 +286,26 @@ class TextAnalysisSpec extends SparkSpec {
     val d3 = out(2)
     assert(d3._2 === 0L && d3._3 === 0.0 && d3._8 === 0L && !d3._9)
   }
+
+  test("blocklist: exact-token occurrences, case-insensitive, no " +
+      "substring false positives; filter drops exactly the hit docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "clean text about ducks"),
+      (2L, "SPAM spam and more Spam"),      // 3 occurrences, mixed case
+      (3L, "spammy antispam spams"),        // substrings must NOT hit
+      (4L, null.asInstanceOf[String]),
+      (5L, "one spam here")).toDF("doc_id", "text")
+    val sig = TextAnalysis.blocklistSignals(docs, "doc_id", "text",
+        Seq("spam", "casino"))
+      .orderBy("doc_id").collect()
+    assert(sig.map(r => (r.getLong(0),
+      if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq ===
+      Seq((1L, 0L), (2L, 3L), (3L, 0L), (4L, -1L), (5L, 1L)))
+    assert(sig(3).isNullAt(2)) // null text -> null verdict
+    val kept = TextAnalysis.blocklistFilter(docs, "doc_id", "text",
+        Seq("spam", "casino"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L)) // hits drop; null text fails closed
+  }
 }
