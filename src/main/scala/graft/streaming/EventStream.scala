@@ -649,6 +649,44 @@ object EventStream {
         ()
       }
 
+  /** Streaming near-duplicate gate against the persisted minhash index —
+    * the crawl-side twin of incremental dedup (x9): each micro-batch of
+    * candidate documents drops every row whose token-set Jaccard against
+    * the STATIC corpus index reaches `threshold`
+    * ([[graft.ext.Dedup.nearDuplicatesAgainstIndex]] — build the index
+    * once per corpus snapshot, gate the crawl continuously). Stateless
+    * per batch: the verdict depends only on the row and the fixed index,
+    * so no state store, and a redelivered batch appends the same
+    * survivor rows (at-least-once × downstream dedup-by-id, the gate
+    * sinks' shared contract). Survivors keep their full payload.
+    *
+    * Duplicates WITHIN the stream are out of scope by design — that is
+    * the batch pipeline's job at the next snapshot boundary (re-index,
+    * then the next crawl gates against the refreshed index), matching
+    * the published crawl cadence.
+    */
+  def dedupGateSink(
+      docs: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      outPath: String,
+      checkpoint: String,
+      numHashes: Int = 64,
+      bands: Int = 16): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val dupIds = graft.ext.Dedup.nearDuplicatesAgainstIndex(
+          index, batch, idCol, textCol, threshold, numHashes, bands)
+          .select(col("new_id").as(idCol))
+        batch.join(dupIds, Seq(idCol), "left_anti")
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+
   /** Streaming semantic decontamination gate — [[lmGateSink]]'s sibling
     * for the embedding check (x16): each micro-batch of candidate
     * documents drops every row whose embedding sits within `minCosine`

@@ -673,6 +673,55 @@ class EventStreamSpec extends SparkSpec {
     got.length shouldBe expected.size // each survivor landed exactly once
   }
 
+  test("dedupGateSink: streamed gate equals the batch dedup-vs-index") {
+    import graft.ext.Dedup
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // corpus snapshot: two distinctive documents; the crawl mixes
+    // near-copies (even ids) and fresh text (odd ids)
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "pack my box with five dozen liquor jugs right now"))
+      .toDF("doc_id", "text")
+    val crawlAll = (10L until 22L).map { i =>
+      (i, if (i % 2 == 0)
+            "the quick brown fox jumps over the lazy dog tonight"
+          else s"completely fresh unseen content number $i with words")
+    }
+    val tmp = Files.createTempDirectory("dd-gate-idx").toString
+    Dedup.minhashIndex(corpus, "doc_id", "text",
+      numHashes = 64, bands = 16)
+      .write.mode("overwrite").parquet(s"$tmp/idx")
+    val index = spark.read.parquet(s"$tmp/idx")
+
+    val crawlDF = crawlAll.toDF("doc_id", "text")
+    val dupIds = Dedup.nearDuplicatesAgainstIndex(index, crawlDF,
+        "doc_id", "text", threshold = 0.8)
+      .select(col("new_id")).as[Long].collect().toSet
+    val expected = crawlAll.map(_._1).toSet -- dupIds
+    assert(dupIds.nonEmpty && expected.nonEmpty,
+      s"gate should split the crawl: dups=$dupIds")
+
+    val outDir = Files.createTempDirectory("dd-gate-out").toString
+    val ckpt = Files.createTempDirectory("dd-gate-ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val q = EventStream.dedupGateSink(
+      input.toDF().toDF("doc_id", "text"), index, "doc_id", "text",
+      threshold = 0.8, outPath = outDir, checkpoint = ckpt)
+      .start()
+    try {
+      input.addData(crawlAll.take(5): _*)
+      q.processAllAvailable()
+      input.addData(crawlAll.drop(5): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect()
+    got.toSet shouldBe expected
+    got.length shouldBe expected.size // each survivor landed exactly once
+  }
+
   test("decontamGateSink: streamed gate equals the batch decontamination") {
     import graft.ext.{Curation, Similarity}
     import spark.implicits._
