@@ -1259,6 +1259,35 @@ object SparkEntry {
             .cast("int").as("compressed"))
     }),
 
+    "t21_unigram_roundtrip" -> ((s, dir) => {
+      // end-to-end trained unigram-LM tokenizer invariants (ext.Unigram
+      // — Kudo 2018, the SentencePiece algorithm; the shrink-from-seed
+      // counterpart of t11's grow-by-merge BPE): training is the same
+      // distributed word-count pass + driver EM/prune loop; encoding is
+      // the native Viterbi expression. Checks mirror t11: (a) every
+      // doc's pieces concatenate back to its whitespace-stripped text
+      // (single-code-point unk fallback makes coverage total), (b) the
+      // exact corpus code-point total (DuckDB recomputes it), (c) the
+      // trained vocabulary actually compresses.
+      val docs = rd(s, dir, "documents").filter(col("text").isNotNull)
+      val m = ext.Unigram.train(docs, "text", vocabSize = 512)
+      docs
+        .select(
+          m.encode(col("text")).as("toks"),
+          regexp_replace(col("text"), "\\s+", "").as("squashed"))
+        .select(
+          size(col("toks")).cast("long").as("n_tokens"),
+          length(col("squashed")).cast("long").as("n_chars"),
+          (concat_ws("", col("toks")) === col("squashed"))
+            .cast("long").as("rt_ok"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("rt_ok")).as("n_roundtrip"),
+          sum(col("n_chars")).as("sum_chars"),
+          (sum(col("n_tokens")) < sum(col("n_chars")))
+            .cast("int").as("compressed"))
+    }),
+
     // ------------------------------------------- LLM-pipeline: multimodal
     "m1_multimodal_meta" -> ((s, dir) => {
       Multimodal.metadataOnly(
@@ -4003,6 +4032,16 @@ object SparkEntry {
         |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT)
         |    AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // t21: same contract as t11 — the roundtrip/compression flags are
+    // Spark-proven invariants, the oracle independently recomputes the
+    // doc count and exact corpus code-point total and pins the flags
+    "t21_unigram_roundtrip" ->
+      """SELECT count(*) AS n_docs, count(*) AS n_roundtrip,
+        |  CAST(sum(length(regexp_replace(text, '\s+', '', 'g'))) AS BIGINT)
+        |    AS sum_chars,
+        |  1 AS compressed
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
 
     // the roundtrip/compression flags are Spark-proven invariants; the
     // oracle independently recomputes the doc count and the exact corpus
