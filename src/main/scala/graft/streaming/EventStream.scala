@@ -649,6 +649,33 @@ object EventStream {
         ()
       }
 
+  /** Streaming domain-mixture gate — apply a PRE-FIT DoReMi weight table
+    * ([[graft.ext.Doremi.domainWeights]], persisted as parquet) to the
+    * crawl as it lands: each micro-batch keeps every document with its
+    * domain's resample rate, decided by the md5 coin
+    * ([[graft.ext.Doremi.resample]] — membership is a pure function of
+    * the id, so replays rewrite identical rows). Fit the mixture offline
+    * per corpus snapshot, gate continuously; stateless per batch, no
+    * state store. The downsample-only contract means the online gate
+    * materializes exactly the mixture the offline fit prescribed.
+    */
+  def mixtureGateSink(
+      docs: DataFrame,
+      weights: DataFrame,
+      idCol: String,
+      domainCol: String,
+      outPath: String,
+      checkpoint: String,
+      salt: String = "doremi"): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ext.Doremi.resample(batch, idCol, domainCol, weights, salt)
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+
   /** Streaming near-duplicate gate against the persisted minhash index —
     * the crawl-side twin of incremental dedup (x9): each micro-batch of
     * candidate documents drops every row whose token-set Jaccard against

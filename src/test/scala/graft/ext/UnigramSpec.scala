@@ -57,6 +57,24 @@ class UnigramSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("property: Viterbi roundtrip holds for arbitrary unicode text " +
+      "(surrogate pairs included) under an arbitrary trained model") {
+    val m = Unigram.train(corpus, "text", vocabSize = 24)
+    val expr = graft.functions.UnigramEncode(
+      org.apache.spark.sql.GraftShim.expression(
+        org.apache.spark.sql.functions.lit("x")),
+      m.pieces, -100.0)
+    // drive the expression's eval path directly — the property is about
+    // the encoder's code-point handling, not the Spark plumbing
+    assert(graft.Check.holds[String] { s =>
+      val toks = expr.encode(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      val joined = (0 until toks.numElements())
+        .map(i => toks.getUTF8String(i).toString).mkString
+      joined == s.trim.split("\\s+", -1).filter(_.nonEmpty).mkString
+    })
+  }
+
   test("training is deterministic run-to-run") {
     val a = Unigram.train(corpus, "text", vocabSize = 24).pieces
     val b = Unigram.train(corpus, "text", vocabSize = 24).pieces

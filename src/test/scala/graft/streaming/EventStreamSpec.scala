@@ -673,6 +673,53 @@ class EventStreamSpec extends SparkSpec {
     got.length shouldBe expected.size // each survivor landed exactly once
   }
 
+  test("mixtureGateSink: streamed gate equals the batch resample") {
+    import graft.ext.Doremi
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // skewed two-domain crawl; fit the mixture on a reference snapshot
+    val snapshot = (0L until 60L).map { i =>
+      (i, if (i % 3 == 0) "b" else "a",
+        if (i % 3 == 0) s"thy thyme rhythm myth v$i"
+        else s"the theme thematic theory v$i")
+    }.toDF("doc_id", "source", "text")
+    val tmp = Files.createTempDirectory("mix-gate").toString
+    Doremi.domainWeights(snapshot, "doc_id", "text", "source",
+        addK = 0.01, salt = "mixspec")
+      .write.mode("overwrite").parquet(s"$tmp/weights")
+    val weights = spark.read.parquet(s"$tmp/weights")
+
+    val crawlAll = (100L until 140L).map { i =>
+      (i, if (i % 4 == 0) "b" else "a", s"payload $i")
+    }
+    val crawlDF = crawlAll.toDF("doc_id", "source", "text")
+    val expected = Doremi.resample(crawlDF, "doc_id", "source", weights,
+        salt = "mixspec")
+      .select("doc_id").as[Long].collect().toSet
+    assert(expected.nonEmpty && expected.size < crawlAll.size,
+      s"gate should thin the crawl, kept ${expected.size}/${crawlAll.size}")
+
+    val outDir = Files.createTempDirectory("mix-gate-out").toString
+    val ckpt = Files.createTempDirectory("mix-gate-ckpt").toString
+    val input = MemoryStream[(Long, String, String)]
+    val q = EventStream.mixtureGateSink(
+      input.toDF().toDF("doc_id", "source", "text"), weights,
+      "doc_id", "source", outPath = outDir, checkpoint = ckpt,
+      salt = "mixspec")
+      .start()
+    try {
+      input.addData(crawlAll.take(15): _*)
+      q.processAllAvailable()
+      input.addData(crawlAll.drop(15): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect()
+    got.toSet shouldBe expected
+    got.length shouldBe expected.size
+  }
+
   test("dedupGateSink: streamed gate equals the batch dedup-vs-index") {
     import graft.ext.Dedup
     import spark.implicits._
