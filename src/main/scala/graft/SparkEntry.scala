@@ -2690,6 +2690,29 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    "x18_cluster_topics" -> ((s, dir) => {
+      // corpus cartography: the clustering and keyword stacks COMPOSED —
+      // every embedding cluster labeled with its most distinctive terms
+      // (the "what is actually in this corpus" map a training-data team
+      // reads before choosing mixtures). The q86 deterministic k-means
+      // assigns cells; Keyword.topTfidfTermsByGroup sums doc postings
+      // per cell and scores with cells as the TF-IDF document unit, so
+      // shared vocabulary cancels and each cell's signature terms
+      // surface. Output O(cells × k). The oracle replays k-means
+      // assignment (kmeansOracle), the per-cell term sums, and the
+      // grid-rounded ranking.
+      val m = kmeansDemo(s, dir)
+      val assign = ext.Clustering.assign(
+          rd(s, dir, "embeddings"), "embedding", m)
+        .select(col("vec_id").as("doc_id"), col("cell"))
+      Keyword.topTfidfTermsByGroup(
+        Keyword.postings(rd(s, dir, "documents"), "doc_id", "text"),
+        assign, "cell", k = 3)
+        .select(col("doc_id").as("cell"), col("rank"), col("term"),
+          col("score"))
+        .orderBy("cell", "rank")
+    }),
+
     "x17_curate_then_reweight" -> ((s, dir) => {
       // the DOMAIN-mixture sibling of x15: the same curation half (exact
       // dedup → quality floor → 13-gram decontamination vs the %50 eval
@@ -5595,6 +5618,28 @@ object SparkEntry {
           |cur AS (SELECT doc_id, text FROM q WHERE doc_id % 50 <> 0
           |  AND doc_id NOT IN (SELECT doc_id FROM hits)),""".stripMargin +
         "\n" + dsirOracleTail("cur", "x15", 200)),
+
+    // x18: the q86 k-means assignment (asg) + q60's tokenization, term
+    // counts summed per cell, TF-IDF with cells as the document unit,
+    // top-3 per cell on the 1e-4 grid with term tiebreak.
+    "x18_cluster_topics" ->
+      s"""${kmeansOracle(8)},
+        |tok AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+        |  FROM documents WHERE text IS NOT NULL),
+        |tfd AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |  WHERE len(term) > 0 GROUP BY doc_id, term),
+        |ctf AS (SELECT a.cell, t.term, sum(t.tf) AS tf
+        |  FROM tfd t JOIN asg a ON t.doc_id = a.vec_id GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM ctf GROUP BY term),
+        |nn AS (SELECT CAST(count(DISTINCT cell) AS DOUBLE) AS n FROM ctf),
+        |sx AS (SELECT ctf.cell, ctf.term,
+        |    floor(ctf.tf * ln(nn.n / dfq.df) * 1e4 + 0.5) / 1e4 AS score
+        |  FROM ctf JOIN dfq USING (term) CROSS JOIN nn),
+        |rr AS (SELECT sx.*, row_number() OVER (PARTITION BY cell
+        |    ORDER BY score DESC, term) AS rank FROM sx)
+        |SELECT cell, CAST(rank AS INT) AS rank, term, score
+        |FROM rr WHERE rank <= 3 ORDER BY cell, rank""".stripMargin,
 
     // x17: x15's curation prefix (dedup + quality CTEs, the 13-gram
     // contamination join, the eval anti-joins) re-joined with documents

@@ -143,6 +143,32 @@ object Keyword {
         col("term"), col("score"))
   }
 
+  /** [[topTfidfTerms]] at GROUP granularity — corpus cartography: label
+    * each cluster/partition/source with the terms most distinctive of
+    * it. `assign` maps `doc_id` to `groupCol`; per-group term counts sum
+    * the doc-level postings and the groups then play the document role
+    * in the TF-IDF formula (df = #groups containing the term, n =
+    * #groups), so a term every cluster shares scores ~0 and what
+    * survives the top-k is each cluster's signature vocabulary.
+    *
+    * Scale shape: the postings join ships (doc_id, term, tf) rows once;
+    * the per-group aggregation is map-side partial on (group, term);
+    * everything after runs on O(groups × vocab) at most. Output:
+    * `(doc_id = the group, rank, term, score)` — callers alias the
+    * group column back.
+    */
+  def topTfidfTermsByGroup(
+      post: DataFrame,
+      assign: DataFrame,
+      groupCol: String,
+      k: Int): DataFrame =
+    topTfidfIndexed(
+      post.join(assign, Seq("doc_id"))
+        .select(col(groupCol).as("doc_id"), col("term"), col("tf"))
+        .groupBy("doc_id", "term")
+        .agg(sum("tf").as("tf")),
+      k)
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard way to
     * combine heterogeneous retrievers (BM25 + embedding ANN = hybrid
     * search) without score calibration: each system contributes

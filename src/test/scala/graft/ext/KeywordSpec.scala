@@ -128,4 +128,25 @@ class KeywordSpec extends SparkSpec {
       .as[(Long, Int, String, Double)].collect().sortBy(t => (t._1, t._2)).toSeq
     fromIndex shouldBe oneShot
   }
+
+  test("topTfidfTermsByGroup: each group's signature term ranks first, " +
+      "vocabulary shared by every group scores zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "shared algebra algebra theorem"),
+      (2L, "shared algebra lemma"),
+      (3L, "shared striker striker goal"),
+      (4L, "shared striker penalty")).toDF("doc_id", "text")
+    val assign = Seq((1L, 0), (2L, 0), (3L, 1), (4L, 1))
+      .toDF("doc_id", "cell")
+    val out = Keyword.topTfidfTermsByGroup(
+        Keyword.postings(docs, "doc_id", "text"), assign, "cell", k = 2)
+      .as[(Int, Int, String, Double)].collect()
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(out.filter(_._1 == 0).head._3 === "algebra")
+    assert(out.filter(_._1 == 1).head._3 === "striker")
+    // 'shared' lives in both groups -> ln(2/2) = 0, never in the top-2
+    assert(!out.exists(_._3 == "shared"))
+    out.foreach(t => assert(t._4 > 0.0))
+  }
 }
