@@ -33,7 +33,8 @@ object Plans {
     "t18_gopher_battery", "x13_snapshot_lifecycle", "q95_dsir_select",
     "x14_visual_near_dup", "x15_curate_then_select",
     "q98_doremi_weights", "q99_unimax_sampling", "x16_semantic_decontam",
-    "x17_curate_then_reweight")
+    "x17_curate_then_reweight", "x18_cluster_topics",
+    "t21_unigram_roundtrip")
 
   /** x11 and q91 materialize eagerly in their public form (persist +
     * localCheckpoint — the executed plan of the DECLARED query is just a
