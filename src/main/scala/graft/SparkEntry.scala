@@ -5782,8 +5782,9 @@ object SparkEntry {
       |dctx AS MATERIALIZED (SELECT source, substr(gram, 1, 2) AS pre, sum(dc) AS dcc
       |  FROM dgc GROUP BY 1, 2),
       |tots AS MATERIALIZED (SELECT source, sum(dc) AS tot FROM dgc GROUP BY 1),
-      |gl AS MATERIALIZED (SELECT CAST(sum(tot) AS DOUBLE) AS tg, count(*) AS nd
-      |  FROM tots),
+      |gl AS MATERIALIZED (SELECT
+      |    (SELECT CAST(sum(tot) AS DOUBLE) FROM tots) AS tg,
+      |    (SELECT count(*) FROM nd0) AS nd),
       |nd0 AS MATERIALIZED (SELECT source, count(*) AS n_docs
       |  FROM $docsFrom GROUP BY 1),
       |ref AS MATERIALIZED (SELECT pg.doc_id, pg.source,

@@ -315,9 +315,13 @@ object Curation {
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .sortBy(t => (t._3, t._1)) // ascending size, language tiebreak
+    require(!sizes.exists(_._1 == null),
+      "unimaxAllocation: null language values — fill or filter them first")
     val nLang = sizes.length
     val totalChars = sizes.map(_._3).sum
     val budget = math.floor(totalChars * budgetFraction).toLong
+    require(budget > 0,
+      s"unimaxAllocation: zero character budget (totalChars=$totalChars)")
 
     // longest capped prefix: epochCap·c must fit under the running fair
     // share computed AS IF every earlier language was capped (valid —

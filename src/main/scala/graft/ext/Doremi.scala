@@ -91,12 +91,12 @@ object Doremi {
     plan(docs, idCol, textCol, domainCol, n, addK, alphabetSize,
       steps, eta, smoothing, salt)._1
 
-  /** [[domainWeights]] with the persist lifecycle OWNED: the per-(doc,
-    * gram) count frame and the reference-NLL frame live exactly as long
-    * as `f` runs, then are released — the scoped posture of
-    * [[Dsir.withSelect]] for long-lived sessions. The bare
-    * [[domainWeights]] remains for the declare-then-clearCache cadence
-    * (Verify/Bench).
+  /** [[domainWeights]] in a scope. Since the EG loop drives every
+    * consumer of the internal caches eagerly, [[plan]] releases them
+    * itself before returning — so the bare form already leaves nothing
+    * pinned and this wrapper adds no lifecycle work; it is kept for
+    * call-site symmetry with [[Dsir.withSelect]] and as the place a
+    * future lazy-output variant would re-own the persists.
     */
   def withDomainWeights[T](
       docs: DataFrame,
@@ -131,9 +131,13 @@ object Doremi {
       salt: String = "doremi"): DataFrame =
     docs
       .join(broadcast(weights.select(col(domainCol), col("rate"))),
-        Seq(domainCol))
+        Seq(domainCol), "left")
+      // a domain absent from the fit (the crawl evolved after the
+      // offline snapshot) passes through at rate 1 rather than silently
+      // vanishing — the fail-open choice a GATE must make; re-fit per
+      // snapshot to bring new domains under the mixture
       .filter(coin(idCol, salt) <
-        floor(col("rate") * 1048576L).cast("long"))
+        floor(coalesce(col("rate"), lit(1.0)) * 1048576L).cast("long"))
       .drop("rate")
 
   // ----------------------------------------------------------- internals
@@ -190,6 +194,8 @@ object Doremi {
     val nDocs: Map[String, Long] = docs.groupBy(col(domainCol))
       .agg(count(lit(1)).as("nd")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(!nDocs.contains(null),
+      "domainWeights: null domain values — fill or filter them first")
     val domains = nDocs.keys.toSeq.sorted
     val totalGrams = tots.values.sum.toDouble
     val totalDocs = nDocs.values.sum.toDouble
@@ -296,6 +302,11 @@ object Doremi {
         col("weight"), col("rate"),
         coalesce(col("_nk"), lit(0L)).as("n_kept"))
 
-    (weights, Seq(pg, dgc, refNll))
+    // every consumer of the persisted frames ran eagerly inside the EG
+    // loop (the collects above); the returned frame reads only `docs`
+    // and the driver-built rows — release the caches before returning
+    // so even the bare entry point leaves nothing pinned
+    Seq(pg, dgc, refNll).foreach(_.unpersist(blocking = false))
+    (weights, Nil)
   }
 }

@@ -509,10 +509,13 @@ object TextAnalysis {
       textCol: String,
       words: Seq[String]): DataFrame = {
     require(words.nonEmpty, "blocklistSignals: empty blocklist")
+    // tokens are lowercased, so the list must be too — a mixed-case
+    // entry would otherwise never match
+    val lowered = words.map(_.toLowerCase)
     val ts = split(lower(trim(col(textCol))), "\\s+")
     docs.select(
       col(idCol),
-      graft.functions.StopwordFunctions.stopword_hits(ts, words)
+      graft.functions.StopwordFunctions.stopword_hits(ts, lowered)
         .cast("long").as("blocked_hits"))
       .withColumn("blocked", col("blocked_hits") > 0)
   }
@@ -530,7 +533,7 @@ object TextAnalysis {
     // the verdict is row-local, so the filter is a plain codegen'd
     // predicate — no join, nothing shuffles
     val ts = split(lower(trim(col(textCol))), "\\s+")
-    docs.filter(
-      graft.functions.StopwordFunctions.stopword_hits(ts, words) === 0)
+    docs.filter(graft.functions.StopwordFunctions
+      .stopword_hits(ts, words.map(_.toLowerCase)) === 0)
   }
 }

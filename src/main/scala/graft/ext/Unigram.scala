@@ -66,7 +66,13 @@ object Unigram {
 
   private val DefaultUnk = -1e2
 
-  /** Train a unigram vocabulary of (at most) `vocabSize` pieces.
+  /** Train a unigram vocabulary of (at most) `vocabSize` pieces —
+    * with one documented floor: every single code point seen in the
+    * dictionary is kept unconditionally (total coverage is what makes
+    * the Viterbi round-trip invariant hold), so on a corpus whose
+    * alphabet alone exceeds `vocabSize` the returned model holds that
+    * alphabet and zero multi-char pieces. Size the budget above the
+    * alphabet (SentencePiece rejects such configurations outright).
     *
     * @param maxPieceLen seed substrings up to this many code points
     * @param seedSize    multi-char seed candidates kept (by weighted
