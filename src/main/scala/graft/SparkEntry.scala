@@ -2573,6 +2573,25 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    "q100_exact_decontam" -> ((s, dir) => {
+      // exact-substring decontamination (Curation.exactContamination):
+      // the third decontamination mode next to q40's 13-gram overlap and
+      // x16's embedding check — a non-eval document is flagged when any
+      // %50 eval item's opening 16 characters appear in it verbatim
+      // (the exact-match scrub benchmark suites publish; quoted
+      // questions defeat thresholds tuned for paraphrase or topic).
+      // Row-local: the bounded probe set rides the projection as an
+      // array literal — no join, no shuffle, no corpus × eval BNLJ. The
+      // oracle recounts containment per probe with position().
+      val docs = rd(s, dir, "documents")
+        .filter(col("text").isNotNull && col("doc_id") % 50 =!= 0)
+      val evalDocs = rd(s, dir, "documents")
+        .filter(col("doc_id") % 50 === 0)
+      Curation.exactContamination(docs, evalDocs,
+        "doc_id", "text", "text", probeLen = 16)
+        .orderBy("doc_id")
+    }),
+
     "x16_semantic_decontam" -> ((s, dir) => {
       // SEMANTIC eval-set decontamination (Curation
       // .semanticContaminationReport over Similarity.crossPairsIvf —
@@ -5489,6 +5508,21 @@ object SparkEntry {
         |SELECT w3.lang, w3.n_docs, w3.chars, w3.alloc, w3.epochs, w3.p,
         |  coalesce(v.n_virtual, 0) AS n_virtual
         |FROM w3 LEFT JOIN v USING (lang) ORDER BY w3.lang""".stripMargin,
+
+    // q100: per-probe containment recount — duplicates among probes
+    // count separately (the engine's array keeps them), eval items
+    // shorter than 16 chars carry no probe.
+    "q100_exact_decontam" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |  WHERE text IS NOT NULL AND doc_id % 50 <> 0),
+        |p AS (SELECT substr(text, 1, 16) AS probe FROM documents
+        |  WHERE text IS NOT NULL AND doc_id % 50 = 0
+        |    AND length(text) >= 16),
+        |h AS (SELECT d.doc_id, count(*) AS n FROM d JOIN p
+        |  ON position(p.probe IN d.text) > 0 GROUP BY 1)
+        |SELECT d.doc_id, coalesce(h.n, 0) AS n_eval_hits,
+        |  coalesce(h.n, 0) > 0 AS contaminated
+        |FROM d LEFT JOIN h USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
     // x16: corpus-side k-means replay (kmeansOracle at the %10<9 split),
     // eval probe scoring against those cells, exact-cosine verify of

@@ -582,6 +582,69 @@ object Curation {
         countDistinct(col("_eval_id")).as("n_eval_docs"))
   }
 
+  /** EXACT-substring eval-set contamination — the third member of the
+    * decontamination family next to the 13-gram overlap
+    * ([[contamination]]) and the embedding check
+    * ([[semanticContaminationReport]]): a corpus document is flagged
+    * when any eval item's opening `probeLen` characters appear in it
+    * VERBATIM — the exact-match scrub benchmark suites publish (a
+    * question string quoted wholesale in a crawl page defeats n-gram
+    * thresholds tuned for paraphrase and embedding thresholds tuned for
+    * topic).
+    *
+    * Output per corpus row: `(idCol, n_eval_hits, contaminated)` —
+    * how many eval probes (duplicates counted separately) the document
+    * contains. Eval items shorter than `probeLen` characters carry no
+    * probe.
+    *
+    * 100 TB shape: the probes are DRIVER-collected and ride the
+    * projection as an array literal, so the check is row-local — no
+    * join, no shuffle, and in particular no corpus × eval nested-loop
+    * join (the naive plan for substring search). That leans on the
+    * bounded-eval contract harder than the gram/embedding variants (the
+    * whole probe set sits in every task); for eval suites beyond a few
+    * thousand items, move the probe set to a reference-object expression
+    * (the [[graft.functions.StopwordHits]] pattern).
+    */
+  def exactContamination(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      evalTextCol: String,
+      probeLen: Int = 16): DataFrame = {
+    require(probeLen >= 1, s"probeLen must be >= 1: $probeLen")
+    val probes: Seq[String] = evalSet
+      .filter(col(evalTextCol).isNotNull &&
+        length(col(evalTextCol)) >= probeLen)
+      .select(substring(col(evalTextCol), 1, probeLen))
+      .collect().map(_.getString(0)).toSeq
+    val hits =
+      if (probes.isEmpty) lit(0L)
+      else size(filter(typedlit(probes),
+        p => col(textCol).contains(p))).cast("long")
+    corpus.select(
+      col(idCol),
+      hits.as("n_eval_hits"))
+      .withColumn("contaminated", col("n_eval_hits") > 0)
+  }
+
+  /** The filter form: corpus rows containing NO eval probe — a plain
+    * row-local predicate, full corpus schema preserved.
+    */
+  def exactDecontaminate(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      evalTextCol: String,
+      probeLen: Int = 16): DataFrame = {
+    val flagged = exactContamination(corpus, evalSet, idCol, textCol,
+      evalTextCol, probeLen)
+    corpus.join(flagged.filter(col("contaminated"))
+        .select(col(idCol)), Seq(idCol), "left_anti")
+  }
+
   /** SEMANTIC eval-set contamination — the embedding sibling of
     * [[contamination]]: a corpus document is contaminated when its
     * embedding sits within `minCosine` of ANY eval-set embedding. Exact

@@ -384,6 +384,30 @@ class CurationSpec extends SparkSpec {
     assert(counts("lo") === 2L && counts("mid") === 2L)
   }
 
+  test("exactContamination: verbatim probe flags, duplicates counted, " +
+      "short eval items carry no probe; filter form drops exactly hits") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "clean page about gardening tips"),
+      (2L, "quoted: what is 7 plus 5 end"),     // contains probe once
+      (3L, "what is 7 plus 5 and what is 7 plus 5"), // probes 100+101
+      (4L, "short page")).toDF("doc_id", "text")
+    val evalSet = Seq(
+      (100L, "what is 7 plus 5"),               // 16-char probe
+      (101L, "what is 7 plus 5"),               // duplicate probe
+      (102L, "tiny")                            // < probeLen: no probe
+    ).toDF("doc_id", "text")
+    val rep = Curation.exactContamination(corpus, evalSet,
+        "doc_id", "text", "text", probeLen = 16)
+      .orderBy("doc_id").collect()
+    assert(rep.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 0L), (2L, 2L), (3L, 2L), (4L, 0L)))
+    val kept = Curation.exactDecontaminate(corpus, evalSet,
+        "doc_id", "text", "text", probeLen = 16)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 4L))
+  }
+
   test("semantic decontamination: report flags the planted eval neighbor; " +
       "the filter form equals report.filter(!contaminated)") {
     import spark.implicits._
