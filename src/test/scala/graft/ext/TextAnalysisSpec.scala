@@ -307,5 +307,12 @@ class TextAnalysisSpec extends SparkSpec {
         Seq("spam", "casino"))
       .select("doc_id").as[Long].collect().toSet
     assert(kept === Set(1L, 3L)) // hits drop; null text fails closed
+    // a MIXED-CASE list entry must match identically (the list is
+    // lowered to meet the lowered tokens)
+    val mixed = TextAnalysis.blocklistSignals(docs, "doc_id", "text",
+        Seq("SpAm", "CASINO"))
+      .orderBy("doc_id").collect()
+      .map(r => if (r.isNullAt(1)) -1L else r.getLong(1)).toSeq
+    assert(mixed === Seq(0L, 3L, 0L, -1L, 1L))
   }
 }
