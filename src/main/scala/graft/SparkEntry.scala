@@ -2566,10 +2566,16 @@ object SparkEntry {
       // branches exercised at every SF. n_virtual counts the
       // materialized corpus (⌊epochs⌋ copies + the md5-coin fractional
       // epoch); the oracle replays sizes, the closed-form prefix
-      // waterfill, the grids, and the coin.
+      // waterfill, the integer grids, and the coin. Compare columns are
+      // the exact integer grids (alloc_micro/epochs_micro/p_nano
+      // BIGINT, computed in BigInt rationals ↔ HUGEINT `//` in the
+      // oracle) — never raw doubles, so no environment's double-grid
+      // boundary can flip the hash (round-12 driver-red lesson).
       Curation.unimaxAllocation(rd(s, dir, "documents"),
         "doc_id", "text", "lang", epochCap = 2.0, budgetFraction = 1.5,
         salt = "q99")
+        .select("lang", "n_docs", "chars", "alloc_micro", "epochs_micro",
+          "p_nano", "n_virtual")
         .orderBy("lang")
     }),
 
@@ -5455,16 +5461,21 @@ object SparkEntry {
       ("WITH " + dsirOracleTail("documents", "dsir", 500)),
 
     // q99: per-language sizes, the closed-form prefix waterfill (capped
-    // prefix found by the min-over-prefix window on the fair-share
-    // test, every division fed exact integer doubles), the 1e-6/1e-9
-    // grids, and the md5-coin fractional-epoch count.
+    // prefix found by the min-over-prefix window on the all-integer
+    // fair-share test), the integer 1e-6/1e-9 grids via HUGEINT `//`
+    // round-half-up, and the md5-coin fractional-epoch count. Every
+    // compare column is integer-derived — the HUGEINT arithmetic here
+    // is the oracle twin of unimaxAllocation's BigInt rationals, so no
+    // double-grid boundary exists for a driver environment to flip.
     "q99_unimax_sampling" ->
       """WITH c AS MATERIALIZED (SELECT lang, count(*) AS n_docs,
         |    coalesce(sum(length(text)), 0) AS chars
         |  FROM documents GROUP BY 1),
         |gl AS MATERIALIZED (SELECT count(*) AS L, sum(chars) AS tc
         |  FROM c),
-        |prm AS MATERIALIZED (SELECT CAST(floor(tc * 1.5) AS BIGINT) AS B
+        |prm AS MATERIALIZED (SELECT CAST(floor(tc * 1.5) AS HUGEINT) AS B,
+        |    CAST(2000000 AS HUGEINT) AS capn,
+        |    CAST(1000000 AS HUGEINT) AS capd
         |  FROM gl),
         |ordx AS MATERIALIZED (SELECT c.*,
         |    row_number() OVER (ORDER BY chars, lang) AS rn,
@@ -5473,8 +5484,11 @@ object SparkEntry {
         |      AS cum0
         |  FROM c),
         |cap AS MATERIALIZED (SELECT rn,
-        |    CASE WHEN 2.0 * chars <= ((SELECT B FROM prm) - 2.0 * cum0)
-        |        / ((SELECT L FROM gl) - rn + 1) THEN 1 ELSE 0 END AS ok
+        |    CASE WHEN (SELECT capn FROM prm) * chars
+        |          * ((SELECT L FROM gl) - rn + 1)
+        |        <= (SELECT B * capd FROM prm)
+        |          - (SELECT capn FROM prm) * cum0
+        |      THEN 1 ELSE 0 END AS ok
         |  FROM ordx),
         |pfx AS MATERIALIZED (SELECT rn, min(ok) OVER (ORDER BY rn
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS allok
@@ -5484,28 +5498,38 @@ object SparkEntry {
         |cm AS MATERIALIZED (SELECT coalesce(sum(chars), 0) AS cum_m
         |  FROM ordx WHERE rn <= (SELECT m FROM mx)),
         |w AS MATERIALIZED (SELECT o.lang, o.n_docs, o.chars,
-        |    CASE WHEN o.rn <= (SELECT m FROM mx) THEN 2.0 * o.chars
-        |      ELSE ((SELECT B FROM prm) - 2.0 * (SELECT cum_m FROM cm))
-        |        / greatest((SELECT L FROM gl) - (SELECT m FROM mx), 1)
-        |      END AS b
+        |    CASE WHEN o.rn <= (SELECT m FROM mx)
+        |      THEN (SELECT capn FROM prm) * o.chars
+        |      ELSE (SELECT B * capd FROM prm)
+        |        - (SELECT capn FROM prm) * (SELECT cum_m FROM cm)
+        |      END AS num,
+        |    CASE WHEN o.rn <= (SELECT m FROM mx)
+        |      THEN (SELECT capd FROM prm)
+        |      ELSE (SELECT capd FROM prm)
+        |        * greatest((SELECT L FROM gl) - (SELECT m FROM mx), 1)
+        |      END AS den
         |  FROM ordx o),
         |w2 AS MATERIALIZED (SELECT lang, n_docs, chars,
-        |    floor(b * 1e6 + 0.5) / 1e6 AS alloc,
-        |    CASE WHEN chars = 0 THEN 0.0
-        |      ELSE floor(b / chars * 1e6 + 0.5) / 1e6 END AS epochs,
-        |    floor(b / (SELECT B FROM prm) * 1e9 + 0.5) / 1e9 AS p
+        |    (num * 2000000 + den) // (den * 2) AS am,
+        |    CASE WHEN chars = 0 THEN CAST(0 AS HUGEINT)
+        |      ELSE (num * 2000000 + den * chars) // (den * chars * 2)
+        |      END AS em,
+        |    (num * 2000000000 + den * (SELECT B FROM prm))
+        |      // (den * (SELECT B FROM prm) * 2) AS pn
         |  FROM w),
         |w3 AS MATERIALIZED (SELECT *,
-        |    CAST(floor(epochs) AS BIGINT) AS k,
-        |    CAST(floor((epochs - CAST(floor(epochs) AS BIGINT))
-        |      * 1048576) AS BIGINT) AS thr
+        |    CAST(em // 1000000 AS BIGINT) AS k,
+        |    CAST(((em % 1000000) * 1048576) // 1000000 AS BIGINT) AS thr
         |  FROM w2),
         |v AS MATERIALIZED (SELECT d.lang,
         |    sum(w3.k + CASE WHEN CAST('0x' || substr(md5(
         |        CAST(d.doc_id AS VARCHAR) || 'q99'), 1, 5) AS BIGINT)
         |      < w3.thr THEN 1 ELSE 0 END) AS n_virtual
         |  FROM documents d JOIN w3 USING (lang) GROUP BY 1)
-        |SELECT w3.lang, w3.n_docs, w3.chars, w3.alloc, w3.epochs, w3.p,
+        |SELECT w3.lang, w3.n_docs, w3.chars,
+        |  CAST(w3.am AS BIGINT) AS alloc_micro,
+        |  CAST(w3.em AS BIGINT) AS epochs_micro,
+        |  CAST(w3.pn AS BIGINT) AS p_nano,
         |  coalesce(v.n_virtual, 0) AS n_virtual
         |FROM w3 LEFT JOIN v USING (lang) ORDER BY w3.lang""".stripMargin,
 
@@ -5775,10 +5799,16 @@ object SparkEntry {
 
   /** The parameterized body: `docsFrom` is any relation/CTE with
     * (doc_id, source, text) — "documents" for q98, the curated corpus
-    * CTE for x17 — and `salt` feeds the resample coin.
+    * CTE for x17 — and `salt` feeds the resample coin. `eta`,
+    * `smoothing`, and `alphabetSize` mirror [[ext.Doremi.domainWeights]]'s
+    * parameters (defaults = both call sites' values) so a future q98/x17
+    * parameter change must be threaded here too instead of silently
+    * diverging from a hardcoded literal.
     */
   private def doremiOracleTail(
-      docsFrom: String, salt: String, steps: Int, addK: String): String = {
+      docsFrom: String, salt: String, steps: Int, addK: String,
+      eta: String = "1.0", smoothing: String = "0.001",
+      alphabetSize: Int = 64): String = {
     val stepCtes = (0 until steps).map { k =>
       s"""m$k AS MATERIALIZED (SELECT dgc.gram,
         |    sum(CAST(dgc.dc AS DOUBLE)
@@ -5788,7 +5818,7 @@ object SparkEntry {
         |x$k AS MATERIALIZED (SELECT substr(gram, 1, 2) AS pre, sum(w) AS wc
         |  FROM m$k GROUP BY 1),
         |l$k AS MATERIALIZED (SELECT pg.doc_id, pg.source,
-        |    floor(sum(pg.c * -ln((m.w + $addK) / (x.wc + $addK * 64)))
+        |    floor(sum(pg.c * -ln((m.w + $addK) / (x.wc + $addK * $alphabetSize)))
         |      / CAST(sum(pg.c) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS l
         |  FROM pg JOIN m$k m USING (gram)
         |    JOIN x$k x ON substr(pg.gram, 1, 2) = x.pre
@@ -5796,11 +5826,11 @@ object SparkEntry {
         |e$k AS MATERIALIZED (SELECT l.source,
         |    floor(avg(greatest(l.l - r.lref, 0)) * 1e6 + 0.5) / 1e6 AS ex
         |  FROM l$k l JOIN ref r ON l.doc_id = r.doc_id GROUP BY 1),
-        |u$k AS MATERIALIZED (SELECT a.source, a.a * exp(1.0 * coalesce(e.ex, 0)) AS ua
+        |u$k AS MATERIALIZED (SELECT a.source, a.a * exp($eta * coalesce(e.ex, 0)) AS ua
         |  FROM a$k a LEFT JOIN e$k e USING (source)),
         |a${k + 1} AS MATERIALIZED (SELECT source,
-        |    floor(((1.0 - 0.001) * (ua / (SELECT sum(ua) FROM u$k))
-        |      + 0.001 / (SELECT nd FROM gl)) * 1e9 + 0.5) / 1e9 AS a
+        |    floor(((1.0 - $smoothing) * (ua / (SELECT sum(ua) FROM u$k))
+        |      + $smoothing / (SELECT nd FROM gl)) * 1e9 + 0.5) / 1e9 AS a
         |  FROM u$k)""".stripMargin
     }.mkString(",\n")
     val wsum = (1 to steps).map(k => s"a$k.a").mkString(" + ")
@@ -5822,7 +5852,7 @@ object SparkEntry {
       |nd0 AS MATERIALIZED (SELECT source, count(*) AS n_docs
       |  FROM $docsFrom GROUP BY 1),
       |ref AS MATERIALIZED (SELECT pg.doc_id, pg.source,
-      |    floor(sum(pg.c * -ln((dgc.dc + $addK) / (dctx.dcc + $addK * 64)))
+      |    floor(sum(pg.c * -ln((dgc.dc + $addK) / (dctx.dcc + $addK * $alphabetSize)))
       |      / CAST(sum(pg.c) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS lref
       |  FROM pg JOIN dgc ON pg.source = dgc.source AND pg.gram = dgc.gram
       |    JOIN dctx ON pg.source = dctx.source

@@ -276,20 +276,29 @@ object Curation {
     * `b_l = epochCap · c_l` for the longest prefix where
     * `epochCap · c_l ≤ (B − epochCap · cum0_l) / L_remaining`, and every
     * later language gets the equal share
-    * `(B − epochCap · Σ_prefix c) / (L − prefix)`. All inputs to the
-    * division are exact integers in doubles, so both engines compute
-    * identical allocations bit-for-bit.
+    * `(B − epochCap · Σ_prefix c) / (L − prefix)`.
+    *
+    * Every allocation is computed in EXACT integer rational arithmetic
+    * (`BigInt`): the cap is carried as the rational `capN/1e6`, each
+    * `b_l` as a `num/den` pair, and the grid snaps are integer
+    * round-half-up (`⌊(2·num·g + den) / (2·den)⌋`), so no double ever
+    * feeds a compare column and the SQL oracle twin (HUGEINT `//`
+    * arithmetic) reproduces the integers bit-for-bit on any engine —
+    * a double-grid boundary cannot flip across environments (the round
+    * 12 q99 lesson).
     *
     * `budgetFraction` sets `B = ⌊totalChars · budgetFraction⌋` — the
     * budget scales with the corpus, so one declaration is meaningful at
     * every SF. Output, one row per language:
-    * `(langCol, n_docs, chars, alloc (1e-6 grid), epochs (1e-6),
-    * p (1e-9), n_virtual)` — `epochs = alloc / chars`, `p = alloc / B`,
-    * and `n_virtual` the materialized-corpus row count:
-    * `⌊epochs⌋` full copies of every document plus one more decided by
-    * the md5 coin at the fractional epoch (the repo's deterministic
-    * sampler contract; [[unimaxSample]] materializes exactly those
-    * rows).
+    * `(langCol, n_docs, chars, alloc, epochs, p, n_virtual,
+    * alloc_micro, epochs_micro, p_nano)` — the `_micro`/`_nano` columns
+    * are the exact integers (BIGINT, 1e-6 / 1e-9 grids) and the doubles
+    * are derived FROM them (`alloc = alloc_micro / 1e6`, …);
+    * `epochs = alloc / chars`, `p = alloc / B`, and `n_virtual` the
+    * materialized-corpus row count: `⌊epochs⌋` full copies of every
+    * document plus one more decided by the md5 coin at the fractional
+    * epoch (the repo's deterministic sampler contract; [[unimaxSample]]
+    * materializes exactly those rows from `epochs_micro`).
     *
     * Scale shape: one narrow aggregation to O(languages) rows, the
     * waterfilling on the driver at O(languages) (the bounded-model-state
@@ -307,64 +316,79 @@ object Curation {
     require(epochCap > 0, s"epochCap must be positive: $epochCap")
     require(budgetFraction > 0, s"budgetFraction must be positive")
     val spark = docs.sparkSession
-    def grid(v: Double, g: Double): Double = math.floor(v * g + 0.5) / g
 
-    val sizes = docs.groupBy(col(langCol))
+    val collected = docs.groupBy(col(langCol))
       .agg(count(lit(1)).as("n_docs"),
         coalesce(sum(length(col(textCol))), lit(0L)).as("chars"))
       .collect()
+    require(!collected.exists(_.isNullAt(0)),
+      "unimaxAllocation: null language values — fill or filter them first")
+    val sizes = collected
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .sortBy(t => (t._3, t._1)) // ascending size, language tiebreak
-    require(!sizes.exists(_._1 == null),
-      "unimaxAllocation: null language values — fill or filter them first")
     val nLang = sizes.length
+    // exact rationals from here down: cap = capN/capD, budget an
+    // integer (⌊tc·frac⌋ — exact while 2·tc·frac < 2^53, which holds
+    // far past 100 TB of characters), every b_l a num/den pair
+    val capD = BigInt(1000000)
+    val capN = BigInt(math.round(epochCap * 1e6))
     val totalChars = sizes.map(_._3).sum
-    val budget = math.floor(totalChars * budgetFraction).toLong
+    val budget = (BigDecimal(totalChars) * BigDecimal(budgetFraction))
+      .setScale(0, BigDecimal.RoundingMode.FLOOR).toBigInt
     require(budget > 0,
       s"unimaxAllocation: zero character budget (totalChars=$totalChars)")
 
     // longest capped prefix: epochCap·c must fit under the running fair
     // share computed AS IF every earlier language was capped (valid —
-    // capping is a prefix property in ascending order)
-    var cum0 = 0L
+    // capping is a prefix property in ascending order). All-integer
+    // form of  capN·c/capD ≤ (B − capN·cum0/capD)/(L−i).
+    var cum0 = BigInt(0)
     var m = 0
     var broken = false
     for (((_, _, c), i) <- sizes.zipWithIndex if !broken) {
-      val fair = (budget - epochCap * cum0) / (nLang - i)
-      if (epochCap * c <= fair) { m = i + 1; cum0 += c }
-      else broken = true
+      if (capN * c * (nLang - i) <= budget * capD - capN * cum0) {
+        m = i + 1; cum0 += c
+      } else broken = true
     }
-    val cumM = sizes.take(m).map(_._3).sum
-    val equalShare =
-      (budget - epochCap * cumM) / math.max(nLang - m, 1)
+    val shareNum = budget * capD - capN * cum0
+    val shareDen = capD * BigInt(math.max(nLang - m, 1))
+
+    // integer round-half-up of (num/den)·g — exact for positive inputs
+    def gridHalfUp(num: BigInt, den: BigInt, g: Long): BigInt =
+      (num * g * 2 + den) / (den * 2)
 
     val rows = sizes.zipWithIndex.map { case ((lang, nd, c), i) =>
-      val b = if (i < m) epochCap * c else equalShare
-      val epochs = if (c == 0L) 0.0 else grid(b / c, 1e6)
-      val k = math.floor(epochs).toLong
-      val thr = math.floor((epochs - k) * 1048576L).toLong
-      org.apache.spark.sql.Row(lang, nd, c, grid(b, 1e6), epochs,
-        grid(b / budget, 1e9), k, thr)
+      val (num, den) =
+        if (i < m) (capN * c, capD) else (shareNum, shareDen)
+      val allocMicro = gridHalfUp(num, den, 1000000L)
+      val epochsMicro =
+        if (c == 0L) BigInt(0) else gridHalfUp(num, den * c, 1000000L)
+      val pNano = gridHalfUp(num, den * budget, 1000000000L)
+      val k = epochsMicro / 1000000L
+      val thr = (epochsMicro % 1000000L) * 1048576L / 1000000L
+      org.apache.spark.sql.Row(lang, nd, c,
+        allocMicro.toDouble / 1e6, epochsMicro.toDouble / 1e6,
+        pNano.toDouble / 1e9,
+        allocMicro.toLong, epochsMicro.toLong, pNano.toLong,
+        k.toLong, thr.toLong)
     }
+    val lf = org.apache.spark.sql.types.LongType
+    val df = org.apache.spark.sql.types.DoubleType
     val allocDF = spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toSeq, 1),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField(langCol,
           org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("n_docs",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("chars",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("alloc",
-          org.apache.spark.sql.types.DoubleType),
-        org.apache.spark.sql.types.StructField("epochs",
-          org.apache.spark.sql.types.DoubleType),
-        org.apache.spark.sql.types.StructField("p",
-          org.apache.spark.sql.types.DoubleType),
-        org.apache.spark.sql.types.StructField("_k",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("_thr",
-          org.apache.spark.sql.types.LongType))))
+        org.apache.spark.sql.types.StructField("n_docs", lf),
+        org.apache.spark.sql.types.StructField("chars", lf),
+        org.apache.spark.sql.types.StructField("alloc", df),
+        org.apache.spark.sql.types.StructField("epochs", df),
+        org.apache.spark.sql.types.StructField("p", df),
+        org.apache.spark.sql.types.StructField("alloc_micro", lf),
+        org.apache.spark.sql.types.StructField("epochs_micro", lf),
+        org.apache.spark.sql.types.StructField("p_nano", lf),
+        org.apache.spark.sql.types.StructField("_k", lf),
+        org.apache.spark.sql.types.StructField("_thr", lf))))
 
     // one ids-only corpus pass: full copies + the fractional-epoch coin
     val coin = conv(substring(
@@ -381,7 +405,8 @@ object Curation {
       .join(virt, Seq(langCol), "left")
       .select(col(langCol), col("n_docs"), col("chars"), col("alloc"),
         col("epochs"), col("p"),
-        coalesce(col("n_virtual"), lit(0L)).as("n_virtual"))
+        coalesce(col("n_virtual"), lit(0L)).as("n_virtual"),
+        col("alloc_micro"), col("epochs_micro"), col("p_nano"))
   }
 
   /** Materialize the UniMax corpus: each document repeated
@@ -401,11 +426,13 @@ object Curation {
     val coin = conv(substring(
       md5(concat(col(idCol).cast("string"), lit(salt))), 1, 5), 16, 10)
       .cast("long")
-    val rates = allocation.select(col(langCol), col("epochs"))
-      .withColumn("_k", floor(col("epochs")).cast("long"))
+    // integer `div` keeps the copy counts exactly on unimaxAllocation's
+    // epochs_micro grid — no double round-trip
+    val rates = allocation.select(col(langCol), col("epochs_micro"))
+      .withColumn("_k", expr("epochs_micro div 1000000"))
       .withColumn("_thr",
-        floor((col("epochs") - col("_k")) * 1048576L).cast("long"))
-      .drop("epochs")
+        expr("((epochs_micro % 1000000) * 1048576) div 1000000"))
+      .drop("epochs_micro")
     docs
       .join(broadcast(rates), Seq(langCol))
       .withColumn("_copies",

@@ -369,6 +369,15 @@ class CurationSpec extends SparkSpec {
     assert(byLang("mid").getDouble(4) === 2.0)
     assert(byLang("hi").getDouble(3) === 70.0) // the equal-share rest
     assert(byLang("hi").getDouble(4) === 0.7)
+    // the exact integer grids the oracle compares on (BigInt rationals;
+    // doubles above are derived from these)
+    assert(byLang("lo").getLong(7) === 20000000L)  // alloc_micro
+    assert(byLang("lo").getLong(8) === 2000000L)   // epochs_micro
+    assert(byLang("hi").getLong(7) === 70000000L)
+    assert(byLang("hi").getLong(8) === 700000L)
+    // p_nano = round_half_up(b/B · 1e9): lo 20/130, hi 70/130
+    assert(byLang("lo").getLong(9) === 153846154L)
+    assert(byLang("hi").getLong(9) === 538461538L)
     // materialized corpus: per-lang row count equals n_virtual, epoch
     // index never exceeds the cap's ceiling
     val sample = Curation.unimaxSample(docs, "doc_id", "lang", alloc,

@@ -44,9 +44,38 @@ def table_sig(cols, rows):
     h = hashlib.md5("\n".join(norm_rows).encode()).hexdigest()
     return names, len(norm_rows), h, norm_rows
 
+def env_stamp(sf_dir):
+    """Engine version + testdata fingerprints — printed with every run
+    and written to <outDir>/compare_env.json, so a cross-environment
+    hash mismatch (the round-12 q99 class) is diagnosable from the
+    artifacts alone: same fingerprints + same DuckDB = logic bug;
+    different = environment drift."""
+    import os
+    fp = {}
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            st = os.stat(p)
+            meta = pq.read_metadata(p)
+            fp[t] = {"rows": meta.num_rows, "bytes": st.st_size}
+    return {"duckdb": duckdb.__version__,
+            "pyarrow": pq.__name__ and __import__("pyarrow").__version__,
+            "testdata": fp}
+
+
 def main(sf_dir, out_dir, shard=None, skip=(), only=()):
     con = duckdb.connect()
     import os
+    stamp = env_stamp(sf_dir)
+    print(f"[env] duckdb={stamp['duckdb']} pyarrow={stamp['pyarrow']} "
+          + " ".join(f"{t}:{v['rows']}r/{v['bytes']}B"
+                     for t, v in sorted(stamp["testdata"].items())),
+          file=sys.stderr, flush=True)
+    try:
+        with open(f"{out_dir}/compare_env.json", "w") as f:
+            json.dump(stamp, f, indent=1)
+    except OSError:
+        pass  # read-only outDir: the stderr line still carries the stamp
     con.execute(f"SET threads={os.environ.get('DUCKDB_THREADS', '8')}")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
