@@ -61,4 +61,35 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.medianOf(Seq(2.5), 1) == 2.5)
     assert(Bench.medianOf(Nil, 3) == -1.0)
   }
+
+  // flagRule(med, relSpread, base, w) — the vs-baseline flag predicate
+
+  test("flagRule: round-12 q32 shape no longer slips under a 0.4 s floor") {
+    // 0.32 s vs 0.099 record in 1.54x weather: adjusted 2.09, excess
+    // 0.168 s over a tight-spread run -> must flag (r12 shipped it
+    // silently because med < 0.4)
+    assert(Bench.flagRule(0.32, 0.1, 0.099, 1.54))
+  }
+
+  test("flagRule: same reading inside its own pass spread is noise") {
+    // r12's actual q32 pass spread was 0.167 s absolute = 0.52 relative
+    // at med 0.32 -> excess 0.168 barely exceeds; at 0.55 relative the
+    // spread covers the excess and the flag stays down
+    assert(!Bench.flagRule(0.32, 0.55, 0.099, 1.54))
+  }
+
+  test("flagRule: adjusted ratio under 2x never flags") {
+    assert(!Bench.flagRule(1.9, 0.0, 1.0, 1.0))
+    assert(!Bench.flagRule(3.0, 0.0, 1.0, 1.6)) // weather absorbs it
+  }
+
+  test("flagRule: material slow query with solid spread flags") {
+    assert(Bench.flagRule(2.4, 0.05, 1.0, 1.0))
+  }
+
+  test("flagRule: degenerate inputs never flag; -1 spread reads as zero") {
+    assert(!Bench.flagRule(-1.0, 0.0, 1.0, 1.0)) // failed query sentinel
+    assert(!Bench.flagRule(2.4, 0.0, 0.0, 1.0))  // no baseline entry
+    assert(Bench.flagRule(2.4, -1.0, 1.0, 1.0))  // spread sentinel -> 0
+  }
 }
