@@ -2799,8 +2799,63 @@ object SparkEntry {
         centroids = x14Model(s, dir).centroids, nprobe = 4)
         .withColumn("is_dup", col("cosine") >= 0.9999)
         .orderBy("query_id", "rank")
+    }),
+
+    // -------------------------------------------- LLM-pipeline: streaming
+    "s1_stream_dedup_gate" -> ((s, dir) => {
+      // first ORACLE-BACKED foreachBatch surface (every other
+      // streaming/EventStream sink is spec-pinned batch-equality only):
+      // the x9 daily-crawl shape run THROUGH the streaming dedup gate.
+      // 80% of documents (doc_id % 10 < 8) is the prebuilt minhash index;
+      // the 20% crawl is staged as parquet and replayed as a genuine
+      // micro-batch sequence (3 files × maxFilesPerTrigger=1 under
+      // Trigger.AvailableNow = 3 foreachBatch invocations against the
+      // static index), exercising checkpointing + the append sink. The
+      // gate is stateless per batch, so the final survivor table equals
+      // the one-shot batch filter whatever the batch split — the oracle
+      // replays x9's exact cross-split Jaccard (k=128/b=32 makes the LSH
+      // pair set provably equal to it, the x9 claim verified at both
+      // SFs) and anti-joins. Fresh run-numbered dirs per evaluation
+      // (under the shutdown-hook-cleaned ephemeral tree) keep bench
+      // re-runs real: a reused checkpoint would replay nothing.
+      val docs = rd(s, dir, "documents")
+      val base = Scratch.ephemeralDir(
+        s"s1-run${s1Runs.incrementAndGet()}")
+      // the index is a parquet ARTIFACT (x13's store posture), not a
+      // live plan: built once per corpus snapshot, read by every
+      // micro-batch — a live plan would re-run the minhash scan per
+      // foreachBatch invocation
+      Dedup.minhashIndex(
+        docs.filter(pmod(col("doc_id"), lit(10)) < 8), "doc_id", "text",
+        numHashes = 128, bands = 32)
+        .write.mode("overwrite").parquet(s"$base/idx")
+      val index = s.read.parquet(s"$base/idx")
+      val crawl = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+        .select("doc_id", "text", "lang", "source")
+      crawl.repartition(3).write.mode("overwrite").parquet(s"$base/in")
+      val stream = s.readStream.schema(crawl.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      val q = graft.streaming.EventStream.dedupGateSink(
+        stream, index, "doc_id", "text", threshold = 0.8,
+        outPath = s"$base/out", checkpoint = s"$base/ckpt",
+        numHashes = 128, bands = 32)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
     })
   )
+
+  /** Per-evaluation run counter for [[queries]] entries that drive a
+    * streaming checkpoint: each evaluation gets fresh in/out/ckpt dirs so
+    * a bench's repeated passes re-process the staged batches instead of
+    * replaying an exhausted checkpoint. Residue is bounded: the dirs live
+    * under [[Scratch.ephemeralDir]]'s pid tree (shutdown-hook-removed,
+    * dead-pid-swept).
+    */
+  private val s1Runs = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Build-once cache for the demo ANN/clustering models. The deterministic
     * trainers are pure functions of (parquet dir, hyperparams) — the data
@@ -5775,7 +5830,24 @@ object SparkEntry {
         |FROM (SELECT sc.*, CAST(row_number() OVER (PARTITION BY query_id
         |    ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
         |  FROM sc WHERE cosine IS NOT NULL AND NOT isnan(cosine)) t
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // s1: the streamed gate's final table must equal the one-shot batch
+    // filter — x9's exact cross-split Jaccard (the k=128/b=32 LSH
+    // equality claim) deciding which crawl docs die, survivors
+    // anti-joined with full payload columns.
+    "s1_stream_dedup_gate" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_distinct(regexp_split_to_array(trim(text), '\s+')) AS ws
+        |  FROM documents),
+        |dup AS (SELECT DISTINCT b.doc_id
+        |  FROM d a JOIN d b ON a.doc_id % 10 < 8 AND b.doc_id % 10 >= 8
+        |  WHERE len(list_intersect(a.ws, b.ws))::DOUBLE
+        |      / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.8)
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id % 10 >= 8
+        |  AND doc_id NOT IN (SELECT doc_id FROM dup)
+        |ORDER BY doc_id""".stripMargin
   )
 
   /** The q86-q88/x10/y3/y5 oracles' shared training loop, generalized
