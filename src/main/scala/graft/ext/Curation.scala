@@ -624,14 +624,17 @@ object Curation {
     * contains. Eval items shorter than `probeLen` characters carry no
     * probe.
     *
-    * 100 TB shape: the probes are DRIVER-collected and ride the
-    * projection as an array literal, so the check is row-local — no
-    * join, no shuffle, and in particular no corpus × eval nested-loop
-    * join (the naive plan for substring search). That leans on the
-    * bounded-eval contract harder than the gram/embedding variants (the
-    * whole probe set sits in every task); for eval suites beyond a few
-    * thousand items, move the probe set to a reference-object expression
-    * (the [[graft.functions.StopwordHits]] pattern).
+    * 100 TB shape: the probes are DRIVER-collected (the bounded-eval
+    * contract, now ENFORCED by `maxProbes` — an unbounded eval relation
+    * fails loudly instead of silently materializing on the driver) and
+    * ride a single Aho-Corasick automaton carried as an expression
+    * reference object ([[graft.functions.MultiPatternHits]]): the check
+    * is row-local — no join, no shuffle, no corpus × eval nested-loop
+    * join — and one O(doclen) scan per document REGARDLESS of probe
+    * count. The earlier array-literal form scanned O(probes × doclen)
+    * per row and embedded the whole probe set in the generated code,
+    * which breaks codegen around 10⁴ probes; a real multi-benchmark
+    * eval suite is exactly that size.
     */
   def exactContamination(
       corpus: DataFrame,
@@ -639,17 +642,25 @@ object Curation {
       idCol: String,
       textCol: String,
       evalTextCol: String,
-      probeLen: Int = 16): DataFrame = {
+      probeLen: Int = 16,
+      maxProbes: Int = 1000000): DataFrame = {
     require(probeLen >= 1, s"probeLen must be >= 1: $probeLen")
-    val probes: Seq[String] = evalSet
+    val probeRows = evalSet
       .filter(col(evalTextCol).isNotNull &&
         length(col(evalTextCol)) >= probeLen)
       .select(substring(col(evalTextCol), 1, probeLen))
-      .collect().map(_.getString(0)).toSeq
+      .limit(maxProbes + 1)
+      .collect()
+    require(probeRows.length <= maxProbes,
+      s"exactContamination: eval set yields more than $maxProbes probes " +
+        "— the probe set must be bounded (it is broadcast to every task " +
+        "inside the matcher); raise maxProbes deliberately or pre-dedup " +
+        "the eval suite")
+    val probes: Seq[String] = probeRows.map(_.getString(0)).toSeq
     val hits =
       if (probes.isEmpty) lit(0L)
-      else size(filter(typedlit(probes),
-        p => col(textCol).contains(p))).cast("long")
+      else graft.functions.MultiPatternFunctions
+        .multi_pattern_hits(col(textCol), probes)
     corpus.select(
       col(idCol),
       hits.as("n_eval_hits"))
