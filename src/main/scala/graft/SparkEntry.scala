@@ -2849,6 +2849,37 @@ object SparkEntry {
       s.read.parquet(s"$base/out")
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
+    }),
+
+    "q101_observe_load" -> ((s, dir) => {
+      // zero-extra-pass load instrumentation (ops.Observe / Dataset
+      // .observe): the metrics ride the WRITE action itself — counting
+      // rows / key checksums / price totals on a 100 TB load costs
+      // nothing beyond the write, where a monitor that re-reads the
+      // table doubles the I/O. The declared result is the captured
+      // metric row (integer-grid cents so no raw-double compare); the
+      // oracle recomputes the same stats from the source — equality
+      // proves the observed metrics describe exactly the rows written.
+      val rec = graft.ops.Observe.register(s)
+      try {
+        val out = s"${Scratch.ephemeralDir("q101")}/t"
+        graft.ops.Observe.withMetrics(rd(s, dir, "orders"), "q101",
+          count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("key_sum"),
+          sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+            .as("cents_sum"),
+          min(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("min_date"),
+          max(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("max_date"))
+          .write.mode("overwrite").parquet(out)
+        val m = graft.ops.Observe.awaitCaptured(rec, "q101").head.metrics
+        import s.implicits._
+        Seq((m("n_rows").asInstanceOf[Long],
+          m("key_sum").asInstanceOf[Long],
+          m("cents_sum").asInstanceOf[Long],
+          m("min_date").asInstanceOf[String],
+          m("max_date").asInstanceOf[String]))
+          .toDF("n_rows", "key_sum", "cents_sum", "min_date", "max_date")
+      } finally graft.ops.Observe.unregister(s, rec)
     })
   )
 
@@ -5851,7 +5882,19 @@ object SparkEntry {
         |SELECT doc_id, lang, source FROM documents
         |WHERE doc_id % 10 >= 8
         |  AND doc_id NOT IN (SELECT doc_id FROM dup)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // q101: the observed write metrics must equal the source stats —
+    // cents on the per-row 1e-2 floor grid summed as BIGINT (never a
+    // raw double sum across engines).
+    "q101_observe_load" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS cents_sum,
+        |  strftime(min(o_orderdate), '%Y-%m-%d') AS min_date,
+        |  strftime(max(o_orderdate), '%Y-%m-%d') AS max_date
+        |FROM orders""".stripMargin
   )
 
   /** The q86-q88/x10/y3/y5 oracles' shared training loop, generalized

@@ -60,6 +60,26 @@ object Observe {
   def unregister(spark: SparkSession, r: Recorder): Unit =
     spark.listenerManager.unregister(r)
 
+  /** Block until at least one observation named `name` has been
+    * delivered — the listener bus is async, so an action's metrics
+    * arrive shortly AFTER the action returns. Returns the captures;
+    * throws after `timeoutMs` so a wiring mistake (wrong name, metrics
+    * on a frame that never ran) fails loudly instead of hanging a
+    * pipeline report.
+    */
+  def awaitCaptured(r: Recorder, name: String,
+      timeoutMs: Long = 30000): Seq[Captured] = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var got = r.captured(name)
+    while (got.isEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(10)
+      got = r.captured(name)
+    }
+    require(got.nonEmpty,
+      s"observe: no metrics named '$name' arrived within $timeoutMs ms")
+    got
+  }
+
   /** Attach named metrics to a frame; they evaluate during whatever
     * action the caller runs next. Metric expressions must be aggregates
     * over the observed rows (count/sum/min/max/...).
