@@ -269,6 +269,72 @@ object Prof {
       spark.stop()
       return
     }
+    // Append-staleness evidence for Similarity.suggestRebuild: under the
+    // SNAPSHOT-trained coarse/PQ models, an in-distribution delta keeps
+    // appended-serve recall at the rebuilt level and the delta/index
+    // quantization-error ratio near 1; a distribution-shifted delta (and
+    // the shifted queries that come with a real drift) blows the ratio
+    // and collapses appended recall while a fresh rebuild restores it.
+    if (args.headOption.contains("appendStudy")) {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.{Column, DataFrame}
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      def drift(c: Column, off: Double): Column =
+        transform(c, x => (x + lit(off)).cast("float"))
+      val index = emb.filter(pmod(col("vec_id"), lit(10)) < 8)
+      val nIdx = index.count()
+      val nlist = ext.Clustering.suggestNlist(nIdx)
+      val nprobe = math.ceil(0.75 * nlist).toInt
+      val coarse = ext.Clustering.kmeans(index, "vec_id", "embedding",
+        k = nlist, iterations = 1, roundDigits = 6).centroids
+      val pq = ext.Similarity.trainPqDeterministic(index, "vec_id",
+        "embedding", m = 16, ksub = 256, iterations = 1, roundDigits = 6,
+        dims = 64)
+      val baseIdx = ext.Similarity.buildIvfPqIndex(
+        index, "vec_id", "embedding", coarse, pq)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def recall(exact: DataFrame, approx: DataFrame): Double = {
+        val e = exact.select(col("query_id"), col("neighbor_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val g = approx.select(col("query_id"), col("neighbor_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        (g intersect e).size.toDouble / e.size
+      }
+      Seq(0.0, 0.1, 0.25, 0.5).foreach { off =>
+        val delta = emb.filter(pmod(col("vec_id"), lit(10)) === 8)
+          .select(col("vec_id"), drift(col("embedding"), off).as("embedding"))
+        val queries = emb.filter(pmod(col("vec_id"), lit(10)) === 9)
+          .select(col("vec_id"), drift(col("embedding"), off).as("embedding"))
+        val union = index.select("vec_id", "embedding").unionByName(delta)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val brute = ext.Similarity.topKBruteForce(
+          queries, union, "vec_id", "embedding", k = 5)
+        val appended = ext.Similarity.searchIvfPqIndex(queries,
+          ext.Similarity.appendToIvfPqIndex(baseIdx, delta, "vec_id",
+            "embedding", coarse, pq),
+          union, "vec_id", "embedding", k = 5, coarse = coarse, pq = pq,
+          nprobe = nprobe, rescoreFactor = 4)
+        val nU = union.count()
+        val nlist2 = ext.Clustering.suggestNlist(nU)
+        val coarse2 = ext.Clustering.kmeans(union, "vec_id", "embedding",
+          k = nlist2, iterations = 1, roundDigits = 6).centroids
+        val pq2 = ext.Similarity.trainPqDeterministic(union, "vec_id",
+          "embedding", m = 16, ksub = 256, iterations = 1,
+          roundDigits = 6, dims = 64)
+        val rebuilt = ext.Similarity.searchIvfPqIndex(queries,
+          ext.Similarity.buildIvfPqIndex(union, "vec_id", "embedding",
+            coarse2, pq2),
+          union, "vec_id", "embedding", k = 5, coarse = coarse2, pq = pq2,
+          nprobe = math.ceil(0.75 * nlist2).toInt, rescoreFactor = 4)
+        val rep = ext.Similarity.indexStalenessReport(
+          index, delta, "embedding", coarse).collect()(0)
+        println(f"[prof] appendStudy off=$off%.2f qerr_ratio=${rep.getAs[Double]("qerr_ratio")}%.4f rebuild=${rep.getAs[Boolean]("rebuild")} recall_appended=${recall(brute, appended)}%.3f recall_rebuilt=${recall(brute, rebuilt)}%.3f")
+        union.unpersist()
+      }
+      baseIdx.unpersist()
+      spark.stop()
+      return
+    }
     // Stage volumes for x11_containment: where do the 8-gram sets explode?
     if (args.headOption.contains("x11parts")) {
       import org.apache.spark.sql.functions._

@@ -131,6 +131,23 @@ object SparkEntry {
         (coalesce(col("recall"), lit(1.0)) >= threshold).cast("int")
           .as("recall_ok"))
 
+  /** [[recallCheck]]'s raw-counts form: one row `(n_exact, n_hit)` —
+    * for companions (y8r) whose verdicts compare recalls to EACH OTHER
+    * or assert decay, where integer hit counts allow exact-arithmetic
+    * thresholds (`2·hits_rebuilt ≥ 3·hits_appended`) instead of a
+    * double recall compare.
+    */
+  private def recallHits(
+      exact: DataFrame, approx: DataFrame, keys: Seq[String]): DataFrame =
+    exact.select(keys.map(col): _*)
+      .join(
+        approx.select(keys.map(col): _*).distinct()
+          .withColumn("_hit", lit(1L)),
+        keys, "left")
+      .agg(
+        count(lit(1)).as("n_exact"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_hit"))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Exercises the reference's headline pipeline end-to-end: JSON explode
     * (G1, full-inference parity mode) → snake_case (P2) → date-partition
@@ -2880,6 +2897,106 @@ object SparkEntry {
           m("max_date").asInstanceOf[String]))
           .toDF("n_rows", "key_sum", "cents_sum", "min_date", "max_date")
       } finally graft.ops.Observe.unregister(s, rec)
+    }),
+
+    "y8_index_staleness" -> ((s, dir) => {
+      // the ANN append-staleness report (Similarity.indexStalenessReport
+      // / suggestRebuild): appendToIvfPqIndex keeps the coarse/PQ models
+      // FROZEN, so the one question a serving pipeline must keep
+      // answering is "retrain yet?". The rule's drift trigger is the
+      // delta/index mean quantization-error ratio under the frozen
+      // coarse codebook — measured against ground truth (graft.Prof
+      // appendStudy, sf0.01/sf0.1): an in-distribution delta holds the
+      // ratio at 1.10/1.05 and appended-serve recall at the rebuilt
+      // level (0.904 vs 0.924 / 0.905 vs 0.902), while the planted
+      // +0.25-per-dim shift blows the ratio to 5.6/5.3 and collapses
+      // appended recall (0.536 vs 0.964 / 0.258 vs 0.569 rebuilt) —
+      // the y8r companion pins those recall relations. Declared over
+      // BOTH branches: the raw %10==8 delta (verdict: keep appending)
+      // and its drifted twin (verdict: rebuild). Every compare column
+      // is integer-derived (per-row 1e-6-grid error sums as BIGINT; the
+      // ratio is one double division of exact integers) — the q99
+      // posture. The oracle replays the rule-sized k-means on the 80%
+      // index split, both assignments, and the grids.
+      val emb = rd(s, dir, "embeddings")
+      val index = emb.filter(pmod(col("vec_id"), lit(10)) < 8)
+      val delta = emb.filter(pmod(col("vec_id"), lit(10)) === 8)
+      val (_, _, coarse, _) = x13Models(s, dir)
+      def rep(d: DataFrame, kind: String) =
+        Similarity.indexStalenessReport(index, d, "embedding", coarse)
+          .withColumn("delta_kind", lit(kind))
+      rep(delta, "in_dist")
+        .unionByName(rep(
+          delta.select(col("vec_id"),
+            y8Drift(col("embedding")).as("embedding")),
+          "drifted"))
+        .select(col("delta_kind"), col("n_index"), col("n_delta"),
+          col("qerr_index_micro"), col("qerr_delta_micro"),
+          col("qerr_ratio"), col("nlist"), col("nlist_rule"),
+          col("rebuild"))
+        .orderBy("delta_kind")
+    }),
+
+    "y8r_append_recall" -> ((s, dir) => {
+      // y8's recall companion — the MEASURED decay the staleness rule
+      // predicts, pinned as three exact-integer verdicts over the real
+      // serving stack: (a) in-distribution append holds ≥ 0.85 recall
+      // vs brute force (keep appending, as the rule says); (b) the
+      // drifted append COLLAPSES below 0.7 (the decay); (c) retraining
+      // on the drifted union restores ≥ 1.5× the appended hit count
+      // (the rebuild pays). Ground truth is brute-force top-5 over each
+      // union; serving is the y7 production shape (prebuilt IVF-PQ
+      // index + ADC + rescore) with nprobe = ceil(0.75·nlist),
+      // rescoreFactor = 4.
+      val emb = rd(s, dir, "embeddings")
+      val index = emb.filter(pmod(col("vec_id"), lit(10)) < 8)
+        .select("vec_id", "embedding")
+      val delta0 = emb.filter(pmod(col("vec_id"), lit(10)) === 8)
+        .select("vec_id", "embedding")
+      val q0 = emb.filter(pmod(col("vec_id"), lit(10)) === 9)
+        .select("vec_id", "embedding")
+      def drift(df: DataFrame) = df.select(col("vec_id"),
+        y8Drift(col("embedding")).as("embedding"))
+      val (deltaD, qD) = (drift(delta0), drift(q0))
+      val u0 = index.unionByName(delta0)
+      val uD = index.unionByName(deltaD)
+      val (_, nprobe, coarse, pq) = x13Models(s, dir)
+      val (nprobe2, coarse2, pq2) = y8RebuildModels(s, dir)
+      val baseIdx = Similarity.buildIvfPqIndex(
+        index, "vec_id", "embedding", coarse, pq)
+      def serve(q: DataFrame, idx: DataFrame, corpus: DataFrame,
+          cs: Seq[Array[Float]], p: Seq[Seq[Seq[Float]]], np: Int) =
+        Similarity.searchIvfPqIndex(q, idx, corpus, "vec_id", "embedding",
+          k = 5, coarse = cs, pq = p, nprobe = np, rescoreFactor = 4)
+      val keys = Seq("query_id", "neighbor_id")
+      val app0 = recallHits(
+        Similarity.topKBruteForce(q0, u0, "vec_id", "embedding", k = 5),
+        serve(q0, Similarity.appendToIvfPqIndex(baseIdx, delta0,
+          "vec_id", "embedding", coarse, pq), u0, coarse, pq, nprobe),
+        keys)
+      val bruteD = Similarity.topKBruteForce(
+        qD, uD, "vec_id", "embedding", k = 5)
+      val appD = recallHits(bruteD,
+        serve(qD, Similarity.appendToIvfPqIndex(baseIdx, deltaD,
+          "vec_id", "embedding", coarse, pq), uD, coarse, pq, nprobe),
+        keys)
+      val rebD = recallHits(bruteD,
+        serve(qD, Similarity.buildIvfPqIndex(uD, "vec_id", "embedding",
+          coarse2, pq2), uD, coarse2, pq2, nprobe2),
+        keys)
+      app0.select(lit("appended_in_dist").as("kind"), col("n_exact"),
+        (col("n_hit") * 100 >= col("n_exact") * 85).cast("int")
+          .as("recall_ok"))
+        .unionByName(appD.select(lit("appended_drifted").as("kind"),
+          col("n_exact"),
+          (col("n_hit") * 10 < col("n_exact") * 7).cast("int")
+            .as("recall_ok")))
+        .unionByName(rebD
+          .crossJoin(broadcast(appD.select(col("n_hit").as("_ha"))))
+          .select(lit("rebuilt_drifted").as("kind"), col("n_exact"),
+            (col("n_hit") * 2 >= col("_ha") * 3).cast("int")
+              .as("recall_ok")))
+        .orderBy("kind")
     })
   )
 
@@ -2924,6 +3041,7 @@ object SparkEntry {
     y7Models(s, dir)
     x13Models(s, dir)
     x14Model(s, dir)
+    y8RebuildModels(s, dir)
   }
 
   /** x13's models: y7's rule-sized recipes trained on the INITIAL 80%
@@ -2992,6 +3110,39 @@ object SparkEntry {
         s.read.parquet(x14FeaturePath(s, dir))
           .filter(pmod(col("media_id"), lit(10)) < 9),
         "media_id", "features", k = 8, iterations = 1, roundDigits = 6)
+    }
+
+  /** y8's planted distribution shift: +0.25 on every dimension — the
+    * float-cast of a double add, so the DuckDB oracle twin
+    * (`list_transform(embedding, x -> CAST(x + 0.25 AS REAL))`) is
+    * bit-identical. Displacement ≈ 2.0 at 64 dims: far enough that the
+    * snapshot-trained codebooks quantize it badly (graft.Prof
+    * appendStudy: qerr ratio 5.6/5.3 at sf0.01/sf0.1), which is the
+    * drift regime the staleness rule exists to catch.
+    */
+  private def y8Drift(c: Column): Column =
+    transform(c, x => (x + lit(0.25)).cast("float"))
+
+  /** y8r's REBUILT models: the same rule-sized recipes as [[x13Models]]
+    * retrained on the drifted union (index ∪ drifted delta) — what a
+    * production retrain produces once [[ext.Similarity.suggestRebuild]]
+    * fires. Memoized per dir; prewarmed with the other models so the
+    * training bill never lands in a timed slot.
+    */
+  private def y8RebuildModels(s: SparkSession, dir: String)
+      : (Int, Seq[Array[Float]], Seq[Seq[Seq[Float]]]) =
+    cachedModel(s"y8reb|$dir") {
+      val emb = rd(s, dir, "embeddings")
+      val union = emb.filter(pmod(col("vec_id"), lit(10)) < 8)
+        .select(col("vec_id"), col("embedding"))
+        .unionByName(emb.filter(pmod(col("vec_id"), lit(10)) === 8)
+          .select(col("vec_id"), y8Drift(col("embedding")).as("embedding")))
+      val nlist = ext.Clustering.suggestNlist(union.count())
+      (math.ceil(0.75 * nlist).toInt,
+        ext.Clustering.kmeans(union, "vec_id", "embedding",
+          k = nlist, iterations = 1, roundDigits = 6).centroids,
+        ext.Similarity.trainPqDeterministic(union, "vec_id", "embedding",
+          m = 16, ksub = 256, iterations = 1, roundDigits = 6, dims = 64))
     }
 
   private def cachedModel[T <: AnyRef](key: String)(train: => T): T = {
@@ -5894,7 +6045,138 @@ object SparkEntry {
         |    AS BIGINT) AS cents_sum,
         |  strftime(min(o_orderdate), '%Y-%m-%d') AS min_date,
         |  strftime(max(o_orderdate), '%Y-%m-%d') AS max_date
-        |FROM orders""".stripMargin
+        |FROM orders""".stripMargin,
+
+    // y8: the rule-sized k-means replay on the 80% index split
+    // (x13Models' recipe), then per-frame quantization-error sums —
+    // top-1 cell by the v·c − |c|²/2 ranking (ties to the smaller
+    // cell), per-row squared distance |v|² − 2·v·c + |c|² in exactly
+    // that operation order, snapped to the 1e-6 grid BEFORE the BIGINT
+    // sum — and the two staleness report rows with the exact-integer
+    // ratio and the rule's verdicts.
+    "y8_index_staleness" ->
+      s"""${kmeansOracleSqrt(" WHERE vec_id % 10 < 8")},
+        |cnorm AS MATERIALIZED (SELECT cell, c,
+        |    list_sum(list_transform(c, x -> x::DOUBLE * x::DOUBLE)) AS cc
+        |  FROM cents),
+        |dd AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(x + 0.25 AS REAL)) AS embedding
+        |  FROM embeddings WHERE vec_id % 10 = 8),
+        |d0 AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id % 10 = 8),
+        |si AS (SELECT f.vec_id,
+        |    list_sum(list_transform(f.embedding,
+        |      x -> x::DOUBLE * x::DOUBLE)) AS vv,
+        |    list_sum(list_transform(list_zip(f.embedding, t.c),
+        |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) AS vc,
+        |    t.cc, t.cell
+        |  FROM e f CROSS JOIN cnorm t),
+        |ai AS (SELECT vec_id, vv, vc, cc FROM (
+        |    SELECT si.*, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY vc - cc / 2 DESC, cell) AS rn FROM si) t1
+        |  WHERE rn = 1),
+        |qi AS (SELECT count(*) AS n, CAST(sum(CAST(floor(
+        |    (vv - 2 * vc + cc) * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS qerr FROM ai),
+        |sa AS (SELECT f.vec_id,
+        |    list_sum(list_transform(f.embedding,
+        |      x -> x::DOUBLE * x::DOUBLE)) AS vv,
+        |    list_sum(list_transform(list_zip(f.embedding, t.c),
+        |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) AS vc,
+        |    t.cc, t.cell
+        |  FROM d0 f CROSS JOIN cnorm t),
+        |aa AS (SELECT vec_id, vv, vc, cc FROM (
+        |    SELECT sa.*, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY vc - cc / 2 DESC, cell) AS rn FROM sa) t2
+        |  WHERE rn = 1),
+        |qa AS (SELECT count(*) AS n, CAST(sum(CAST(floor(
+        |    (vv - 2 * vc + cc) * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS qerr FROM aa),
+        |sb AS (SELECT f.vec_id,
+        |    list_sum(list_transform(f.embedding,
+        |      x -> x::DOUBLE * x::DOUBLE)) AS vv,
+        |    list_sum(list_transform(list_zip(f.embedding, t.c),
+        |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) AS vc,
+        |    t.cc, t.cell
+        |  FROM dd f CROSS JOIN cnorm t),
+        |ab AS (SELECT vec_id, vv, vc, cc FROM (
+        |    SELECT sb.*, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY vc - cc / 2 DESC, cell) AS rn FROM sb) t3
+        |  WHERE rn = 1),
+        |qb AS (SELECT count(*) AS n, CAST(sum(CAST(floor(
+        |    (vv - 2 * vc + cc) * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS qerr FROM ab),
+        |rep AS (
+        |  SELECT 'in_dist' AS delta_kind,
+        |    qi.n AS n_index, qa.n AS n_delta,
+        |    qi.qerr AS qerr_index_micro, qa.qerr AS qerr_delta_micro,
+        |    floor(CAST(qa.qerr * qi.n AS DOUBLE)
+        |      / CAST(qi.qerr * qa.n AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |      AS qerr_ratio,
+        |    CAST((SELECT k FROM params) AS INT) AS nlist,
+        |    CAST(floor(sqrt(qi.n + qa.n) + 0.5) AS INT) AS nlist_rule
+        |  FROM qi CROSS JOIN qa
+        |  UNION ALL
+        |  SELECT 'drifted',
+        |    qi.n, qb.n, qi.qerr, qb.qerr,
+        |    floor(CAST(qb.qerr * qi.n AS DOUBLE)
+        |      / CAST(qi.qerr * qb.n AS DOUBLE) * 1e6 + 0.5) / 1e6,
+        |    CAST((SELECT k FROM params) AS INT),
+        |    CAST(floor(sqrt(qi.n + qb.n) + 0.5) AS INT)
+        |  FROM qi CROSS JOIN qb)
+        |SELECT delta_kind, n_index, n_delta, qerr_index_micro,
+        |  qerr_delta_micro, qerr_ratio, nlist, nlist_rule,
+        |  (qerr_ratio > 1.5 OR nlist_rule >= 2 * nlist) AS rebuild
+        |FROM rep ORDER BY delta_kind""".stripMargin,
+
+    // y8r ground truth: brute-force top-5 counts for the raw union
+    // (in-dist append) and the drifted union (drifted queries), with
+    // the three declared recall relations as literal verdicts.
+    "y8r_append_recall" ->
+      """WITH u0 AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
+        |  FROM embeddings WHERE vec_id % 10 < 9),
+        |udr AS (SELECT vec_id, embedding FROM embeddings
+        |    WHERE vec_id % 10 < 8
+        |  UNION ALL
+        |  SELECT vec_id, list_transform(embedding,
+        |      x -> CAST(x + 0.25 AS REAL))
+        |    FROM embeddings WHERE vec_id % 10 = 8),
+        |ud AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
+        |  FROM udr),
+        |q0 AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
+        |  FROM embeddings WHERE vec_id % 10 = 9),
+        |qd AS (SELECT vec_id, list_transform(embedding,
+        |      x -> CAST(x + 0.25 AS REAL)) AS embedding
+        |  FROM embeddings WHERE vec_id % 10 = 9),
+        |qdn AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
+        |  FROM qd),
+        |g0 AS (SELECT count(*) AS n FROM (
+        |  SELECT row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_sum(list_transform(
+        |        list_zip(q.embedding, c.embedding),
+        |        x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * c.nrm)
+        |        DESC, c.vec_id) AS rank
+        |  FROM q0 q CROSS JOIN u0 c) t WHERE rank <= 5),
+        |gd AS (SELECT count(*) AS n FROM (
+        |  SELECT row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_sum(list_transform(
+        |        list_zip(q.embedding, c.embedding),
+        |        x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * c.nrm)
+        |        DESC, c.vec_id) AS rank
+        |  FROM qdn q CROSS JOIN ud c) t WHERE rank <= 5)
+        |SELECT 'appended_drifted' AS kind,
+        |  (SELECT n FROM gd) AS n_exact, 1 AS recall_ok
+        |UNION ALL SELECT 'appended_in_dist', (SELECT n FROM g0), 1
+        |UNION ALL SELECT 'rebuilt_drifted', (SELECT n FROM gd), 1
+        |ORDER BY kind""".stripMargin
   )
 
   /** The q86-q88/x10/y3/y5 oracles' shared training loop, generalized

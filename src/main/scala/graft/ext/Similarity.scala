@@ -1067,6 +1067,112 @@ object Similarity {
     index.unionByName(
       buildIvfPqIndex(delta, idCol, vecCol, coarse, pq))
 
+  /** Per-frame quantization-error summary under a FIXED coarse codebook:
+    * one row `(n, qerr_sum_micro)` — row count and the sum of per-vector
+    * squared distances to the assigned (top-1) centroid, each snapped to
+    * the 1e-6 grid BEFORE aggregation so the sum is an exact BIGINT
+    * (cross-row double summation is shuffle-order-sensitive; integer
+    * sums are not). The squared distance is computed as
+    * `|v|² − 2·(v·c) + |c|²` in exactly that operation order — the form
+    * a SQL oracle twin reproduces IEEE-identically.
+    *
+    * One narrow scan of the frame, centroids as a broadcast-joined
+    * nlist-row frame; O(1) output.
+    */
+  def quantizationErrorSummary(
+      df: DataFrame,
+      vecCol: String,
+      coarse: Seq[Array[Float]]): DataFrame = {
+    require(coarse.nonEmpty, "quantizationErrorSummary: empty codebook")
+    val cents = centroidsToDF(df.sparkSession, coarse)
+    df.select(
+      col(vecCol).as("_v"),
+      nearestCells(col(vecCol), coarse, 1).getItem(0).as("cell"))
+      .join(broadcast(cents), Seq("cell"))
+      .select((vector_dot(col("_v"), col("_v"))
+        - lit(2.0) * vector_dot(col("_v"), col("centroid"))
+        + vector_dot(col("centroid"), col("centroid"))).as("_d2"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(floor(col("_d2") * 1e6 + 0.5).cast("long"))
+          .as("qerr_sum_micro"))
+  }
+
+  /** The append-staleness rule — when to RETRAIN instead of
+    * [[appendToIvfPqIndex]]-ing again. Two independent triggers, both
+    * computable from O(1) statistics (no ground-truth recall pass):
+    *
+    *  1. DRIFT: the delta quantizes `errFactor`× worse than the indexed
+    *     corpus under the frozen coarse codebook (mean squared
+    *     distance-to-assigned-centroid ratio). Measured on this corpus
+    *     (`graft.Prof appendStudy`): an in-distribution delta holds the
+    *     ratio near 1 and appended-serve recall at the rebuilt level,
+    *     while a shifted delta blows the ratio far past 1.5 and appended
+    *     recall on shifted queries collapses vs a fresh rebuild — the
+    *     codebooks describe the distribution they were trained on.
+    *  2. GROWTH: the corpus has grown enough that the √n sizing rule
+    *     ([[Clustering.suggestNlist]]) calls for ≥ `growthFactor`× the
+    *     current nlist — even drift-free appends degrade toward a linear
+    *     scan per cell once the corpus outgrows its cell count (the y7
+    *     rule applied over time instead of per snapshot).
+    */
+  def suggestRebuild(
+      qerrIndexMean: Double,
+      qerrDeltaMean: Double,
+      nIndex: Long,
+      nDelta: Long,
+      nlist: Int,
+      errFactor: Double = 1.5,
+      growthFactor: Double = 2.0): Boolean = {
+    require(nIndex > 0 && nDelta >= 0,
+      s"suggestRebuild: nIndex=$nIndex nDelta=$nDelta")
+    require(nlist >= 1, s"suggestRebuild: nlist=$nlist")
+    (qerrIndexMean > 0 &&
+      qerrDeltaMean > errFactor * qerrIndexMean) ||
+      Clustering.suggestNlist(nIndex + nDelta) >= growthFactor * nlist
+  }
+
+  /** One-row staleness report for an (index snapshot, append delta) pair
+    * under the snapshot-trained coarse codebook — the frame form of
+    * [[suggestRebuild]], oracle-comparable end to end:
+    * `(n_index, n_delta, qerr_index_micro, qerr_delta_micro, qerr_ratio,
+    * nlist, nlist_rule, rebuild)`. `qerr_*_micro` are the exact integer
+    * sums from [[quantizationErrorSummary]]; `qerr_ratio` is the
+    * mean-error ratio `(qd·ni)/(qi·nd)` computed from those integers
+    * with a single double division onto the 1e-6 grid; `nlist_rule` is
+    * the √n rule over the grown corpus. All four inputs are 1-row
+    * frames cross-joined broadcast-style — no driver collect, no
+    * corpus-sized shuffle beyond the two narrow scans.
+    */
+  def indexStalenessReport(
+      index: DataFrame,
+      delta: DataFrame,
+      vecCol: String,
+      coarse: Seq[Array[Float]],
+      errFactor: Double = 1.5,
+      growthFactor: Double = 2.0): DataFrame = {
+    val nlist = coarse.size
+    val qi = quantizationErrorSummary(index, vecCol, coarse)
+      .select(col("n").as("n_index"),
+        col("qerr_sum_micro").as("qerr_index_micro"))
+    val qd = quantizationErrorSummary(delta, vecCol, coarse)
+      .select(col("n").as("n_delta"),
+        col("qerr_sum_micro").as("qerr_delta_micro"))
+    qi.crossJoin(broadcast(qd))
+      .withColumn("qerr_ratio",
+        floor(
+          (col("qerr_delta_micro") * col("n_index")).cast("double")
+            / (col("qerr_index_micro") * col("n_delta")).cast("double")
+            * 1e6 + 0.5) / 1e6)
+      .withColumn("nlist", lit(nlist))
+      .withColumn("nlist_rule",
+        floor(sqrt((col("n_index") + col("n_delta")).cast("double"))
+          + 0.5).cast("int"))
+      .withColumn("rebuild",
+        col("qerr_ratio") > errFactor ||
+          col("nlist_rule") >= col("nlist") * growthFactor)
+  }
+
   /** Retrieval against a PREBUILT [[buildIvfPqIndex]] frame — the serving
     * half: a NEW query batch probes `nprobe` cells, candidates are ADC-
     * scored from the index's codes alone, and only each query's top

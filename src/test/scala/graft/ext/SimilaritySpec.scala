@@ -444,6 +444,64 @@ class SimilaritySpec extends SparkSpec {
       vectors, "vec_id", "embedding", coarse, pq))
   }
 
+  test("quantizationErrorSummary: integer-grid sums match hand math") {
+    import spark.implicits._
+    // codebook {(0,0), (4,0)}; vectors at (0,0), (1,0), (3,0):
+    // assignments cell0/cell0/cell1, d2 = 0, 1, 1 -> sum_micro 2e6, n=3.
+    // (1,0) is d2=1 from cell0 vs 9 from cell1; (3,0) 9 vs 1 -> cell1.
+    val coarse = Seq(Array(0f, 0f), Array(4f, 0f))
+    val df = Seq(
+      (1L, Seq(0f, 0f)), (2L, Seq(1f, 0f)), (3L, Seq(3f, 0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.quantizationErrorSummary(df, "embedding", coarse)
+      .collect()(0)
+    r.getLong(0) shouldBe 3L
+    r.getLong(1) shouldBe 2000000L
+  }
+
+  test("suggestRebuild: drift and growth triggers fire independently") {
+    // drift: delta quantizes 2x worse than the index
+    assert(Similarity.suggestRebuild(1.0, 2.0, 1000, 100, 33))
+    // in-distribution append under a right-sized codebook: keep going
+    assert(!Similarity.suggestRebuild(1.0, 1.1, 1000, 100, 33))
+    // growth: 1000 -> 4400 vectors means rule-nlist 66 >= 2 x 33
+    assert(Similarity.suggestRebuild(1.0, 1.0, 1000, 3400, 33))
+    // a zero-error index (degenerate) never divides by zero
+    assert(!Similarity.suggestRebuild(0.0, 0.0, 1000, 100, 33))
+  }
+
+  test("indexStalenessReport: a planted shift flips the verdict the " +
+      "in-distribution delta keeps down") {
+    import spark.implicits._
+    // exact geometry: two cells at (0,0)/(4,0), every index vector at
+    // squared distance 0.25 from its centroid; the in-dist delta sits
+    // at the same 0.25 ring (ratio 1.0), the drifted one is +5 away.
+    // 8 + 2 vectors keep the √n rule at 3 < 2·nlist, so only the drift
+    // trigger is in play.
+    val coarse = Seq(Array(0f, 0f), Array(4f, 0f))
+    val index = Seq(
+      (1L, Seq(0.5f, 0f)), (2L, Seq(-0.5f, 0f)),
+      (3L, Seq(0f, 0.5f)), (4L, Seq(0f, -0.5f)),
+      (5L, Seq(4.5f, 0f)), (6L, Seq(3.5f, 0f)),
+      (7L, Seq(4f, 0.5f)), (8L, Seq(4f, -0.5f)))
+      .toDF("vec_id", "embedding")
+    val delta = Seq((9L, Seq(0.5f, 0f)), (10L, Seq(4f, -0.5f)))
+      .toDF("vec_id", "embedding")
+    val inDist = Similarity.indexStalenessReport(
+      index, delta, "embedding", coarse).collect()(0)
+    inDist.getAs[Double]("qerr_ratio") shouldBe 1.0
+    inDist.getAs[Boolean]("rebuild") shouldBe false
+    inDist.getAs[Int]("nlist_rule") shouldBe 3
+    val drifted = Similarity.indexStalenessReport(
+      index,
+      delta.select(col("vec_id"),
+        transform(col("embedding"),
+          x => (x + lit(5.0)).cast("float")).as("embedding")),
+      "embedding", coarse).collect()(0)
+    drifted.getAs[Boolean]("rebuild") shouldBe true
+    drifted.getAs[Double]("qerr_ratio") should be > 10.0
+  }
+
   test("md5Planes is the documented portable derivation and is stable") {
     // value-pinned: first component of band 0/plane 0 under salt "t" is
     // md5('hp|t|0|0|0') = 0x... -> first 8 hex chars as unsigned int u,
