@@ -1,0 +1,740 @@
+package graft
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Bpe, Clusters, CorpusPipeline, Curation, Dedup, Fingerprint, Keyword, LanguageModel, Multimodal, Shingles, Similarity, TextAnalysis}
+import graft.lake.ZOrder
+import graft.ops.{AsofJoin, Cohorts, Diff, Drift, Funnel, FuzzyJoin, Hierarchy, Ids, IntervalJoin, Normalize, Profile, Resample, RuntimeFilter, Seasonal, SkewJoin, Sketches}
+import graft.pipeline.{Cdc, IncrementalAgg, Scd2}
+import graft.ops.ColumnOps._
+import graft.ops.JsonOps._
+import graft.ops.ValidateOps._
+
+/** Knn family of the driver contract — query declarations and their
+  * DuckDB oracle SQL, split verbatim out of SparkEntry.scala (round 13,
+  * pure mechanical move; no behavior change). The self-type pins this
+  * trait to the SparkEntry object so every helper reference (rd, model
+  * memoizers, shared oracle CTEs) resolves exactly as before the split.
+  */
+private[graft] trait EntryKnn { this: SparkEntry.type =>
+
+  private[graft] def queriesKnn: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ------------------------------------------- LLM-pipeline: similarity
+    "y1_knn_brute" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      Similarity.topKBruteForce(
+        emb.filter(col("vec_id") < 50), emb, "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+
+    "y2_knn_lsh" -> ((s, dir) => {
+      // banded hyperplane LSH top-k over the PORTABLE md5 plane model
+      // ((12, 3) — the measured sweep winner at this corpus's correlation
+      // regime): the oracle re-derives the planes, both band signatures,
+      // the candidate join and the exact-cosine ranking in SQL — a full
+      // value check; y2r still MEASURES recall vs brute force.
+      // DELIBERATE contrast (y3's LSH twin): the FIXED (12, 3) model
+      // means bucket population n/2^3 grows with the corpus — the
+      // super-linear SCALING step this query exists to measure. The
+      // sizing rule a growing corpus applies is
+      // Similarity.suggestPlanesPerBand (log2(n)/2 pins buckets at ~√n);
+      // bands remain the recall knob.
+      Similarity.topKLshWithPlanes(
+        rd(s, dir, "embeddings"), "vec_id", "embedding", k = 5,
+        planes = y2Planes)
+        .orderBy("query_id", "rank")
+    }),
+
+
+    "y3_knn_ivf" -> ((s, dir) => {
+      // nprobe 10/16: the corpus is loosely correlated (top-5 cosine ≈ 0.3)
+      // so neighbor cells carry little signal and a wide probe is needed
+      // for ≥0.9 recall — measured by y3r below. Clustered production
+      // embeddings concentrate neighbors in 1-2 cells; there nprobe stays
+      // small and the same plan is strongly sublinear. The quantizer is the
+      // prebuilt cross-engine-reproducible model ([[ivfDemo]], the q86
+      // training recipe at k=16) — build-once/reuse, and the oracle
+      // re-derives training, both assignment sides and the ranked search.
+      Similarity.topKIvfWithCentroids(rd(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 5,
+        centroids = ivfDemo(s, dir, 16).centroids, nprobe = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+
+    // ------------------------------ LLM-pipeline: measured recall (approx
+    // vs exact, same session): the judge-visible answer to "does the
+    // approximate path actually FIND the neighbors?". Each joins the
+    // approximate result against the exact plan and emits the recall
+    // fraction plus a pass flag the DuckDB oracle checks against the same
+    // exact count and a literal threshold.
+    "y2r_knn_lsh_recall" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      recallCheck(
+        Similarity.topKBruteForce(
+          emb.filter(col("vec_id") < 100), emb, "vec_id", "embedding", k = 5),
+        Similarity.topKLshWithPlanes(emb, "vec_id", "embedding", k = 5,
+          planes = y2Planes)
+          .filter(col("query_id") < 100),
+        Seq("query_id", "neighbor_id"), threshold = 0.9)
+    }),
+
+
+    "y3r_knn_ivf_recall" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      recallCheck(
+        Similarity.topKBruteForce(
+          emb.filter(col("vec_id") < 100), emb, "vec_id", "embedding", k = 5),
+        Similarity.topKIvfWithCentroids(emb, "vec_id", "embedding", k = 5,
+          centroids = ivfDemo(s, dir, 16).centroids, nprobe = 10)
+          .filter(col("query_id") < 100),
+        Seq("query_id", "neighbor_id"), threshold = 0.9)
+    }),
+
+
+    "y4_knn_int8" -> ((s, dir) => {
+      // two-stage int8 retrieval: quantized full scan (4x less bandwidth,
+      // integer MACs), exact float rescore of the k x 4 survivors — final
+      // scores are EXACT cosines, quantization only risks candidate
+      // recall (measured by y4r)
+      val emb = rd(s, dir, "embeddings")
+      Similarity.topKQuantized(
+        emb.filter(col("vec_id") < 100), emb, "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+
+    "y4r_knn_int8_recall" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      recallCheck(
+        Similarity.topKBruteForce(
+          emb.filter(col("vec_id") < 100), emb, "vec_id", "embedding", k = 5),
+        Similarity.topKQuantized(
+          emb.filter(col("vec_id") < 100), emb, "vec_id", "embedding", k = 5),
+        Seq("query_id", "neighbor_id"), threshold = 0.95)
+    }),
+
+
+    "y5_knn_ivfpq" -> ((s, dir) => {
+      // IVF-PQ: the production ANN layout — IVF cells prune candidates,
+      // PQ codes (m=16 ints vs 64 floats on the corpus side of the cell
+      // join) score them via ADC, exact float rescore of each query's
+      // k x rescoreFactor survivors. nprobe 12 (loosely correlated corpus
+      // needs a wide probe) and the wide rescore absorbs ADC ranking error
+      // at that correlation. Both models are the prebuilt cross-engine-
+      // reproducible trainers ([[ivfDemo]] k=16 coarse + [[pqDemo]]
+      // 16×256 codebooks), so the oracle re-derives ALL of it in SQL:
+      // 17 k-means trainings, the corpus encode, ADC scoring, and the
+      // exact rescore — the strongest possible check; y5r still MEASURES
+      // recall vs brute force.
+      val emb = rd(s, dir, "embeddings")
+      Similarity.topKIvfPqWithModels(
+        emb.filter(col("vec_id") < 100), emb, "vec_id", "embedding",
+        k = 5, coarse = ivfDemo(s, dir, 16).centroids, pq = pqDemo(s, dir),
+        nprobe = 12, rescoreFactor = 64)
+        .orderBy("query_id", "rank")
+    }),
+
+
+    "y5r_knn_ivfpq_recall" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val coarse = ivfDemo(s, dir, 16).centroids
+      val pq = pqDemo(s, dir)
+      recallCheck(
+        Similarity.topKBruteForce(
+          emb.filter(col("vec_id") < 100), emb, "vec_id", "embedding", k = 5),
+        Similarity.topKIvfPqWithModels(
+          emb.filter(col("vec_id") < 100), emb, "vec_id", "embedding",
+          k = 5, coarse = coarse, pq = pq, nprobe = 12, rescoreFactor = 64),
+        Seq("query_id", "neighbor_id"), threshold = 0.9)
+    }),
+
+
+    "y6_knn_indexed" -> ((s, dir) => {
+      // the ANN SERVING shape (x9's incremental convention lifted to
+      // retrieval): 90% of the corpus (vec_id % 10 < 9) is the indexed
+      // SNAPSHOT — coarse cells, PQ codes and norms computed once per
+      // snapshot (Similarity.buildIvfPqIndex; parquet in production) —
+      // and the 10% batch of NEW vectors searches it with no retraining
+      // and no re-encoding (searchIvfPqIndex): the snapshot's vector
+      // column is touched only by the id-list-sized exact rescore.
+      // Models come from the deterministic snapshot-trained recipes, so
+      // the oracle re-derives index build AND search end-to-end in SQL;
+      // y6r still MEASURES recall against the cross-split brute force.
+      // (nprobe=12, rescoreFactor=16) from the round-9 Sweep grid
+      // (nprobe 4-12 x rf 4-64, both scales): recall is set by nprobe
+      // (cell coverage — 12/16 cells needed on this loosely-correlated
+      // corpus), while rf saturates at 8; rf=16 holds the y6r bar with
+      // margin at BOTH scales (0.928 sf0.01 / 0.942 sf0.1, vs 0.944 at
+      // the old rf=64) while rescoring 80 candidates/query instead of
+      // 320 — the id-list rescore join is the only part of serving that
+      // touches corpus vectors, so its size is the scaling knob.
+      val (snapshot, batch) = y6Parts(s, dir)
+      val (coarse, pq) = y6Models(s, dir)
+      Similarity.searchIvfPqIndex(batch,
+        Similarity.buildIvfPqIndex(snapshot, "vec_id", "embedding",
+          coarse, pq),
+        snapshot, "vec_id", "embedding", k = 5, coarse = coarse, pq = pq,
+        nprobe = 12, rescoreFactor = 16)
+        .orderBy("query_id", "rank")
+    }),
+
+
+    "y6r_knn_indexed_recall" -> ((s, dir) => {
+      val (snapshot, batch) = y6Parts(s, dir)
+      val (coarse, pq) = y6Models(s, dir)
+      recallCheck(
+        Similarity.topKBruteForce(batch, snapshot, "vec_id", "embedding",
+          k = 5),
+        Similarity.searchIvfPqIndex(batch,
+          Similarity.buildIvfPqIndex(snapshot, "vec_id", "embedding",
+            coarse, pq),
+          snapshot, "vec_id", "embedding", k = 5, coarse = coarse, pq = pq,
+          nprobe = 12, rescoreFactor = 16),
+        Seq("query_id", "neighbor_id"), threshold = 0.9)
+    }),
+
+
+    "y7_knn_artifact_served" -> ((s, dir) => {
+      // y6's serving shape, completed to the FULL production lifecycle:
+      // (a) the coarse codebook is RULE-SIZED per snapshot
+      // (Clustering.suggestNlist = round(√corpus); measured in Prof
+      // nlistStudy / commit fdd305e: at the SAME probe fraction, rule-
+      // sized cells beat fixed nlist=16 on wall time AND recall, because
+      // finer cells make the probed fraction better targeted — a fixed
+      // nlist under a growing corpus degrades toward a linear scan per
+      // cell), with nprobe = ceil(0.75·nlist) holding y6's probe
+      // fraction; (b) the models REACH SERVING THROUGH PARQUET — trained
+      // once per snapshot, written via centroidsToDF/pqToDF, read back
+      // via centroidsFromDF/pqFromDF (y7Models) — so this declaration,
+      // unlike y6's in-memory models, exercises the train-once/persist/
+      // serve artifact path under the full value oracle (the oracle
+      // re-derives the models from the raw table; a hash match proves
+      // persistence is value-neutral). ModelArtifactsSpec additionally
+      // pins frame round-trip equality and loaded-vs-inmemory serve
+      // equality.
+      val (snapshot, batch) = y6Parts(s, dir)
+      val (_, nprobe, coarse, pq) = y7Models(s, dir)
+      Similarity.searchIvfPqIndex(batch,
+        Similarity.buildIvfPqIndex(snapshot, "vec_id", "embedding",
+          coarse, pq),
+        snapshot, "vec_id", "embedding", k = 5, coarse = coarse, pq = pq,
+        nprobe = nprobe, rescoreFactor = 16)
+        .orderBy("query_id", "rank")
+    }),
+
+
+    "y7r_knn_artifact_recall" -> ((s, dir) => {
+      val (snapshot, batch) = y6Parts(s, dir)
+      val (_, nprobe, coarse, pq) = y7Models(s, dir)
+      recallCheck(
+        Similarity.topKBruteForce(batch, snapshot, "vec_id", "embedding",
+          k = 5),
+        Similarity.searchIvfPqIndex(batch,
+          Similarity.buildIvfPqIndex(snapshot, "vec_id", "embedding",
+            coarse, pq),
+          snapshot, "vec_id", "embedding", k = 5, coarse = coarse, pq = pq,
+          nprobe = nprobe, rescoreFactor = 16),
+        Seq("query_id", "neighbor_id"), threshold = 0.9)
+    }),
+
+
+    "y8_index_staleness" -> ((s, dir) => {
+      // the ANN append-staleness report (Similarity.indexStalenessReport
+      // / suggestRebuild): appendToIvfPqIndex keeps the coarse/PQ models
+      // FROZEN, so the one question a serving pipeline must keep
+      // answering is "retrain yet?". The rule's drift trigger is the
+      // delta/index mean quantization-error ratio under the frozen
+      // coarse codebook — measured against ground truth (graft.Prof
+      // appendStudy, sf0.01/sf0.1): an in-distribution delta holds the
+      // ratio at 1.10/1.05 and appended-serve recall at the rebuilt
+      // level (0.904 vs 0.924 / 0.905 vs 0.902), while the planted
+      // +0.25-per-dim shift blows the ratio to 5.6/5.3 and collapses
+      // appended recall (0.536 vs 0.964 / 0.258 vs 0.569 rebuilt) —
+      // the y8r companion pins those recall relations. Declared over
+      // BOTH branches: the raw %10==8 delta (verdict: keep appending)
+      // and its drifted twin (verdict: rebuild). Every compare column
+      // is integer-derived (per-row 1e-6-grid error sums as BIGINT; the
+      // ratio is one double division of exact integers) — the q99
+      // posture. The oracle replays the rule-sized k-means on the 80%
+      // index split, both assignments, and the grids.
+      val emb = rd(s, dir, "embeddings")
+      val index = emb.filter(pmod(col("vec_id"), lit(10)) < 8)
+      val delta = emb.filter(pmod(col("vec_id"), lit(10)) === 8)
+      val (_, _, coarse, _) = x13Models(s, dir)
+      def rep(d: DataFrame, kind: String) =
+        Similarity.indexStalenessReport(index, d, "embedding", coarse)
+          .withColumn("delta_kind", lit(kind))
+      rep(delta, "in_dist")
+        .unionByName(rep(
+          delta.select(col("vec_id"),
+            y8Drift(col("embedding")).as("embedding")),
+          "drifted"))
+        .select(col("delta_kind"), col("n_index"), col("n_delta"),
+          col("qerr_index_micro"), col("qerr_delta_micro"),
+          col("qerr_ratio"), col("nlist"), col("nlist_rule"),
+          col("rebuild"))
+        .orderBy("delta_kind")
+    }),
+
+
+    "y8r_append_recall" -> ((s, dir) => {
+      // y8's recall companion — the MEASURED decay the staleness rule
+      // predicts, pinned as three exact-integer verdicts over the real
+      // serving stack: (a) in-distribution append holds ≥ 0.85 recall
+      // vs brute force (keep appending, as the rule says); (b) the
+      // drifted append COLLAPSES below 0.7 (the decay); (c) retraining
+      // on the drifted union restores ≥ 1.5× the appended hit count
+      // (the rebuild pays). Ground truth is brute-force top-5 over each
+      // union; serving is the y7 production shape (prebuilt IVF-PQ
+      // index + ADC + rescore) with nprobe = ceil(0.75·nlist),
+      // rescoreFactor = 4.
+      val emb = rd(s, dir, "embeddings")
+      val index = emb.filter(pmod(col("vec_id"), lit(10)) < 8)
+        .select("vec_id", "embedding")
+      val delta0 = emb.filter(pmod(col("vec_id"), lit(10)) === 8)
+        .select("vec_id", "embedding")
+      val q0 = emb.filter(pmod(col("vec_id"), lit(10)) === 9)
+        .select("vec_id", "embedding")
+      def drift(df: DataFrame) = df.select(col("vec_id"),
+        y8Drift(col("embedding")).as("embedding"))
+      val (deltaD, qD) = (drift(delta0), drift(q0))
+      val u0 = index.unionByName(delta0)
+      val uD = index.unionByName(deltaD)
+      val (_, nprobe, coarse, pq) = x13Models(s, dir)
+      val (nprobe2, coarse2, pq2) = y8RebuildModels(s, dir)
+      val baseIdx = Similarity.buildIvfPqIndex(
+        index, "vec_id", "embedding", coarse, pq)
+      def serve(q: DataFrame, idx: DataFrame, corpus: DataFrame,
+          cs: Seq[Array[Float]], p: Seq[Seq[Seq[Float]]], np: Int) =
+        Similarity.searchIvfPqIndex(q, idx, corpus, "vec_id", "embedding",
+          k = 5, coarse = cs, pq = p, nprobe = np, rescoreFactor = 4)
+      val keys = Seq("query_id", "neighbor_id")
+      val app0 = recallHits(
+        Similarity.topKBruteForce(q0, u0, "vec_id", "embedding", k = 5),
+        serve(q0, Similarity.appendToIvfPqIndex(baseIdx, delta0,
+          "vec_id", "embedding", coarse, pq), u0, coarse, pq, nprobe),
+        keys)
+      val bruteD = Similarity.topKBruteForce(
+        qD, uD, "vec_id", "embedding", k = 5)
+      val appD = recallHits(bruteD,
+        serve(qD, Similarity.appendToIvfPqIndex(baseIdx, deltaD,
+          "vec_id", "embedding", coarse, pq), uD, coarse, pq, nprobe),
+        keys)
+      val rebD = recallHits(bruteD,
+        serve(qD, Similarity.buildIvfPqIndex(uD, "vec_id", "embedding",
+          coarse2, pq2), uD, coarse2, pq2, nprobe2),
+        keys)
+      app0.select(lit("appended_in_dist").as("kind"), col("n_exact"),
+        (col("n_hit") * 100 >= col("n_exact") * 85).cast("int")
+          .as("recall_ok"))
+        .unionByName(appD.select(lit("appended_drifted").as("kind"),
+          col("n_exact"),
+          (col("n_hit") * 10 < col("n_exact") * 7).cast("int")
+            .as("recall_ok")))
+        .unionByName(rebD
+          .crossJoin(broadcast(appD.select(col("n_hit").as("_ha"))))
+          .select(lit("rebuilt_drifted").as("kind"), col("n_exact"),
+            (col("n_hit") * 2 >= col("_ha") * 3).cast("int")
+              .as("recall_ok")))
+        .orderBy("kind")
+    })
+  )
+
+  private[graft] def oraclesKnn: Map[String, String] = Map(
+
+    "y2r_knn_lsh_recall" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
+        |  FROM embeddings)
+        |SELECT count(*) AS n_exact, 1 AS recall_ok FROM (
+        |  SELECT CAST(row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |        x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * c.nrm) DESC,
+        |      c.vec_id) AS INT) AS rank
+        |  FROM e q JOIN e c ON q.vec_id < 100 AND c.vec_id <> q.vec_id) t
+        |WHERE rank <= 5""".stripMargin,
+
+
+    // same exact-top-k ground truth as y2r/y3r: the int8 stage must not
+    // lose true neighbors past the measured bar
+    "y4r_knn_int8_recall" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
+        |  FROM embeddings)
+        |SELECT count(*) AS n_exact, 1 AS recall_ok FROM (
+        |  SELECT CAST(row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |        x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * c.nrm) DESC,
+        |      c.vec_id) AS INT) AS rank
+        |  FROM e q JOIN e c ON q.vec_id < 100 AND c.vec_id <> q.vec_id) t
+        |WHERE rank <= 5""".stripMargin,
+
+
+    "y3r_knn_ivf_recall" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
+        |  FROM embeddings)
+        |SELECT count(*) AS n_exact, 1 AS recall_ok FROM (
+        |  SELECT CAST(row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |        x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * c.nrm) DESC,
+        |      c.vec_id) AS INT) AS rank
+        |  FROM e q JOIN e c ON q.vec_id < 100 AND c.vec_id <> q.vec_id) t
+        |WHERE rank <= 5""".stripMargin,
+
+
+    // same exact top-5 ground truth as y3r: the IVF-PQ path must find at
+    // least the threshold fraction of the float brute-force neighbors
+    "y5r_knn_ivfpq_recall" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
+        |  FROM embeddings)
+        |SELECT count(*) AS n_exact, 1 AS recall_ok FROM (
+        |  SELECT CAST(row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |        x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * c.nrm) DESC,
+        |      c.vec_id) AS INT) AS rank
+        |  FROM e q JOIN e c ON q.vec_id < 100 AND c.vec_id <> q.vec_id) t
+        |WHERE rank <= 5""".stripMargin,
+
+
+    // y6r/y7r ground truth: the 10% batch's exact top-5 within the 90%
+    // snapshot (cross-split, so no self-exclusion is ever exercised)
+    "y6r_knn_indexed_recall" -> snapshotKnnRecallOracle,
+
+
+    "y7r_knn_artifact_recall" -> snapshotKnnRecallOracle,
+
+
+    "y1_knn_brute" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
+        |  FROM embeddings)
+        |SELECT query_id, neighbor_id, rank, cosine FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * c.nrm) AS cosine,
+        |    CAST(row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |        x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * c.nrm) DESC,
+        |      c.vec_id) AS INT) AS rank
+        |  FROM e q JOIN e c ON q.vec_id < 50 AND c.vec_id <> q.vec_id) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+
+    // y2: re-derive the 12×3 md5 plane model, band signatures, the
+    // mirrored candidate set, and the exact-cosine top-5 ranking.
+    "y2_knn_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |$enCte,
+        |pl AS (SELECT t.b, t.p,
+        |    list(CAST(t.u / 2147483648.0 - 1.0 AS REAL) ORDER BY t.i)
+        |      AS plane
+        |  FROM (SELECT b.b, p.p, i.i,
+        |      CAST(CAST(('0x' || substr(md5('hp|y2|' ||
+        |          CAST(b.b AS VARCHAR) || '|' || CAST(p.p AS VARCHAR) ||
+        |          '|' || CAST(i.i AS VARCHAR)), 1, 8)) AS BIGINT)
+        |        AS DOUBLE) AS u
+        |    FROM range(12) b(b), range(3) p(p), range(64) i(i)) t
+        |  GROUP BY t.b, t.p),
+        |sig AS (SELECT e.vec_id, pl.b AS band,
+        |    CAST(sum(CASE WHEN list_sum(list_transform(
+        |          list_zip(e.embedding, pl.plane),
+        |          x -> x[1]::DOUBLE * x[2]::DOUBLE)) >= 0
+        |      THEN (CAST(1 AS BIGINT) << CAST(pl.p AS INT))
+        |      ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM e CROSS JOIN pl GROUP BY e.vec_id, pl.b),
+        |half AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM sig a JOIN sig b
+        |    ON a.band = b.band AND a.bucket = b.bucket
+        |    AND a.vec_id < b.vec_id),
+        |cand AS (SELECT id_a AS query_id, id_b AS neighbor_id FROM half
+        |  UNION ALL
+        |  SELECT id_b AS query_id, id_a AS neighbor_id FROM half),
+        |sc AS (SELECT c.query_id, c.neighbor_id,
+        |    list_sum(list_transform(list_zip(q.embedding, n.embedding),
+        |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * n.nrm) AS cosine
+        |  FROM cand c JOIN en q ON c.query_id = q.vec_id
+        |    JOIN en n ON c.neighbor_id = n.vec_id)
+        |SELECT query_id, neighbor_id, rank, cosine FROM (
+        |  SELECT sc.*, CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+        |  FROM sc WHERE cosine IS NOT NULL AND NOT isnan(cosine)) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+
+    // y3: the q86 k-means loop at k=16, corpus home cells (asg) + top-10
+    // query probes, exact-cosine top-5 ranking of every cell candidate.
+    "y3_knn_ivf" ->
+      s"""${kmeansOracle(16)},
+        |$enCte,
+        |probes AS (SELECT vec_id AS query_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY score DESC, cell) AS rn FROM s1) t3 WHERE rn <= 10),
+        |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+        |  FROM probes p JOIN asg a ON p.cell = a.cell
+        |  WHERE p.query_id <> a.vec_id),
+        |sc AS (SELECT c.query_id, c.neighbor_id,
+        |    list_sum(list_transform(list_zip(q.embedding, n.embedding),
+        |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * n.nrm) AS cosine
+        |  FROM cand c JOIN en q ON c.query_id = q.vec_id
+        |    JOIN en n ON c.neighbor_id = n.vec_id)
+        |SELECT query_id, neighbor_id, rank, cosine FROM (
+        |  SELECT sc.*, CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+        |  FROM sc WHERE cosine IS NOT NULL AND NOT isnan(cosine)) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+
+    // y4: re-derive the symmetric int8 quantization (floor(x·inv + 0.5) =
+    // Java Math.round, clamped), the integer first-pass scores, the
+    // k×4 candidate cut, and the exact-float rescore.
+    "y4_knn_int8" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |$enCte,
+        |qz AS (SELECT e.vec_id,
+        |    CASE WHEN m.mab = 0
+        |      THEN list_transform(e.embedding, x -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(e.embedding, x ->
+        |        greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT),
+        |          CAST(floor(x::DOUBLE * (127.0 / m.mab) + 0.5)
+        |            AS BIGINT)))) END AS qv,
+        |    m.mab / 127.0 AS scale
+        |  FROM e JOIN (SELECT vec_id, list_max(list_transform(embedding,
+        |      x -> abs(x::DOUBLE))) AS mab FROM e) m
+        |    ON e.vec_id = m.vec_id),
+        |apx AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(list_zip(q.qv, c.qv),
+        |      x -> x[1] * x[2])) AS DOUBLE) * q.scale * c.scale
+        |      / (qn.nrm * cn.nrm) AS ascore
+        |  FROM qz q JOIN qz c ON q.vec_id < 100 AND c.vec_id <> q.vec_id
+        |    JOIN en qn ON q.vec_id = qn.vec_id
+        |    JOIN en cn ON c.vec_id = cn.vec_id),
+        |surv AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT apx.*, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY ascore DESC, neighbor_id) AS rn
+        |    FROM apx WHERE ascore IS NOT NULL AND NOT isnan(ascore)) t4
+        |  WHERE rn <= 20),
+        |sc AS (SELECT s.query_id, s.neighbor_id,
+        |    list_sum(list_transform(list_zip(q.embedding, n.embedding),
+        |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * n.nrm) AS cosine
+        |  FROM surv s JOIN en q ON s.query_id = q.vec_id
+        |    JOIN en n ON s.neighbor_id = n.vec_id)
+        |SELECT query_id, neighbor_id, rank, cosine FROM (
+        |  SELECT sc.*, CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+        |  FROM sc WHERE cosine IS NOT NULL AND NOT isnan(cosine)) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+
+    // y5: the full IVF-PQ pipeline — coarse k=16 training (preamble), all
+    // 16 per-subspace 256-cell PQ trainings (same deterministic one-refit
+    // grid-rounded loop), corpus encode, ADC scoring against the flattened
+    // reconstruction (one sequential double accumulation, exactly
+    // PqAdcDot), the k×64 cut, and the exact-float rescore.
+    "y5_knn_ivfpq" ->
+      s"""${kmeansOracle(16)},
+        |$enCte,
+        |$pqTrainEncodeCtes,
+        |probes AS (SELECT vec_id AS query_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY score DESC, cell) AS rn
+        |    FROM s1 WHERE vec_id < 100) t7 WHERE rn <= 12),
+        |adc AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(q.embedding, r.rv),
+        |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * c.nrm) AS ascore
+        |  FROM probes p JOIN asg a ON p.cell = a.cell
+        |    JOIN en q ON p.query_id = q.vec_id
+        |    JOIN recon r ON a.vec_id = r.vec_id
+        |    JOIN en c ON a.vec_id = c.vec_id
+        |  WHERE p.query_id <> a.vec_id),
+        |surv AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT adc.*, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY ascore DESC, neighbor_id) AS rn
+        |    FROM adc WHERE ascore IS NOT NULL AND NOT isnan(ascore)) t8
+        |  WHERE rn <= 320),
+        |sc AS (SELECT s.query_id, s.neighbor_id,
+        |    list_sum(list_transform(list_zip(q.embedding, n.embedding),
+        |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * n.nrm) AS cosine
+        |  FROM surv s JOIN en q ON s.query_id = q.vec_id
+        |    JOIN en n ON s.neighbor_id = n.vec_id)
+        |SELECT query_id, neighbor_id, rank, cosine FROM (
+        |  SELECT sc.*, CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+        |  FROM sc WHERE cosine IS NOT NULL AND NOT isnan(cosine)) t9
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+
+    // y6: the y5 pipeline in its SERVING shape — every model and the
+    // index derive from the 90% snapshot only (the preamble's WHERE);
+    // the 10% query batch gets its own probe scoring (qs) against the
+    // snapshot-trained cells and never participates in training, encode,
+    // or the index.
+    "y6_knn_indexed" ->
+      s"""${kmeansOracle(16, " WHERE vec_id % 10 < 9")},
+        |$enCte,
+        |$batchQueryCte,
+        |$pqTrainEncodeCtes,
+        |${indexedServeOracleTail("12")}""".stripMargin,
+
+
+    // y7: y6's serving pipeline with (a) the coarse codebook RULE-SIZED by
+    // the data itself (nlist = round(√snapshot), nprobe = ceil(0.75 ×
+    // nlist) — the params CTE re-derives both, so one oracle is correct at
+    // every scale) and (b) the Spark side routed through PARQUET MODEL
+    // ARTIFACTS (centroidsToDF/pqToDF → parquet → centroidsFromDF/
+    // pqFromDF before serving): the oracle re-derives the models from the
+    // raw table, so a hash match proves persistence is value-neutral.
+    "y7_knn_artifact_served" ->
+      s"""${kmeansOracleSqrt(" WHERE vec_id % 10 < 9")},
+        |$enCte,
+        |$batchQueryCte,
+        |$pqTrainEncodeCtes,
+        |${indexedServeOracleTail("(SELECT nb FROM params)")}""".stripMargin,
+
+
+    // y8: the rule-sized k-means replay on the 80% index split
+    // (x13Models' recipe), then per-frame quantization-error sums —
+    // top-1 cell by the v·c − |c|²/2 ranking (ties to the smaller
+    // cell), per-row squared distance |v|² − 2·v·c + |c|² in exactly
+    // that operation order, snapped to the 1e-6 grid BEFORE the BIGINT
+    // sum — and the two staleness report rows with the exact-integer
+    // ratio and the rule's verdicts.
+    "y8_index_staleness" ->
+      s"""${kmeansOracleSqrt(" WHERE vec_id % 10 < 8")},
+        |cnorm AS MATERIALIZED (SELECT cell, c,
+        |    list_sum(list_transform(c, x -> x::DOUBLE * x::DOUBLE)) AS cc
+        |  FROM cents),
+        |dd AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(x + 0.25 AS REAL)) AS embedding
+        |  FROM embeddings WHERE vec_id % 10 = 8),
+        |d0 AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id % 10 = 8),
+        |si AS (SELECT f.vec_id,
+        |    list_sum(list_transform(f.embedding,
+        |      x -> x::DOUBLE * x::DOUBLE)) AS vv,
+        |    list_sum(list_transform(list_zip(f.embedding, t.c),
+        |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) AS vc,
+        |    t.cc, t.cell
+        |  FROM e f CROSS JOIN cnorm t),
+        |ai AS (SELECT vec_id, vv, vc, cc FROM (
+        |    SELECT si.*, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY vc - cc / 2 DESC, cell) AS rn FROM si) t1
+        |  WHERE rn = 1),
+        |qi AS (SELECT count(*) AS n, CAST(sum(CAST(floor(
+        |    (vv - 2 * vc + cc) * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS qerr FROM ai),
+        |sa AS (SELECT f.vec_id,
+        |    list_sum(list_transform(f.embedding,
+        |      x -> x::DOUBLE * x::DOUBLE)) AS vv,
+        |    list_sum(list_transform(list_zip(f.embedding, t.c),
+        |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) AS vc,
+        |    t.cc, t.cell
+        |  FROM d0 f CROSS JOIN cnorm t),
+        |aa AS (SELECT vec_id, vv, vc, cc FROM (
+        |    SELECT sa.*, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY vc - cc / 2 DESC, cell) AS rn FROM sa) t2
+        |  WHERE rn = 1),
+        |qa AS (SELECT count(*) AS n, CAST(sum(CAST(floor(
+        |    (vv - 2 * vc + cc) * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS qerr FROM aa),
+        |sb AS (SELECT f.vec_id,
+        |    list_sum(list_transform(f.embedding,
+        |      x -> x::DOUBLE * x::DOUBLE)) AS vv,
+        |    list_sum(list_transform(list_zip(f.embedding, t.c),
+        |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) AS vc,
+        |    t.cc, t.cell
+        |  FROM dd f CROSS JOIN cnorm t),
+        |ab AS (SELECT vec_id, vv, vc, cc FROM (
+        |    SELECT sb.*, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY vc - cc / 2 DESC, cell) AS rn FROM sb) t3
+        |  WHERE rn = 1),
+        |qb AS (SELECT count(*) AS n, CAST(sum(CAST(floor(
+        |    (vv - 2 * vc + cc) * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS qerr FROM ab),
+        |rep AS (
+        |  SELECT 'in_dist' AS delta_kind,
+        |    qi.n AS n_index, qa.n AS n_delta,
+        |    qi.qerr AS qerr_index_micro, qa.qerr AS qerr_delta_micro,
+        |    floor(CAST(qa.qerr * qi.n AS DOUBLE)
+        |      / CAST(qi.qerr * qa.n AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |      AS qerr_ratio,
+        |    CAST((SELECT k FROM params) AS INT) AS nlist,
+        |    CAST(floor(sqrt(qi.n + qa.n) + 0.5) AS INT) AS nlist_rule
+        |  FROM qi CROSS JOIN qa
+        |  UNION ALL
+        |  SELECT 'drifted',
+        |    qi.n, qb.n, qi.qerr, qb.qerr,
+        |    floor(CAST(qb.qerr * qi.n AS DOUBLE)
+        |      / CAST(qi.qerr * qb.n AS DOUBLE) * 1e6 + 0.5) / 1e6,
+        |    CAST((SELECT k FROM params) AS INT),
+        |    CAST(floor(sqrt(qi.n + qb.n) + 0.5) AS INT)
+        |  FROM qi CROSS JOIN qb)
+        |SELECT delta_kind, n_index, n_delta, qerr_index_micro,
+        |  qerr_delta_micro, qerr_ratio, nlist, nlist_rule,
+        |  (qerr_ratio > 1.5 OR nlist_rule >= 2 * nlist) AS rebuild
+        |FROM rep ORDER BY delta_kind""".stripMargin,
+
+
+    // y8r ground truth: brute-force top-5 counts for the raw union
+    // (in-dist append) and the drifted union (drifted queries), with
+    // the three declared recall relations as literal verdicts.
+    "y8r_append_recall" ->
+      """WITH u0 AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
+        |  FROM embeddings WHERE vec_id % 10 < 9),
+        |udr AS (SELECT vec_id, embedding FROM embeddings
+        |    WHERE vec_id % 10 < 8
+        |  UNION ALL
+        |  SELECT vec_id, list_transform(embedding,
+        |      x -> CAST(x + 0.25 AS REAL))
+        |    FROM embeddings WHERE vec_id % 10 = 8),
+        |ud AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
+        |  FROM udr),
+        |q0 AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
+        |  FROM embeddings WHERE vec_id % 10 = 9),
+        |qd AS (SELECT vec_id, list_transform(embedding,
+        |      x -> CAST(x + 0.25 AS REAL)) AS embedding
+        |  FROM embeddings WHERE vec_id % 10 = 9),
+        |qdn AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
+        |  FROM qd),
+        |g0 AS (SELECT count(*) AS n FROM (
+        |  SELECT row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_sum(list_transform(
+        |        list_zip(q.embedding, c.embedding),
+        |        x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * c.nrm)
+        |        DESC, c.vec_id) AS rank
+        |  FROM q0 q CROSS JOIN u0 c) t WHERE rank <= 5),
+        |gd AS (SELECT count(*) AS n FROM (
+        |  SELECT row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_sum(list_transform(
+        |        list_zip(q.embedding, c.embedding),
+        |        x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * c.nrm)
+        |        DESC, c.vec_id) AS rank
+        |  FROM qdn q CROSS JOIN ud c) t WHERE rank <= 5)
+        |SELECT 'appended_drifted' AS kind,
+        |  (SELECT n FROM gd) AS n_exact, 1 AS recall_ok
+        |UNION ALL SELECT 'appended_in_dist', (SELECT n FROM g0), 1
+        |UNION ALL SELECT 'rebuilt_drifted', (SELECT n FROM gd), 1
+        |ORDER BY kind""".stripMargin
+  )
+}

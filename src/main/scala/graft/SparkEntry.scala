@@ -30,9 +30,9 @@ import graft.ops.ValidateOps._
   *  - no raw timestamp output columns (formatted as strings instead —
   *    parquet tz-annotation vs naive-timestamp comparisons are not robust).
   */
-object SparkEntry {
+object SparkEntry extends EntryRelA with EntryRelB with EntryText with EntryDedup with EntryKnn with EntryMultimodal with EntryCuration {
 
-  private def rd(s: SparkSession, dir: String, name: String): DataFrame =
+  private[graft] def rd(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts has shipped as parquet TIMESTAMP(NANOS) in some testdata
       // generations — which Spark 4 rejects ([PARQUET_TYPE_ILLEGAL]) — and
@@ -53,7 +53,7 @@ object SparkEntry {
     * Spark side does BYTE math, so the two agree only on single-byte text.
     * Multi-byte payloads must fail the query loudly, not silently diverge.
     */
-  private def asciiGuard(df: DataFrame, q: String): DataFrame =
+  private[graft] def asciiGuard(df: DataFrame, q: String): DataFrame =
     df.withColumn("text",
       when(octet_length(col("text")) === length(col("text")), col("text"))
         .otherwise(raise_error(
@@ -66,7 +66,7 @@ object SparkEntry {
     * lands on a tie (seen in practice at sf0.1 row counts). The floor form
     * is pure double arithmetic, bit-identical in both engines.
     */
-  private def rnd(c: Column, digits: Int): Column = {
+  private[graft] def rnd(c: Column, digits: Int): Column = {
     val p = math.pow(10, digits)
     floor(c * p + 0.5) / p
   }
@@ -81,7 +81,7 @@ object SparkEntry {
     * plan (broadcast left-outer + keys-only anti join) — same result by
     * construction, so q38 and q38b share one oracle.
     */
-  private def scd2Demo(
+  private[graft] def scd2Demo(
       s: SparkSession, dir: String, broadcastUpdates: Boolean): DataFrame = {
     val c = rd(s, dir, "customer")
     val open = c.select(col("c_custkey"), col("c_name"), col("c_acctbal"),
@@ -113,7 +113,7 @@ object SparkEntry {
     * count and a literal threshold. An empty ground truth is vacuously
     * full recall.
     */
-  private def recallCheck(
+  private[graft] def recallCheck(
       exact: DataFrame, approx: DataFrame, keys: Seq[String],
       threshold: Double): DataFrame =
     exact.select(keys.map(col): _*)
@@ -137,7 +137,7 @@ object SparkEntry {
     * thresholds (`2·hits_rebuilt ≥ 3·hits_appended`) instead of a
     * double recall compare.
     */
-  private def recallHits(
+  private[graft] def recallHits(
       exact: DataFrame, approx: DataFrame, keys: Seq[String]): DataFrame =
     exact.select(keys.map(col): _*)
       .join(
@@ -166,2839 +166,14 @@ object SparkEntry {
       .orderBy("event_type", "year", "month", "day")
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ------------------------------------------------- relational parity
-    "q01_agg" -> ((s, dir) => {
-      rd(s, dir, "lineitem")
-        .filter(col("l_shipdate") <= lit("1998-09-02"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-          rnd(sum("l_quantity"), 2).as("sum_qty"),
-          rnd(sum("l_extendedprice"), 2).as("sum_base_price"),
-          rnd(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-            .as("sum_disc_price"),
-          rnd(avg("l_quantity"), 4).as("avg_qty"),
-          count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus")
-    }),
-
-    "q02_filter_project" -> ((s, dir) => {
-      rd(s, dir, "lineitem")
-        .filter(
-          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-        .select(
-          col("l_orderkey"), col("l_linenumber"),
-          rnd(col("l_extendedprice") * col("l_discount"), 4)
-            .as("disc_revenue"))
-        .orderBy("l_orderkey", "l_linenumber")
-    }),
-
-    "q03_broadcast_join" -> ((s, dir) => {
-      rd(s, dir, "customer")
-        .join(broadcast(rd(s, dir, "nation")),
-          col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(rd(s, dir, "region")),
-          col("n_regionkey") === col("r_regionkey"))
-        .groupBy("r_name")
-        .agg(
-          count(lit(1)).as("n_customers"),
-          rnd(avg("c_acctbal"), 2).as("avg_acctbal"))
-        .orderBy("r_name")
-    }),
-
-    "q04_join_agg" -> ((s, dir) => {
-      rd(s, dir, "orders")
-        .join(rd(s, dir, "lineitem"),
-          col("o_orderkey") === col("l_orderkey"))
-        .groupBy("o_orderpriority")
-        .agg(
-          rnd(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-            .as("revenue"),
-          countDistinct(col("o_orderkey")).as("n_orders"))
-        .orderBy("o_orderpriority")
-    }),
-
-    "q05_semi_join" -> ((s, dir) => {
-      rd(s, dir, "customer")
-        .join(
-          rd(s, dir, "orders").filter(col("o_totalprice") > 150000),
-          col("c_custkey") === col("o_custkey"), "left_semi")
-        .groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("n_customers"))
-        .orderBy("c_mktsegment")
-    }),
-
-    "q06_anti_join" -> ((s, dir) => {
-      rd(s, dir, "customer")
-        .join(rd(s, dir, "orders"),
-          col("c_custkey") === col("o_custkey"), "left_anti")
-        .groupBy("c_nationkey")
-        .agg(count(lit(1)).as("n_customers"))
-        .orderBy("c_nationkey")
-    }),
-
-    "q07_window_rank" -> ((s, dir) => {
-      val w = Window.partitionBy("o_custkey")
-        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      rd(s, dir, "orders")
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 3)
-        .select("o_custkey", "rnk", "o_orderkey", "o_totalprice")
-        .orderBy("o_custkey", "rnk")
-    }),
-
-    "q08_window_running" -> ((s, dir) => {
-      // The ORDER BY must be a total order on the CONTRIBUTION, not just
-      // "nearly unique": (l_orderkey, l_linenumber) has duplicates in the
-      // synthetic lineitem, and at sf0.1 one (suppkey, shipdate, okey,
-      // lineno) tie exists — a ROWS frame then includes the tied rows in
-      // engine-dependent order and the running sum becomes
-      // nondeterministic (observed: DuckDB itself flips run-to-run).
-      // Appending the two value factors makes any remaining ties carry
-      // EQUAL contributions, so swapping them cannot change the result.
-      val w = Window.partitionBy("l_suppkey")
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
-          col("l_extendedprice"), col("l_discount"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      // A running sum of DOUBLEs is FP-order-sensitive: Spark accumulates
-      // sequentially while DuckDB uses segment-tree window aggregation, so
-      // the two drift by ulps over a long prefix and the final rounding
-      // flips near .005 boundaries. Sum exact integers instead (BIGINT
-      // addition is associative). The integers must come from EACH FACTOR
-      // separately: floor(price*(1-disc)*100+0.5) is NOT cross-engine-safe
-      // because the fused product can land within an ulp of a .5 boundary
-      // (observed flipping one cent at sf0.1) — whereas price and discount
-      // are 2-decimal values, so floor(x*100+0.5) sits ~0.5 away from any
-      // boundary and is exact everywhere. Revenue in 1e-4 units =
-      // cents(price) * (100 - cents(discount)).
-      def c2(c: Column) = floor(c * 100 + 0.5).cast("long")
-      val units =
-        c2(col("l_extendedprice")) * (lit(100L) - c2(col("l_discount")))
-      rd(s, dir, "lineitem")
-        .select(
-          col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-          (sum(units).over(w).cast("double") / 1e4).as("running_revenue"))
-        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
-    }),
-
-    "q09_topk_sort" -> ((s, dir) => {
-      rd(s, dir, "lineitem")
-        .orderBy(
-          col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
-        .select("l_orderkey", "l_linenumber", "l_extendedprice")
-        .limit(10)
-    }),
-
-    "q10_set_ops" -> ((s, dir) => {
-      val building = rd(s, dir, "customer")
-        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
-      val withOrders = rd(s, dir, "orders").select("o_custkey")
-      def counted(op: String, df: DataFrame): DataFrame =
-        df.agg(count(lit(1)).as("n")).select(lit(op).as("op"), col("n"))
-      counted("intersect", building.intersect(withOrders))
-        .unionByName(counted("except", building.except(withOrders)))
-        .unionByName(counted("union", building.union(withOrders).distinct()))
-        .orderBy("op")
-    }),
-
-    "q11_distinct_agg" -> ((s, dir) => {
-      rd(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          countDistinct(col("l_suppkey")).as("n_supp"),
-          countDistinct(col("l_partkey")).as("n_part"))
-        .orderBy("l_returnflag")
-    }),
-
-    "q12_rollup" -> ((s, dir) => {
-      rd(s, dir, "customer")
-        .join(broadcast(rd(s, dir, "nation")),
-          col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(rd(s, dir, "region")),
-          col("n_regionkey") === col("r_regionkey"))
-        .select("r_name", "n_name", "c_acctbal")
-        // Column overload, not rollup(String*): the string overload's column
-        // re-resolution trips DetectAmbiguousSelfJoin (false positive) on any
-        // joined input in Spark 4.1.
-        .rollup(col("r_name"), col("n_name"))
-        .agg(
-          count(lit(1)).as("n_customers"),
-          rnd(sum("c_acctbal"), 2).as("sum_acctbal"))
-        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
-    }),
-
-    "q13_explode_json" -> ((s, dir) => {
-      rd(s, dir, "events")
-        .explodeJsonColumn("props", prefix = "prop_")
-        .groupBy("event_type")
-        .agg(
-          count(lit(1)).as("n_events"),
-          rnd(avg(col("prop_k").cast("int")), 4).as("avg_prop_k"))
-        .orderBy("event_type")
-    }),
-
-    "q14_year_month_day" -> ((s, dir) => {
-      rd(s, dir, "orders")
-        .withYearMonthDayFromColumn("o_orderdate")
-        .groupBy("year", "month")
-        .agg(
-          count(lit(1)).as("n_orders"),
-          rnd(sum("o_totalprice"), 2).as("total_price"))
-        .orderBy("year", "month")
-    }),
-
-    "q15_struct_to_json" -> ((s, dir) => {
-      rd(s, dir, "customer")
-        .select(
-          col("c_custkey"),
-          struct(col("c_name"), col("c_mktsegment")).as("c_info"))
-        .convertStructTypeToJson()
-        .orderBy("c_custkey")
-    }),
-
-    "q16_normalize_columns" -> ((s, dir) => {
-      rd(s, dir, "events")
-        .select(
-          col("event_type").as("eventType"),
-          col("user_id").as("User Id"),
-          col("value").as("Value($)"))
-        .formatColumnNames() // -> event_type, _user__id, _value
-        .groupBy("event_type")
-        .agg(
-          count(lit(1)).as("n"),
-          countDistinct(col("_user__id")).as("n_users"),
-          rnd(sum("_value"), 2).as("total_value"))
-        .orderBy("event_type")
-    }),
-
-    "q17_validate" -> ((s, dir) => {
-      val rules = Seq(
-        FieldRule.requiredField("user_id"),
-        FieldRule("value", check = Some(_ <= 400), message = "> 400"),
-        FieldRule.oneOf("event_type", Seq("click", "view", "purchase")))
-      rd(s, dir, "events")
-        .validateFields(rules)
-        .groupBy("event_type")
-        .agg(
-          count(lit(1)).as("n_rows"),
-          sum(when(col(ErrorsColumn) === array(), 1L).otherwise(0L))
-            .as("n_valid"))
-        .orderBy("event_type")
-    }),
-
-    "q18_asof_join" -> ((s, dir) => {
-      AsofJoin.asof(
-        left = rd(s, dir, "events"),
-        right = rd(s, dir, "orders"),
-        leftKey = "user_id", rightKey = "o_custkey",
-        leftTs = "ts", rightTs = "o_orderdate",
-        rightCols = Seq("o_orderkey"),
-        inner = true,
-        leftOutCols = Seq("event_id"))
-        .select("event_id", "o_orderkey")
-        .orderBy("event_id")
-    }),
-
-    "q26_asof_salted" -> ((s, dir) => {
-      // the skew-safe as-of (month-bucketed windows + boundary carry);
-      // same oracle semantics as q18 — the value compare proves the two
-      // formulations agree on real data
-      AsofJoin.asofSalted(
-        left = rd(s, dir, "events"),
-        right = rd(s, dir, "orders"),
-        leftKey = "user_id", rightKey = "o_custkey",
-        leftTs = "ts", rightTs = "o_orderdate",
-        rightCols = Seq("o_orderkey"),
-        bucket = t => date_trunc("month", t),
-        inner = true,
-        leftOutCols = Seq("event_id"))
-        .select("event_id", "o_orderkey")
-        .orderBy("event_id")
-    }),
-
-    "q19_range_join" -> ((s, dir) => {
-      rd(s, dir, "orders")
-        .join(
-          rd(s, dir, "lineitem"),
-          col("o_orderkey") === col("l_orderkey") &&
-            col("l_shipdate") >= col("o_orderdate") &&
-            col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 30 DAYS"))
-        .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("n_lineitems"))
-        .orderBy("o_orderpriority")
-    }),
-
-    "q20_time_window" -> ((s, dir) => {
-      rd(s, dir, "events")
-        .groupBy(window(col("ts"), "1 day"), col("event_type"))
-        .agg(
-          count(lit(1)).as("n_events"),
-          rnd(sum("value"), 2).as("total_value"))
-        .select(
-          date_format(col("window.start"), "yyyy-MM-dd").as("day"),
-          col("event_type"), col("n_events"), col("total_value"))
-        .orderBy("day", "event_type")
-    }),
-
-    "q29_string_ops" -> ((s, dir) => {
-      // §2.8 scrape-adapter string surface: split / replace / contains
-      // (yahoo_finance.py:80-90's text munging, on engine-side columns)
-      rd(s, dir, "part")
-        .select(
-          col("p_partkey"),
-          split(col("p_name"), " ").getItem(0).as("first_token"),
-          regexp_replace(col("p_brand"), "#", "").as("brand_clean"),
-          col("p_name").contains("cold").cast("int").as("has_cold"),
-          concat_ws("|", col("p_type"), col("p_size")).as("type_size"))
-        .orderBy("p_partkey")
-    }),
-
-    "q27_percentile" -> ((s, dir) => {
-      // exact interpolated percentiles (not approx — approx sketches are
-      // engine-specific and would never hash-match an oracle)
-      rd(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          (floor(expr("percentile(l_quantity, 0.5)") * 1e4 + 0.5) / 1e4)
-            .as("p50_qty"),
-          (floor(expr("percentile(l_extendedprice, 0.9)") * 1e4 + 0.5) / 1e4)
-            .as("p90_price"))
-        .orderBy("l_returnflag")
-    }),
-
-    "q28_pivot" -> ((s, dir) => {
-      // explicit pivot values: deterministic schema, no discovery scan
-      rd(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .pivot("l_linestatus", Seq("F", "O"))
-        .agg(rnd(sum("l_extendedprice"), 2))
-        .withColumnsRenamed(Map("F" -> "rev_f", "O" -> "rev_o"))
-        .orderBy("l_returnflag")
-    }),
-
-    "q25_session_window" -> ((s, dir) => {
-      // per-user sessionization with a 30-minute inactivity gap; session
-      // bounds formatted (no raw timestamp output columns — see header)
-      rd(s, dir, "events")
-        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-        .agg(count(lit(1)).as("n_events"))
-        .select(
-          col("user_id"),
-          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
-            .as("session_start"),
-          col("n_events"))
-        .orderBy("user_id", "session_start")
-    }),
-
-    "q21_cube" -> ((s, dir) => {
-      rd(s, dir, "documents")
-        .cube("lang", "source")
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum("n_chars").as("total_chars"))
-        .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
-    }),
-
-    "q22_constants" -> ((s, dir) => {
-      rd(s, dir, "region")
-        .createColumnsFromSeq(Seq("source" -> "graft", "load_env" -> "test"))
-        .withYearMonthDayFromDate(LocalDate.of(2024, 6, 15))
-        .select("r_name", "source", "load_env", "year", "month", "day")
-        .orderBy("r_name")
-    }),
-
-    "q23_array_to_json" -> ((s, dir) => { // P4
-      rd(s, dir, "orders")
-        .select(
-          col("o_orderkey"),
-          array(col("o_orderkey"), col("o_custkey")).as("keys"))
-        .convertArrayTypeToJson()
-        .orderBy("o_orderkey")
-    }),
-
-    "q24_struct_to_string" -> ((s, dir) => { // P5
-      rd(s, dir, "customer")
-        .select(
-          col("c_custkey"),
-          struct(col("c_name"), col("c_mktsegment")).as("c_info"))
-        .convertStructTypeToString()
-        .orderBy("c_custkey")
-    }),
-
-    "q30_grouping_sets" -> ((s, dir) => { // §2.5: explicit GROUPING SETS
-      rd(s, dir, "documents")
-        .groupingSets(
-          Seq(Seq(col("lang"), col("source")), Seq(col("lang")), Seq.empty),
-          col("lang"), col("source"))
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum("n_chars").as("total_chars"))
-        .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
-    }),
-
-    "q31_approx_distinct" -> ((s, dir) => { // §2.5: HLL++ sketch
-      // the sketch is engine-specific, so the oracle checks a bounded
-      // relative error against the exact count instead of the estimate
-      // itself: `within_5pct` must be 1 for every group (HLL++ at rsd 0.02
-      // sits well inside that at these cardinalities)
-      rd(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          countDistinct(col("l_partkey")).as("n_exact"),
-          approx_count_distinct(col("l_partkey"), 0.02).as("n_approx"))
-        .select(
-          col("l_returnflag"), col("n_exact"),
-          (abs(col("n_approx") - col("n_exact")).cast("double") /
-            col("n_exact") <= 0.05).cast("int").as("within_5pct"))
-        .orderBy("l_returnflag")
-    }),
-
-    "q33_approx_percentile" -> ((s, dir) => { // §2.5: t-digest-style sketch
-      // same oracle pattern as q31: the sketch is engine-specific, so the
-      // value check is the exact median plus a bounded-relative-error flag.
-      // accuracy 10000 bounds the RANK error at n/10000 (~60 rows per
-      // group at sf0.1); on this price distribution that is far inside 2%
-      // relative value error.
-      rd(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          (floor(expr("percentile(l_extendedprice, 0.5)") * 1e4 + 0.5) / 1e4)
-            .as("med_exact"),
-          expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("_med_approx"))
-        .select(
-          col("l_returnflag"), col("med_exact"),
-          (abs(col("_med_approx") - col("med_exact")) / col("med_exact") <= 0.02)
-            .cast("int").as("within_2pct"))
-        .orderBy("l_returnflag")
-    }),
-
-    "q32_window_analytics" -> ((s, dir) => { // §2.6: lag/lead/dense_rank/ntile
-      val w = Window.partitionBy("o_custkey")
-        .orderBy(col("o_orderdate"), col("o_orderkey"))
-      rd(s, dir, "orders")
-        .select(
-          col("o_custkey"), col("o_orderkey"),
-          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
-          lag("o_totalprice", 1).over(w).as("prev_price"),
-          lead("o_totalprice", 1).over(w).as("next_price"),
-          dense_rank().over(w).as("drank"),
-          ntile(4).over(w).as("quartile"))
-        .orderBy("o_custkey", "o_orderkey")
-    }),
-
-    "q34_explode_json_sampled" -> ((s, dir) => { // G1 scale modes
-      // the 100 TB discovery paths of the flagship explode (SURVEY §7.4):
-      // InferSample reads a bounded limit(n) sample instead of the full
-      // column; Fields skips discovery entirely (schema contract). Both
-      // exploded derivations aggregate to the same numbers, and the oracle
-      // value-checks them side by side — field DISCOVERY differs from q13,
-      // results must not.
-      val ev = rd(s, dir, "events")
-      val sampled = ev
-        .explodeJsonColumn("props", prefix = "sp_",
-          schema = JsonSchema.InferSample(200))
-        .groupBy("event_type")
-        .agg(
-          count(lit(1)).as("n_events"),
-          rnd(avg(col("sp_k").cast("int")), 4).as("avg_k_sampled"))
-      val declared = ev
-        .explodeJsonColumn("props", prefix = "dp_",
-          schema = JsonSchema.Fields(Seq("k")))
-        .groupBy("event_type")
-        .agg(rnd(avg(col("dp_k").cast("int")), 4).as("avg_k_declared"))
-      sampled.join(declared, Seq("event_type")).orderBy("event_type")
-    }),
-
-    "q35_sql_surface" -> ((s, dir) => { // SQL-only user path
-      // the registered native functions driven entirely through
-      // spark.sql(...) — including graft_top_k's literal-k extraction —
-      // reproducing y1's brute-force top-5 exactly (same kernels, same
-      // oracle). This is the path a SQL-only consumer of the library takes.
-      GraftExtensions.install(s)
-      rd(s, dir, "embeddings").createOrReplaceTempView("g35_embeddings")
-      s.sql(
-        """WITH e AS (SELECT vec_id, embedding,
-          |    graft_vector_norm(embedding) AS nrm
-          |  FROM g35_embeddings),
-          |t AS (SELECT q.vec_id AS query_id,
-          |    graft_top_k(struct(
-          |      graft_vector_dot(q.embedding, c.embedding) / (q.nrm * c.nrm),
-          |      c.vec_id), 5) AS top
-          |  FROM e q JOIN e c
-          |    ON q.vec_id < 50 AND c.vec_id <> q.vec_id
-          |  GROUP BY q.vec_id)
-          |SELECT query_id, x.col.id AS neighbor_id,
-          |  CAST(x.pos + 1 AS INT) AS rank, x.col.score AS cosine
-          |FROM t LATERAL VIEW posexplode(top) x AS pos, col
-          |ORDER BY query_id, rank""".stripMargin)
-    }),
-
-    "q36_token_pack" -> ((s, dir) => { // training-batch sequence packing
-      // greedy token-budget packing via the DISTRIBUTED two-phase prefix
-      // scan (Curation.packTokenBudget) — the oracle recomputes the same
-      // bins with one flat window, proving the distributed scan equals the
-      // sequential semantics. Compared per bin: doc count, token total,
-      // id range.
-      Curation.packTokenBudget(
-        rd(s, dir, "documents"), "doc_id", "text", budgetTokens = 2048)
-        .groupBy("bin")
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum("n_tokens").cast("long").as("bin_tokens"),
-          min("id").as("first_doc"),
-          max("id").as("last_doc"))
-        .orderBy("bin")
-    }),
-
-    "q37_stratified_sample" -> ((s, dir) => { // reproducible corpus sample
-      // md5-hex-threshold stratified sampling: membership is a pure
-      // function of (doc_id, salt, stratum fraction), so the oracle
-      // reproduces the EXACT row set — not just counts — with the same
-      // string comparison.
-      Curation.stratifiedSample(
-        rd(s, dir, "documents"), "doc_id", "lang",
-        Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1), salt = "g37")
-        .select("doc_id", "lang")
-        .orderBy("doc_id")
-    }),
-
-    // ------------------------------------------------ LLM-pipeline: dedup
-    "x1_dedup_exact" -> ((s, dir) => {
-      Dedup.dedupExact(rd(s, dir, "documents"), "doc_id", "text")
-        .orderBy("keep_id")
-    }),
-
-    "x2_dedup_minhash" -> ((s, dir) => {
-      // k=128/b=32 (r=4): per-pair LSH miss probability at J=0.8 is
-      // (1-0.8^4)^32 ≈ 5e-8 — the exact-Jaccard oracle compare stays
-      // deterministic. The operator default (64/16, ~2e-4 at the threshold
-      // boundary) is the cheaper production setting where a hair-below-
-      // certain recall is the accepted LSH trade.
-      Dedup.nearDuplicatesMinhash(
-        rd(s, dir, "documents"), "doc_id", "text", threshold = 0.8,
-        numHashes = 128, bands = 32)
-        .orderBy("id_a", "id_b")
-    }),
-
-    "x2p_dedup_minhash_prod" -> ((s, dir) => {
-      // the PRODUCTION parameters (k=64/b=16, r=4): per-pair miss
-      // probability at the J=0.8 boundary is (1-0.8^4)^16 ≈ 1.4e-2 and
-      // falls steeply above it (2e-4 at J=0.85) — the cheap setting a
-      // 100 TB dedup run would use, at roughly half x2's signature cost.
-      // The declaration runs the PORTABLE md5 hash family
-      // (Dedup.nearDuplicatesMinhashPortable: md5 base hashes + md5-derived
-      // affine lanes over the 2^61-1 field, raw-slice band keys), so the
-      // oracle re-derives coefficients, signatures, banding — and therefore
-      // the EXACT LSH pair set, misses included — value-for-value in
-      // DuckDB; x2pr still MEASURES the setting's recall against x2's
-      // near-exact k=128/b=32 pair set. xxhash64 stays the cheaper
-      // engine-internal default for signatures that never leave the job.
-      Dedup.nearDuplicatesMinhashPortable(
-        rd(s, dir, "documents"), "doc_id", "text", threshold = 0.8,
-        salt = "x2p")
-        .orderBy("id_a", "id_b")
-    }),
-
-    "x2pr_minhash_prod_recall" -> ((s, dir) => {
-      // ground truth = the k=128/b=32 pair set, which the x2 oracle proves
-      // ≡ exact Jaccard ≥ 0.8 (miss 5e-8); the oracle recomputes n_exact
-      // with DuckDB's exact Jaccard, so the compare also re-proves that
-      // equivalence. Bar 0.95: generous against the planted near-dup pool
-      // (most pairs sit well above the 1.4e-2-miss threshold boundary)
-      // while still catching any real banding bug.
-      val docs = rd(s, dir, "documents")
-      recallCheck(
-        Dedup.nearDuplicatesMinhash(
-          docs, "doc_id", "text", threshold = 0.8,
-          numHashes = 128, bands = 32),
-        Dedup.nearDuplicatesMinhashPortable(
-          docs, "doc_id", "text", threshold = 0.8, salt = "x2p"),
-        Seq("id_a", "id_b"), threshold = 0.95)
-    }),
-
-    "x3_dedup_simhash" -> ((s, dir) => {
-      // PORTABLE 60-bit md5 SimHash (Dedup.nearDuplicatesSimhashPortable):
-      // per-token md5 hashes vote per bit, four 15-bit pigeonhole chunks
-      // generate candidates (complete for hamming <= 3), bit_count(xor)
-      // verifies — every signature is re-derivable in DuckDB, so the
-      // oracle replays token hashing, the 60 vote sums, the strict >0 tie
-      // rule, chunking and the hamming verify value-for-value. The
-      // xxhash64 64-bit default stays the cheaper engine-internal path;
-      // x3r additionally proves recall 1.0 on token-set-identical pairs.
-      Dedup.nearDuplicatesSimhashPortable(
-        rd(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
-        .orderBy("id_a", "id_b")
-    }),
-
-    "x3r_simhash_recall" -> ((s, dir) => {
-      // value-checked guarantee for the engine-specific x3 hash family:
-      // token-SET-identical documents have identical SimHash signatures
-      // (the signature is a function of the set), i.e. hamming 0, and the
-      // pigeonhole chunk join always surfaces hamming <= 3 — so recall on
-      // set-identical pairs is exactly 1.0. The set-identical ground truth
-      // is hash-free and DuckDB-expressible.
-      val docs = rd(s, dir, "documents")
-      import graft.ext.Shingles.tokenSet
-      val exact = docs
-        .select(col("doc_id").as("id"), array_sort(tokenSet(col("text"))).as("ts"))
-        .groupBy("ts").agg(collect_list(col("id")).as("ids"))
-        .filter(size(col("ids")) > 1)
-        .select(explode(col("ids")).as("a"), col("ids"))
-        .select(col("a"), explode(col("ids")).as("b"))
-        .filter(col("a") < col("b"))
-        .select(col("a").as("id_a"), col("b").as("id_b"))
-      recallCheck(
-        exact,
-        Dedup.nearDuplicatesSimhashPortable(docs, "doc_id", "text",
-          maxHamming = 3),
-        Seq("id_a", "id_b"), threshold = 1.0)
-    }),
-
-    "x4_dedup_ngram" -> ((s, dir) => {
-      Dedup.nearDuplicatesNgram(
-        rd(s, dir, "documents"), "doc_id", "text",
-        blockingCols = Seq("lang", "n_chars"), threshold = 0.7, n = 3)
-        .orderBy("id_a", "id_b")
-    }),
-
-    "x5_dedup_embedding" -> ((s, dir) => {
-      Dedup.nearDuplicatesEmbeddingExact(
-        rd(s, dir, "embeddings"), "vec_id", "embedding", minCosine = 0.45)
-        .orderBy("id_a", "id_b")
-    }),
-
-    "x6_dedup_embedding_lsh" -> ((s, dir) => {
-      // (bands, planesPerBand) matched to the 0.45 threshold; the (8, 8)
-      // default targets true near-dups at cosine ≥ 0.9. (16, 4) is the
-      // cheapest sweep point still clearing x6r's 0.9 recall bar at both
-      // SFs. Planes are the PORTABLE md5 model (not seeded JVM Random), so
-      // the oracle re-derives every plane component, the band join and the
-      // exact-cosine verify in SQL — a full value check; x6r still
-      // MEASURES recall against the brute-force twin.
-      Dedup.nearDuplicatesEmbeddingWithPlanes(
-        rd(s, dir, "embeddings"), "vec_id", "embedding", minCosine = 0.45,
-        planes = x6Planes)
-        .orderBy("id_a", "id_b")
-    }),
-
-    "x7_dup_clusters" -> ((s, dir) => {
-      // pairs → connected components: "A~B, B~C" collapses to one cluster
-      // with a deterministic min-id canonical label. k=128/b=32 as in x2 so
-      // the LSH pair set provably equals the exact-Jaccard pair set and the
-      // recursive-CTE oracle walks identical edges. The contraction runs
-      // on the GROUP graph (one edge per unique-token-set pair — the m²
-      // member expansion of clique components never enters the loop) and
-      // expands members once at the fixpoint; result-identical to doc-
-      // level cc, asserted in ClustersSpec.
-      Dedup.nearDuplicateComponents(
-        rd(s, dir, "documents"), "doc_id", "text", threshold = 0.8,
-        numHashes = 128, bands = 32).orderBy("id")
-    }),
-
-    "x8_keep_canonical" -> ((s, dir) => {
-      // the dedup DECISION on the exact-cosine pair graph: keep each
-      // cluster's min-id member plus every row in no duplicate pair
-      val emb = rd(s, dir, "embeddings")
-      val pairs = Dedup.nearDuplicatesEmbeddingExact(
-        emb, "vec_id", "embedding", minCosine = 0.45)
-      Clusters.keepCanonical(emb, "vec_id", pairs, "id_a", "id_b")
-        .select("vec_id").orderBy("vec_id")
-    }),
-
-    "x9_dedup_incremental" -> ((s, dir) => {
-      // the daily-crawl shape: 80% of the corpus (doc_id % 10 < 8) is a
-      // prebuilt minhash INDEX — its text is never re-read — and the
-      // remaining 20% arrives as the new batch, deduped against it.
-      // k=128/b=32 as in x2 keeps the LSH pair set provably equal to the
-      // exact cross-split Jaccard pairs the oracle computes.
-      val docs = rd(s, dir, "documents")
-      val idx = Dedup.minhashIndex(
-        docs.filter(pmod(col("doc_id"), lit(10)) < 8), "doc_id", "text",
-        numHashes = 128, bands = 32)
-      Dedup.nearDuplicatesAgainstIndex(
-        idx, docs.filter(pmod(col("doc_id"), lit(10)) >= 8),
-        "doc_id", "text", threshold = 0.8, numHashes = 128, bands = 32)
-        .orderBy("corpus_id", "new_id")
-    }),
-
-    // ------------------------------------------- LLM-pipeline: similarity
-    "y1_knn_brute" -> ((s, dir) => {
-      val emb = rd(s, dir, "embeddings")
-      Similarity.topKBruteForce(
-        emb.filter(col("vec_id") < 50), emb, "vec_id", "embedding", k = 5)
-        .orderBy("query_id", "rank")
-    }),
-
-    "y2_knn_lsh" -> ((s, dir) => {
-      // banded hyperplane LSH top-k over the PORTABLE md5 plane model
-      // ((12, 3) — the measured sweep winner at this corpus's correlation
-      // regime): the oracle re-derives the planes, both band signatures,
-      // the candidate join and the exact-cosine ranking in SQL — a full
-      // value check; y2r still MEASURES recall vs brute force.
-      // DELIBERATE contrast (y3's LSH twin): the FIXED (12, 3) model
-      // means bucket population n/2^3 grows with the corpus — the
-      // super-linear SCALING step this query exists to measure. The
-      // sizing rule a growing corpus applies is
-      // Similarity.suggestPlanesPerBand (log2(n)/2 pins buckets at ~√n);
-      // bands remain the recall knob.
-      Similarity.topKLshWithPlanes(
-        rd(s, dir, "embeddings"), "vec_id", "embedding", k = 5,
-        planes = y2Planes)
-        .orderBy("query_id", "rank")
-    }),
-
-    "y3_knn_ivf" -> ((s, dir) => {
-      // nprobe 10/16: the corpus is loosely correlated (top-5 cosine ≈ 0.3)
-      // so neighbor cells carry little signal and a wide probe is needed
-      // for ≥0.9 recall — measured by y3r below. Clustered production
-      // embeddings concentrate neighbors in 1-2 cells; there nprobe stays
-      // small and the same plan is strongly sublinear. The quantizer is the
-      // prebuilt cross-engine-reproducible model ([[ivfDemo]], the q86
-      // training recipe at k=16) — build-once/reuse, and the oracle
-      // re-derives training, both assignment sides and the ranked search.
-      Similarity.topKIvfWithCentroids(rd(s, dir, "embeddings"),
-        "vec_id", "embedding", k = 5,
-        centroids = ivfDemo(s, dir, 16).centroids, nprobe = 10)
-        .orderBy("query_id", "rank")
-    }),
-
-    // ------------------------------ LLM-pipeline: measured recall (approx
-    // vs exact, same session): the judge-visible answer to "does the
-    // approximate path actually FIND the neighbors?". Each joins the
-    // approximate result against the exact plan and emits the recall
-    // fraction plus a pass flag the DuckDB oracle checks against the same
-    // exact count and a literal threshold.
-    "y2r_knn_lsh_recall" -> ((s, dir) => {
-      val emb = rd(s, dir, "embeddings")
-      recallCheck(
-        Similarity.topKBruteForce(
-          emb.filter(col("vec_id") < 100), emb, "vec_id", "embedding", k = 5),
-        Similarity.topKLshWithPlanes(emb, "vec_id", "embedding", k = 5,
-          planes = y2Planes)
-          .filter(col("query_id") < 100),
-        Seq("query_id", "neighbor_id"), threshold = 0.9)
-    }),
-
-    "y3r_knn_ivf_recall" -> ((s, dir) => {
-      val emb = rd(s, dir, "embeddings")
-      recallCheck(
-        Similarity.topKBruteForce(
-          emb.filter(col("vec_id") < 100), emb, "vec_id", "embedding", k = 5),
-        Similarity.topKIvfWithCentroids(emb, "vec_id", "embedding", k = 5,
-          centroids = ivfDemo(s, dir, 16).centroids, nprobe = 10)
-          .filter(col("query_id") < 100),
-        Seq("query_id", "neighbor_id"), threshold = 0.9)
-    }),
-
-    "y4_knn_int8" -> ((s, dir) => {
-      // two-stage int8 retrieval: quantized full scan (4x less bandwidth,
-      // integer MACs), exact float rescore of the k x 4 survivors — final
-      // scores are EXACT cosines, quantization only risks candidate
-      // recall (measured by y4r)
-      val emb = rd(s, dir, "embeddings")
-      Similarity.topKQuantized(
-        emb.filter(col("vec_id") < 100), emb, "vec_id", "embedding", k = 5)
-        .orderBy("query_id", "rank")
-    }),
-
-    "y4r_knn_int8_recall" -> ((s, dir) => {
-      val emb = rd(s, dir, "embeddings")
-      recallCheck(
-        Similarity.topKBruteForce(
-          emb.filter(col("vec_id") < 100), emb, "vec_id", "embedding", k = 5),
-        Similarity.topKQuantized(
-          emb.filter(col("vec_id") < 100), emb, "vec_id", "embedding", k = 5),
-        Seq("query_id", "neighbor_id"), threshold = 0.95)
-    }),
-
-    "y5_knn_ivfpq" -> ((s, dir) => {
-      // IVF-PQ: the production ANN layout — IVF cells prune candidates,
-      // PQ codes (m=16 ints vs 64 floats on the corpus side of the cell
-      // join) score them via ADC, exact float rescore of each query's
-      // k x rescoreFactor survivors. nprobe 12 (loosely correlated corpus
-      // needs a wide probe) and the wide rescore absorbs ADC ranking error
-      // at that correlation. Both models are the prebuilt cross-engine-
-      // reproducible trainers ([[ivfDemo]] k=16 coarse + [[pqDemo]]
-      // 16×256 codebooks), so the oracle re-derives ALL of it in SQL:
-      // 17 k-means trainings, the corpus encode, ADC scoring, and the
-      // exact rescore — the strongest possible check; y5r still MEASURES
-      // recall vs brute force.
-      val emb = rd(s, dir, "embeddings")
-      Similarity.topKIvfPqWithModels(
-        emb.filter(col("vec_id") < 100), emb, "vec_id", "embedding",
-        k = 5, coarse = ivfDemo(s, dir, 16).centroids, pq = pqDemo(s, dir),
-        nprobe = 12, rescoreFactor = 64)
-        .orderBy("query_id", "rank")
-    }),
-
-    "y5r_knn_ivfpq_recall" -> ((s, dir) => {
-      val emb = rd(s, dir, "embeddings")
-      val coarse = ivfDemo(s, dir, 16).centroids
-      val pq = pqDemo(s, dir)
-      recallCheck(
-        Similarity.topKBruteForce(
-          emb.filter(col("vec_id") < 100), emb, "vec_id", "embedding", k = 5),
-        Similarity.topKIvfPqWithModels(
-          emb.filter(col("vec_id") < 100), emb, "vec_id", "embedding",
-          k = 5, coarse = coarse, pq = pq, nprobe = 12, rescoreFactor = 64),
-        Seq("query_id", "neighbor_id"), threshold = 0.9)
-    }),
-
-    "y6_knn_indexed" -> ((s, dir) => {
-      // the ANN SERVING shape (x9's incremental convention lifted to
-      // retrieval): 90% of the corpus (vec_id % 10 < 9) is the indexed
-      // SNAPSHOT — coarse cells, PQ codes and norms computed once per
-      // snapshot (Similarity.buildIvfPqIndex; parquet in production) —
-      // and the 10% batch of NEW vectors searches it with no retraining
-      // and no re-encoding (searchIvfPqIndex): the snapshot's vector
-      // column is touched only by the id-list-sized exact rescore.
-      // Models come from the deterministic snapshot-trained recipes, so
-      // the oracle re-derives index build AND search end-to-end in SQL;
-      // y6r still MEASURES recall against the cross-split brute force.
-      // (nprobe=12, rescoreFactor=16) from the round-9 Sweep grid
-      // (nprobe 4-12 x rf 4-64, both scales): recall is set by nprobe
-      // (cell coverage — 12/16 cells needed on this loosely-correlated
-      // corpus), while rf saturates at 8; rf=16 holds the y6r bar with
-      // margin at BOTH scales (0.928 sf0.01 / 0.942 sf0.1, vs 0.944 at
-      // the old rf=64) while rescoring 80 candidates/query instead of
-      // 320 — the id-list rescore join is the only part of serving that
-      // touches corpus vectors, so its size is the scaling knob.
-      val (snapshot, batch) = y6Parts(s, dir)
-      val (coarse, pq) = y6Models(s, dir)
-      Similarity.searchIvfPqIndex(batch,
-        Similarity.buildIvfPqIndex(snapshot, "vec_id", "embedding",
-          coarse, pq),
-        snapshot, "vec_id", "embedding", k = 5, coarse = coarse, pq = pq,
-        nprobe = 12, rescoreFactor = 16)
-        .orderBy("query_id", "rank")
-    }),
-
-    "y6r_knn_indexed_recall" -> ((s, dir) => {
-      val (snapshot, batch) = y6Parts(s, dir)
-      val (coarse, pq) = y6Models(s, dir)
-      recallCheck(
-        Similarity.topKBruteForce(batch, snapshot, "vec_id", "embedding",
-          k = 5),
-        Similarity.searchIvfPqIndex(batch,
-          Similarity.buildIvfPqIndex(snapshot, "vec_id", "embedding",
-            coarse, pq),
-          snapshot, "vec_id", "embedding", k = 5, coarse = coarse, pq = pq,
-          nprobe = 12, rescoreFactor = 16),
-        Seq("query_id", "neighbor_id"), threshold = 0.9)
-    }),
-
-    "y7_knn_artifact_served" -> ((s, dir) => {
-      // y6's serving shape, completed to the FULL production lifecycle:
-      // (a) the coarse codebook is RULE-SIZED per snapshot
-      // (Clustering.suggestNlist = round(√corpus); measured in Prof
-      // nlistStudy / commit fdd305e: at the SAME probe fraction, rule-
-      // sized cells beat fixed nlist=16 on wall time AND recall, because
-      // finer cells make the probed fraction better targeted — a fixed
-      // nlist under a growing corpus degrades toward a linear scan per
-      // cell), with nprobe = ceil(0.75·nlist) holding y6's probe
-      // fraction; (b) the models REACH SERVING THROUGH PARQUET — trained
-      // once per snapshot, written via centroidsToDF/pqToDF, read back
-      // via centroidsFromDF/pqFromDF (y7Models) — so this declaration,
-      // unlike y6's in-memory models, exercises the train-once/persist/
-      // serve artifact path under the full value oracle (the oracle
-      // re-derives the models from the raw table; a hash match proves
-      // persistence is value-neutral). ModelArtifactsSpec additionally
-      // pins frame round-trip equality and loaded-vs-inmemory serve
-      // equality.
-      val (snapshot, batch) = y6Parts(s, dir)
-      val (_, nprobe, coarse, pq) = y7Models(s, dir)
-      Similarity.searchIvfPqIndex(batch,
-        Similarity.buildIvfPqIndex(snapshot, "vec_id", "embedding",
-          coarse, pq),
-        snapshot, "vec_id", "embedding", k = 5, coarse = coarse, pq = pq,
-        nprobe = nprobe, rescoreFactor = 16)
-        .orderBy("query_id", "rank")
-    }),
-
-    "y7r_knn_artifact_recall" -> ((s, dir) => {
-      val (snapshot, batch) = y6Parts(s, dir)
-      val (_, nprobe, coarse, pq) = y7Models(s, dir)
-      recallCheck(
-        Similarity.topKBruteForce(batch, snapshot, "vec_id", "embedding",
-          k = 5),
-        Similarity.searchIvfPqIndex(batch,
-          Similarity.buildIvfPqIndex(snapshot, "vec_id", "embedding",
-            coarse, pq),
-          snapshot, "vec_id", "embedding", k = 5, coarse = coarse, pq = pq,
-          nprobe = nprobe, rescoreFactor = 16),
-        Seq("query_id", "neighbor_id"), threshold = 0.9)
-    }),
-
-    "x6r_embedding_lsh_recall" -> ((s, dir) => {
-      val emb = rd(s, dir, "embeddings")
-      recallCheck(
-        Dedup.nearDuplicatesEmbeddingExact(
-          emb, "vec_id", "embedding", minCosine = 0.45),
-        Dedup.nearDuplicatesEmbeddingWithPlanes(
-          emb, "vec_id", "embedding", minCosine = 0.45, planes = x6Planes),
-        Seq("id_a", "id_b"), threshold = 0.9)
-    }),
-
-    "x10_dedup_semantic" -> ((s, dir) => {
-      // SemDeDup shape: IVF cells cluster the embedding space, pairs are
-      // exact-cosine-verified within (home ∪ probed) cells. (8, 4) from
-      // the semdedup sweep: finer quantizers (nlist 16/32) fragment the
-      // 0.45-threshold boundary pairs across cells and miss x10r's 0.9
-      // bar. The quantizer is the prebuilt cross-engine-reproducible
-      // [[kmeansDemo]] model (the q86 training loop, k=8), so the oracle
-      // re-derives training, home + probe assignment, and the exact-cosine
-      // verify in SQL — a full value check; x10r still MEASURES recall.
-      Dedup.nearDuplicatesSemantic(
-        rd(s, dir, "embeddings"), "vec_id", "embedding", minCosine = 0.45,
-        nlist = 8, nprobe = 4,
-        centroids = Some(kmeansDemo(s, dir).centroids))
-        .orderBy("id_a", "id_b")
-    }),
-
-    "x10r_semantic_recall" -> ((s, dir) => {
-      val emb = rd(s, dir, "embeddings")
-      recallCheck(
-        Dedup.nearDuplicatesEmbeddingExact(
-          emb, "vec_id", "embedding", minCosine = 0.45),
-        Dedup.nearDuplicatesSemantic(
-          emb, "vec_id", "embedding", minCosine = 0.45,
-          nlist = 8, nprobe = 4,
-          centroids = Some(kmeansDemo(s, dir).centroids)),
-        Seq("id_a", "id_b"), threshold = 0.9)
-    }),
-
-    // ------------------------------------------------- LLM-pipeline: text
-    "t1_lang_id" -> ((s, dir) => {
-      rd(s, dir, "documents")
-        .select(TextAnalysis.langId(col("text")).as("lang_pred"))
-        .groupBy("lang_pred")
-        .agg(count(lit(1)).as("n_docs"))
-        .orderBy("lang_pred")
-    }),
-
-    "t2_quality" -> ((s, dir) => {
-      rd(s, dir, "documents")
-        .select(
-          col("doc_id"),
-          TextAnalysis.tokenCountWhitespace(col("text")).as("n_tokens"),
-          // floor(x*1e6+0.5)/1e6 not rnd(): Spark rounds via BigDecimal
-          // HALF_UP on the decimal expansion, DuckDB via double math — they
-          // disagree on ties (e.g. 0.7240624999…); this form is bit-identical
-          // in both engines given the same IEEE double input.
-          (floor(TextAnalysis.qualityScore(col("text")) * 1e6 + 0.5) / 1e6)
-            .as("quality"))
-        .orderBy("doc_id")
-    }),
-
-    "t3_token_count" -> ((s, dir) => {
-      rd(s, dir, "documents")
-        .groupBy("lang")
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum(TextAnalysis.tokenCountWhitespace(col("text")).cast("long"))
-            .as("ws_tokens"),
-          sum(TextAnalysis.tokenCountBpe(col("text")).cast("long"))
-            .as("bpe_tokens"))
-        .orderBy("lang")
-    }),
-
-    "t4_fingerprint" -> ((s, dir) => {
-      rd(s, dir, "documents")
-        .select(
-          col("doc_id"),
-          TextAnalysis.fingerprint(col("text")).as("fingerprint"))
-        .orderBy("doc_id")
-    }),
-
-    "t5_word_ngrams" -> ((s, dir) => {
-      rd(s, dir, "documents")
-        .select(
-          col("doc_id"),
-          size(Shingles.wordNGrams(col("text"), 2)).as("n_bigrams"),
-          size(Shingles.wordNGrams(col("text"), 3)).as("n_trigrams"))
-        .orderBy("doc_id")
-    }),
-
-    "t6_corpus_profile" -> ((s, dir) => {
-      TextAnalysis.corpusProfile(rd(s, dir, "documents"), "text")
-        .orderBy("lang_pred")
-    }),
-
-    "t9_repetition" -> ((s, dir) => {
-      // duplicate-n-gram boilerplate signal: 1 − distinct/total per doc.
-      // The division is one int/int IEEE op — exact cross-engine (the
-      // jaccard precedent), no rounding needed.
-      rd(s, dir, "documents")
-        .select(
-          col("doc_id"),
-          TextAnalysis.repetitionScore(col("text"), 2).as("rep2"),
-          TextAnalysis.repetitionScore(col("text"), 3).as("rep3"))
-        .orderBy("doc_id")
-    }),
-
-    "t7_clean_text" -> ((s, dir) => {
-      // canonical cleanup (NFC + control→space + space-collapse + trim)
-      // compared as the FULL cleaned string: both engines must agree on
-      // every byte. NFC is identity on this ASCII testdata (the oracle
-      // proves strip/collapse/trim parity; TextAnalysisSpec proves NFC on
-      // planted combining marks), and the oracle calls nfc_normalize too
-      // so a non-ASCII regeneration would keep the comparison honest.
-      rd(s, dir, "documents")
-        .select(
-          col("doc_id"),
-          TextAnalysis.cleanText(col("text")).as("clean"))
-        .withColumn("n_chars", length(col("clean")))
-        .orderBy("doc_id")
-    }),
-
-    "t8_pii_scrub" -> ((s, dir) => {
-      // testdata carries no PII, so the query PLANTS deterministic
-      // doc_id-derived PII into every document on BOTH engines — the
-      // masked output and per-class counts then exercise the full regex
-      // surface cross-engine (patterns restricted to Java∩RE2 syntax).
-      val dirty = concat(
-        col("text"), lit(" contact user"), col("doc_id").cast("string"),
-        lit("@mail.example.com ssn 123-45-6789 phone 555-123-4567" +
-          " host 10.0.0."),
-        (pmod(col("doc_id"), lit(200)) + 1).cast("string"), lit(" end"))
-      rd(s, dir, "documents")
-        .select(col("doc_id"), dirty.as("_dirty"))
-        .select(
-          col("doc_id"),
-          TextAnalysis.scrubPii(col("_dirty")).as("clean"),
-          TextAnalysis.piiCounts(col("_dirty")).as("_pii"))
-        .select(
-          col("doc_id"), col("clean"),
-          col("_pii.n_emails").as("n_emails"),
-          col("_pii.n_ssns").as("n_ssns"),
-          col("_pii.n_phones").as("n_phones"),
-          col("_pii.n_ips").as("n_ips"))
-        .orderBy("doc_id")
-    }),
-
-    "t17_gopher_repetition" -> ((s, dir) => {
-      // Gopher-style repetition filters (Rae et al. 2021 quality rules):
-      // duplicate-LINE fraction, duplicate-line CHAR mass, and the char
-      // share of the most frequent word 2-gram — the boilerplate signals
-      // word-n-gram repetition (t9) dilutes. documents.text ships
-      // single-line, so lines are synthesized exactly as t14/q83 do (a
-      // newline before common stopwords); the oracle applies the
-      // identical rewrite and re-derives all three fractions. Divisions
-      // are int/int IEEE ops — exact cross-engine, no rounding.
-      TextAnalysis.gopherRepetitionSignals(
-        rd(s, dir, "documents").select(col("doc_id"),
-          regexp_replace(col("text"), " (the|a|and|of|to|in) ", "\n$1 ")
-            .as("text")),
-        "doc_id", "text")
-        .orderBy("doc_id")
-    }),
-
-    "t18_gopher_battery" -> ((s, dir) => {
-      // the full Gopher quality battery (ext.TextAnalysis
-      // .gopherQualitySignals, Rae et al. 2021 §A1.1): word count, mean
-      // word length, symbol-to-word ratio, bullet/ellipsis line
-      // fractions, alphabetic-word fraction, distinct-stopword hits, and
-      // the combined pass verdict. Lines synthesized exactly as t17; the
-      // oracle re-derives every signal — all divisions are int/int IEEE
-      // ops, so even the boolean verdict compares exactly.
-      TextAnalysis.gopherQualitySignals(
-        rd(s, dir, "documents").select(col("doc_id"),
-          regexp_replace(col("text"), " (the|a|and|of|to|in) ", "\n$1 ")
-            .as("text")),
-        "doc_id", "text")
-        .orderBy("doc_id")
-    }),
-
-    "t19_ccnet_buckets" -> ((s, dir) => {
-      // CCNet per-language quality tiers (ext.LanguageModel
-      // .perplexityBuckets, Wenzek et al., LREC 2020): t15's self-trained
-      // trigram LM scores every document, then ntile(3) over
-      // (1e-4-grid avg_nll, doc_id) WITHIN each language labels
-      // head/middle/tail — the published head-keep/tail-drop cut. The
-      // corpus text never shuffles (broadcast model projection); only
-      // the narrow scored frame ranks. The oracle replays model
-      // training, scoring, and the tie-broken ntile in SQL.
-      val docs = rd(s, dir, "documents")
-      val model = LanguageModel.train(docs, col("text"), n = 3)
-      LanguageModel.perplexityBuckets(docs, "doc_id", col("text"),
-        "lang", model, n = 3, addK = 0.5, alphabetSize = 64)
-        .orderBy("doc_id")
-    }),
-
-    "t20_blocklist" -> ((s, dir) => {
-      // C4 bad-words rule (ext.TextAnalysis.blocklistSignals — Raffel
-      // et al. 2020 §2.2: any page containing a banned word is dropped;
-      // exact-token match, not substring, so no scunthorpe false
-      // positives). One row-local codegen'd projection: the blocklist
-      // rides the StopwordHits expression as a reference object, the
-      // corpus never shuffles. 'dup' hits ~5% of this corpus; the two
-      // absent words prove the zero-hit path. The oracle recounts
-      // occurrences with the same tokenization.
-      TextAnalysis.blocklistSignals(rd(s, dir, "documents"),
-        "doc_id", "text", Seq("dup", "casino", "lottery"))
-        .orderBy("doc_id")
-    }),
-
-    "t10_bpe_chars" -> ((s, dir) =>
-      // the BPE machinery with zero merges: every non-whitespace code
-      // point is its own token, so DuckDB can compute the exact count —
-      // proving the tokenizer's word boundaries, code-point splitting,
-      // and counting before t11 layers merges on top
-      rd(s, dir, "documents")
-        .select(
-          col("doc_id"),
-          Bpe.charModel.tokenCount(col("text")).cast("long").as("n_tokens"))
-        .orderBy("doc_id")),
-
-    "t11_bpe_roundtrip" -> ((s, dir) => {
-      // end-to-end trained-BPE invariants, corpus-wide: training is the
-      // distributed word-count pass + driver merge loop; the checks are
-      // (a) every doc's tokens concatenate back to its whitespace-stripped
-      // text (merges never cross word boundaries), (b) the exact corpus
-      // code-point total (DuckDB recomputes it), (c) 200 merges actually
-      // compress (sum tokens strictly below sum chars)
-      val docs = rd(s, dir, "documents").filter(col("text").isNotNull)
-      val m = Bpe.train(docs, "text", numMerges = 200)
-      docs
-        .select(
-          m.encode(col("text")).as("toks"),
-          regexp_replace(col("text"), "\\s+", "").as("squashed"))
-        .select(
-          size(col("toks")).cast("long").as("n_tokens"),
-          length(col("squashed")).cast("long").as("n_chars"),
-          (concat_ws("", col("toks")) === col("squashed"))
-            .cast("long").as("rt_ok"))
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum(col("rt_ok")).as("n_roundtrip"),
-          sum(col("n_chars")).as("sum_chars"),
-          (sum(col("n_tokens")) < sum(col("n_chars")))
-            .cast("int").as("compressed"))
-    }),
-
-    "t21_unigram_roundtrip" -> ((s, dir) => {
-      // end-to-end trained unigram-LM tokenizer invariants (ext.Unigram
-      // — Kudo 2018, the SentencePiece algorithm; the shrink-from-seed
-      // counterpart of t11's grow-by-merge BPE): training is the same
-      // distributed word-count pass + driver EM/prune loop; encoding is
-      // the native Viterbi expression. Checks mirror t11: (a) every
-      // doc's pieces concatenate back to its whitespace-stripped text
-      // (single-code-point unk fallback makes coverage total), (b) the
-      // exact corpus code-point total (DuckDB recomputes it), (c) the
-      // trained vocabulary actually compresses.
-      val docs = rd(s, dir, "documents").filter(col("text").isNotNull)
-      val m = ext.Unigram.train(docs, "text", vocabSize = 512)
-      docs
-        .select(
-          m.encode(col("text")).as("toks"),
-          regexp_replace(col("text"), "\\s+", "").as("squashed"))
-        .select(
-          size(col("toks")).cast("long").as("n_tokens"),
-          length(col("squashed")).cast("long").as("n_chars"),
-          (concat_ws("", col("toks")) === col("squashed"))
-            .cast("long").as("rt_ok"))
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum(col("rt_ok")).as("n_roundtrip"),
-          sum(col("n_chars")).as("sum_chars"),
-          (sum(col("n_tokens")) < sum(col("n_chars")))
-            .cast("int").as("compressed"))
-    }),
-
-    // ------------------------------------------- LLM-pipeline: multimodal
-    "m1_multimodal_meta" -> ((s, dir) => {
-      Multimodal.metadataOnly(
-        Multimodal.packAsMedia(rd(s, dir, "documents"), "doc_id", "text", "text"))
-        .orderBy("media_id")
-    }),
-
-    "m2_multimodal_features" -> ((s, dir) => {
-      // value-checked: the byte-level 16-bin histogram (the codec-free
-      // signature over RAW payload bytes; decoded-pixel features are m8)
-      // is deterministic byte math, so un-normalizing two bins
-      // back to integer byte counts (bin k covers bytes [16k, 16k+16))
-      // gives numbers a DuckDB oracle reproduces exactly. Integer compare
-      // — no float-vs-double rounding hazard. Exactness bound: features
-      // are Float32 (24-bit mantissa), so the un-normalization is only
-      // exact while a single bin holds < 2^24 bytes (~16 MB per payload
-      // per bin) — far above any test payload; a production decoder would
-      // emit counts, not fractions, and not carry this bound.
-      val packed = Multimodal.packAsMedia(
-        rd(s, dir, "documents"), "doc_id", "text", "text")
-      val meta = Multimodal.metadataOnly(packed)
-        .select(col("media_id"), col("payload_bytes"))
-      Multimodal.extractFeatures(s, packed).toDF()
-        .join(meta, Seq("media_id"))
-        .select(
-          col("media_id"), col("dim"),
-          floor(element_at(col("features"), 1).cast("double") *
-            col("payload_bytes") + 0.5).cast("long").as("bin0_bytes"),
-          floor(element_at(col("features"), 7).cast("double") *
-            col("payload_bytes") + 0.5).cast("long").as("bin6_bytes"))
-        .orderBy("media_id")
-    }),
-
-    "m4_resize" -> ((s, dir) => {
-      // value-checked end-to-end: every-3rd-byte downsample is expressible
-      // in DuckDB as a regex keep-1-of-3 on the (ASCII) packed text, so
-      // both the resized length AND an md5 over the resized bytes compare
-      // exactly — the payload content is verified, not just its size.
-      // The oracle strides CHARACTERS while we stride BYTES, so the
-      // equivalence needs single-byte text: assert it structurally (a
-      // multi-byte document fails the query instead of silently diverging).
-      val packed = Multimodal.packAsMedia(
-        asciiGuard(rd(s, dir, "documents"), "m4_resize"), "doc_id", "text", "text")
-      Multimodal.resize(s, packed, factor = 3)
-        .select(
-          col("media_id"),
-          length(col("payload")).as("resized_bytes"),
-          md5(col("payload")).as("resized_md5"))
-        .orderBy("media_id")
-    }),
-
-    "m3_frame_sample" -> ((s, dir) => {
-      // value-compared via per-media frame count + total sampled bytes
-      // (pure arithmetic on payload length — engine-neutral)
-      Multimodal.sampleFrames(
-        Multimodal.packAsMedia(rd(s, dir, "documents"), "doc_id", "text", "text"),
-        frameBytes = 32, stride = 2)
-        .groupBy("media_id")
-        .agg(
-          count(lit(1)).as("n_frames_sampled"),
-          sum(length(col("frame_payload"))).cast("long").as("frame_bytes"))
-        .orderBy("media_id")
-    }),
-
-    "m5_image_decode" -> ((s, dir) => {
-      // REAL codec, oracle-proven: pack each doc's first 64 bytes as an
-      // actual 8x8 grayscale 24-bit BMP, decode it through javax.imageio,
-      // and emit the codec-reported dims + exact per-channel pixel sums.
-      // The oracle recomputes the sums as plain byte math over the text
-      // (ascii(substr) = byte value only for single-byte text — asserted
-      // structurally, same contract as m4).
-      Multimodal.decodeImages(s,
-        Multimodal.packAsBmp(s, asciiGuard(rd(s, dir, "documents"),
-          "m5_image_decode"), "doc_id", "text", w = 8, h = 8))
-        .toDF().orderBy("media_id")
-    }),
-
-    "m6_image_resize_decode" -> ((s, dir) => {
-      // REAL codec round trip: BMP-encode -> imageio decode -> exact 2x
-      // pixel subsample -> PNG re-encode -> imageio decode again. The
-      // final sums must equal byte math over the strided source positions
-      // (y,x even), proving both codec passes AND the resize pixel map.
-      Multimodal.decodeImages(s,
-        Multimodal.resizeImages(s,
-          Multimodal.packAsBmp(s, asciiGuard(rd(s, dir, "documents"),
-            "m6_image_resize_decode"), "doc_id", "text", w = 8, h = 8),
-          factor = 2))
-        .toDF().orderBy("media_id")
-    }),
-
-    "m7_audio_decode" -> ((s, dir) => {
-      // REAL codec, oracle-proven: pack each doc's first 64 bytes as an
-      // actual RIFF/WAVE 16-bit PCM mono file (sample = (byte-128)*256),
-      // decode through javax.sound.sampled, and emit the codec-reported
-      // format/frames/duration + the inverse-mapped byte sum.
-      Multimodal.decodeAudio(s,
-        Multimodal.packAsWav(s, asciiGuard(rd(s, dir, "documents"),
-          "m7_audio_decode"), "doc_id", "text", rate = 8000, nSamples = 64))
-        .toDF().orderBy("media_id")
-    }),
-
-    "m8_image_features" -> ((s, dir) => {
-      // REAL feature extraction: luminance histogram over codec-DECODED
-      // pixels (the MediaFeatures shape ext.Similarity consumes). Same
-      // un-normalization trick as m2: bins are count/64 (exact in Float32),
-      // so floor(f*64+0.5) recovers integer pixel counts the oracle
-      // reproduces as byte math — zero-pad pixels land in bin 0.
-      Multimodal.imageFeatures(s,
-        Multimodal.packAsBmp(s, asciiGuard(rd(s, dir, "documents"),
-          "m8_image_features"), "doc_id", "text", w = 8, h = 8), dim = 16)
-        .toDF()
-        .select(col("media_id"), col("dim"),
-          floor(element_at(col("features"), 1).cast("double") * 64 + 0.5)
-            .cast("long").as("bin0_px"),
-          floor(element_at(col("features"), 7).cast("double") * 64 + 0.5)
-            .cast("long").as("bin6_px"))
-        .orderBy("media_id")
-    }),
-
-    "m9_video_decode" -> ((s, dir) => {
-      // REAL video path, oracle-proven: pack 4 consecutive 64-byte text
-      // windows as a motion-image stream (concatenated BMP frames — the
-      // MJPEG shape with a lossless per-frame codec), demux by the
-      // container's own framing, decode every frame through javax.imageio,
-      // and emit codec-reported dims + exact per-channel sums per frame.
-      // The oracle recomputes frame k's sums as byte math over text
-      // positions [k*64+1, k*64+64] (zero-pad positions read ascii('')=0).
-      Multimodal.decodeVideo(s,
-        Multimodal.packAsVideo(s, asciiGuard(rd(s, dir, "documents"),
-          "m9_video_decode"), "doc_id", "text", w = 8, h = 8, nFrames = 4))
-        .toDF().orderBy("media_id", "frame_idx")
-    }),
-
-    "q38_scd2_merge" -> ((s, dir) =>
-      scd2Demo(s, dir, broadcastUpdates = false)
-        .orderBy("c_custkey", "valid_from")),
-
-    // the SAME merge through the small-batch plan: the open slice meets a
-    // BROADCAST update batch (dimension width never shuffles) and new keys
-    // arrive via a keys-only anti join — same oracle, second plan proven
-    "q38b_scd2_broadcast" -> ((s, dir) =>
-      scd2Demo(s, dir, broadcastUpdates = true)
-        .orderBy("c_custkey", "valid_from")),
-
-    // time travel over the merged dimension: versions active at 1997-06-01
-    // are the 1995-opened rows — for the %6==0 changed keys that is the
-    // version the merge CLOSED at 2000 (old balance), so the filter is
-    // checked against post-merge bounds, not pass-through rows
-    "q41_scd2_asof" -> ((s, dir) =>
-      Scd2.asOfView(scd2Demo(s, dir, broadcastUpdates = false),
-          lit("1997-06-01"))
-        .orderBy("c_custkey")),
-
-    "q39_cdc_apply" -> ((s, dir) => {
-      // CDC fold (pipeline.Cdc): per key latest-seq change wins — the
-      // %4 keys get two updates (seq 1 then 2; only +10 must survive),
-      // the %9 keys a final delete (seq 3, beating their seq-2 update
-      // when both apply), and %10 spawns brand-new inserted keys.
-      val c = rd(s, dir, "customer")
-      val base = c.select("c_custkey", "c_name", "c_acctbal")
-      def ch(flt: Column, seq: Long, op: String, key: Column, name: Column,
-          bal: Column) =
-        c.filter(flt).select(key.as("c_custkey"), lit(seq).as("seq"),
-          lit(op).as("op"), name.as("c_name"), bal.as("c_acctbal"))
-      val k = col("c_custkey")
-      val changes = ch(k % 4 === 0, 1L, "U", k, col("c_name"),
-          col("c_acctbal") + 5)
-        .unionByName(ch(k % 4 === 0, 2L, "U", k, col("c_name"),
-          col("c_acctbal") + 10))
-        .unionByName(ch(k % 9 === 0, 3L, "D", k, col("c_name"),
-          col("c_acctbal")))
-        .unionByName(ch(k % 10 === 0, 1L, "I", k + 20000000L,
-          concat(lit("NEW "), col("c_name")), col("c_acctbal")))
-      Cdc.applyChanges(base, changes, Seq("c_custkey"), "seq", "op")
-        .orderBy("c_custkey")
-    }),
-
-    "q40_contamination" -> ((s, dir) => {
-      // eval-set decontamination (ext.Curation.contamination): the eval
-      // set is every 50th document verbatim, so each eval doc must flag
-      // (at least) its own corpus copy plus any planted near-dups that
-      // share a 13-gram run
-      val docs = rd(s, dir, "documents")
-      Curation.contamination(
-        docs, "doc_id", "text",
-        docs.filter(col("doc_id") % 50 === 0)
-          .select(col("doc_id").as("eval_id"), col("text")),
-        "eval_id", "text", n = 13)
-        .orderBy("doc_id")
-    }),
-
-    // the SAME contamination check through the corpus-scale plan: both
-    // gram sides shuffle-join instead of broadcasting the eval grams —
-    // the right shape when the "eval set" is itself a corpus. Result is
-    // plan-independent, so q40 and q40b share one oracle.
-    "q40b_contamination_shuffle" -> ((s, dir) => {
-      val docs = rd(s, dir, "documents")
-      Curation.contamination(
-        docs, "doc_id", "text",
-        docs.filter(col("doc_id") % 50 === 0)
-          .select(col("doc_id").as("eval_id"), col("text")),
-        "eval_id", "text", n = 13, broadcastEval = false)
-        .orderBy("doc_id")
-    }),
-
-    "q42_bloom_prejoin" -> ((s, dir) => {
-      // explicit runtime filter (ops.RuntimeFilter): the urgent-orders key
-      // set is aggregated into a bloom filter and pruned off lineitem as a
-      // narrow codegen'd filter BEFORE lineitem's shuffle — at 100 TB the
-      // probe rows that no build key matches (~80% here) never cross the
-      // wire. False positives survive the pre-filter but the real join
-      // removes them, so the result is byte-identical to the plain join:
-      // one oracle proves the optimized plan.
-      val urgent = rd(s, dir, "orders")
-        .filter(col("o_orderpriority") === "1-URGENT")
-        .select("o_orderkey", "o_orderpriority")
-      val pruned = RuntimeFilter.preJoinFilter(
-        rd(s, dir, "lineitem"), "l_orderkey", urgent, "o_orderkey")
-      pruned.join(urgent, col("l_orderkey") === col("o_orderkey"))
-        .groupBy("l_returnflag")
-        .agg(
-          count(lit(1)).as("n_lines"),
-          rnd(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-            .as("revenue"))
-        .orderBy("l_returnflag")
-    }),
-
-    "q43_zorder" -> ((s, dir) => {
-      // the z-order curve math itself (lake.ZOrder.interleave): raw keys
-      // masked to 8 bits, bit-interleaved with the magic-mask spread, and
-      // ranked along the curve. The layout effect (per-file bounding
-      // boxes shrinking vs round-robin) is asserted in ZOrderSpec; this
-      // query cross-proves the curve against DuckDB evaluating the same
-      // shift/mask algebra.
-      rd(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_linenumber"),
-          ZOrder.interleave(Seq(col("l_partkey"), col("l_suppkey")), 8)
-            .as("zval"))
-        .orderBy(col("zval"), col("l_orderkey"), col("l_linenumber"))
-        .limit(100)
-    }),
-
-    "q44_profile" -> ((s, dir) => {
-      // one-pass long-format column profile (ops.Profile): every stat for
-      // every column lands in a single partial-agg/final-agg pair; exact
-      // ndv here because the oracle compares values, approx is the scale
-      // default
-      Profile.profile(
-        rd(s, dir, "lineitem")
-          .select("l_orderkey", "l_quantity", "l_returnflag"),
-        exactNdv = true)
-        .orderBy("column")
-    }),
-
-    "q45_skew" -> ((s, dir) =>
-      // key-skew sketch: heaviest keys, their row share, and the integer
-      // salt factor a 32-task stage would need — the pre-flight check
-      // that decides salting before a 100 TB join hits the hot key
-      Profile.keySkew(rd(s, dir, "events"), "user_id",
-        topK = 20, tasks = 32)),
-
-    "q46_skew_join" -> ((s, dir) => {
-      // hybrid skew join (ops.SkewJoin): hot probe keys split off to a
-      // broadcast plan, cold keys shuffle as usual, union — the output is
-      // a partition-exact re-assembly of the plain join, so the plain
-      // join IS the oracle (the q42 pattern: one oracle proves the
-      // optimized plan). tasks=64 forces a real hot set on this data.
-      SkewJoin.join(
-        rd(s, dir, "events"), "user_id",
-        rd(s, dir, "customer"), "c_custkey",
-        topK = 50, tasks = 64)
-        .groupBy("c_mktsegment", "event_type")
-        .agg(
-          count(lit(1)).as("n"),
-          rnd(sum(col("value")), 2).as("sum_value"))
-        .orderBy("c_mktsegment", "event_type")
-    }),
-
-    "q47_incr_agg" -> ((s, dir) => {
-      // incremental aggregate maintenance (pipeline.IncrementalAgg): the
-      // corpus is summarized in two disjoint slices, the summaries are
-      // FOLDED (counts/sums add, ranges combine, HLL sketches union — a
-      // groupBy over O(groups) summary rows, never the base data), and
-      // the fold must equal the full scan: n/sum/min/max exactly (the
-      // oracle recomputes them), ndv within the sketch's error (checked
-      // against Spark's own exact countDistinct, flag pinned by the
-      // oracle)
-      val ev = rd(s, dir, "events")
-      val halves = Seq(
-        ev.filter(col("event_id") % 2 === 0),
-        ev.filter(col("event_id") % 2 =!= 0))
-      val folded = IncrementalAgg.estimate(
-        IncrementalAgg.merge(
-          halves.map(IncrementalAgg.summarize(_, Seq("event_type"),
-            sumCols = Seq("value"), rangeCols = Seq("value"),
-            ndvCols = Seq("user_id"))),
-          Seq("event_type"), sumCols = Seq("value"),
-          rangeCols = Seq("value"), ndvCols = Seq("user_id")),
-        Seq("user_id"))
-      val exact = ev.groupBy("event_type")
-        .agg(countDistinct(col("user_id")).as("__exact_ndv"))
-      folded.join(exact, "event_type")
-        .select(
-          col("event_type"), col("n"),
-          rnd(col("sum_value"), 2).as("sum_value"),
-          rnd(col("min_value"), 4).as("min_value"),
-          rnd(col("max_value"), 4).as("max_value"),
-          (abs(col("ndv_user_id") - col("__exact_ndv"))
-            <= col("__exact_ndv") * 0.05).cast("int").as("ndv_ok"))
-        .orderBy("event_type")
-    }),
-
-    "q48_chunking" -> ((s, dir) =>
-      // sliding-window chunk prep (ext.Curation.chunkDocuments): a narrow
-      // row-local projection — no shuffle at any corpus size; the oracle
-      // re-derives every chunk boundary and md5 in SQL
-      Curation.chunkDocuments(rd(s, dir, "documents"), "doc_id", "text",
-        chunkChars = 256, overlapChars = 40)
-        .select(
-          col("doc_id"), col("chunk_idx"),
-          md5(col("chunk")).as("chunk_md5"),
-          length(col("chunk")).as("chunk_len"))
-        .orderBy("doc_id", "chunk_idx")),
-
-    "q49_source_cap" -> ((s, dir) =>
-      // per-source contribution cap (ext.Curation.capPerKey): the salted
-      // two-stage top-n must equal the naive single window — DuckDB runs
-      // the naive window as the oracle. Order key = (md5(doc_id), doc_id):
-      // deterministic, engine-identical, and content-blind.
-      Curation.capPerKey(
-        rd(s, dir, "documents"), "source", maxPerKey = 10,
-        orderCols = Seq(md5(col("doc_id").cast("string")), col("doc_id")),
-        saltBuckets = 8)
-        .select("doc_id", "source")
-        .orderBy("doc_id")),
-
-    "q50_unpivot" -> ((s, dir) =>
-      // wide→long reshaping via the native unpivot operator (an Expand
-      // node — one pass, rows×metrics output, no shuffle beyond the agg)
-      rd(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          rnd(sum("l_quantity"), 2).as("quantity"),
-          rnd(sum("l_extendedprice"), 2).as("extendedprice"),
-          rnd(sum("l_tax"), 2).as("tax"))
-        .unpivot(
-          Array(col("l_returnflag")),
-          Array(col("quantity"), col("extendedprice"), col("tax")),
-          "metric", "total")
-        .orderBy("l_returnflag", "metric")),
-
-    "q51_bm25" -> ((s, dir) => {
-      // BM25 keyword retrieval (ext.Keyword): postings + docfreq built in
-      // one agg each, scoring = query-term equi-join (document text never
-      // re-read at query time). Queries = every 101st doc's first 5
-      // words; ranking on the rounded score (cross-engine-stable), ties
-      // by doc_id. DuckDB re-derives the full formula.
-      val docs = rd(s, dir, "documents")
-      val queries = docs
-        .filter(col("text").isNotNull && pmod(col("doc_id"), lit(101)) === 0)
-        .select(
-          col("doc_id").as("qid"),
-          concat_ws(" ",
-            slice(split(trim(col("text")), "\\s+"), 1, 5)).as("qtext"))
-      Keyword.searchBM25(docs, "doc_id", "text",
-        queries, "qid", "qtext", k = 5)
-        .select("query_id", "rank", "doc_id", "score")
-        .orderBy("query_id", "rank")
-    }),
-
-    "q52_hybrid_rrf" -> ((s, dir) => {
-      // hybrid search: BM25 (lexical) + exact embedding kNN fused by
-      // reciprocal-rank (ext.Keyword.rrfFuse) — rank-only fusion needs no
-      // score calibration and its arithmetic is engine-exact, so DuckDB
-      // re-derives the whole two-retriever pipeline. Query set = every
-      // 101st doc that has both tokens and an embedding.
-      val docs = rd(s, dir, "documents")
-      val emb = rd(s, dir, "embeddings")
-      val qids = docs
-        .filter(col("text").isNotNull &&
-          size(split(trim(col("text")), "\\s+")) > 0 &&
-          pmod(col("doc_id"), lit(101)) === 0)
-        .join(emb.select(col("vec_id")), col("doc_id") === col("vec_id"),
-          "leftsemi")
-        .select("doc_id", "text")
-      val bm = Keyword.searchBM25(docs, "doc_id", "text",
-        qids.select(
-          col("doc_id").as("qid"),
-          concat_ws(" ",
-            slice(split(trim(col("text")), "\\s+"), 1, 5)).as("qtext")),
-        "qid", "qtext", k = 20)
-        .select("query_id", "doc_id", "rank")
-      val kn = Similarity.topKBruteForce(
-        emb.join(qids.select(col("doc_id")),
-          col("vec_id") === col("doc_id"), "leftsemi"),
-        emb, "vec_id", "embedding", k = 20)
-        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
-      Keyword.rrfFuse(Seq(bm, kn), k = 5)
-        .select("query_id", "rank", "doc_id", "rrf")
-        .orderBy("query_id", "rank")
-    }),
-
-    "q53_global_ids" -> ((s, dir) =>
-      // contiguous order-respecting ids without the single-task global
-      // window (ops.Ids): range shuffle + in-partition sort +
-      // zipWithIndex offsets. The oracle IS the single-task formulation —
-      // row_number over the same total order — proving the distributed
-      // assignment is identical.
-      Ids.withGlobalIds(
-        rd(s, dir, "documents"), Seq(col("source"), col("doc_id")))
-        .select("doc_id", "source", "gid")
-        .orderBy("gid")),
-
-    "q54_fuzzy_join" -> ((s, dir) => {
-      // blocked edit-distance self-join (ops.FuzzyJoin) on a 12-char key
-      // prefix: FastSS deletion-hash candidates + exact levenshtein
-      // verify. The oracle IS the naive all-pairs definition — DuckDB's
-      // own levenshtein over the cross join — so the compare proves the
-      // deletion-neighborhood blocking is complete at d=2.
-      FuzzyJoin.selfJoin(
-        rd(s, dir, "documents")
-          .select(col("doc_id"), substring(col("text"), 1, 12).as("k")),
-        "doc_id", "k", maxDist = 2)
-        .orderBy("id_a", "id_b")
-    }),
-
-    "q55_funnel" -> ((s, dir) => {
-      // per-user conversion funnel signup → click → purchase within 7
-      // days (ops.Funnel, chain-of-minima semantics): one sorted fold per
-      // user; the oracle re-derives the same chain as three joined min()
-      // aggregations
-      Funnel.funnel(rd(s, dir, "events"), "user_id", "ts", "event_type",
-        Seq("signup", "click", "purchase"), windowMicros = 7L * 86400000000L)
-        .orderBy("user_id")
-    }),
-
-    "q56_weighted_sample" -> ((s, dir) => {
-      // deterministic weighted Bernoulli thinning (ext.Curation): keep
-      // probability n_chars/400 (≥400-char docs always kept), decided by
-      // an ALL-INTEGER comparison on md5 bits — the oracle reproduces the
-      // exact row set, not just its size
-      Curation.weightedSample(
-        rd(s, dir, "documents"), "doc_id", "n_chars",
-        capWeight = 400L, salt = "g56")
-        .select("doc_id", "n_chars")
-        .orderBy("doc_id")
-    }),
-
-    "q57_heavy_hitters" -> ((s, dir) => {
-      // per-language heaviest sources via the mergeable Misra-Gries
-      // aggregate (functions.HeavyHitters). Capacity 64 > the column's
-      // ndv, so no decrement round ever fires and the summary is EXACT
-      // (err = 0) — the regime a SQL oracle can check; the approximate
-      // regime's one-sided bounds are property-tested in FreqSketchSpec.
-      rd(s, dir, "documents")
-        .groupBy("lang")
-        .agg(graft.functions.FreqFunctions.heavyHitters(col("source"), 64)
-          .as("hh"))
-        .select(col("lang"), explode(col("hh")).as("e"))
-        .select(col("lang"), col("e.item").as("item"),
-          col("e.est").as("cnt"), col("e.err").as("err"))
-        .orderBy("lang", "item")
-    }),
-
-    "q58_outliers" -> ((s, dir) => {
-      // robust per-group anomaly flags (ops.Profile.robustOutliers):
-      // median/MAD so the spikes being hunted cannot poison the baseline.
-      // exact=true is the oracle-comparable verification setting; the
-      // production default is the mergeable approx_percentile sketch.
-      // Both the filter and the emitted score go through rnd() so a
-      // last-ulp percentile difference between engines cannot flip a
-      // boundary row.
-      Profile.robustOutliers(rd(s, dir, "events"),
-        Seq("event_type"), "value", k = 3.5, exact = true)
-        .filter(rnd(abs(col("robust_z")), 6) > 3.5)
-        .select(col("event_id"), col("event_type"), col("value"),
-          rnd(col("robust_z"), 6).as("z"))
-        .orderBy("event_id")
-    }),
-
-    "q59_entity_resolution" -> ((s, dir) => {
-      // dirty-key entity resolution, composed end-to-end from proven
-      // parts: FuzzyJoin's complete deletion-hash blocking + exact
-      // levenshtein emits the edge set, connected components collapses
-      // transitive matches ("A~B, B~C" → one entity) to a min-id
-      // canonical label. The oracle rebuilds the identical graph from
-      // DuckDB's levenshtein and walks it with a recursive CTE.
-      val keyed = rd(s, dir, "documents")
-        .select(col("doc_id"), substring(col("text"), 1, 12).as("k"))
-      val pairs = FuzzyJoin.selfJoin(keyed, "doc_id", "k", maxDist = 2)
-      Clusters.connectedComponents(pairs, "id_a", "id_b").orderBy("id")
-    }),
-
-    "q60_tfidf_terms" -> ((s, dir) => {
-      // per-document keyword extraction (ext.Keyword.topTfidfTerms): tf
-      // from the postings index, idf from a broadcast O(vocab) docfreq,
-      // rounded-score ranking with term tie-break so the oracle
-      // re-derives the exact ranked list
-      Keyword.topTfidfTerms(rd(s, dir, "documents"), "doc_id", "text", k = 5)
-        .orderBy("doc_id", "rank")
-    }),
-
-    "q61_negative_sample" -> ((s, dir) => {
-      // deterministic contrastive negatives (ext.Curation.negativeSample):
-      // every pick is pure hash arithmetic over dense global ids, so the
-      // oracle recomputes the exact (anchor, neg_idx, negative) set
-      Curation.negativeSample(
-        rd(s, dir, "documents"), "doc_id", k = 4, salt = "g61")
-        .orderBy("anchor_id", "neg_idx")
-    }),
-
-    "q62_histogram" -> ((s, dir) => {
-      // equi-depth histogram (ops.Profile.equiDepthHistogram): boundaries
-      // from one percentile agg (exact for the oracle; the approx sketch
-      // is the scale default), rounded so assignment is engine-stable,
-      // probed per row by the SearchSorted binary-search expression
-      Profile.equiDepthHistogram(
-        rd(s, dir, "events"), "value", buckets = 8, exact = true)
-        .orderBy("bucket")
-    }),
-
-    "q63_snapshot_diff" -> ((s, dir) => {
-      // snapshot delta (ops.Diff.snapshotDiff): emits only
-      // added/removed/changed rows with per-column attribution, from one
-      // column-pruned full-outer join — the unchanged bulk never leaves
-      // the join. Snapshots are derived deterministically from customer.
-      val c = rd(s, dir, "customer")
-        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
-      val next = c.filter(col("c_custkey") % 7 =!= 0)
-        .withColumn("c_name",
-          when(col("c_custkey") % 11 === 0, concat(lit("X "), col("c_name")))
-            .otherwise(col("c_name")))
-        .withColumn("c_acctbal",
-          when(col("c_custkey") % 5 === 0, col("c_acctbal") + 10)
-            .otherwise(col("c_acctbal")))
-        .unionByName(c.filter(col("c_custkey") % 13 === 0)
-          .select((col("c_custkey") + 10000000).as("c_custkey"),
-            col("c_name"), col("c_acctbal")))
-      // changed_cols is array<string> in the Scala API; the driver's
-      // comparator can't hash arrays, so the DECLARED output serializes
-      // it (array_join) and the oracle mirrors with array_to_string.
-      Diff.snapshotDiff(c, next, Seq("c_custkey"))
-        .withColumn("changed_cols", array_join(col("changed_cols"), ","))
-        .orderBy("c_custkey")
-    }),
-
-    "q64_drift_psi" -> ((s, dir) => {
-      // distribution-drift monitor (ops.Drift.psi): equi-depth buckets
-      // from the REFERENCE side only, both frames bucketed by the same
-      // cutpoints via SearchSorted, PSI per bucket with eps-floored
-      // shares. exact=true is the oracle setting; production uses the
-      // mergeable approx_percentile sketch.
-      val ev = rd(s, dir, "events")
-      Drift.psi(
-        ev.filter(col("user_id") % 2 === 0),
-        ev.filter(col("user_id") % 2 === 1),
-        "value", buckets = 8, exact = true)
-        .orderBy("bucket")
-    }),
-
-    "q65_span_dedup" -> ((s, dir) => {
-      // substring-level dedup (ext.Fingerprint.spanCandidates): winnowing
-      // fingerprints (MOSS) — any shared 37-char span guarantees a shared
-      // fingerprint — then one equi-join on the 8-byte value. portable
-      // MD5₄₈ gram hashes are the oracle-reproducible (and persistable)
-      // form; XXH64 is the cheap job-internal mode (spec-proven same
-      // pairs).
-      Fingerprint.spanCandidates(rd(s, dir, "documents"), "doc_id", "text",
-        k = 30, w = 8, minShared = 3, maxDocsPerFp = 100)
-        .orderBy("id_a", "id_b")
-    }),
-
-    "q66_sequence_assembly" -> ((s, dir) => {
-      // training-sequence assembly (ext.Curation.assembleSequences):
-      // per-user event history ordered by (formatted ts, event_id),
-      // truncated to 25, with the untruncated count kept. Timestamps ride
-      // as microsecond strings per the no-raw-timestamp convention.
-      // seq is array<struct> in the Scala API; the driver's comparator
-      // can't hash arrays, so the DECLARED output serializes it with
-      // to_json and the oracle emits the same compact JSON from DuckDB.
-      // ignoreNullFields=false: Spark's default to_json DROPS null struct
-      // fields while DuckDB's to_json emits "key":null — without the
-      // option, a null ts/event_id/event_type in future test data would
-      // silently diverge the declared output from the oracle.
-      Curation.assembleSequences(rd(s, dir, "events"), "user_id",
-        struct(
-          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
-          col("event_id"), col("event_type")),
-        maxLen = 25)
-        .withColumn("seq",
-          to_json(col("seq"), Map("ignoreNullFields" -> "false")))
-        .orderBy("user_id")
-    }),
-
-    "q67_temperature_mix" -> ((s, dir) => {
-      // temperature-flattened source mixture (ext.Curation
-      // .temperatureSample, the mT5 resampling rule at alpha=0.5):
-      // downsample-only per-source rates (n_i/n_min)^(alpha-1), kept rows
-      // decided by pure md5 hash arithmetic — the oracle re-derives the
-      // exact surviving row set.
-      Curation.temperatureSample(rd(s, dir, "documents"),
-        "doc_id", "source", alpha = 0.5, salt = "g67")
-        .select("doc_id", "source")
-        .orderBy("doc_id")
-    }),
-
-    "q68_orc_roundtrip" -> ((s, dir) => {
-      // ORC interchange (lake.StorageFormat.orcZstd via Spec
-      // .formatOverride): lineitem exported to ORC, read back, and
-      // aggregated — the oracle computes the same aggregate from the
-      // parquet original, so a pass proves export+import fidelity.
-      // Aggregates are order-free-exact (count, integral-valued sum,
-      // min/max), no fp-summation-order hazard.
-      val tmp = Scratch.ephemeralDir("q68")
-      graft.lake.TableWriter.write(
-        rd(s, dir, "lineitem").select(col("l_orderkey"),
-          col("l_returnflag"), col("l_quantity"), col("l_extendedprice")),
-        graft.lake.TableWriter.Spec(graft.lake.Layer.Dw, s"$tmp/li",
-          formatOverride = Some(graft.lake.StorageFormat.orcZstd)))
-      s.read.orc(s"$tmp/li")
-        .filter(col("l_quantity") > 30)
-        .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity")).as("sum_qty"),
-          min(col("l_extendedprice")).as("min_price"),
-          max(col("l_extendedprice")).as("max_price"))
-        .orderBy("l_returnflag")
-    }),
-
-    "q70_resample_fill" -> ((s, dir) => {
-      // fixed-grid resampling with forward fill (ops.Resample
-      // .resampleLastFill): 6-hour slots per user, slot value = last
-      // event's value (ts then event_id tie-break via one struct-max — no
-      // window sort over the events), gaps carried forward. Timestamps
-      // order identically as native values in both engines and never
-      // reach the output (slots are epoch-second longs).
-      Resample.resampleLastFill(rd(s, dir, "events"), "user_id", "ts",
-        "value", "event_id", stepSeconds = 21600L)
-        .orderBy("user_id", "slot")
-    }),
-
-    "q69_sketch_segments" -> ((s, dir) => {
-      // mergeable distinct-count sketches (ops.Sketches): per-(source,
-      // lang) DataSketches HLL sketches rolled up to per-source estimates
-      // by sketch UNION — the persistable no-rescan rollup pattern. The
-      // estimate is engine-specific, so like the recall companions this
-      // emits a tolerance verdict the oracle can re-derive: sketch_ok = 1
-      // iff |est − exact| ≤ 5% of exact, per source.
-      val docs = rd(s, dir, "documents")
-      val est = Sketches.estimateDistinct(
-        Sketches.buildSegmentSketches(docs, Seq("source", "lang"), "doc_id"),
-        Seq("source"))
-      val exact = docs.groupBy("source")
-        .agg(count_distinct(col("doc_id")).as("_x"))
-      est.join(exact, "source")
-        .select(col("source"),
-          (abs(col("ndv_est") - col("_x")) <= col("_x") * 0.05)
-            .cast("int").as("sketch_ok"))
-        .orderBy("source")
-    }),
-
-    "q71_join_cardinality" -> ((s, dir) => {
-      // pre-flight join sizing (ops.Profile.joinCardinality): the EXACT
-      // inner-equi-join output count from two grouped counts plus the
-      // dominant key's share and a broadcast/salt/shuffle recommendation
-      // — derived from counts alone, so the oracle re-derives the whole
-      // row including the advice string.
-      Profile.joinCardinality(
-        rd(s, dir, "lineitem"),
-        rd(s, dir, "orders").withColumnRenamed("o_orderkey", "l_orderkey"),
-        "l_orderkey", broadcastRowThreshold = 1000)
-    }),
-
-    "t12_html_strip" -> ((s, dir) => {
-      // HTML -> text extraction (ext.TextAnalysis.stripHtml): documents
-      // wrapped in deterministic markup (script/style/comment blocks,
-      // attributes, entities), stripped by the cross-engine regex chain.
-      // The oracle replays the identical chain in DuckDB with 'g' flags.
-      rd(s, dir, "documents").select(col("doc_id"),
-        TextAnalysis.stripHtml(concat(
-          lit("<html><head><title>D</title><style>p{c:red}</style>" +
-            "<script>var a=\"<p>no</p>\";</script></head>" +
-            "<body><!-- x --><p class=\"t\">"),
-          col("text"),
-          lit("</p>&amp; &lt;tail&gt;<br/></body></html>"))).as("clean"))
-        .orderBy("doc_id")
-    }),
-
-    "q72_hierarchy" -> ((s, dir) => {
-      // hierarchy flattening by pointer doubling (ops.Hierarchy.flatten):
-      // a binary tree derived from customer keys (parent = key DIV 2)
-      // resolves every node to root/depth/path in O(log depth)
-      // self-joins; the oracle walks the same tree with a recursive CTE.
-      val h = rd(s, dir, "customer").select(
-        col("c_custkey").as("id"),
-        when(col("c_custkey") <= 1, lit(null))
-          .otherwise(expr("c_custkey DIV 2")).as("parent"))
-      // path is array<long> in the Scala API; the driver's comparator
-      // can't hash arrays, so the DECLARED output serializes it to a
-      // '/'-joined string and the oracle mirrors with array_to_string.
-      Hierarchy.flatten(h, "id", "parent")
-        .withColumn("path",
-          array_join(transform(col("path"), _.cast("string")), "/"))
-        .orderBy("id")
-    }),
-
-    "q73_drift_ks" -> ((s, dir) => {
-      // KS drift statistic (ops.Drift.ks): worst CDF gap over the
-      // reference's equi-depth grid — complements q64's PSI (which
-      // weights every bucket) when drift is concentrated. Same two
-      // mergeable counts; the cum/max windows run over O(buckets) rows.
-      val ev = rd(s, dir, "events")
-      Drift.ks(
-        ev.filter(col("user_id") % 2 === 0),
-        ev.filter(col("user_id") % 2 === 1),
-        "value", buckets = 8, exact = true)
-        .orderBy("bucket")
-    }),
-
-    "q74_winsorize" -> ((s, dir) => {
-      // per-group winsorization (ops.Normalize.winsorize): one grouped
-      // percentile agg, O(groups) bounds broadcast back, clip as a pure
-      // projection — data shuffles zero times. exact=true is the oracle
-      // regime; untouched values pass through bit-exact.
-      Normalize.winsorize(rd(s, dir, "events"), Seq("event_type"),
-        "value", lo = 0.05, hi = 0.95, exact = true)
-        .select("event_id", "event_type", "value", "p_lo", "p_hi",
-          "value_w")
-        .orderBy("event_id")
-    }),
-
-    "t13_url_canonical" -> ((s, dir) => {
-      // canonical URL keys (ext.TextAnalysis.canonicalizeUrl): scheme +
-      // host lowercased, default port stripped, fragment dropped,
-      // tracking params removed, survivors sorted — the oracle derives
-      // the expected canonical form independently instead of replaying
-      // the regex chain.
-      rd(s, dir, "documents").select(col("doc_id"),
-        TextAnalysis.canonicalizeUrl(concat(
-          lit("HTTPS://WWW.Example.COM:443/"), col("source"),
-          lit("/Doc/"), col("doc_id").cast("string"),
-          lit("/?utm_source=feed&z=2&ref=x&a=1#sec"))).as("url"))
-        .orderBy("doc_id")
-    }),
-
-    "q75_split_assign" -> ((s, dir) => {
-      // deterministic train/val/test assignment (ext.Curation
-      // .assignSplit): disjoint exhaustive hex-threshold partition,
-      // stable under corpus growth; the oracle re-derives every label
-      // from the same md5 prefix and cumulative thresholds.
-      Curation.assignSplit(rd(s, dir, "documents"), "doc_id",
-        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "g75")
-        .select("doc_id", "split")
-        .orderBy("doc_id")
-    }),
-
-    "q76_transitions" -> ((s, dir) => {
-      // event-flow transition matrix (ops.Funnel.transitions): one
-      // entity-partitioned lead window (total order via event_id
-      // tie-break), one grouped count, O(states) broadcast totals.
-      Funnel.transitions(rd(s, dir, "events"), "user_id", "ts",
-        "event_id", "event_type")
-        .orderBy("from_state", "to_state")
-    }),
-
-    "q77_cohort_retention" -> ((s, dir) => {
-      // cohort retention triangle (ops.Cohorts.retention): first-seen
-      // week per user via one min-agg, one join back, one distinct
-      // count per (cohort, offset) — all-integer period arithmetic.
-      Cohorts.retention(rd(s, dir, "events"), "user_id", "ts")
-        .orderBy("cohort_period", "period_offset")
-    }),
-
-    "q78_chisq" -> ((s, dir) => {
-      // categorical association/drift (ops.Drift.chiSquare): contingency
-      // counts from one aggregation, margins re-aggregated from the
-      // O(cells) table, structural zeros restored by the margin grid.
-      Drift.chiSquare(rd(s, dir, "documents"), "lang", "source")
-        .orderBy("a", "b")
-    }),
-
-    "q79_interval_join" -> ((s, dir) => {
-      // interval-overlap join (ops.IntervalJoin.overlap): bin-blocked
-      // equi-join with exactly-once emission in the FIRST shared bin —
-      // no distinct shuffle, no cartesian; the oracle is the naive
-      // all-pairs overlap definition.
-      val ev = rd(s, dir, "events")
-      def ivs(m: Int) = ev.filter(col("user_id") % 40 === m)
-        .select(col("event_id").as("id"),
-          unix_timestamp(col("ts")).as("s"),
-          (unix_timestamp(col("ts")) + 60 + col("event_id") % 600)
-            .as("e"))
-      IntervalJoin.overlap(ivs(0), ivs(20), "s", "e", binSize = 300L)
-        .select(col("l_id"), col("r_id"))
-        .orderBy("l_id", "r_id")
-    }),
-
-    "q80_trend" -> ((s, dir) => {
-      // per-group linear trend via the mergeable regr_* aggregates:
-      // slope/intercept/r2 of value over (centered) epoch seconds —
-      // centering keeps the variance arithmetic far from cancellation
-      // so both engines agree to well under the rounding grain.
-      rd(s, dir, "events").filter(col("value").isNotNull)
-        .withColumn("x",
-          (unix_timestamp(col("ts")) - 1704067200L).cast("double"))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"),
-          rnd(expr("regr_slope(value, x)") * 86400, 6)
-            .as("slope_per_day"),
-          rnd(expr("regr_intercept(value, x)"), 4).as("intercept"),
-          rnd(expr("regr_r2(value, x)"), 6).as("r2"))
-        .orderBy("event_type")
-    }),
-
-    "q81_curation_e2e" -> ((s, dir) => {
-      // the whole curation chain as ONE declarative plan (ext
-      // .CorpusPipeline.curate): exact dedup → rounded quality floor →
-      // Gopher rule battery (t18's signals as a corpus-tuned filter:
-      // minWords 20 / minStopwords 1 — the paper floors reject 100% of
-      // this word-soup corpus, see GopherThresholds) → 13-gram
-      // decontamination vs the doc_id%50 eval set → split labels. Every
-      // stage is an operator with its own oracle-backed query; the
-      // composition's oracle replays the chain end-to-end, battery
-      // included.
-      val docs = rd(s, dir, "documents")
-      CorpusPipeline.curate(docs, "doc_id", "text",
-        docs.filter(col("doc_id") % 50 === 0), "doc_id", "text",
-        minQuality = 0.5, nGram = 13, salt = "g81",
-        gopher = Some(TextAnalysis.GopherThresholds(
-          minWords = 20, minStopwords = 1)))
-        .orderBy("doc_id")
-    }),
-
-    "q82_quantile_sketch" -> ((s, dir) => {
-      // mergeable quantile sketches (ops.Sketches + the serialized GK
-      // summary): per-(source, lang) sketches of n_chars rolled up to a
-      // per-source median by sketch MERGE — no raw rescan. Verdict form
-      // (recall-companion style): the estimate's true-rank interval
-      // [count(<est), count(<=est)]/n must intersect the GK bound window
-      // around 0.5; the oracle re-derives the all-true answer.
-      val docs = rd(s, dir, "documents")
-      val est = Sketches.estimateQuantiles(
-        Sketches.buildQuantileSketches(
-          docs, Seq("source", "lang"), "n_chars", relativeError = 0.01),
-        Seq("source"), Seq(0.5), relativeError = 0.01)
-        .select(col("source"),
-          element_at(col("quantiles"), 1).as("_med"))
-      docs.join(broadcast(est), Seq("source"))
-        .groupBy("source")
-        .agg(
-          (sum(when(col("n_chars") < col("_med"), 1L).otherwise(0L))
-            .cast("double") / count(lit(1))).as("_rlo"),
-          (sum(when(col("n_chars") <= col("_med"), 1L).otherwise(0L))
-            .cast("double") / count(lit(1))).as("_rhi"))
-        .select(col("source"),
-          (col("_rlo") <= 0.55 && col("_rhi") >= 0.45)
-            .cast("int").as("sketch_ok"))
-        .orderBy("source")
-    }),
-
-    "t14_line_clean" -> ((s, dir) => {
-      // C4-style row-local line cleaning (ext.TextAnalysis.cleanLines):
-      // word floor + order-preserving within-doc dedup over synthesized
-      // line breaks (the docs have no newlines; breaks before common
-      // function words are deterministic on both engines). The punct
-      // rule is off — this corpus legitimately has none.
-      rd(s, dir, "documents").select(col("doc_id"),
-        TextAnalysis.cleanLines(
-          regexp_replace(col("text"),
-            " (the|a|and|of|to|in) ", "\n$1 "),
-          minWords = 5, requireTerminalPunct = false).as("r"))
-        .select(col("doc_id"), col("r.clean").as("clean"),
-          col("r.n_kept").as("n_kept"),
-          col("r.n_dropped").as("n_dropped"))
-        .orderBy("doc_id")
-    }),
-
-    "q83_line_dedup" -> ((s, dir) => {
-      // corpus-level boilerplate line removal (ext.Curation
-      // .dropBoilerplateLines): lines in >2 distinct docs are template
-      // text — dropped everywhere, documents reassembled in order.
-      val docs = rd(s, dir, "documents").select(col("doc_id"),
-        regexp_replace(col("text"),
-          " (the|a|and|of|to|in) ", "\n$1 ").as("text"))
-      Curation.dropBoilerplateLines(docs, "doc_id", "text",
-        maxDocsPerLine = 2)
-        .orderBy("doc_id")
-    }),
-
-    "q84_curation_report" -> ((s, dir) => {
-      // the curation funnel as numbers (ext.CorpusPipeline.report):
-      // survivors per stage — now including the 2g_gopher battery stage
-      // — plus the split breakdown; same chain and thresholds as q81, so
-      // the counts cannot drift from the curate outcome.
-      val docs = rd(s, dir, "documents")
-      CorpusPipeline.report(docs, "doc_id", "text",
-        docs.filter(col("doc_id") % 50 === 0), "doc_id", "text",
-        minQuality = 0.5, nGram = 13, salt = "g81",
-        gopher = Some(TextAnalysis.GopherThresholds(
-          minWords = 20, minStopwords = 1)))
-        .orderBy("stage")
-    }),
-
-    "q85_flatten" -> ((s, dir) => {
-      // recursive struct flattening (ops.ColumnOps.flattenStructs): a
-      // nested ingest shape built from customer collapses to flat
-      // prefixed columns in ONE projection; the oracle selects the flat
-      // equivalents directly.
-      rd(s, dir, "customer").select(col("c_custkey"),
-        struct(col("c_name").as("name"),
-          struct(col("c_acctbal").as("bal"),
-            col("c_mktsegment").as("seg")).as("acct")).as("info"))
-        .flattenStructs()
-        .orderBy("c_custkey")
-    }),
-
-    "t15_lm_perplexity" -> ((s, dir) => {
-      // char-trigram LM perplexity scoring (ext.LanguageModel): the CCNet
-      // quality-filter pattern, self-trained here so the oracle can
-      // re-derive the whole model in SQL. Model + contexts broadcast;
-      // the corpus never shuffles at full width.
-      val docs = rd(s, dir, "documents")
-      val model = LanguageModel.train(docs, col("text"), n = 3)
-      LanguageModel.score(docs, Seq("doc_id"), col("text"), model,
-        n = 3, addK = 0.5, alphabetSize = 64)
-        .select(col("doc_id"), col("n_grams"),
-          rnd(col("avg_nll"), 4).as("avg_nll"))
-        .orderBy("doc_id")
-    }),
-
-    "q86_kmeans_assign" -> ((s, dir) => {
-      // distributed k-means (ext.Clustering): deterministic first-k init,
-      // one refit with roundDigits=6 — the whole training loop is
-      // re-derivable in SQL, so the oracle proves both the assignment
-      // kernel AND the refit aggregation. Per-row cell output is the
-      // strongest check: one flipped assignment breaks the hash.
-      val emb = rd(s, dir, "embeddings")
-      val m = kmeansDemo(s, dir)
-      ext.Clustering.assign(emb, "embedding", m)
-        .select(col("vec_id"), col("cell"))
-        .orderBy("vec_id")
-    }),
-
-    "q87_kmeans_summary" -> ((s, dir) => {
-      // per-cluster size + within-cluster sum of squares from the same
-      // model as q86 — the |v|^2 - 2 v.c + |c|^2 expansion stays inside
-      // the codegen'd dot kernel.
-      val emb = rd(s, dir, "embeddings")
-      val m = kmeansDemo(s, dir)
-      ext.Clustering.summary(emb, "embedding", m)
-        .select(col("cell"), col("n"), rnd(col("wcss"), 3).as("wcss"))
-        .orderBy("cell")
-    }),
-
-    "q88_kmeans_balanced_sample" -> ((s, dir) => {
-      // cluster-balanced thinning: md5-coin Bernoulli per LEARNED cluster
-      // toward a fixed per-cluster target — the deterministic coin makes
-      // the exact kept row set re-derivable in the oracle.
-      val emb = rd(s, dir, "embeddings")
-      val m = kmeansDemo(s, dir)
-      ext.Clustering.balancedSample(emb, "vec_id", "embedding", m,
-        targetPerCluster = 30L, salt = "q88")
-        .select(col("vec_id"), col("cell"))
-        .orderBy("vec_id")
-    }),
-
-    "q96_d4_diversify" -> ((s, dir) => {
-      // D4 diversification (ext.Clustering.diversify — Tirumala et al.
-      // 2023): after dedup, drop the quarter of each k-means cluster
-      // CLOSEST to its centroid (most prototypical = most redundant);
-      // ranking on the 1e-6-grid squared distance with vec_id tiebreak,
-      // so the oracle re-derives the exact kept set from the same
-      // deterministic model as q86-q88. dropFraction 0.25 is binary-
-      // exact, so the per-cluster ceil boundary is engine-independent.
-      val emb = rd(s, dir, "embeddings")
-      val m = kmeansDemo(s, dir)
-      ext.Clustering.diversify(emb, "vec_id", "embedding", m,
-        dropFraction = 0.25)
-        .select(col("vec_id"), col("cell"), col("dist2"))
-        .orderBy("vec_id")
-    }),
-
-    "x11_containment" -> ((s, dir) => {
-      // asymmetric containment dedup (Dedup.containmentPairs): the
-      // excerpt-inside-host relation minhash can't see. Exact via the
-      // df-ordered prefix filter, so the DuckDB definition is a true
-      // oracle, not a recall estimate. Char-8-gram shingles: this corpus
-      // has a ~31-word vocabulary, so WORD containment at 0.8 is true of
-      // most pairs (the result itself is quadratic) — n-grams restore a
-      // Zipfian key space where containment means shared text.
-      Dedup.containmentPairs(rd(s, dir, "documents"), "doc_id", "text", 0.8,
-        shingleFn = Shingles.charNGrams(_, 8))
-        .orderBy("id", "container_id")
-    }),
-
-    "x12_leakage_safe_split" -> ((s, dir) => {
-      // leakage-safe train/val/test (ext.Curation.leakageSafeSplit): ONE
-      // md5-coin decision per near-duplicate CLUSTER (connected components
-      // of the minhash pair graph), inherited by every member — near-dups
-      // can never straddle train and eval, the guard that keeps benchmark
-      // numbers honest. k=128/b=32 as in x2: per-pair LSH miss probability
-      // at the J=0.8 boundary is ~5e-8 (not zero — see x2), so the pair
-      // graph matches exact Jaccard >= 0.8 with overwhelming probability
-      // and the oracle walks identical edges (x7's recursive closure)
-      // before re-deriving every label from the same hex arithmetic as
-      // q75. NOTE the blast radius of a miss here is larger than x2's
-      // per-pair row diff: one missed edge can split a connected
-      // component, flipping the split label of EVERY member of the
-      // severed half — a future sf-scale oracle failure on this query
-      // should be triaged as an LSH miss first.
-      // components come from the GROUP-graph contraction (see x7) — the
-      // coin logic is unchanged, so labels are bit-identical.
-      val docs = rd(s, dir, "documents")
-      Curation.leakageSafeSplitByComponents(docs, "doc_id",
-        Dedup.nearDuplicateComponents(docs, "doc_id", "text",
-          threshold = 0.8, numHashes = 128, bands = 32),
-        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "x12")
-        .select("doc_id", "split").orderBy("doc_id")
-    }),
-
-    "t16_quality_classifier" -> ((s, dir) => {
-      // trained quality filter (ext.QualityClassifier): positives = real
-      // documents, negatives = deterministic keyword-stuff corruptions
-      // (first word repeated); train on doc_id%5!=0, evaluate held-out
-      // doc_id%5==0. The learned model can't be re-derived in SQL, so the
-      // declared check is the recall-companion pattern: the oracle knows
-      // the eval-set size and expects the accuracy flag to hold.
-      val docs = rd(s, dir, "documents")
-      val pos = docs.select(col("doc_id"), col("text"), lit(1).as("label"))
-      val neg = docs.select((col("doc_id") + 1000000L).as("doc_id"),
-        concat_ws(" ", transform(sequence(lit(1), lit(15)),
-          _ => element_at(split(trim(col("text")), "\\s+"), 1))).as("text"),
-        lit(0).as("label"))
-      val all = pos.unionByName(neg)
-      val m = ext.QualityClassifier.train(
-        all.filter(col("doc_id") % 5 =!= 0), col("text"), col("label"),
-        dims = 2048, epochs = 20)
-      ext.QualityClassifier.score(
-        all.filter(col("doc_id") % 5 === 0), col("text"), m)
-        .agg(
-          count(lit(1)).as("n_eval"),
-          (avg(((col("quality_prob") >= 0.5).cast("int") === col("label"))
-            .cast("int")) >= 0.9).cast("int").as("acc_ok"))
-    }),
-
-    "q89_pca_cov" -> ((s, dir) => {
-      // the PCA data pass (ext.Pca / functions.VectorMoments): full d x d
-      // population covariance from ONE aggregation whose map-side partial
-      // is an O(d^2) buffer — rows never shuffle. The eigensolve consumes
-      // this matrix on the driver (spec-tested); the matrix itself is the
-      // oracle-checkable contract.
-      ext.Pca.covarianceDF(rd(s, dir, "embeddings"), "embedding")
-        .select(col("i"), col("j"), rnd(col("cov"), 6).as("cov"))
-        .orderBy("i", "j")
-    }),
-
-    "m10_audio_spectrogram" -> ((s, dir) => {
-      // STFT spectrogram through the real JDK audio codec + an in-engine
-      // radix-2 FFT (Multimodal.spectrogram). The tones are bin-aligned
-      // sines with frequency a pure function of doc_id, so the loudest
-      // FFT bin has a closed form the oracle states directly — the FFT is
-      // value-proven against analytic ground truth, the m5-m9 pattern
-      // lifted from byte math to spectral math.
-      val ids = rd(s, dir, "documents").select(col("doc_id"))
-      val media = Multimodal.packAsTone(s, ids, "doc_id",
-        rate = 8000, nSamples = 1024, frameSize = 256,
-        bin = id => (id % 20 + 5).toInt)
-      Multimodal.spectrogram(s, media, frameSize = 256, hop = 128)
-        .groupBy("media_id")
-        .agg(count(lit(1)).as("n_frames"),
-          min("dominant_bin").as("bin_lo"),
-          max("dominant_bin").as("bin_hi"))
-        .orderBy("media_id")
-    }),
-
-    "q90_seasonal_decompose" -> ((s, dir) => {
-      // classical additive decomposition (ops.Seasonal): hourly totals
-      // per event type, daily (period-24) seasonality. idx = row_number
-      // over observed hours makes the series regular on both engines.
-      // y and every decompose intermediate snap to the 1e-6 grid
-      // (roundDigits=6) so engine-specific float summation order can't
-      // flip a round-half boundary in the 1e-4 output rounding.
-      val hourly = rd(s, dir, "events")
-        .groupBy(col("event_type"),
-          floor(unix_timestamp(col("ts")) / 3600).cast("long").as("slot"))
-        .agg(rnd(sum("value"), 6).as("y"))
-        .withColumn("idx", row_number().over(
-          Window.partitionBy("event_type").orderBy("slot")).cast("long") - 1)
-      // keyCountHint: event_type is a closed 5-value taxonomy (testdata
-      // generator enum) — declaring it PINS the O(keys × period) phase-mean
-      // broadcast at any scale, instead of leaning on Spark's size-estimate
-      // auto-broadcast (which only holds while the sides look small)
-      Seasonal.decompose(hourly, "event_type", "idx", "y", period = 24,
-        roundDigits = Some(6), keyCountHint = Some(5L))
-        .select(col("event_type"), col("idx"), rnd(col("y"), 2).as("y"),
-          rnd(col("trend"), 4).as("trend"),
-          rnd(col("seasonal"), 4).as("seasonal"),
-          rnd(col("residual"), 4).as("residual"))
-        .orderBy("event_type", "idx")
-    }),
-
-    "q91_span_excise" -> ((s, dir) => {
-      // exact shared-span excision (ext.Fingerprint.exciseSharedSpans):
-      // the actionable form of substring dedup — every 15-char gram run
-      // shared by more than 10 documents is cut from the text, merged
-      // intervals and all. The oracle replays the identical construction
-      // (portable MD5-48 gram hashes, gaps-and-islands merge, segment
-      // reassembly) over the same parquet, so clean text and both
-      // counters compare bit-for-bit.
-      Fingerprint.exciseSharedSpans(rd(s, dir, "documents"),
-        "doc_id", "text", k = 15, maxDocs = 10)
-        .orderBy("doc_id")
-    }),
-
-    "q92_seasonal_anomalies" -> ((s, dir) => {
-      // seasonal-aware anomaly flags (ops.Seasonal.anomalies): alert on
-      // the decomposition residual's per-key z-score, so daily rhythm and
-      // trend never page. Same 1e-6 grid discipline as q90 — stddev and
-      // z snap before the threshold compare, making the boolean flag
-      // itself engine-exact.
-      val hourly = rd(s, dir, "events")
-        .groupBy(col("event_type"),
-          floor(unix_timestamp(col("ts")) / 3600).cast("long").as("slot"))
-        .agg(rnd(sum("value"), 6).as("y"))
-        .withColumn("idx", row_number().over(
-          Window.partitionBy("event_type").orderBy("slot")).cast("long") - 1)
-      // same declared 5-value key cardinality as q90 — guaranteed hinted
-      // broadcast of the O(keys × period) decomposition sides
-      Seasonal.anomalies(hourly, "event_type", "idx", "y", period = 24,
-        zThreshold = 2.5, roundDigits = Some(6), keyCountHint = Some(5L))
-        .select(col("event_type"), col("idx"),
-          rnd(col("residual"), 4).as("residual"),
-          rnd(col("z"), 4).as("z"), col("is_anomaly"))
-        .orderBy("event_type", "idx")
-    }),
-
-    "q93_retention_expiry" -> ((s, dir) => {
-      // partition retention end-to-end (lake.Retention.expirePartitions):
-      // orders written Hive-partitioned by month, expiry deletes every
-      // partition DIRECTORY strictly below the cutoff via a driver-side
-      // O(partitions) listing — no data is read to decide, which is what
-      // makes nightly expiry free at 100 TB. The post-expiry table then
-      // aggregates to exactly what a date filter over the original
-      // produces, so the oracle is that filter in SQL. Aggregates are
-      // order-free-exact (count, BIGINT key sum, min/max).
-      val tmp = Scratch.ephemeralDir("q93")
-      rd(s, dir, "orders")
-        .withColumn("od", date_format(col("o_orderdate"), "yyyy-MM"))
-        // one shuffle keyed by the partition column: without it every
-        // task writes a sliver of every month (tasks × partitions files
-        // — the small-files antipattern Retention.compactPartition
-        // exists to repair); with it the file count IS the partition
-        // count, at any scale
-        .repartition(col("od"))
-        .write.mode("overwrite").partitionBy("od").parquet(s"$tmp/orders")
-      graft.lake.Retention.expirePartitions(
-        s, s"$tmp/orders", "od", cutoff = "1996-01")
-      s.read.parquet(s"$tmp/orders")
-        .groupBy("od")
-        .agg(count(lit(1)).as("n_rows"),
-          sum("o_orderkey").as("key_sum"),
-          min("o_totalprice").as("min_price"),
-          max("o_totalprice").as("max_price"))
-        .orderBy("od")
-    }),
-
-    "q94_schema_evolution" -> ((s, dir) => {
-      // schema evolution across parquet generations (lake.SchemaEvolution
-      // .readMerged + conform): generation 1 (even keys) predates the
-      // c_mktsegment column; generation 2 (odd keys) carries it plus an
-      // extra ingest_note the contract never adopted. readMerged unions
-      // the footers (metadata-only pass), conform projects the v2
-      // contract — typed null where a gen-1 row predates the column, the
-      // stray column dropped. The oracle is the same union-by-name in
-      // SQL, so a pass proves "new reader, old data" returns exactly the
-      // contract view.
-      val tmp = Scratch.ephemeralDir("q94")
-      val c = rd(s, dir, "customer")
-      c.filter(col("c_custkey") % 2 === 0)
-        .select("c_custkey", "c_name", "c_acctbal")
-        .write.mode("overwrite").parquet(s"$tmp/t/gen=1")
-      c.filter(col("c_custkey") % 2 === 1)
-        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
-          col("c_mktsegment"), lit("v2").as("ingest_note"))
-        .write.mode("overwrite").parquet(s"$tmp/t/gen=2")
-      val contract = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("c_custkey",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("c_name",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("c_mktsegment",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("c_acctbal",
-          org.apache.spark.sql.types.DoubleType)))
-      graft.lake.SchemaEvolution.conform(
-        graft.lake.SchemaEvolution.readMerged(s, s"$tmp/t").drop("gen"),
-        contract)
-        .orderBy("c_custkey")
-    }),
-
-    "q97_compaction" -> ((s, dir) => {
-      // small-file compaction end-to-end (lake.Retention.compactPartition):
-      // one Hive partition fragmented into 40 shards (the tasks ×
-      // partitions sliver pattern q93's repartition exists to prevent) is
-      // rewritten into ~recordsPerFile-row files through the
-      // crash-recoverable ._next/._bak swap. recordsPerFile = 250000 is
-      // the reference writer's own maxRecordsPerFile
-      // (s3_loader.py:27-33). The declared result is the post-compaction
-      // read-back — a hash match proves the rewrite is value-neutral —
-      // plus the shrink verdict as a column (compactPartition's returned
-      // (before, after) file counts must strictly drop; the spec
-      // additionally pins after == 1 at this row count).
-      val part = s"${Scratch.ephemeralDir("q97")}/t/seg=ALL"
-      rd(s, dir, "customer")
-        .repartition(40)
-        .write.mode("overwrite").parquet(part)
-      val (before, after) =
-        graft.lake.Retention.compactPartition(s, part,
-          recordsPerFile = 250000L)
-      s.read.parquet(part)
-        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
-          col("c_mktsegment"))
-        .withColumn("compacted", lit(after < before))
-        .orderBy("c_custkey")
-    }),
-
-    "q95_dsir_select" -> ((s, dir) => {
-      // DSIR data selection (ext.Dsir.select — Xie et al., NeurIPS 2023):
-      // hashed unigram+bigram bag-of-n-grams models fit on a target
-      // sample (every 17th doc) vs the raw rest; per-doc importance
-      // weight = one broadcast-joined sum of 1e-6-grid bucket log-ratios;
-      // selection = Gumbel top-k with md5-deterministic noise, ranked on
-      // the 1e-4-grid score with doc_id tiebreak. The oracle replays the
-      // whole pipeline (portable md5 bucket hash, Laplace smoothing,
-      // identical grids) in SQL.
-      val docs = rd(s, dir, "documents")
-      val target = docs.filter(pmod(col("doc_id"), lit(17)) === 0)
-      val raw = docs.filter(pmod(col("doc_id"), lit(17)) =!= 0)
-      graft.ext.Dsir.select(raw, target, "doc_id", "text",
-        buckets = 8192, k = 500)
-        .orderBy("rank")
-    }),
-
-    "q98_doremi_weights" -> ((s, dir) => {
-      // DoReMi domain reweighting (ext.Doremi.domainWeights — Xie et
-      // al., NeurIPS 2023): the Group-DRO minimax over the count-LM
-      // closed forms — proxy = the α-weighted mixture trigram LM (one
-      // vocabulary-bounded reweighting per step), reference = each
-      // domain's specialist LM, outer player = 3 exponentiated-gradient
-      // steps on 1e-6-grid clipped excess NLL (η = 1, uniform smoothing
-      // 1e-3), α snapped to 1e-9 after every normalize. add-k = 0.01:
-      // at 0.5 the smoothing mass drowns the small specialist models and
-      // every clipped excess is exactly 0 (measured at all three SFs) —
-      // the light smoothing keeps the minimax dynamics non-degenerate on
-      // this corpus (every domain shows positive excess). Output is
-      // O(domains): the averaged-iterate weight, the final excess, and
-      // the downsample-only md5-coin resample verdict per source. The
-      // oracle replays the per-(doc, gram) counts, both model families,
-      // all three EG steps, and the coin — bit-for-bit.
-      graft.ext.Doremi.domainWeights(rd(s, dir, "documents"),
-        "doc_id", "text", "source", n = 3, addK = 0.01,
-        alphabetSize = 64, steps = 3, eta = 1.0, smoothing = 1e-3,
-        salt = "q98")
-        .orderBy("source")
-    }),
-
-    "q99_unimax_sampling" -> ((s, dir) => {
-      // UniMax language sampling (ext.Curation.unimaxAllocation — Chung
-      // et al., ICLR 2023): waterfill a character budget of 1.5× the
-      // corpus across languages, smallest first, capping every language
-      // at 2 epochs — low-resource languages repeat up to the cap
-      // (never past it, temperature sampling's memorization failure
-      // mode) and the freed budget flows to the head language. At this
-      // corpus the four small languages cap at 2.0 epochs and en takes
-      // the equal-share remainder (~0.8 epochs) — both waterfilling
-      // branches exercised at every SF. n_virtual counts the
-      // materialized corpus (⌊epochs⌋ copies + the md5-coin fractional
-      // epoch); the oracle replays sizes, the closed-form prefix
-      // waterfill, the integer grids, and the coin. Compare columns are
-      // the exact integer grids (alloc_micro/epochs_micro/p_nano
-      // BIGINT, computed in BigInt rationals ↔ HUGEINT `//` in the
-      // oracle) — never raw doubles, so no environment's double-grid
-      // boundary can flip the hash (round-12 driver-red lesson).
-      Curation.unimaxAllocation(rd(s, dir, "documents"),
-        "doc_id", "text", "lang", epochCap = 2.0, budgetFraction = 1.5,
-        salt = "q99")
-        .select("lang", "n_docs", "chars", "alloc_micro", "epochs_micro",
-          "p_nano", "n_virtual")
-        .orderBy("lang")
-    }),
-
-    "q100_exact_decontam" -> ((s, dir) => {
-      // exact-substring decontamination (Curation.exactContamination):
-      // the third decontamination mode next to q40's 13-gram overlap and
-      // x16's embedding check — a non-eval document is flagged when any
-      // %5 eval item's opening 16 characters appear in it verbatim
-      // (the exact-match scrub benchmark suites publish; quoted
-      // questions defeat thresholds tuned for paraphrase or topic).
-      // Row-local: the probe set rides a single Aho-Corasick automaton
-      // as an expression reference object (MultiPatternHits) — no join,
-      // no shuffle, no corpus × eval BNLJ, and one O(doclen) scan per
-      // document regardless of probe count. Declared at a 10× larger
-      // eval split than round 12 (%5 vs %50 — 20% of docs carry probes)
-      // to prove the multi-pattern kernel, the round-12 judge ask. The
-      // oracle recounts containment per probe with position().
-      val docs = rd(s, dir, "documents")
-        .filter(col("text").isNotNull && col("doc_id") % 5 =!= 0)
-      val evalDocs = rd(s, dir, "documents")
-        .filter(col("doc_id") % 5 === 0)
-      Curation.exactContamination(docs, evalDocs,
-        "doc_id", "text", "text", probeLen = 16)
-        .orderBy("doc_id")
-    }),
-
-    "x16_semantic_decontam" -> ((s, dir) => {
-      // SEMANTIC eval-set decontamination (Curation
-      // .semanticContaminationReport over Similarity.crossPairsIvf —
-      // Yang et al. 2023, arXiv:2311.04850): exact 13-gram overlap (q40)
-      // misses rephrased benchmark leakage; here a corpus embedding
-      // within cosine 0.45 of ANY eval embedding (vec_id % 10 == 9, the
-      // y6 split convention) is flagged. The quantizer is the q86
-      // deterministic k-means recipe at k = 8 trained on the CORPUS side
-      // only (production decontamination must not leak eval vectors
-      // into the model); eval probes its top-4 cells, corpus vectors
-      // answer from their home cell, exact cosine verifies. The oracle
-      // replays training, home/probe assignment, the cosine verify, and
-      // the per-doc verdict — a full value check like x10.
-      val emb = rd(s, dir, "embeddings")
-      val corpus = emb.filter(pmod(col("vec_id"), lit(10)) < 9)
-      val evalSet = emb.filter(pmod(col("vec_id"), lit(10)) === 9)
-      Curation.semanticContaminationReport(corpus, evalSet,
-        "vec_id", "embedding", minCosine = 0.45,
-        centroids = x16Model(s, dir).centroids, nprobe = 4)
-        .orderBy("vec_id")
-    }),
-
-    "x13_snapshot_lifecycle" -> ((s, dir) => {
-      // the multi-snapshot lifecycle as ONE declared query (reference
-      // semantics: the is_incremental append cadence,
-      // datalake_sub_dag_builder.py:71,110-113, elevated to the
-      // LLM-pipeline stack). Snapshot 1 (vec_id % 10 < 8; its oldest
-      // fifth tagged snap=2024-01) trains the rule-sized y7 models,
-      // builds the IVF-PQ index — written Hive-partitioned by snapshot
-      // label — and persists the x9 minhash doc index. Then snapshot 2
-      // arrives: Retention.expirePartitions drops the 2024-01 index
-      // partition, appendToIvfPqIndex joins the surviving store with the
-      // new rows (encoded by the SAME persisted models — the append
-      // contract), the %10 == 9 batch serves against exactly the
-      // surviving+appended rows, and the new documents dedup against the
-      // stored minhash index. One result frame: 'knn' rows (y7's serving
-      // shape over the post-expiry corpus) unioned with 'dup' rows (x9's
-      // pair shape). The oracle re-derives the models from the train
-      // split and replays assignment/encode/serve over vec_id % 10 in
-      // [2, 8] — a hash match proves build→persist→expire→append→serve
-      // is value-neutral end-to-end.
-      val emb = rd(s, dir, "embeddings")
-      val s1 = emb.filter(pmod(col("vec_id"), lit(10)) < 8)
-      val s2 = emb.filter(pmod(col("vec_id"), lit(10)) === 8)
-      val batch = emb.filter(pmod(col("vec_id"), lit(10)) === 9)
-      val (_, nprobe, coarse, pq) = x13Models(s, dir)
-      // fixed ephemeral path: every evaluation overwrites the same tree
-      // (no /tmp/graft-x13-* accumulation across bench/verify/spec runs)
-      // and a shutdown hook removes the last one
-      val tmp = Scratch.ephemeralDir("x13")
-
-      Similarity.buildIvfPqIndex(s1, "vec_id", "embedding", coarse, pq)
-        .withColumn("snap", when(pmod(col("id"), lit(10)) < 2,
-          lit("2024-01")).otherwise(lit("2024-02")))
-        .write.mode("overwrite").partitionBy("snap").parquet(s"$tmp/ann")
-      val docs = rd(s, dir, "documents")
-      Dedup.minhashIndex(docs.filter(pmod(col("doc_id"), lit(10)) < 8),
-        "doc_id", "text", numHashes = 128, bands = 32)
-        .write.mode("overwrite").parquet(s"$tmp/mh")
-
-      graft.lake.Retention.expirePartitions(
-        s, s"$tmp/ann", "snap", cutoff = "2024-02")
-
-      val index = Similarity.appendToIvfPqIndex(
-        s.read.parquet(s"$tmp/ann").drop("snap"),
-        s2, "vec_id", "embedding", coarse, pq)
-      val corpus = emb.filter(pmod(col("vec_id"), lit(10)).between(2, 8))
-      val knn = Similarity.searchIvfPqIndex(batch, index, corpus,
-        "vec_id", "embedding", k = 5, coarse = coarse, pq = pq,
-        nprobe = nprobe, rescoreFactor = 16)
-      val dup = Dedup.nearDuplicatesAgainstIndex(
-        s.read.parquet(s"$tmp/mh"),
-        docs.filter(pmod(col("doc_id"), lit(10)) >= 8),
-        "doc_id", "text", threshold = 0.8, numHashes = 128, bands = 32)
-      knn.select(lit("knn").as("kind"), col("query_id").as("a"),
-          col("neighbor_id").as("b"), col("rank"),
-          col("cosine").as("score"))
-        .unionByName(dup.select(lit("dup").as("kind"),
-          col("corpus_id").as("a"), col("new_id").as("b"),
-          lit(0).as("rank"), col("jaccard").as("score")))
-        .orderBy("kind", "a", "b", "rank")
-    }),
-
-    "x15_curate_then_select" -> ((s, dir) => {
-      // the training-data pipeline's two halves COMPOSED: curation
-      // (exact dedup → 1e-6-grid quality floor → 13-gram
-      // decontamination vs the doc_id%50 eval set → the eval ids
-      // themselves dropped; CorpusPipeline.curate, gopher off) feeding
-      // DSIR selection (the q95 recipe at salt x15, k = 200, target =
-      // curated %17 == 0). Selection must budget over the CURATED
-      // corpus, not the raw crawl — duplicates and junk otherwise hog
-      // the importance weights (the DSIR paper's own preprocessing
-      // order). Both halves are the oracle-proven operators (q81 /
-      // q95); this row proves the composition: the oracle replays
-      // dedup, the quality cut, the gram join, the eval anti-joins,
-      // and then the full DSIR model/score/Gumbel-top-k over exactly
-      // the surviving corpus.
-      val docs = rd(s, dir, "documents")
-      val evalDocs = docs.filter(col("doc_id") % 50 === 0)
-      // the curated id set feeds BOTH dsir sides (target sample + raw
-      // pool) — persist the NARROW id frame so the whole curation chain
-      // (dedup groupBy, gram join, anti joins) evaluates once, not once
-      // per side. Bytes per document; lifecycle = the session's
-      // clearCache between jobs, the bare-Dsir.select contract.
-      val curatedIds = CorpusPipeline.curate(docs, "doc_id", "text",
-          evalDocs, "doc_id", "text", minQuality = 0.5, nGram = 13,
-          salt = "x15")
-        .select("doc_id")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val corpus = docs.join(curatedIds, Seq("doc_id"), "left_semi")
-      val target = corpus.filter(pmod(col("doc_id"), lit(17)) === 0)
-      val raw = corpus.filter(pmod(col("doc_id"), lit(17)) =!= 0)
-      graft.ext.Dsir.select(raw, target, "doc_id", "text",
-        buckets = 8192, k = 200, salt = "x15")
-        .orderBy("rank")
-    }),
-
-    "x18_cluster_topics" -> ((s, dir) => {
-      // corpus cartography: the clustering and keyword stacks COMPOSED —
-      // every embedding cluster labeled with its most distinctive terms
-      // (the "what is actually in this corpus" map a training-data team
-      // reads before choosing mixtures). The q86 deterministic k-means
-      // assigns cells; Keyword.topTfidfTermsByGroup sums doc postings
-      // per cell and scores with cells as the TF-IDF document unit, so
-      // shared vocabulary cancels and each cell's signature terms
-      // surface. Output O(cells × k). The oracle replays k-means
-      // assignment (kmeansOracle), the per-cell term sums, and the
-      // grid-rounded ranking.
-      val m = kmeansDemo(s, dir)
-      val assign = ext.Clustering.assign(
-          rd(s, dir, "embeddings"), "embedding", m)
-        .select(col("vec_id").as("doc_id"), col("cell"))
-      Keyword.topTfidfTermsByGroup(
-        Keyword.postings(rd(s, dir, "documents"), "doc_id", "text"),
-        assign, "cell", k = 3)
-        .select(col("doc_id").as("cell"), col("rank"), col("term"),
-          col("score"))
-        .orderBy("cell", "rank")
-    }),
-
-    "x17_curate_then_reweight" -> ((s, dir) => {
-      // the DOMAIN-mixture sibling of x15: the same curation half (exact
-      // dedup → quality floor → 13-gram decontamination vs the %50 eval
-      // set → eval ids dropped) feeding DoReMi domain reweighting (the
-      // q98 recipe at salt x17) over exactly the surviving corpus.
-      // Mixture weights must be computed over CURATED data — duplicate
-      // and junk mass otherwise inflates a domain's size and distorts
-      // both its share and its excess (the DoReMi paper reweights the
-      // cleaned Pile, not raw crawls). The oracle replays curation and
-      // then the full three-step EG chain over the survivors.
-      val docs = rd(s, dir, "documents")
-      val evalDocs = docs.filter(col("doc_id") % 50 === 0)
-      // x15's persist posture: the narrow curated-id frame evaluates the
-      // curation chain once, not once per DoReMi pass (pg build, share
-      // count, coin pass all read it)
-      val curatedIds = CorpusPipeline.curate(docs, "doc_id", "text",
-          evalDocs, "doc_id", "text", minQuality = 0.5, nGram = 13,
-          salt = "x17")
-        .select("doc_id")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val corpus = docs.join(curatedIds, Seq("doc_id"), "left_semi")
-      graft.ext.Doremi.domainWeights(corpus, "doc_id", "text", "source",
-        n = 3, addK = 0.01, alphabetSize = 64, steps = 3, eta = 1.0,
-        smoothing = 1e-3, salt = "x17")
-        .orderBy("source")
-    }),
-
-    "x14_visual_near_dup" -> ((s, dir) => {
-      // the multimodal → similarity composition: m8's codec-decoded
-      // luminance-histogram features feed the IVF serving stack — the
-      // visual near-dup pass a multimodal training pipeline runs on each
-      // new image batch. Batch (media_id % 10 == 9) probes the corpus-
-      // trained quantizer's 4 nearest cells, exact cosine ranks the top-5
-      // visually nearest corpus images, and is_dup flags matches at
-      // ≥ 0.9999 (for these count/64 histograms that is histogram
-      // identity). Plain IVF, no PQ: at 16 dims the exact-cosine
-      // candidate scan is already cheap (Similarity.searchIvf scaladoc).
-      // A THRESHOLD-pair declaration (cosinePairsIvf) is deliberately
-      // avoided: measured on this corpus, byte-class histograms are so
-      // clumped that even cosine = 1.0 exactly holds ~2% of ALL pairs
-      // (245k pairs at sf0.1) — near-quadratic however the candidates
-      // are generated. Top-k bounds the output at batch × k by
-      // construction. The oracle re-derives the histograms as byte math
-      // (m8's proof), replays the k-means training / home assignment /
-      // probe ranking / exact-cosine top-5 in SQL — the full x10-style
-      // value check over the composed stack.
-      //
-      // The feature frame materializes to parquet FIRST (x13's store
-      // posture, memoized in x14FeaturePath): the codec decode is the
-      // expensive pass, and the serve below reads the feature table four
-      // ways (probes, home cells, both rescore sides) — a real pipeline
-      // extracts features once per corpus and serves every batch (and
-      // trains its quantizer) from the table, never re-decoding per
-      // consumer subplan.
-      val feats = s.read.parquet(x14FeaturePath(s, dir))
-      val corpus = feats.filter(pmod(col("media_id"), lit(10)) < 9)
-      val batch = feats.filter(pmod(col("media_id"), lit(10)) === 9)
-      Similarity.searchIvf(batch, corpus, "media_id", "features", k = 5,
-        centroids = x14Model(s, dir).centroids, nprobe = 4)
-        .withColumn("is_dup", col("cosine") >= 0.9999)
-        .orderBy("query_id", "rank")
-    }),
-
-    // -------------------------------------------- LLM-pipeline: streaming
-    "s1_stream_dedup_gate" -> ((s, dir) => {
-      // first ORACLE-BACKED foreachBatch surface (every other
-      // streaming/EventStream sink is spec-pinned batch-equality only):
-      // the x9 daily-crawl shape run THROUGH the streaming dedup gate.
-      // 80% of documents (doc_id % 10 < 8) is the prebuilt minhash index;
-      // the 20% crawl is staged as parquet and replayed as a genuine
-      // micro-batch sequence (3 files × maxFilesPerTrigger=1 under
-      // Trigger.AvailableNow = 3 foreachBatch invocations against the
-      // static index), exercising checkpointing + the append sink. The
-      // gate is stateless per batch, so the final survivor table equals
-      // the one-shot batch filter whatever the batch split — the oracle
-      // replays x9's exact cross-split Jaccard (k=128/b=32 makes the LSH
-      // pair set provably equal to it, the x9 claim verified at both
-      // SFs) and anti-joins. Fresh run-numbered dirs per evaluation
-      // (under the shutdown-hook-cleaned ephemeral tree) keep bench
-      // re-runs real: a reused checkpoint would replay nothing.
-      val docs = rd(s, dir, "documents")
-      val base = Scratch.ephemeralDir(
-        s"s1-run${s1Runs.incrementAndGet()}")
-      // the index is a parquet ARTIFACT (x13's store posture), not a
-      // live plan: built once per corpus snapshot, read by every
-      // micro-batch — a live plan would re-run the minhash scan per
-      // foreachBatch invocation
-      Dedup.minhashIndex(
-        docs.filter(pmod(col("doc_id"), lit(10)) < 8), "doc_id", "text",
-        numHashes = 128, bands = 32)
-        .write.mode("overwrite").parquet(s"$base/idx")
-      val index = s.read.parquet(s"$base/idx")
-      val crawl = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
-        .select("doc_id", "text", "lang", "source")
-      crawl.repartition(3).write.mode("overwrite").parquet(s"$base/in")
-      val stream = s.readStream.schema(crawl.schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
-      val q = graft.streaming.EventStream.dedupGateSink(
-        stream, index, "doc_id", "text", threshold = 0.8,
-        outPath = s"$base/out", checkpoint = s"$base/ckpt",
-        numHashes = 128, bands = 32)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.read.parquet(s"$base/out")
-        .select("doc_id", "lang", "source")
-        .orderBy("doc_id")
-    }),
-
-    "q101_observe_load" -> ((s, dir) => {
-      // zero-extra-pass load instrumentation (ops.Observe / Dataset
-      // .observe): the metrics ride the WRITE action itself — counting
-      // rows / key checksums / price totals on a 100 TB load costs
-      // nothing beyond the write, where a monitor that re-reads the
-      // table doubles the I/O. The declared result is the captured
-      // metric row (integer-grid cents so no raw-double compare); the
-      // oracle recomputes the same stats from the source — equality
-      // proves the observed metrics describe exactly the rows written.
-      val rec = graft.ops.Observe.register(s)
-      try {
-        val out = s"${Scratch.ephemeralDir("q101")}/t"
-        graft.ops.Observe.withMetrics(rd(s, dir, "orders"), "q101",
-          count(lit(1)).as("n_rows"),
-          sum(col("o_orderkey")).as("key_sum"),
-          sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
-            .as("cents_sum"),
-          min(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("min_date"),
-          max(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("max_date"))
-          .write.mode("overwrite").parquet(out)
-        val m = graft.ops.Observe.awaitCaptured(rec, "q101").head.metrics
-        import s.implicits._
-        Seq((m("n_rows").asInstanceOf[Long],
-          m("key_sum").asInstanceOf[Long],
-          m("cents_sum").asInstanceOf[Long],
-          m("min_date").asInstanceOf[String],
-          m("max_date").asInstanceOf[String]))
-          .toDF("n_rows", "key_sum", "cents_sum", "min_date", "max_date")
-      } finally graft.ops.Observe.unregister(s, rec)
-    }),
-
-    "y8_index_staleness" -> ((s, dir) => {
-      // the ANN append-staleness report (Similarity.indexStalenessReport
-      // / suggestRebuild): appendToIvfPqIndex keeps the coarse/PQ models
-      // FROZEN, so the one question a serving pipeline must keep
-      // answering is "retrain yet?". The rule's drift trigger is the
-      // delta/index mean quantization-error ratio under the frozen
-      // coarse codebook — measured against ground truth (graft.Prof
-      // appendStudy, sf0.01/sf0.1): an in-distribution delta holds the
-      // ratio at 1.10/1.05 and appended-serve recall at the rebuilt
-      // level (0.904 vs 0.924 / 0.905 vs 0.902), while the planted
-      // +0.25-per-dim shift blows the ratio to 5.6/5.3 and collapses
-      // appended recall (0.536 vs 0.964 / 0.258 vs 0.569 rebuilt) —
-      // the y8r companion pins those recall relations. Declared over
-      // BOTH branches: the raw %10==8 delta (verdict: keep appending)
-      // and its drifted twin (verdict: rebuild). Every compare column
-      // is integer-derived (per-row 1e-6-grid error sums as BIGINT; the
-      // ratio is one double division of exact integers) — the q99
-      // posture. The oracle replays the rule-sized k-means on the 80%
-      // index split, both assignments, and the grids.
-      val emb = rd(s, dir, "embeddings")
-      val index = emb.filter(pmod(col("vec_id"), lit(10)) < 8)
-      val delta = emb.filter(pmod(col("vec_id"), lit(10)) === 8)
-      val (_, _, coarse, _) = x13Models(s, dir)
-      def rep(d: DataFrame, kind: String) =
-        Similarity.indexStalenessReport(index, d, "embedding", coarse)
-          .withColumn("delta_kind", lit(kind))
-      rep(delta, "in_dist")
-        .unionByName(rep(
-          delta.select(col("vec_id"),
-            y8Drift(col("embedding")).as("embedding")),
-          "drifted"))
-        .select(col("delta_kind"), col("n_index"), col("n_delta"),
-          col("qerr_index_micro"), col("qerr_delta_micro"),
-          col("qerr_ratio"), col("nlist"), col("nlist_rule"),
-          col("rebuild"))
-        .orderBy("delta_kind")
-    }),
-
-    "y8r_append_recall" -> ((s, dir) => {
-      // y8's recall companion — the MEASURED decay the staleness rule
-      // predicts, pinned as three exact-integer verdicts over the real
-      // serving stack: (a) in-distribution append holds ≥ 0.85 recall
-      // vs brute force (keep appending, as the rule says); (b) the
-      // drifted append COLLAPSES below 0.7 (the decay); (c) retraining
-      // on the drifted union restores ≥ 1.5× the appended hit count
-      // (the rebuild pays). Ground truth is brute-force top-5 over each
-      // union; serving is the y7 production shape (prebuilt IVF-PQ
-      // index + ADC + rescore) with nprobe = ceil(0.75·nlist),
-      // rescoreFactor = 4.
-      val emb = rd(s, dir, "embeddings")
-      val index = emb.filter(pmod(col("vec_id"), lit(10)) < 8)
-        .select("vec_id", "embedding")
-      val delta0 = emb.filter(pmod(col("vec_id"), lit(10)) === 8)
-        .select("vec_id", "embedding")
-      val q0 = emb.filter(pmod(col("vec_id"), lit(10)) === 9)
-        .select("vec_id", "embedding")
-      def drift(df: DataFrame) = df.select(col("vec_id"),
-        y8Drift(col("embedding")).as("embedding"))
-      val (deltaD, qD) = (drift(delta0), drift(q0))
-      val u0 = index.unionByName(delta0)
-      val uD = index.unionByName(deltaD)
-      val (_, nprobe, coarse, pq) = x13Models(s, dir)
-      val (nprobe2, coarse2, pq2) = y8RebuildModels(s, dir)
-      val baseIdx = Similarity.buildIvfPqIndex(
-        index, "vec_id", "embedding", coarse, pq)
-      def serve(q: DataFrame, idx: DataFrame, corpus: DataFrame,
-          cs: Seq[Array[Float]], p: Seq[Seq[Seq[Float]]], np: Int) =
-        Similarity.searchIvfPqIndex(q, idx, corpus, "vec_id", "embedding",
-          k = 5, coarse = cs, pq = p, nprobe = np, rescoreFactor = 4)
-      val keys = Seq("query_id", "neighbor_id")
-      val app0 = recallHits(
-        Similarity.topKBruteForce(q0, u0, "vec_id", "embedding", k = 5),
-        serve(q0, Similarity.appendToIvfPqIndex(baseIdx, delta0,
-          "vec_id", "embedding", coarse, pq), u0, coarse, pq, nprobe),
-        keys)
-      val bruteD = Similarity.topKBruteForce(
-        qD, uD, "vec_id", "embedding", k = 5)
-      val appD = recallHits(bruteD,
-        serve(qD, Similarity.appendToIvfPqIndex(baseIdx, deltaD,
-          "vec_id", "embedding", coarse, pq), uD, coarse, pq, nprobe),
-        keys)
-      val rebD = recallHits(bruteD,
-        serve(qD, Similarity.buildIvfPqIndex(uD, "vec_id", "embedding",
-          coarse2, pq2), uD, coarse2, pq2, nprobe2),
-        keys)
-      app0.select(lit("appended_in_dist").as("kind"), col("n_exact"),
-        (col("n_hit") * 100 >= col("n_exact") * 85).cast("int")
-          .as("recall_ok"))
-        .unionByName(appD.select(lit("appended_drifted").as("kind"),
-          col("n_exact"),
-          (col("n_hit") * 10 < col("n_exact") * 7).cast("int")
-            .as("recall_ok")))
-        .unionByName(rebD
-          .crossJoin(broadcast(appD.select(col("n_hit").as("_ha"))))
-          .select(lit("rebuilt_drifted").as("kind"), col("n_exact"),
-            (col("n_hit") * 2 >= col("_ha") * 3).cast("int")
-              .as("recall_ok")))
-        .orderBy("kind")
-    })
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    queriesRelA ++
+    queriesRelB ++
+    queriesText ++
+    queriesDedup ++
+    queriesKnn ++
+    queriesMultimodal ++
+    queriesCuration
 
   /** Per-evaluation run counter for [[queries]] entries that drive a
     * streaming checkpoint: each evaluation gets fresh in/out/ckpt dirs so
@@ -3007,7 +182,7 @@ object SparkEntry {
     * under [[Scratch.ephemeralDir]]'s pid tree (shutdown-hook-removed,
     * dead-pid-swept).
     */
-  private val s1Runs = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[graft] val s1Runs = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Build-once cache for the demo ANN/clustering models. The deterministic
     * trainers are pure functions of (parquet dir, hyperparams) — the data
@@ -3023,7 +198,7 @@ object SparkEntry {
     * ([[ext.Clustering.Model.toDF]] / `Similarity.pqToDF`); a driver-JVM
     * memo is the session-local equivalent.
     */
-  private val modelCache =
+  private[graft] val modelCache =
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
   /** Force every [[cachedModel]] entry for `dir` so one-time training /
     * persist / load cost lands HERE, never in an arbitrary timed slot.
@@ -3050,7 +225,7 @@ object SparkEntry {
     * .appendToIvfPqIndex]] contract: models persist across appends and
     * retention; only a re-train rebuilds them). Memoized per dir.
     */
-  private def x13Models(s: SparkSession, dir: String)
+  private[graft] def x13Models(s: SparkSession, dir: String)
       : (Int, Int, Seq[Array[Float]], Seq[Seq[Seq[Float]]]) =
     cachedModel(s"x13|$dir") {
       val s1 = rd(s, dir, "embeddings")
@@ -3069,7 +244,7 @@ object SparkEntry {
     * features a 16-bin count/64 histogram of the REAL decoded pixels
     * (packAsBmp → imageio decode, the byte math m8's oracle proves).
     */
-  private def imageFeatureFrame(s: SparkSession, dir: String): DataFrame =
+  private[graft] def imageFeatureFrame(s: SparkSession, dir: String): DataFrame =
     ext.Multimodal.imageFeatures(s,
       ext.Multimodal.packAsBmp(s, asciiGuard(rd(s, dir, "documents"),
         "x14_visual_near_dup"), "doc_id", "text", w = 8, h = 8), dim = 16)
@@ -3084,7 +259,7 @@ object SparkEntry {
     * (deterministic content per dir, overwrite mode), so later
     * evaluations just reuse the path.
     */
-  private def x14FeaturePath(s: SparkSession, dir: String): String =
+  private[graft] def x14FeaturePath(s: SparkSession, dir: String): String =
     cachedModel(s"x14feat|$dir") {
       // the path must be DIR-dependent like the memo key: a session that
       // evaluates x14 over two data dirs (spec suites share one JVM)
@@ -3104,7 +279,7 @@ object SparkEntry {
     * ([[x14FeaturePath]]), never a second decode. Memoized per dir like
     * [[ivfDemo]].
     */
-  private def x14Model(s: SparkSession, dir: String): ext.Clustering.Model =
+  private[graft] def x14Model(s: SparkSession, dir: String): ext.Clustering.Model =
     cachedModel(s"x14|$dir") {
       ext.Clustering.kmeans(
         s.read.parquet(x14FeaturePath(s, dir))
@@ -3120,7 +295,7 @@ object SparkEntry {
     * appendStudy: qerr ratio 5.6/5.3 at sf0.01/sf0.1), which is the
     * drift regime the staleness rule exists to catch.
     */
-  private def y8Drift(c: Column): Column =
+  private[graft] def y8Drift(c: Column): Column =
     transform(c, x => (x + lit(0.25)).cast("float"))
 
   /** y8r's REBUILT models: the same rule-sized recipes as [[x13Models]]
@@ -3129,7 +304,7 @@ object SparkEntry {
     * fires. Memoized per dir; prewarmed with the other models so the
     * training bill never lands in a timed slot.
     */
-  private def y8RebuildModels(s: SparkSession, dir: String)
+  private[graft] def y8RebuildModels(s: SparkSession, dir: String)
       : (Int, Seq[Array[Float]], Seq[Seq[Seq[Float]]]) =
     cachedModel(s"y8reb|$dir") {
       val emb = rd(s, dir, "embeddings")
@@ -3145,7 +320,7 @@ object SparkEntry {
           m = 16, ksub = 256, iterations = 1, roundDigits = 6, dims = 64))
     }
 
-  private def cachedModel[T <: AnyRef](key: String)(train: => T): T = {
+  private[graft] def cachedModel[T <: AnyRef](key: String)(train: => T): T = {
     // two-step (not computeIfAbsent): the trainer runs Spark jobs, and
     // nesting those inside a CHM mapping function risks re-entrancy;
     // a rare duplicate training under a race is deterministic and harmless
@@ -3159,7 +334,7 @@ object SparkEntry {
     * (cross-engine reproducible — see [[ext.Clustering.kmeans]]
     * roundDigits). [[ivfDemo]] is the same model at caller-chosen k.
     */
-  private def kmeansDemo(s: SparkSession, dir: String): ext.Clustering.Model =
+  private[graft] def kmeansDemo(s: SparkSession, dir: String): ext.Clustering.Model =
     ivfDemo(s, dir, 8)
 
   /** Cross-engine-reproducible IVF coarse quantizer shared by the ANN
@@ -3168,7 +343,7 @@ object SparkEntry {
     * q86 training loop, so each oracle re-derives the model with the same
     * generalized SQL preamble ([[kmeansOracle]]). Memoized per (dir, k).
     */
-  private def ivfDemo(s: SparkSession, dir: String, k: Int): ext.Clustering.Model =
+  private[graft] def ivfDemo(s: SparkSession, dir: String, k: Int): ext.Clustering.Model =
     cachedModel(s"ivf|$dir|$k") {
       ext.Clustering.kmeans(rd(s, dir, "embeddings"), "vec_id", "embedding",
         k = k, iterations = 1, roundDigits = 6)
@@ -3178,7 +353,7 @@ object SparkEntry {
     * trained on the CORPUS split only (vec_id % 10 < 9) — eval vectors
     * must not shape the decontamination model. Memoized per dir.
     */
-  private def x16Model(s: SparkSession, dir: String): ext.Clustering.Model =
+  private[graft] def x16Model(s: SparkSession, dir: String): ext.Clustering.Model =
     cachedModel(s"x16|$dir") {
       ext.Clustering.kmeans(
         rd(s, dir, "embeddings").filter(pmod(col("vec_id"), lit(10)) < 9),
@@ -3192,7 +367,7 @@ object SparkEntry {
     * 16 trainings, the corpus encode and ADC scoring in SQL. Memoized per
     * dir.
     */
-  private def pqDemo(s: SparkSession, dir: String): Seq[Seq[Seq[Float]]] =
+  private[graft] def pqDemo(s: SparkSession, dir: String): Seq[Seq[Seq[Float]]] =
     cachedModel(s"pq|$dir") {
       ext.Similarity.trainPqDeterministic(rd(s, dir, "embeddings"),
         "vec_id", "embedding", m = 16, ksub = 256, iterations = 1,
@@ -3202,7 +377,7 @@ object SparkEntry {
   /** y6's serving split (x9's % 10 convention): 90% indexed snapshot,
     * 10% new-arrival query batch.
     */
-  private def y6Parts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[graft] def y6Parts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val emb = rd(s, dir, "embeddings")
     (emb.filter(pmod(col("vec_id"), lit(10)) < 9),
       emb.filter(pmod(col("vec_id"), lit(10)) === 9))
@@ -3213,7 +388,7 @@ object SparkEntry {
     * the same deterministic grid-rounded recipes as [[ivfDemo]]/[[pqDemo]].
     * Memoized per dir (train once per snapshot, serve many batches).
     */
-  private def y6Models(
+  private[graft] def y6Models(
       s: SparkSession,
       dir: String): (Seq[Array[Float]], Seq[Seq[Seq[Float]]]) =
     cachedModel(s"y6|$dir") {
@@ -3238,7 +413,7 @@ object SparkEntry {
     * whole point of the rule). Memoized per dir: one write+load per
     * snapshot per JVM — the same train-once cadence production would use.
     */
-  private def y7Models(s: SparkSession, dir: String)
+  private[graft] def y7Models(s: SparkSession, dir: String)
       : (Int, Int, Seq[Array[Float]], Seq[Seq[Seq[Float]]]) =
     cachedModel(s"y7|$dir") {
       val (snapshot, _) = y6Parts(s, dir)
@@ -3267,15 +442,15 @@ object SparkEntry {
     * at sf0.1 — band count is the recall knob, per-band width the
     * precision knob).
     */
-  private lazy val y2Planes: Seq[Seq[Seq[Float]]] =
+  private[graft] lazy val y2Planes: Seq[Seq[Seq[Float]]] =
     ext.Similarity.md5Planes(bands = 12, planesPerBand = 3, dims = 64, salt = "y2")
-  private lazy val x6Planes: Seq[Seq[Seq[Float]]] =
+  private[graft] lazy val x6Planes: Seq[Seq[Seq[Float]]] =
     ext.Similarity.md5Planes(bands = 16, planesPerBand = 4, dims = 64, salt = "x6")
 
   /** The q38/q38b merge outcome as plain SQL (see [[scd2Demo]]) — one
     * oracle, two physical plans.
     */
-  private val scd2MergeOracle: String =
+  private[graft] val scd2MergeOracle: String =
     """SELECT c_custkey, c_name, c_acctbal - 50 AS c_acctbal,
       |    DATE '1990-01-01' AS valid_from, DATE '1995-01-01' AS valid_to,
       |    false AS is_current
@@ -3310,2874 +485,14 @@ object SparkEntry {
     * engines agree; corpora with exotic whitespace would need an explicit
     * `[ \t\n\r\f]+` class on both sides.
     */
-  def oracleSql: Map[String, String] = Map(
-    "q01_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2 AS sum_qty,
-        |  floor((sum(l_extendedprice)) * 1e2 + 0.5) / 1e2 AS sum_base_price,
-        |  floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2 AS sum_disc_price,
-        |  floor((avg(l_quantity)) * 1e4 + 0.5) / 1e4 AS avg_qty,
-        |  count(*) AS count_order
-        |FROM lineitem
-        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
-
-    "q02_filter_project" ->
-      """SELECT l_orderkey, l_linenumber,
-        |  floor((l_extendedprice * l_discount) * 1e4 + 0.5) / 1e4 AS disc_revenue
-        |FROM lineitem
-        |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
-
-    "q03_broadcast_join" ->
-      """SELECT r_name, count(*) AS n_customers,
-        |  floor((avg(c_acctbal)) * 1e2 + 0.5) / 1e2 AS avg_acctbal
-        |FROM customer
-        |JOIN nation ON c_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY r_name ORDER BY r_name""".stripMargin,
-
-    "q04_join_agg" ->
-      """SELECT o_orderpriority,
-        |  floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2 AS revenue,
-        |  count(DISTINCT o_orderkey) AS n_orders
-        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
-
-    "q05_semi_join" ->
-      """SELECT c_mktsegment, count(*) AS n_customers
-        |FROM customer
-        |WHERE EXISTS (SELECT 1 FROM orders
-        |  WHERE o_custkey = c_custkey AND o_totalprice > 150000)
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
-
-    "q06_anti_join" ->
-      """SELECT c_nationkey, count(*) AS n_customers
-        |FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
-
-    "q07_window_rank" ->
-      """SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (
-        |  SELECT o_custkey, o_orderkey, o_totalprice,
-        |    CAST(row_number() OVER (PARTITION BY o_custkey
-        |      ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk
-        |  FROM orders) t
-        |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
-
-    "q08_window_running" ->
-      """SELECT l_suppkey, l_orderkey, l_linenumber,
-        |  CAST(sum(CAST(floor(l_extendedprice * 1e2 + 0.5) AS BIGINT)
-        |      * (100 - CAST(floor(l_discount * 1e2 + 0.5) AS BIGINT))) OVER (
-        |    PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber,
-        |      l_extendedprice, l_discount
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1e4
-        |    AS running_revenue
-        |FROM lineitem
-        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
-
-    "q09_topk_sort" ->
-      """SELECT l_orderkey, l_linenumber, l_extendedprice
-        |FROM lineitem
-        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
-        |LIMIT 10""".stripMargin,
-
-    "q10_set_ops" ->
-      """SELECT 'except' AS op, count(*) AS n FROM (
-        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-        |  EXCEPT SELECT o_custkey FROM orders)
-        |UNION ALL
-        |SELECT 'intersect' AS op, count(*) AS n FROM (
-        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-        |  INTERSECT SELECT o_custkey FROM orders)
-        |UNION ALL
-        |SELECT 'union' AS op, count(*) AS n FROM (
-        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-        |  UNION SELECT o_custkey FROM orders)
-        |ORDER BY op""".stripMargin,
-
-    "q11_distinct_agg" ->
-      """SELECT l_returnflag,
-        |  count(DISTINCT l_suppkey) AS n_supp,
-        |  count(DISTINCT l_partkey) AS n_part
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-
-    "q12_rollup" ->
-      """SELECT r_name, n_name, count(*) AS n_customers,
-        |  floor((sum(c_acctbal)) * 1e2 + 0.5) / 1e2 AS sum_acctbal
-        |FROM customer
-        |JOIN nation ON c_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY ROLLUP (r_name, n_name)
-        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
-
-    "q13_explode_json" ->
-      """SELECT event_type, count(*) AS n_events,
-        |  floor((avg(CAST(json_extract_string(props, '$.k') AS INT))) * 1e4 + 0.5) / 1e4
-        |    AS avg_prop_k
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-
-    "q14_year_month_day" ->
-      """SELECT CAST(year(o_orderdate) AS INT) AS year,
-        |  CAST(month(o_orderdate) AS INT) AS month,
-        |  count(*) AS n_orders,
-        |  floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2 AS total_price
-        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    "q15_struct_to_json" ->
-      """SELECT c_custkey,
-        |  to_json(struct_pack(c_name := c_name, c_mktsegment := c_mktsegment))
-        |    AS c_info
-        |FROM customer ORDER BY c_custkey""".stripMargin,
-
-    "q16_normalize_columns" ->
-      """SELECT event_type, count(*) AS n,
-        |  count(DISTINCT user_id) AS n_users,
-        |  floor((sum(value)) * 1e2 + 0.5) / 1e2 AS total_value
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-
-    "q17_validate" ->
-      """SELECT event_type, count(*) AS n_rows,
-        |  CAST(sum(CASE WHEN user_id IS NOT NULL
-        |    AND value IS NOT NULL AND value <= 400
-        |    AND event_type IS NOT NULL
-        |    AND event_type IN ('click', 'view', 'purchase')
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-
-    "q18_asof_join" ->
-      """SELECT event_id, o_orderkey FROM (
-        |  SELECT e.event_id, o.o_orderkey,
-        |    row_number() OVER (PARTITION BY e.event_id
-        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
-        |  FROM events e
-        |  JOIN orders o
-        |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) t
-        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
-
-    "q26_asof_salted" ->
-      """SELECT event_id, o_orderkey FROM (
-        |  SELECT e.event_id, o.o_orderkey,
-        |    row_number() OVER (PARTITION BY e.event_id
-        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
-        |  FROM events e
-        |  JOIN orders o
-        |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) t
-        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
-
-    "q19_range_join" ->
-      """SELECT o_orderpriority, count(*) AS n_lineitems
-        |FROM orders JOIN lineitem
-        |  ON o_orderkey = l_orderkey
-        |  AND l_shipdate >= o_orderdate
-        |  AND l_shipdate < o_orderdate + INTERVAL 30 DAY
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
-
-    "q20_time_window" ->
-      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-        |  event_type, count(*) AS n_events,
-        |  floor((sum(value)) * 1e2 + 0.5) / 1e2 AS total_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    "q29_string_ops" ->
-      """SELECT p_partkey,
-        |  split_part(p_name, ' ', 1) AS first_token,
-        |  replace(p_brand, '#', '') AS brand_clean,
-        |  CAST(CASE WHEN contains(p_name, 'cold') THEN 1 ELSE 0 END AS INT)
-        |    AS has_cold,
-        |  p_type || '|' || p_size AS type_size
-        |FROM part ORDER BY p_partkey""".stripMargin,
-
-    "q27_percentile" ->
-      """SELECT l_returnflag,
-        |  floor(quantile_cont(l_quantity, 0.5) * 1e4 + 0.5) / 1e4 AS p50_qty,
-        |  floor(quantile_cont(l_extendedprice, 0.9) * 1e4 + 0.5) / 1e4 AS p90_price
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-
-    "q28_pivot" ->
-      """SELECT l_returnflag,
-        |  floor((sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice END)) * 1e2 + 0.5) / 1e2 AS rev_f,
-        |  floor((sum(CASE WHEN l_linestatus = 'O' THEN l_extendedprice END)) * 1e2 + 0.5) / 1e2 AS rev_o
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-
-    "q25_session_window" ->
-      """WITH m AS (SELECT user_id, ts,
-        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-        |      >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
-        |  FROM events),
-        |s AS (SELECT user_id, ts,
-        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-        |      ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM m)
-        |SELECT user_id,
-        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-        |  count(*) AS n_events
-        |FROM s GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin,
-
-    "q21_cube" ->
-      """SELECT lang, source, count(*) AS n_docs,
-        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
-        |FROM documents GROUP BY CUBE (lang, source)
-        |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin,
-
-    "q22_constants" ->
-      """SELECT r_name, 'graft' AS source, 'test' AS load_env,
-        |  2024 AS year, 6 AS month, 15 AS day
-        |FROM region ORDER BY r_name""".stripMargin,
-
-    "q23_array_to_json" ->
-      """SELECT o_orderkey, to_json([o_orderkey, o_custkey])::VARCHAR AS keys
-        |FROM orders ORDER BY o_orderkey""".stripMargin,
-
-    "q24_struct_to_string" ->
-      """SELECT c_custkey,
-        |  '{' || c_name || ', ' || c_mktsegment || '}' AS c_info
-        |FROM customer ORDER BY c_custkey""".stripMargin,
-
-    "q30_grouping_sets" ->
-      """SELECT lang, source, count(*) AS n_docs,
-        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
-        |FROM documents GROUP BY GROUPING SETS ((lang, source), (lang), ())
-        |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin,
-
-    "q31_approx_distinct" ->
-      """SELECT l_returnflag,
-        |  count(DISTINCT l_partkey) AS n_exact,
-        |  1 AS within_5pct
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-
-    "q33_approx_percentile" ->
-      """SELECT l_returnflag,
-        |  floor(quantile_cont(l_extendedprice, 0.5) * 1e4 + 0.5) / 1e4
-        |    AS med_exact,
-        |  1 AS within_2pct
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-
-    "q34_explode_json_sampled" ->
-      """WITH g AS (SELECT event_type, count(*) AS n_events,
-        |    floor(avg(CAST(json_extract_string(props, '$.k') AS INT)) * 1e4
-        |      + 0.5) / 1e4 AS avg_k
-        |  FROM events GROUP BY event_type)
-        |SELECT event_type, n_events, avg_k AS avg_k_sampled,
-        |  avg_k AS avg_k_declared
-        |FROM g ORDER BY event_type""".stripMargin,
-
-    "q35_sql_surface" ->
-      """WITH e AS (SELECT vec_id, embedding,
-        |    sqrt(list_sum(list_transform(embedding,
-        |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
-        |  FROM embeddings)
-        |SELECT query_id, neighbor_id, rank, cosine FROM (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    list_sum(list_transform(list_zip(q.embedding, c.embedding),
-        |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * c.nrm) AS cosine,
-        |    CAST(row_number() OVER (PARTITION BY q.vec_id
-        |      ORDER BY list_sum(list_transform(list_zip(q.embedding, c.embedding),
-        |        x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * c.nrm) DESC,
-        |      c.vec_id) AS INT) AS rank
-        |  FROM e q JOIN e c ON q.vec_id < 50 AND c.vec_id <> q.vec_id) t
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
-
-    "q36_token_pack" ->
-      """WITH d AS (SELECT doc_id,
-        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
-        |      AS n_tokens
-        |  FROM documents),
-        |p AS (SELECT doc_id, n_tokens,
-        |    CAST(floor(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      / 2048.0) AS BIGINT) AS bin
-        |  FROM d)
-        |SELECT bin, count(*) AS n_docs,
-        |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
-        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-        |FROM p GROUP BY bin ORDER BY bin""".stripMargin,
-
-    "q37_stratified_sample" ->
-      """SELECT doc_id, lang FROM documents
-        |WHERE substr(md5(CAST(doc_id AS VARCHAR) || 'g37'), 1, 8) <
-        |  CASE lang WHEN 'en' THEN '80000000' WHEN 'de' THEN '40000000'
-        |    WHEN 'fr' THEN '1999999a' ELSE '00000000' END
-        |ORDER BY doc_id""".stripMargin,
-
-    "q32_window_analytics" ->
-      """SELECT o_custkey, o_orderkey,
-        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
-        |  lag(o_totalprice, 1) OVER w AS prev_price,
-        |  lead(o_totalprice, 1) OVER w AS next_price,
-        |  CAST(dense_rank() OVER w AS INT) AS drank,
-        |  CAST(ntile(4) OVER w AS INT) AS quartile
-        |FROM orders
-        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-        |ORDER BY o_custkey, o_orderkey""".stripMargin,
-
-    "y2r_knn_lsh_recall" ->
-      """WITH e AS (SELECT vec_id, embedding,
-        |    sqrt(list_sum(list_transform(embedding,
-        |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
-        |  FROM embeddings)
-        |SELECT count(*) AS n_exact, 1 AS recall_ok FROM (
-        |  SELECT CAST(row_number() OVER (PARTITION BY q.vec_id
-        |      ORDER BY list_sum(list_transform(list_zip(q.embedding, c.embedding),
-        |        x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * c.nrm) DESC,
-        |      c.vec_id) AS INT) AS rank
-        |  FROM e q JOIN e c ON q.vec_id < 100 AND c.vec_id <> q.vec_id) t
-        |WHERE rank <= 5""".stripMargin,
-
-    // same exact-top-k ground truth as y2r/y3r: the int8 stage must not
-    // lose true neighbors past the measured bar
-    "y4r_knn_int8_recall" ->
-      """WITH e AS (SELECT vec_id, embedding,
-        |    sqrt(list_sum(list_transform(embedding,
-        |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
-        |  FROM embeddings)
-        |SELECT count(*) AS n_exact, 1 AS recall_ok FROM (
-        |  SELECT CAST(row_number() OVER (PARTITION BY q.vec_id
-        |      ORDER BY list_sum(list_transform(list_zip(q.embedding, c.embedding),
-        |        x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * c.nrm) DESC,
-        |      c.vec_id) AS INT) AS rank
-        |  FROM e q JOIN e c ON q.vec_id < 100 AND c.vec_id <> q.vec_id) t
-        |WHERE rank <= 5""".stripMargin,
-
-    "y3r_knn_ivf_recall" ->
-      """WITH e AS (SELECT vec_id, embedding,
-        |    sqrt(list_sum(list_transform(embedding,
-        |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
-        |  FROM embeddings)
-        |SELECT count(*) AS n_exact, 1 AS recall_ok FROM (
-        |  SELECT CAST(row_number() OVER (PARTITION BY q.vec_id
-        |      ORDER BY list_sum(list_transform(list_zip(q.embedding, c.embedding),
-        |        x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * c.nrm) DESC,
-        |      c.vec_id) AS INT) AS rank
-        |  FROM e q JOIN e c ON q.vec_id < 100 AND c.vec_id <> q.vec_id) t
-        |WHERE rank <= 5""".stripMargin,
-
-    // same exact top-5 ground truth as y3r: the IVF-PQ path must find at
-    // least the threshold fraction of the float brute-force neighbors
-    "y5r_knn_ivfpq_recall" ->
-      """WITH e AS (SELECT vec_id, embedding,
-        |    sqrt(list_sum(list_transform(embedding,
-        |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
-        |  FROM embeddings)
-        |SELECT count(*) AS n_exact, 1 AS recall_ok FROM (
-        |  SELECT CAST(row_number() OVER (PARTITION BY q.vec_id
-        |      ORDER BY list_sum(list_transform(list_zip(q.embedding, c.embedding),
-        |        x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * c.nrm) DESC,
-        |      c.vec_id) AS INT) AS rank
-        |  FROM e q JOIN e c ON q.vec_id < 100 AND c.vec_id <> q.vec_id) t
-        |WHERE rank <= 5""".stripMargin,
-
-    // y6r/y7r ground truth: the 10% batch's exact top-5 within the 90%
-    // snapshot (cross-split, so no self-exclusion is ever exercised)
-    "y6r_knn_indexed_recall" -> snapshotKnnRecallOracle,
-
-    "y7r_knn_artifact_recall" -> snapshotKnnRecallOracle,
-
-    "x3r_simhash_recall" ->
-      """WITH g AS (SELECT
-        |    list_sort(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS ts,
-        |    count(*) AS m
-        |  FROM documents GROUP BY 1)
-        |SELECT CAST(coalesce(sum(m * (m - 1) / 2), 0) AS BIGINT) AS n_exact,
-        |  1 AS recall_ok
-        |FROM g WHERE m > 1""".stripMargin,
-
-    "x6r_embedding_lsh_recall" ->
-      """WITH e AS (SELECT vec_id, embedding,
-        |    sqrt(list_sum(list_transform(embedding,
-        |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
-        |  FROM embeddings)
-        |SELECT count(*) AS n_exact, 1 AS recall_ok
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
-        |    x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (a.nrm * b.nrm) >= 0.45""".stripMargin,
-
-    "x10r_semantic_recall" ->
-      """WITH e AS (SELECT vec_id, embedding,
-        |    sqrt(list_sum(list_transform(embedding,
-        |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
-        |  FROM embeddings)
-        |SELECT count(*) AS n_exact, 1 AS recall_ok
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
-        |    x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (a.nrm * b.nrm) >= 0.45""".stripMargin,
-
-    "x2pr_minhash_prod_recall" ->
-      """WITH d AS (SELECT doc_id,
-        |    list_distinct(regexp_split_to_array(trim(text), '\s+')) AS ws
-        |  FROM documents)
-        |SELECT count(*) AS n_exact, 1 AS recall_ok
-        |FROM d a JOIN d b ON a.doc_id < b.doc_id
-        |WHERE len(list_intersect(a.ws, b.ws))::DOUBLE
-        |    / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.8""".stripMargin,
-
-    "m2_multimodal_features" ->
-      """SELECT doc_id AS media_id, 16 AS dim,
-        |  CAST(length(regexp_replace(text, '[^\x00-\x0f]', '', 'g'))
-        |    AS BIGINT) AS bin0_bytes,
-        |  CAST(length(regexp_replace(text, '[^\x60-\x6f]', '', 'g'))
-        |    AS BIGINT) AS bin6_bytes
-        |FROM documents ORDER BY media_id""".stripMargin,
-
-    "x1_dedup_exact" ->
-      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
-        |    AS fingerprint,
-        |  min(doc_id) AS keep_id, count(*) AS n_copies
-        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
-
-    // x2p: FULL replay of the portable-minhash LSH pipeline — md5-derived
-    // affine coefficients, per-shingle 60-bit md5 base hashes, the 64 lane
-    // minima over the 2^61-1 field, 16 raw-slice band keys, the band
-    // self-join (misses included), the size-ratio prune (replicated, not
-    // argued away: same IEEE double compare), and the exact-Jaccard verify.
-    "x2p_dedup_minhash_prod" ->
-      """WITH coef AS (SELECT j,
-        |    ('0x' || substr(md5('mh|x2p|a|' || j), 1, 15))::BIGINT + 1 AS a,
-        |    ('0x' || substr(md5('mh|x2p|b|' || j), 1, 15))::BIGINT AS b
-        |  FROM range(64) t(j)),
-        |d AS (SELECT doc_id,
-        |    list_distinct(regexp_split_to_array(trim(text), '\s+')) AS ws
-        |  FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_transform(ws,
-        |    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS x
-        |  FROM d),
-        |sg AS (SELECT sh.doc_id, c.j,
-        |    min((c.a::HUGEINT * sh.x + c.b)
-        |      % 2305843009213693951)::BIGINT AS h
-        |  FROM sh CROSS JOIN coef c GROUP BY sh.doc_id, c.j),
-        |sigl AS (SELECT doc_id, list(h ORDER BY j) AS sig
-        |  FROM sg GROUP BY doc_id),
-        |banded AS (SELECT doc_id, b.b AS band,
-        |    sig[b.b * 4 + 1 : b.b * 4 + 4] AS bkey
-        |  FROM sigl, range(16) b(b)),
-        |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-        |  FROM banded x JOIN banded y
-        |    ON x.band = y.band AND x.bkey = y.bkey
-        |    AND x.doc_id < y.doc_id)
-        |SELECT c.id_a, c.id_b,
-        |  len(list_intersect(a.ws, b.ws))::DOUBLE
-        |    / len(list_distinct(list_concat(a.ws, b.ws))) AS jaccard
-        |FROM cand c JOIN d a ON c.id_a = a.doc_id
-        |  JOIN d b ON c.id_b = b.doc_id
-        |WHERE least(len(a.ws), len(b.ws))::DOUBLE
-        |    >= greatest(len(a.ws), len(b.ws)) * 0.8
-        |  AND len(list_intersect(a.ws, b.ws))::DOUBLE
-        |    / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.8
-        |ORDER BY id_a, id_b""".stripMargin,
-
-    // x3: FULL replay of the portable 60-bit md5 SimHash — per-token md5
-    // hashes, the 60 per-bit vote sums with the strict >0 tie rule, the
-    // four 15-bit pigeonhole chunks, the chunk self-join and the
-    // bit_count(xor) <= 3 verify.
-    "x3_dedup_simhash" ->
-      """WITH d AS (SELECT doc_id,
-        |    list_distinct(regexp_split_to_array(trim(text), '\s+')) AS ws
-        |  FROM documents),
-        |th AS (SELECT doc_id, unnest(list_transform(ws,
-        |    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS h
-        |  FROM d),
-        |votes AS (SELECT th.doc_id, b.j,
-        |    sum(CASE WHEN ((h >> CAST(b.j AS INT)) & 1) = 1
-        |      THEN 1 ELSE -1 END) AS v
-        |  FROM th, range(60) b(j) GROUP BY th.doc_id, b.j),
-        |sig AS (SELECT doc_id,
-        |    sum(CASE WHEN v > 0
-        |      THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
-        |      ELSE 0 END)::BIGINT AS sig
-        |  FROM votes GROUP BY doc_id),
-        |ch AS (SELECT doc_id, sig, c.c AS chunk,
-        |    (sig >> CAST(c.c * 15 AS INT)) & 32767 AS cv
-        |  FROM sig, range(4) c(c)),
-        |pairs AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
-        |    bit_count(xor(x.sig, y.sig)) AS hamming
-        |  FROM ch x JOIN ch y ON x.chunk = y.chunk AND x.cv = y.cv
-        |    AND x.doc_id < y.doc_id)
-        |SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
-        |FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
-
-    "x2_dedup_minhash" ->
-      """WITH d AS (SELECT doc_id,
-        |    list_distinct(regexp_split_to_array(trim(text), '\s+')) AS ws
-        |  FROM documents)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  len(list_intersect(a.ws, b.ws))::DOUBLE
-        |    / len(list_distinct(list_concat(a.ws, b.ws))) AS jaccard
-        |FROM d a JOIN d b ON a.doc_id < b.doc_id
-        |WHERE len(list_intersect(a.ws, b.ws))::DOUBLE
-        |    / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.8
-        |ORDER BY id_a, id_b""".stripMargin,
-
-    "x4_dedup_ngram" ->
-      """WITH d AS (SELECT doc_id, lang, n_chars,
-        |    list_distinct(list_transform(range(1, length(text) - 1),
-        |      i -> substring(text, i, 3))) AS gs
-        |  FROM documents)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  len(list_intersect(a.gs, b.gs))::DOUBLE
-        |    / len(list_distinct(list_concat(a.gs, b.gs))) AS jaccard
-        |FROM d a JOIN d b
-        |  ON a.lang = b.lang AND a.n_chars = b.n_chars
-        |  AND a.doc_id < b.doc_id
-        |WHERE len(list_intersect(a.gs, b.gs))::DOUBLE
-        |    / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.7
-        |ORDER BY id_a, id_b""".stripMargin,
-
-    "x5_dedup_embedding" ->
-      """WITH e AS (SELECT vec_id, embedding,
-        |    sqrt(list_sum(list_transform(embedding,
-        |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
-        |  FROM embeddings)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  list_sum(list_transform(list_zip(a.embedding, b.embedding),
-        |    x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (a.nrm * b.nrm) AS cosine
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
-        |    x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (a.nrm * b.nrm) >= 0.45
-        |ORDER BY id_a, id_b""".stripMargin,
-
-    "x9_dedup_incremental" ->
-      """WITH d AS (SELECT doc_id,
-        |    list_distinct(regexp_split_to_array(trim(text), '\s+')) AS ws
-        |  FROM documents)
-        |SELECT a.doc_id AS corpus_id, b.doc_id AS new_id,
-        |  len(list_intersect(a.ws, b.ws))::DOUBLE
-        |    / len(list_distinct(list_concat(a.ws, b.ws))) AS jaccard
-        |FROM d a JOIN d b
-        |  ON a.doc_id % 10 < 8 AND b.doc_id % 10 >= 8
-        |WHERE len(list_intersect(a.ws, b.ws))::DOUBLE
-        |    / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.8
-        |ORDER BY corpus_id, new_id""".stripMargin,
-
-    // transitive closure of the x2 pair set: min-label reachability via a
-    // recursive CTE (UNION dedups, so the fixpoint is finite); cluster_id =
-    // smallest reachable doc_id, matching connectedComponents' contract.
-    // SCALE BOUND: full reachability is O(Σ size²) rows and the iteration
-    // join is O(Σ size³) — sound at the sf0.01 gate (largest cluster ~10²),
-    // infeasible at sf0.1 (one 3,728-doc near-clique). For larger-SF
-    // cross-checks use tools/cc_check.py: union-find over the ALREADY
-    // cross-engine-verified x2 pair output. The Spark operator itself has
-    // no such bound — star contraction is O(|E|) per round.
-    "x7_dup_clusters" ->
-      """WITH RECURSIVE d AS (SELECT doc_id,
-        |    list_distinct(regexp_split_to_array(trim(text), '\s+')) AS ws
-        |  FROM documents),
-        |p AS (SELECT a.doc_id AS u, b.doc_id AS v
-        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.ws, b.ws))::DOUBLE
-        |      / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.8),
-        |e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
-        |reach(id, r) AS (
-        |  SELECT u, u FROM e
-        |  UNION
-        |  SELECT reach.id, e.v FROM reach JOIN e ON reach.r = e.u),
-        |cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
-        |SELECT id, cluster_id FROM cc ORDER BY id""".stripMargin,
-
-    "x8_keep_canonical" ->
-      """WITH RECURSIVE e AS (SELECT vec_id, embedding,
-        |    sqrt(list_sum(list_transform(embedding,
-        |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
-        |  FROM embeddings),
-        |p AS (SELECT a.vec_id AS u, b.vec_id AS v
-        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |  WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
-        |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (a.nrm * b.nrm) >= 0.45),
-        |s AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
-        |reach(id, r) AS (
-        |  SELECT u, u FROM s
-        |  UNION
-        |  SELECT reach.id, s.v FROM reach JOIN s ON reach.r = s.u),
-        |cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
-        |SELECT vec_id FROM embeddings
-        |WHERE vec_id NOT IN (SELECT id FROM cc WHERE id <> cluster_id)
-        |ORDER BY vec_id""".stripMargin,
-
-    "y1_knn_brute" ->
-      """WITH e AS (SELECT vec_id, embedding,
-        |    sqrt(list_sum(list_transform(embedding,
-        |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
-        |  FROM embeddings)
-        |SELECT query_id, neighbor_id, rank, cosine FROM (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    list_sum(list_transform(list_zip(q.embedding, c.embedding),
-        |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * c.nrm) AS cosine,
-        |    CAST(row_number() OVER (PARTITION BY q.vec_id
-        |      ORDER BY list_sum(list_transform(list_zip(q.embedding, c.embedding),
-        |        x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * c.nrm) DESC,
-        |      c.vec_id) AS INT) AS rank
-        |  FROM e q JOIN e c ON q.vec_id < 50 AND c.vec_id <> q.vec_id) t
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
-
-    // ---- full value oracles for the ANN/LSH family: every model is either
-    // md5-derived (planes) or the deterministic grid-rounded k-means loop
-    // (cells, PQ codebooks), so DuckDB re-derives THE ENTIRE PIPELINE —
-    // training, assignment, banding, ADC scoring, rescore — from the same
-    // parquet. The *r recall companions stay declared: the oracle proves
-    // the computation, the companion measures retrieval quality.
-
-    // x6: re-derive the 16×4 md5 plane model, both band signatures, the
-    // bucket-collision candidate join, and the exact-cosine verify.
-    "x6_dedup_embedding_lsh" ->
-      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-        |$enCte,
-        |pl AS (SELECT t.b, t.p,
-        |    list(CAST(t.u / 2147483648.0 - 1.0 AS REAL) ORDER BY t.i)
-        |      AS plane
-        |  FROM (SELECT b.b, p.p, i.i,
-        |      CAST(CAST(('0x' || substr(md5('hp|x6|' ||
-        |          CAST(b.b AS VARCHAR) || '|' || CAST(p.p AS VARCHAR) ||
-        |          '|' || CAST(i.i AS VARCHAR)), 1, 8)) AS BIGINT)
-        |        AS DOUBLE) AS u
-        |    FROM range(16) b(b), range(4) p(p), range(64) i(i)) t
-        |  GROUP BY t.b, t.p),
-        |sig AS (SELECT e.vec_id, pl.b AS band,
-        |    CAST(sum(CASE WHEN list_sum(list_transform(
-        |          list_zip(e.embedding, pl.plane),
-        |          x -> x[1]::DOUBLE * x[2]::DOUBLE)) >= 0
-        |      THEN (CAST(1 AS BIGINT) << CAST(pl.p AS INT))
-        |      ELSE 0 END) AS BIGINT) AS bucket
-        |  FROM e CROSS JOIN pl GROUP BY e.vec_id, pl.b),
-        |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-        |  FROM sig a JOIN sig b
-        |    ON a.band = b.band AND a.bucket = b.bucket
-        |    AND a.vec_id < b.vec_id),
-        |sc AS (SELECT c.id_a, c.id_b,
-        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
-        |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (a.nrm * b.nrm) AS cosine
-        |  FROM cand c JOIN en a ON c.id_a = a.vec_id
-        |    JOIN en b ON c.id_b = b.vec_id)
-        |SELECT id_a, id_b, cosine FROM sc
-        |WHERE cosine IS NOT NULL AND NOT isnan(cosine) AND cosine >= 0.45
-        |ORDER BY id_a, id_b""".stripMargin,
-
-    // x10: the q86 k-means loop at k=8, home cells (asg) + top-4 probes,
-    // exact-cosine verify of every cell-meeting pair.
-    "x10_dedup_semantic" ->
-      s"""${kmeansOracle(8)},
-        |$enCte,
-        |probes AS (SELECT vec_id AS pid, cell FROM (
-        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY score DESC, cell) AS rn FROM s1) t3 WHERE rn <= 4),
-        |cand AS (SELECT DISTINCT least(p.pid, a.vec_id) AS id_a,
-        |    greatest(p.pid, a.vec_id) AS id_b
-        |  FROM probes p JOIN asg a ON p.cell = a.cell
-        |  WHERE p.pid <> a.vec_id),
-        |sc AS (SELECT c.id_a, c.id_b,
-        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
-        |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (a.nrm * b.nrm) AS cosine
-        |  FROM cand c JOIN en a ON c.id_a = a.vec_id
-        |    JOIN en b ON c.id_b = b.vec_id)
-        |SELECT id_a, id_b, cosine FROM sc
-        |WHERE cosine IS NOT NULL AND NOT isnan(cosine) AND cosine >= 0.45
-        |ORDER BY id_a, id_b""".stripMargin,
-
-    // y2: re-derive the 12×3 md5 plane model, band signatures, the
-    // mirrored candidate set, and the exact-cosine top-5 ranking.
-    "y2_knn_lsh" ->
-      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-        |$enCte,
-        |pl AS (SELECT t.b, t.p,
-        |    list(CAST(t.u / 2147483648.0 - 1.0 AS REAL) ORDER BY t.i)
-        |      AS plane
-        |  FROM (SELECT b.b, p.p, i.i,
-        |      CAST(CAST(('0x' || substr(md5('hp|y2|' ||
-        |          CAST(b.b AS VARCHAR) || '|' || CAST(p.p AS VARCHAR) ||
-        |          '|' || CAST(i.i AS VARCHAR)), 1, 8)) AS BIGINT)
-        |        AS DOUBLE) AS u
-        |    FROM range(12) b(b), range(3) p(p), range(64) i(i)) t
-        |  GROUP BY t.b, t.p),
-        |sig AS (SELECT e.vec_id, pl.b AS band,
-        |    CAST(sum(CASE WHEN list_sum(list_transform(
-        |          list_zip(e.embedding, pl.plane),
-        |          x -> x[1]::DOUBLE * x[2]::DOUBLE)) >= 0
-        |      THEN (CAST(1 AS BIGINT) << CAST(pl.p AS INT))
-        |      ELSE 0 END) AS BIGINT) AS bucket
-        |  FROM e CROSS JOIN pl GROUP BY e.vec_id, pl.b),
-        |half AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-        |  FROM sig a JOIN sig b
-        |    ON a.band = b.band AND a.bucket = b.bucket
-        |    AND a.vec_id < b.vec_id),
-        |cand AS (SELECT id_a AS query_id, id_b AS neighbor_id FROM half
-        |  UNION ALL
-        |  SELECT id_b AS query_id, id_a AS neighbor_id FROM half),
-        |sc AS (SELECT c.query_id, c.neighbor_id,
-        |    list_sum(list_transform(list_zip(q.embedding, n.embedding),
-        |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * n.nrm) AS cosine
-        |  FROM cand c JOIN en q ON c.query_id = q.vec_id
-        |    JOIN en n ON c.neighbor_id = n.vec_id)
-        |SELECT query_id, neighbor_id, rank, cosine FROM (
-        |  SELECT sc.*, CAST(row_number() OVER (PARTITION BY query_id
-        |      ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
-        |  FROM sc WHERE cosine IS NOT NULL AND NOT isnan(cosine)) t
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
-
-    // y3: the q86 k-means loop at k=16, corpus home cells (asg) + top-10
-    // query probes, exact-cosine top-5 ranking of every cell candidate.
-    "y3_knn_ivf" ->
-      s"""${kmeansOracle(16)},
-        |$enCte,
-        |probes AS (SELECT vec_id AS query_id, cell FROM (
-        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY score DESC, cell) AS rn FROM s1) t3 WHERE rn <= 10),
-        |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
-        |  FROM probes p JOIN asg a ON p.cell = a.cell
-        |  WHERE p.query_id <> a.vec_id),
-        |sc AS (SELECT c.query_id, c.neighbor_id,
-        |    list_sum(list_transform(list_zip(q.embedding, n.embedding),
-        |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * n.nrm) AS cosine
-        |  FROM cand c JOIN en q ON c.query_id = q.vec_id
-        |    JOIN en n ON c.neighbor_id = n.vec_id)
-        |SELECT query_id, neighbor_id, rank, cosine FROM (
-        |  SELECT sc.*, CAST(row_number() OVER (PARTITION BY query_id
-        |      ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
-        |  FROM sc WHERE cosine IS NOT NULL AND NOT isnan(cosine)) t
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
-
-    // y4: re-derive the symmetric int8 quantization (floor(x·inv + 0.5) =
-    // Java Math.round, clamped), the integer first-pass scores, the
-    // k×4 candidate cut, and the exact-float rescore.
-    "y4_knn_int8" ->
-      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-        |$enCte,
-        |qz AS (SELECT e.vec_id,
-        |    CASE WHEN m.mab = 0
-        |      THEN list_transform(e.embedding, x -> CAST(0 AS BIGINT))
-        |      ELSE list_transform(e.embedding, x ->
-        |        greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT),
-        |          CAST(floor(x::DOUBLE * (127.0 / m.mab) + 0.5)
-        |            AS BIGINT)))) END AS qv,
-        |    m.mab / 127.0 AS scale
-        |  FROM e JOIN (SELECT vec_id, list_max(list_transform(embedding,
-        |      x -> abs(x::DOUBLE))) AS mab FROM e) m
-        |    ON e.vec_id = m.vec_id),
-        |apx AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    CAST(list_sum(list_transform(list_zip(q.qv, c.qv),
-        |      x -> x[1] * x[2])) AS DOUBLE) * q.scale * c.scale
-        |      / (qn.nrm * cn.nrm) AS ascore
-        |  FROM qz q JOIN qz c ON q.vec_id < 100 AND c.vec_id <> q.vec_id
-        |    JOIN en qn ON q.vec_id = qn.vec_id
-        |    JOIN en cn ON c.vec_id = cn.vec_id),
-        |surv AS (SELECT query_id, neighbor_id FROM (
-        |    SELECT apx.*, row_number() OVER (PARTITION BY query_id
-        |      ORDER BY ascore DESC, neighbor_id) AS rn
-        |    FROM apx WHERE ascore IS NOT NULL AND NOT isnan(ascore)) t4
-        |  WHERE rn <= 20),
-        |sc AS (SELECT s.query_id, s.neighbor_id,
-        |    list_sum(list_transform(list_zip(q.embedding, n.embedding),
-        |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * n.nrm) AS cosine
-        |  FROM surv s JOIN en q ON s.query_id = q.vec_id
-        |    JOIN en n ON s.neighbor_id = n.vec_id)
-        |SELECT query_id, neighbor_id, rank, cosine FROM (
-        |  SELECT sc.*, CAST(row_number() OVER (PARTITION BY query_id
-        |      ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
-        |  FROM sc WHERE cosine IS NOT NULL AND NOT isnan(cosine)) t
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
-
-    // y5: the full IVF-PQ pipeline — coarse k=16 training (preamble), all
-    // 16 per-subspace 256-cell PQ trainings (same deterministic one-refit
-    // grid-rounded loop), corpus encode, ADC scoring against the flattened
-    // reconstruction (one sequential double accumulation, exactly
-    // PqAdcDot), the k×64 cut, and the exact-float rescore.
-    "y5_knn_ivfpq" ->
-      s"""${kmeansOracle(16)},
-        |$enCte,
-        |$pqTrainEncodeCtes,
-        |probes AS (SELECT vec_id AS query_id, cell FROM (
-        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY score DESC, cell) AS rn
-        |    FROM s1 WHERE vec_id < 100) t7 WHERE rn <= 12),
-        |adc AS (SELECT p.query_id, a.vec_id AS neighbor_id,
-        |    list_sum(list_transform(list_zip(q.embedding, r.rv),
-        |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * c.nrm) AS ascore
-        |  FROM probes p JOIN asg a ON p.cell = a.cell
-        |    JOIN en q ON p.query_id = q.vec_id
-        |    JOIN recon r ON a.vec_id = r.vec_id
-        |    JOIN en c ON a.vec_id = c.vec_id
-        |  WHERE p.query_id <> a.vec_id),
-        |surv AS (SELECT query_id, neighbor_id FROM (
-        |    SELECT adc.*, row_number() OVER (PARTITION BY query_id
-        |      ORDER BY ascore DESC, neighbor_id) AS rn
-        |    FROM adc WHERE ascore IS NOT NULL AND NOT isnan(ascore)) t8
-        |  WHERE rn <= 320),
-        |sc AS (SELECT s.query_id, s.neighbor_id,
-        |    list_sum(list_transform(list_zip(q.embedding, n.embedding),
-        |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * n.nrm) AS cosine
-        |  FROM surv s JOIN en q ON s.query_id = q.vec_id
-        |    JOIN en n ON s.neighbor_id = n.vec_id)
-        |SELECT query_id, neighbor_id, rank, cosine FROM (
-        |  SELECT sc.*, CAST(row_number() OVER (PARTITION BY query_id
-        |      ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
-        |  FROM sc WHERE cosine IS NOT NULL AND NOT isnan(cosine)) t9
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
-
-    // y6: the y5 pipeline in its SERVING shape — every model and the
-    // index derive from the 90% snapshot only (the preamble's WHERE);
-    // the 10% query batch gets its own probe scoring (qs) against the
-    // snapshot-trained cells and never participates in training, encode,
-    // or the index.
-    "y6_knn_indexed" ->
-      s"""${kmeansOracle(16, " WHERE vec_id % 10 < 9")},
-        |$enCte,
-        |$batchQueryCte,
-        |$pqTrainEncodeCtes,
-        |${indexedServeOracleTail("12")}""".stripMargin,
-
-    // y7: y6's serving pipeline with (a) the coarse codebook RULE-SIZED by
-    // the data itself (nlist = round(√snapshot), nprobe = ceil(0.75 ×
-    // nlist) — the params CTE re-derives both, so one oracle is correct at
-    // every scale) and (b) the Spark side routed through PARQUET MODEL
-    // ARTIFACTS (centroidsToDF/pqToDF → parquet → centroidsFromDF/
-    // pqFromDF before serving): the oracle re-derives the models from the
-    // raw table, so a hash match proves persistence is value-neutral.
-    "y7_knn_artifact_served" ->
-      s"""${kmeansOracleSqrt(" WHERE vec_id % 10 < 9")},
-        |$enCte,
-        |$batchQueryCte,
-        |$pqTrainEncodeCtes,
-        |${indexedServeOracleTail("(SELECT nb FROM params)")}""".stripMargin,
-
-    "t1_lang_id" ->
-      """WITH s AS (SELECT
-        |    len(list_intersect(ts, ['the','a','of','and','to','in','is','on','for','with']))::DOUBLE / greatest(len(ts), 1) AS s_en,
-        |    len(list_intersect(ts, ['el','la','de','y','que','en','un','es','por','con']))::DOUBLE / greatest(len(ts), 1) AS s_es,
-        |    len(list_intersect(ts, ['der','die','das','und','ist','von','mit','den','im','ein']))::DOUBLE / greatest(len(ts), 1) AS s_de,
-        |    len(list_intersect(ts, ['le','la','de','et','les','des','une','du','est','dans']))::DOUBLE / greatest(len(ts), 1) AS s_fr
-        |  FROM (SELECT list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS ts
-        |        FROM documents))
-        |SELECT lang_pred, count(*) AS n_docs FROM (
-        |  SELECT CASE WHEN greatest(s_en, s_es, s_de, s_fr) < 0.05 THEN 'und'
-        |    WHEN s_fr > greatest(s_en, s_es, s_de) THEN 'fr'
-        |    WHEN s_de > greatest(s_en, s_es) THEN 'de'
-        |    WHEN s_es > s_en THEN 'es'
-        |    ELSE 'en' END AS lang_pred
-        |  FROM s) t
-        |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
-
-    "t2_quality" ->
-      """SELECT doc_id,
-        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
-        |  floor((
-        |    least(len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE / 50.0, 1.0) * 0.4
-        |    + (len(list_distinct(regexp_split_to_array(trim(text), '\s+')))::DOUBLE
-        |       / len(regexp_split_to_array(trim(text), '\s+'))) * 0.3
-        |    + least((length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
-        |       / len(regexp_split_to_array(trim(text), '\s+'))) / 8.0, 1.0) * 0.2
-        |    + (1.0 - length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE
-        |       / length(text)) * 0.1) * 1e6 + 0.5) / 1e6 AS quality
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "t3_token_count" ->
-      """SELECT lang, count(*) AS n_docs,
-        |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
-        |    AS ws_tokens,
-        |  CAST(sum(len(regexp_extract_all(text,
-        |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpe_tokens
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
-
-    "t4_fingerprint" ->
-      """SELECT doc_id,
-        |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "t5_word_ngrams" ->
-      """WITH d AS (SELECT doc_id,
-        |    regexp_split_to_array(trim(text), '\s+') AS a
-        |  FROM documents)
-        |SELECT doc_id,
-        |  CAST(CASE WHEN len(a) >= 2 THEN len(list_distinct(
-        |    list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])))
-        |    ELSE 0 END AS INT) AS n_bigrams,
-        |  CAST(CASE WHEN len(a) >= 3 THEN len(list_distinct(
-        |    list_transform(range(1, len(a) - 1),
-        |      i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])))
-        |    ELSE 0 END AS INT) AS n_trigrams
-        |FROM d ORDER BY doc_id""".stripMargin,
-
-    "t6_corpus_profile" ->
-      """WITH q AS (SELECT
-        |    CASE WHEN greatest(s_en, s_es, s_de, s_fr) < 0.05 THEN 'und'
-        |      WHEN s_fr > greatest(s_en, s_es, s_de) THEN 'fr'
-        |      WHEN s_de > greatest(s_en, s_es) THEN 'de'
-        |      WHEN s_es > s_en THEN 'es'
-        |      ELSE 'en' END AS lang_pred,
-        |    n_tokens, quality
-        |  FROM (SELECT
-        |    len(list_intersect(ts, ['the','a','of','and','to','in','is','on','for','with']))::DOUBLE / greatest(len(ts), 1) AS s_en,
-        |    len(list_intersect(ts, ['el','la','de','y','que','en','un','es','por','con']))::DOUBLE / greatest(len(ts), 1) AS s_es,
-        |    len(list_intersect(ts, ['der','die','das','und','ist','von','mit','den','im','ein']))::DOUBLE / greatest(len(ts), 1) AS s_de,
-        |    len(list_intersect(ts, ['le','la','de','et','les','des','une','du','est','dans']))::DOUBLE / greatest(len(ts), 1) AS s_fr,
-        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
-        |    least(len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE / 50.0, 1.0) * 0.4
-        |      + (len(list_distinct(regexp_split_to_array(trim(text), '\s+')))::DOUBLE
-        |         / len(regexp_split_to_array(trim(text), '\s+'))) * 0.3
-        |      + least((length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
-        |         / len(regexp_split_to_array(trim(text), '\s+'))) / 8.0, 1.0) * 0.2
-        |      + (1.0 - length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE
-        |         / length(text)) * 0.1 AS quality
-        |  FROM (SELECT text,
-        |      list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS ts
-        |    FROM documents) t0) t1)
-        |SELECT lang_pred, count(*) AS n_docs,
-        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-        |  floor(avg(quality) * 1e4 + 0.5) / 1e4 AS avg_quality
-        |FROM q GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
-
-    "t7_clean_text" ->
-      """SELECT doc_id,
-        |  trim(regexp_replace(regexp_replace(nfc_normalize(text),
-        |    '[\x00-\x1f\x7f]', ' ', 'g'), ' +', ' ', 'g')) AS clean,
-        |  CAST(length(trim(regexp_replace(regexp_replace(nfc_normalize(text),
-        |    '[\x00-\x1f\x7f]', ' ', 'g'), ' +', ' ', 'g'))) AS INT) AS n_chars
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "t9_repetition" ->
-      """WITH d AS (SELECT doc_id,
-        |    regexp_split_to_array(trim(text), '\s+') AS a
-        |  FROM documents),
-        |g AS (SELECT doc_id,
-        |    CASE WHEN len(a) >= 2 THEN
-        |      list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])
-        |      ELSE [] END AS g2,
-        |    CASE WHEN len(a) >= 3 THEN
-        |      list_transform(range(1, len(a) - 1),
-        |        i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])
-        |      ELSE [] END AS g3
-        |  FROM d)
-        |SELECT doc_id,
-        |  CASE WHEN len(g2) > 0
-        |    THEN 1.0 - len(list_distinct(g2))::DOUBLE / len(g2)
-        |    ELSE 0.0 END AS rep2,
-        |  CASE WHEN len(g3) > 0
-        |    THEN 1.0 - len(list_distinct(g3))::DOUBLE / len(g3)
-        |    ELSE 0.0 END AS rep3
-        |FROM g ORDER BY doc_id""".stripMargin,
-
-    "t8_pii_scrub" ->
-      """WITH d AS (SELECT doc_id,
-        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
-        |      || '@mail.example.com ssn 123-45-6789 phone 555-123-4567 host 10.0.0.'
-        |      || CAST(doc_id % 200 + 1 AS VARCHAR) || ' end' AS dirty
-        |  FROM documents),
-        |s1 AS (SELECT doc_id, dirty, regexp_replace(dirty,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS a1
-        |  FROM d),
-        |s2 AS (SELECT *, regexp_replace(a1,
-        |    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g') AS a2 FROM s1),
-        |s3 AS (SELECT *, regexp_replace(a2,
-        |    '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g') AS a3 FROM s2)
-        |SELECT doc_id,
-        |  regexp_replace(a3,
-        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS clean,
-        |  CAST(len(regexp_extract_all(dirty,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-        |  CAST(len(regexp_extract_all(a1,
-        |    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ssns,
-        |  CAST(len(regexp_extract_all(a2,
-        |    '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS BIGINT) AS n_phones,
-        |  CAST(len(regexp_extract_all(a3,
-        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips
-        |FROM s3 ORDER BY doc_id""".stripMargin,
-
-    // t19: t15's model/scoring CTEs + the language join + the tie-broken
-    // ntile — head/middle/tail per language, engine-exact
-    "t19_ccnet_buckets" ->
-      """WITH g AS (SELECT doc_id, substr(text, i, 3) AS gram
-        |  FROM documents,
-        |    unnest(generate_series(1, length(text) - 2)) AS t(i)),
-        |cnt AS (SELECT gram, count(*) AS c FROM g GROUP BY gram),
-        |ctx AS (SELECT substr(gram, 1, 2) AS pre, sum(c) AS cc
-        |  FROM cnt GROUP BY pre),
-        |s AS (SELECT doc_id, count(*) AS n_grams,
-        |    floor(avg(-ln((c + 0.5) / (cc + 0.5 * 64))) * 1e4 + 0.5) / 1e4
-        |      AS avg_nll
-        |  FROM g JOIN cnt USING (gram)
-        |    JOIN ctx ON substr(gram, 1, 2) = ctx.pre
-        |  GROUP BY doc_id),
-        |sl AS (SELECT s.doc_id, d.lang, s.n_grams, s.avg_nll,
-        |    CAST(ntile(3) OVER (PARTITION BY d.lang
-        |      ORDER BY s.avg_nll, s.doc_id) AS INT) AS bucket
-        |  FROM s JOIN documents d USING (doc_id))
-        |SELECT doc_id, lang, n_grams, avg_nll, bucket,
-        |  CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
-        |    ELSE 'tail' END AS tier
-        |FROM sl ORDER BY doc_id""".stripMargin,
-
-    "t20_blocklist" ->
-      """SELECT doc_id,
-        |  CAST(len(list_filter(
-        |    regexp_split_to_array(trim(lower(text)), '\s+'),
-        |    w -> w IN ('dup', 'casino', 'lottery'))) AS BIGINT)
-        |    AS blocked_hits,
-        |  len(list_filter(
-        |    regexp_split_to_array(trim(lower(text)), '\s+'),
-        |    w -> w IN ('dup', 'casino', 'lottery'))) > 0 AS blocked
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "t10_bpe_chars" ->
-      """SELECT doc_id,
-        |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT)
-        |    AS n_tokens
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    // t21: same contract as t11 — the roundtrip/compression flags are
-    // Spark-proven invariants, the oracle independently recomputes the
-    // doc count and exact corpus code-point total and pins the flags
-    "t21_unigram_roundtrip" ->
-      """SELECT count(*) AS n_docs, count(*) AS n_roundtrip,
-        |  CAST(sum(length(regexp_replace(text, '\s+', '', 'g'))) AS BIGINT)
-        |    AS sum_chars,
-        |  1 AS compressed
-        |FROM documents WHERE text IS NOT NULL""".stripMargin,
-
-    // the roundtrip/compression flags are Spark-proven invariants; the
-    // oracle independently recomputes the doc count and the exact corpus
-    // code-point total, and pins the flags' expected values
-    "t11_bpe_roundtrip" ->
-      """SELECT count(*) AS n_docs, count(*) AS n_roundtrip,
-        |  CAST(sum(length(regexp_replace(text, '\s+', '', 'g'))) AS BIGINT)
-        |    AS sum_chars,
-        |  1 AS compressed
-        |FROM documents WHERE text IS NOT NULL""".stripMargin,
-
-    "m1_multimodal_meta" ->
-      """SELECT doc_id AS media_id, 'text' AS kind, 'raw' AS format,
-        |  CAST(octet_length(encode(text)) AS INT) AS payload_bytes
-        |FROM documents ORDER BY media_id""".stripMargin,
-
-    // Cross-engine equivalence precondition: the Spark side downsamples raw
-    // UTF-8 payload BYTES while this oracle strides CHARACTERS, so the two
-    // agree only on single-byte text. `(?s)` makes '.' match newlines (RE2
-    // default does not); the ASCII requirement is asserted structurally on
-    // the Spark side (Multimodal resize query fails on multi-byte payloads).
-    "m4_resize" ->
-      """SELECT doc_id AS media_id,
-        |  length(regexp_replace(text, '(?s)(.).{0,2}', '\1', 'g')) AS resized_bytes,
-        |  md5(regexp_replace(text, '(?s)(.).{0,2}', '\1', 'g')) AS resized_md5
-        |FROM documents ORDER BY media_id""".stripMargin,
-
-    "m3_frame_sample" ->
-      """WITH f AS (SELECT doc_id AS media_id,
-        |    octet_length(encode(text)) AS L,
-        |    greatest(octet_length(encode(text)) // 32, 1) AS nf
-        |  FROM documents)
-        |SELECT media_id,
-        |  CAST(len(range(0, nf, 2)) AS BIGINT) AS n_frames_sampled,
-        |  CAST(list_sum(list_transform(range(0, nf, 2),
-        |    i -> least(32, L - i * 32))) AS BIGINT) AS frame_bytes
-        |FROM f ORDER BY media_id""".stripMargin,
-
-    // m5–m7 prove the REAL JDK codecs (javax.imageio / javax.sound.sampled)
-    // value-exactly: the packed pixel/sample values are a known function of
-    // the text bytes, so the oracle recomputes the decoded sums as byte
-    // math. ascii(substr(text,i,1)) = byte i only for single-byte text
-    // (asserted structurally Spark-side via asciiGuard, as in m4); padded
-    // positions read ascii('') = 0, matching the Spark side's zero-pad.
-    "m5_image_decode" ->
-      """WITH s AS (SELECT doc_id,
-        |    CAST(list_sum(list_transform(range(1, 65),
-        |      i -> ascii(substr(text, i, 1)))) AS BIGINT) AS lum
-        |  FROM documents)
-        |SELECT doc_id AS media_id, 8 AS width, 8 AS height,
-        |  lum AS sum_r, lum AS sum_g, lum AS sum_b
-        |FROM s ORDER BY media_id""".stripMargin,
-
-    // 2x subsample keeps source pixels (x,y) with x,y even: byte index
-    // y*8+x -> substr position yy*16 + xx*2 + 1 for yy,xx in [0,4)
-    "m6_image_resize_decode" ->
-      """WITH s AS (SELECT doc_id,
-        |    CAST(list_sum(list_transform(range(0, 4), yy ->
-        |      list_sum(list_transform(range(0, 4), xx ->
-        |        ascii(substr(text, yy * 16 + xx * 2 + 1, 1)))))) AS BIGINT)
-        |      AS lum
-        |  FROM documents)
-        |SELECT doc_id AS media_id, 4 AS width, 4 AS height,
-        |  lum AS sum_r, lum AS sum_g, lum AS sum_b
-        |FROM s ORDER BY media_id""".stripMargin,
-
-    "m7_audio_decode" ->
-      """SELECT doc_id AS media_id, 8000 AS sample_rate, 1 AS channels,
-        |  CAST(64 AS BIGINT) AS n_frames, CAST(8 AS BIGINT) AS duration_ms,
-        |  CAST(list_sum(list_transform(range(1, 65),
-        |    i -> ascii(substr(text, i, 1)))) AS BIGINT) AS byte_sum
-        |FROM documents ORDER BY media_id""".stripMargin,
-
-    // bin k holds pixels with luminance in [16k, 16k+16); grayscale lum =
-    // source byte, and the 64 - min(len, 64) zero-pad pixels land in bin 0
-    "m8_image_features" ->
-      """SELECT doc_id AS media_id, 16 AS dim,
-        |  CAST(length(regexp_replace(substr(text, 1, 64),
-        |      '[^\x00-\x0f]', '', 'g'))
-        |    + 64 - least(length(text), 64) AS BIGINT) AS bin0_px,
-        |  CAST(length(regexp_replace(substr(text, 1, 64),
-        |      '[^\x60-\x6f]', '', 'g')) AS BIGINT) AS bin6_px
-        |FROM documents ORDER BY media_id""".stripMargin,
-
-    // frame k of the motion stream covers text bytes [k*64+1, k*64+64];
-    // beyond-length positions are zero-padded pixels (ascii('') = 0)
-    "m9_video_decode" ->
-      """WITH fr AS (SELECT CAST(unnest(range(0, 4)) AS INT) AS f),
-        |  s AS (SELECT doc_id, f,
-        |    CAST(list_sum(list_transform(range(1, 65),
-        |      i -> ascii(substr(text, f * 64 + i, 1)))) AS BIGINT) AS lum
-        |  FROM documents, fr)
-        |SELECT doc_id AS media_id, f AS frame_idx, 8 AS width, 8 AS height,
-        |  lum AS sum_r, lum AS sum_g, lum AS sum_b
-        |FROM s ORDER BY media_id, frame_idx""".stripMargin,
-
-    // the SCD2 merge outcome, derived case-by-case: changed set is
-    // key%6==0 (in the update batch AND value-bumped), new keys %5==0
-    // (q38b runs the broadcast-plan merge — same outcome by construction,
-    // so both point at this SQL)
-    "q38_scd2_merge" -> scd2MergeOracle,
-    "q38b_scd2_broadcast" -> scd2MergeOracle,
-
-    // time travel at 1997-06-01: the %7 closed-1990-95 history and every
-    // version opened at the 2000 merge are out of range; what remains is
-    // each customer's 1995 version — CLOSED at 2000 for the %6==0 changed
-    // keys, still open otherwise
-    "q41_scd2_asof" ->
-      """SELECT c_custkey, c_name, c_acctbal,
-        |    DATE '1995-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
-        |    true AS is_current
-        |  FROM customer WHERE c_custkey % 6 <> 0
-        |UNION ALL
-        |SELECT c_custkey, c_name, c_acctbal, DATE '1995-01-01',
-        |    DATE '2000-01-01', false
-        |  FROM customer WHERE c_custkey % 6 = 0
-        |ORDER BY c_custkey""".stripMargin,
-
-    // CDC outcome case-by-case: %9 deleted, surviving %4 updated to +10
-    // (the seq-1 +5 update is superseded), %10 inserted as new keys
-    "q39_cdc_apply" ->
-      """SELECT c_custkey, c_name, c_acctbal FROM customer
-        |  WHERE c_custkey % 9 <> 0 AND c_custkey % 4 <> 0
-        |UNION ALL
-        |SELECT c_custkey, c_name, c_acctbal + 10 FROM customer
-        |  WHERE c_custkey % 9 <> 0 AND c_custkey % 4 = 0
-        |UNION ALL
-        |SELECT c_custkey + 20000000, 'NEW ' || c_name, c_acctbal
-        |  FROM customer WHERE c_custkey % 10 = 0
-        |ORDER BY c_custkey""".stripMargin,
-
-    // distinct word 13-grams per doc (t5's tokenization), eval = every
-    // 50th doc; a corpus doc is contaminated iff it shares a gram
-    // the bloom pre-filter only ever drops rows the join would drop anyway
-    // (false NEGATIVES are impossible), so the plain join IS the oracle
-    // for the runtime-filtered plan
-    "q42_bloom_prejoin" ->
-      """SELECT l_returnflag, count(*) AS n_lines,
-        |  floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2
-        |    AS revenue
-        |FROM lineitem
-        |JOIN orders ON l_orderkey = o_orderkey
-        |WHERE o_orderpriority = '1-URGENT'
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-
-    // (q40b runs the shuffle-join plan — result is plan-independent, so
-    // both point at this SQL)
-    "q40_contamination" -> contaminationOracle,
-    "q40b_contamination_shuffle" -> contaminationOracle,
-
-    // DuckDB evaluates the identical magic-mask Morton algebra: mask to 8
-    // bits, spread each key's bits to even positions in 4 shift-or-mask
-    // steps, interleave, rank along the curve
-    "q43_zorder" ->
-      """WITH m AS (SELECT l_orderkey, l_linenumber,
-        |    l_partkey & 255 AS a, l_suppkey & 255 AS b FROM lineitem),
-        |  s1 AS (SELECT l_orderkey, l_linenumber,
-        |    (a | (a << 8)) & 16711935 AS a, (b | (b << 8)) & 16711935 AS b
-        |    FROM m),
-        |  s2 AS (SELECT l_orderkey, l_linenumber,
-        |    (a | (a << 4)) & 252645135 AS a, (b | (b << 4)) & 252645135 AS b
-        |    FROM s1),
-        |  s3 AS (SELECT l_orderkey, l_linenumber,
-        |    (a | (a << 2)) & 858993459 AS a, (b | (b << 2)) & 858993459 AS b
-        |    FROM s2),
-        |  s4 AS (SELECT l_orderkey, l_linenumber,
-        |    (a | (a << 1)) & 1431655765 AS a, (b | (b << 1)) & 1431655765 AS b
-        |    FROM s3)
-        |SELECT l_orderkey, l_linenumber, a | (b << 1) AS zval
-        |FROM s4 ORDER BY zval, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
-
-    "q44_profile" ->
-      """SELECT 'l_orderkey' AS "column", count(*) AS n_rows,
-        |    count(l_orderkey) AS n_nonnull,
-        |    count(DISTINCT l_orderkey) AS ndv,
-        |    CAST(min(l_orderkey) AS DOUBLE) AS min_num,
-        |    CAST(max(l_orderkey) AS DOUBLE) AS max_num,
-        |    CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
-        |  FROM lineitem
-        |UNION ALL
-        |SELECT 'l_quantity', count(*), count(l_quantity),
-        |    count(DISTINCT l_quantity),
-        |    CAST(min(l_quantity) AS DOUBLE), CAST(max(l_quantity) AS DOUBLE),
-        |    NULL, NULL
-        |  FROM lineitem
-        |UNION ALL
-        |SELECT 'l_returnflag', count(*), count(l_returnflag),
-        |    count(DISTINCT l_returnflag), NULL, NULL,
-        |    min(l_returnflag), max(l_returnflag)
-        |  FROM lineitem
-        |ORDER BY "column"""".stripMargin,
-
-    // integer-exact salt suggestion: ceil(cnt*tasks/total) in pure bigint
-    // math on both engines; share is one IEEE binary64 division
-    "q45_skew" ->
-      """WITH g AS (SELECT user_id, count(*) AS cnt FROM events
-        |    GROUP BY user_id),
-        |  t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM g)
-        |SELECT user_id, cnt,
-        |    CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share,
-        |    CAST(greatest(1, (cnt * 32 + total - 1) // total) AS BIGINT)
-        |      AS salt
-        |FROM g, t ORDER BY cnt DESC, user_id LIMIT 20""".stripMargin,
-
-    // the hybrid hot/cold split re-assembles the plain join exactly, so
-    // the plain join is the oracle for the skew-optimized plan
-    "q46_skew_join" ->
-      """SELECT c_mktsegment, event_type, count(*) AS n,
-        |  floor(sum(value) * 1e2 + 0.5) / 1e2 AS sum_value
-        |FROM events JOIN customer ON user_id = c_custkey
-        |GROUP BY c_mktsegment, event_type
-        |ORDER BY c_mktsegment, event_type""".stripMargin,
-
-    // the fold of slice summaries must equal the full scan: the oracle
-    // recomputes the additive/range stats from scratch and pins the
-    // sketch-accuracy flag
-    "q47_incr_agg" ->
-      """SELECT event_type, count(*) AS n,
-        |  floor(sum(value) * 1e2 + 0.5) / 1e2 AS sum_value,
-        |  floor(min(value) * 1e4 + 0.5) / 1e4 AS min_value,
-        |  floor(max(value) * 1e4 + 0.5) / 1e4 AS max_value,
-        |  1 AS ndv_ok
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-
-    // chunk=256 overlap=40 step=216; greatest(1, ...) keeps short docs
-    "q48_chunking" ->
-      """WITH n AS (SELECT doc_id, text,
-        |    greatest(1, CAST(ceil((length(text) - 40)::DOUBLE / 216) AS INT))
-        |      AS nc
-        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
-        |  c AS (SELECT doc_id, text,
-        |    unnest(generate_series(0, nc - 1)) AS chunk_idx FROM n)
-        |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
-        |  md5(substr(text, CAST(chunk_idx AS INT) * 216 + 1, 256)) AS chunk_md5,
-        |  CAST(length(substr(text, CAST(chunk_idx AS INT) * 216 + 1, 256)) AS INT)
-        |    AS chunk_len
-        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
-
-    "q49_source_cap" ->
-      """SELECT doc_id, source FROM (
-        |  SELECT doc_id, source, row_number() OVER (
-        |      PARTITION BY source
-        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
-        |  FROM documents)
-        |WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
-
-    "q50_unpivot" ->
-      """WITH w AS (SELECT l_returnflag,
-        |    floor(sum(l_quantity) * 1e2 + 0.5) / 1e2 AS quantity,
-        |    floor(sum(l_extendedprice) * 1e2 + 0.5) / 1e2 AS extendedprice,
-        |    floor(sum(l_tax) * 1e2 + 0.5) / 1e2 AS tax
-        |  FROM lineitem GROUP BY l_returnflag)
-        |SELECT l_returnflag, metric, total
-        |FROM w UNPIVOT (total FOR metric IN (quantity, extendedprice, tax))
-        |ORDER BY l_returnflag, metric""".stripMargin,
-
-    // full BM25 re-derivation: k1=1.2, b=0.75, idf=ln((N-df+.5)/(df+.5)+1);
-    // stats over docs with >=1 nonempty posting (matching the Spark build)
-    "q51_bm25" ->
-      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
-        |    FROM documents WHERE text IS NOT NULL),
-        |  dd AS (SELECT doc_id, w, len(w)::DOUBLE AS dl FROM d WHERE len(w) > 0),
-        |  post AS (SELECT doc_id, dl, unnest(w) AS term FROM dd),
-        |  tf AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM post
-        |    WHERE length(term) > 0 GROUP BY 1, 2, 3),
-        |  dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
-        |  stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl
-        |    FROM (SELECT DISTINCT doc_id, dl FROM tf)),
-        |  q AS (SELECT query_id, term FROM (SELECT doc_id AS query_id,
-        |      unnest(list_distinct(w[1:5])) AS term FROM dd
-        |      WHERE doc_id % 101 = 0) WHERE length(term) > 0),
-        |  sc AS (SELECT q.query_id, tf.doc_id,
-        |      sum(ln((n - df + 0.5) / (df + 0.5) + 1)
-        |        * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
-        |        AS s
-        |    FROM q JOIN tf USING (term) JOIN dfreq USING (term), stats
-        |    GROUP BY 1, 2),
-        |  r AS (SELECT query_id, doc_id,
-        |      floor(s * 1e4 + 0.5) / 1e4 AS score,
-        |      row_number() OVER (PARTITION BY query_id
-        |        ORDER BY floor(s * 1e4 + 0.5) / 1e4 DESC, doc_id) AS rank
-        |    FROM sc)
-        |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
-        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
-
-    // the whole two-retriever hybrid pipeline re-derived: BM25 CTEs as in
-    // q51 (query set restricted to docs WITH embeddings), exact-cosine kNN
-    // as in y2r, reciprocal-rank fusion 1/(60+rank), fused top-5
-    "q52_hybrid_rrf" ->
-      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
-        |    FROM documents WHERE text IS NOT NULL),
-        |  dd AS (SELECT doc_id, w, len(w)::DOUBLE AS dl FROM d WHERE len(w) > 0),
-        |  qids AS (SELECT doc_id FROM dd WHERE doc_id % 101 = 0
-        |    AND doc_id IN (SELECT vec_id FROM embeddings)),
-        |  post AS (SELECT doc_id, dl, unnest(w) AS term FROM dd),
-        |  tf AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM post
-        |    WHERE length(term) > 0 GROUP BY 1, 2, 3),
-        |  dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
-        |  stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl
-        |    FROM (SELECT DISTINCT doc_id, dl FROM tf)),
-        |  q AS (SELECT query_id, term FROM (SELECT doc_id AS query_id,
-        |      unnest(list_distinct(w[1:5])) AS term FROM dd
-        |      WHERE doc_id IN (SELECT doc_id FROM qids))
-        |    WHERE length(term) > 0),
-        |  sc AS (SELECT q.query_id, tf.doc_id,
-        |      sum(ln((n - df + 0.5) / (df + 0.5) + 1)
-        |        * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
-        |        AS s
-        |    FROM q JOIN tf USING (term) JOIN dfreq USING (term), stats
-        |    GROUP BY 1, 2),
-        |  bm AS (SELECT query_id, doc_id, row_number() OVER (
-        |      PARTITION BY query_id
-        |      ORDER BY floor(s * 1e4 + 0.5) / 1e4 DESC, doc_id) AS rank
-        |    FROM sc),
-        |  e AS (SELECT vec_id, embedding,
-        |    sqrt(list_sum(list_transform(embedding,
-        |      x -> x::DOUBLE * x::DOUBLE))) AS nrm FROM embeddings),
-        |  kn AS (SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
-        |      row_number() OVER (PARTITION BY q.vec_id
-        |        ORDER BY list_sum(list_transform(list_zip(q.embedding, c.embedding),
-        |          x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * c.nrm) DESC,
-        |        c.vec_id) AS rank
-        |    FROM e q JOIN e c ON c.vec_id <> q.vec_id
-        |    WHERE q.vec_id IN (SELECT doc_id FROM qids)),
-        |  contrib AS (
-        |    SELECT query_id, doc_id, 1.0 / (60 + rank) AS c FROM bm
-        |      WHERE rank <= 20
-        |    UNION ALL
-        |    SELECT query_id, doc_id, 1.0 / (60 + rank) FROM kn
-        |      WHERE rank <= 20),
-        |  fused AS (SELECT query_id, doc_id,
-        |      floor(sum(c) * 1e6 + 0.5) / 1e6 AS rrf
-        |    FROM contrib GROUP BY 1, 2),
-        |  r AS (SELECT query_id, doc_id, rrf, row_number() OVER (
-        |      PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
-        |    FROM fused)
-        |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, rrf
-        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
-
-    "q53_global_ids" ->
-      """SELECT doc_id, source,
-        |  row_number() OVER (ORDER BY source, doc_id) - 1 AS gid
-        |FROM documents ORDER BY gid""".stripMargin,
-
-    "q54_fuzzy_join" ->
-      """WITH d AS (SELECT doc_id, substr(text, 1, 12) AS k FROM documents)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CAST(levenshtein(a.k, b.k) AS INT) AS dist
-        |FROM d a JOIN d b ON a.doc_id < b.doc_id
-        |WHERE levenshtein(a.k, b.k) <= 2
-        |ORDER BY id_a, id_b""".stripMargin,
-
-    "q55_funnel" ->
-      """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS ts_1 FROM events
-        |    WHERE event_type = 'signup' GROUP BY user_id),
-        |  s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS ts_2 FROM events e
-        |    JOIN s1 ON e.user_id = s1.user_id
-        |    WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.ts_1
-        |    GROUP BY e.user_id),
-        |  s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS ts_3 FROM events e
-        |    JOIN s2 ON e.user_id = s2.user_id
-        |    WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.ts_2
-        |    GROUP BY e.user_id),
-        |  u AS (SELECT DISTINCT user_id FROM events
-        |    WHERE event_type IN ('signup', 'click', 'purchase'))
-        |SELECT u.user_id,
-        |  CAST(CASE WHEN ts_3 IS NOT NULL THEN 3 WHEN ts_2 IS NOT NULL THEN 2
-        |    WHEN ts_1 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS stages_completed,
-        |  ts_1, ts_2, ts_3,
-        |  COALESCE(ts_3 - ts_1 <= 604800000000, false) AS completed
-        |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
-        |  LEFT JOIN s3 USING (user_id)
-        |ORDER BY user_id""".stripMargin,
-
-    "q56_weighted_sample" ->
-      """SELECT doc_id, n_chars FROM documents
-        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'g56'), 1, 5)
-        |    AS BIGINT) * 400
-        |  < least(n_chars, 400) * 1048576
-        |ORDER BY doc_id""".stripMargin,
-
-    "q57_heavy_hitters" ->
-      """SELECT lang, source AS item, CAST(count(*) AS BIGINT) AS cnt,
-        |  CAST(0 AS BIGINT) AS err
-        |FROM documents GROUP BY lang, source
-        |ORDER BY lang, item""".stripMargin,
-
-    "q58_outliers" ->
-      """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
-        |    FROM events GROUP BY event_type),
-        |  d AS (SELECT e.event_id, e.event_type, e.value, m.med
-        |    FROM events e JOIN m USING (event_type)),
-        |  md AS (SELECT event_type, quantile_cont(abs(value - med), 0.5)
-        |      AS mad
-        |    FROM d GROUP BY event_type),
-        |  z AS (SELECT d.event_id, d.event_type, d.value,
-        |      (d.value - d.med) / (1.4826 * md.mad) AS zr
-        |    FROM d JOIN md USING (event_type) WHERE md.mad <> 0)
-        |SELECT event_id, event_type, value,
-        |  floor(zr * 1e6 + 0.5) / 1e6 AS z
-        |FROM z WHERE floor(abs(zr) * 1e6 + 0.5) / 1e6 > 3.5
-        |ORDER BY event_id""".stripMargin,
-
-    "q59_entity_resolution" ->
-      """WITH RECURSIVE d AS (SELECT doc_id, substr(text, 1, 12) AS k
-        |  FROM documents),
-        |p AS (SELECT a.doc_id AS u, b.doc_id AS v
-        |  FROM d a JOIN d b
-        |  ON a.doc_id < b.doc_id AND levenshtein(a.k, b.k) <= 2),
-        |e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
-        |reach(id, r) AS (
-        |  SELECT u, u FROM e
-        |  UNION
-        |  SELECT reach.id, e.v FROM reach JOIN e ON reach.r = e.u),
-        |cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
-        |SELECT id, cluster_id FROM cc ORDER BY id""".stripMargin,
-
-    "q60_tfidf_terms" ->
-      """WITH tok AS (SELECT doc_id,
-        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS term
-        |  FROM documents WHERE text IS NOT NULL),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
-        |  WHERE len(term) > 0 GROUP BY doc_id, term),
-        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-        |n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tf),
-        |s AS (SELECT tf.doc_id, tf.term,
-        |    floor(tf.tf * ln(n.n / dfq.df) * 1e4 + 0.5) / 1e4 AS score
-        |  FROM tf JOIN dfq USING (term) CROSS JOIN n),
-        |r AS (SELECT s.*, row_number() OVER (PARTITION BY doc_id
-        |    ORDER BY score DESC, term) AS rank FROM s)
-        |SELECT doc_id, CAST(rank AS INT) AS rank, term, score
-        |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
-
-    "q61_negative_sample" ->
-      """WITH g AS (SELECT doc_id,
-        |    row_number() OVER (ORDER BY doc_id) - 1 AS gid
-        |  FROM documents),
-        |n AS (SELECT count(*) AS n FROM g),
-        |a AS (SELECT g.doc_id AS anchor_id, g.gid, n.n, j.neg_idx
-        |  FROM g CROSS JOIN n
-        |  CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS neg_idx) j),
-        |h AS (SELECT anchor_id, gid, n, neg_idx,
-        |    CAST('0x' || substr(md5(CAST(anchor_id AS VARCHAR) || ':' ||
-        |      CAST(neg_idx AS VARCHAR) || ':' || 'g61'), 1, 12) AS BIGINT)
-        |      % n AS ng
-        |  FROM a),
-        |f AS (SELECT anchor_id, neg_idx,
-        |    CASE WHEN ng = gid THEN (ng + 1) % n ELSE ng END AS neg_gid
-        |  FROM h)
-        |SELECT f.anchor_id, CAST(f.neg_idx AS INT) AS neg_idx,
-        |  g.doc_id AS negative_id
-        |FROM f JOIN g ON f.neg_gid = g.gid
-        |ORDER BY anchor_id, neg_idx""".stripMargin,
-
-    "q62_histogram" ->
-      """WITH q AS (SELECT quantile_cont(value,
-        |    [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS qs
-        |  FROM events),
-        |r AS (SELECT list_transform(qs, x -> floor(x * 1e6 + 0.5) / 1e6)
-        |    AS bounds FROM q),
-        |a AS (SELECT e.value,
-        |    len(list_filter(r.bounds, x -> x <= e.value)) AS bucket
-        |  FROM events e CROSS JOIN r WHERE e.value IS NOT NULL)
-        |SELECT CAST(bucket AS INT) AS bucket,
-        |  CAST(count(*) AS BIGINT) AS n_rows,
-        |  min(value) AS min_v, max(value) AS max_v
-        |FROM a GROUP BY bucket ORDER BY bucket""".stripMargin,
-
-    "q63_snapshot_diff" ->
-      """WITH b AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
-        |n AS (SELECT c_custkey,
-        |    CASE WHEN c_custkey % 11 = 0 THEN 'X ' || c_name
-        |         ELSE c_name END AS c_name,
-        |    CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 10
-        |         ELSE c_acctbal END AS c_acctbal
-        |  FROM customer WHERE c_custkey % 7 <> 0
-        |  UNION ALL
-        |  SELECT c_custkey + 10000000, c_name, c_acctbal FROM customer
-        |  WHERE c_custkey % 13 = 0),
-        |j AS (SELECT coalesce(b.c_custkey, n.c_custkey) AS c_custkey,
-        |    CASE WHEN b.c_custkey IS NULL THEN 'added'
-        |         WHEN n.c_custkey IS NULL THEN 'removed'
-        |         WHEN b.c_name IS DISTINCT FROM n.c_name
-        |           OR b.c_acctbal IS DISTINCT FROM n.c_acctbal
-        |           THEN 'changed' END AS change,
-        |    CASE WHEN b.c_custkey IS NULL OR n.c_custkey IS NULL
-        |         THEN CAST([] AS VARCHAR[])
-        |         ELSE list_filter([
-        |             CASE WHEN b.c_name IS DISTINCT FROM n.c_name
-        |                  THEN 'c_name' END,
-        |             CASE WHEN b.c_acctbal IS DISTINCT FROM n.c_acctbal
-        |                  THEN 'c_acctbal' END],
-        |           x -> x IS NOT NULL) END AS changed_cols
-        |  FROM b FULL OUTER JOIN n ON b.c_custkey = n.c_custkey)
-        |SELECT c_custkey, change,
-        |  coalesce(array_to_string(changed_cols, ','), '') AS changed_cols
-        |FROM j
-        |WHERE change IS NOT NULL ORDER BY c_custkey""".stripMargin,
-
-    "q64_drift_psi" ->
-      """WITH r0 AS (SELECT value FROM events
-        |    WHERE user_id % 2 = 0 AND value IS NOT NULL),
-        |c0 AS (SELECT value FROM events
-        |    WHERE user_id % 2 = 1 AND value IS NOT NULL),
-        |q AS (SELECT quantile_cont(value,
-        |    [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS qs FROM r0),
-        |bd AS (SELECT list_transform(qs, x -> floor(x * 1e6 + 0.5) / 1e6)
-        |    AS bounds FROM q),
-        |rb AS (SELECT len(list_filter(bd.bounds, x -> x <= value))
-        |    AS bucket, count(*) AS ref_n
-        |  FROM r0 CROSS JOIN bd GROUP BY 1),
-        |cb AS (SELECT len(list_filter(bd.bounds, x -> x <= value))
-        |    AS bucket, count(*) AS cur_n
-        |  FROM c0 CROSS JOIN bd GROUP BY 1),
-        |j AS (SELECT coalesce(rb.bucket, cb.bucket) AS bucket,
-        |    coalesce(ref_n, 0) AS ref_n, coalesce(cur_n, 0) AS cur_n
-        |  FROM rb FULL OUTER JOIN cb ON rb.bucket = cb.bucket),
-        |t AS (SELECT sum(ref_n) AS rt, sum(cur_n) AS ct FROM j),
-        |s AS (SELECT bucket, ref_n, cur_n,
-        |    greatest(CAST(ref_n AS DOUBLE) / rt, 1e-6) AS rs,
-        |    greatest(CAST(cur_n AS DOUBLE) / ct, 1e-6) AS cs
-        |  FROM j CROSS JOIN t)
-        |SELECT CAST(bucket AS INT) AS bucket,
-        |  CAST(ref_n AS BIGINT) AS ref_n, CAST(cur_n AS BIGINT) AS cur_n,
-        |  floor(rs * 1e6 + 0.5) / 1e6 AS ref_share,
-        |  floor(cs * 1e6 + 0.5) / 1e6 AS cur_share,
-        |  floor((cs - rs) * ln(cs / rs) * 1e6 + 0.5) / 1e6 AS psi
-        |FROM s ORDER BY bucket""".stripMargin,
-
-    "q65_span_dedup" ->
-      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
-        |  WHERE text IS NOT NULL AND length(text) >= 1),
-        |pos AS (SELECT doc_id, n, i,
-        |    CAST('0x' || substr(md5(substr(text, CAST(i AS INT), 30)),
-        |      1, 12) AS BIGINT) AS h
-        |  FROM d, unnest(generate_series(1, greatest(n - 29, 1))) AS t(i)),
-        |wm AS (SELECT doc_id, n, i,
-        |    min(h) OVER (PARTITION BY doc_id ORDER BY i
-        |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS f
-        |  FROM pos),
-        |fp AS (SELECT DISTINCT doc_id, f FROM wm
-        |  WHERE i <= greatest(greatest(n - 29, 1) - 7, 1)),
-        |ok AS (SELECT f FROM fp GROUP BY f HAVING count(*) <= 100),
-        |fk AS (SELECT fp.doc_id, fp.f FROM fp JOIN ok USING (f))
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  count(*) AS n_shared
-        |FROM fk a JOIN fk b ON a.f = b.f AND a.doc_id < b.doc_id
-        |GROUP BY 1, 2 HAVING count(*) >= 3
-        |ORDER BY 1, 2""".stripMargin,
-
-    "q66_sequence_assembly" ->
-      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-        |  CAST(to_json(
-        |    list_slice(list({'ts': strftime(ts, '%Y-%m-%d %H:%M:%S.%f'),
-        |      'event_id': event_id, 'event_type': event_type}
-        |    ORDER BY strftime(ts, '%Y-%m-%d %H:%M:%S.%f'), event_id,
-        |      event_type), 1, 25)) AS VARCHAR) AS seq
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
-
-    "q67_temperature_mix" ->
-      """WITH c AS (SELECT source, count(*) AS n FROM documents
-        |    GROUP BY source),
-        |m AS (SELECT min(n) AS nmin FROM c),
-        |r AS (SELECT source,
-        |    floor(pow(CAST(n AS DOUBLE) / nmin, -0.5) * 1e6 + 0.5) / 1e6
-        |      AS rate
-        |  FROM c CROSS JOIN m)
-        |SELECT d.doc_id, d.source
-        |FROM documents d JOIN r USING (source)
-        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'g67'),
-        |    1, 5) AS BIGINT) < CAST(floor(rate * 1048576) AS BIGINT)
-        |ORDER BY doc_id""".stripMargin,
-
-    "q68_orc_roundtrip" ->
-      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
-        |  sum(l_quantity) AS sum_qty,
-        |  min(l_extendedprice) AS min_price,
-        |  max(l_extendedprice) AS max_price
-        |FROM lineitem WHERE l_quantity > 30
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-
-    "q70_resample_fill" ->
-      """WITH e AS (SELECT user_id,
-        |    CAST(floor(epoch(ts) / 21600) AS BIGINT) * 21600 AS slot,
-        |    {'ts': ts, 'eid': event_id, 'v': value} AS s
-        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
-        |ps AS (SELECT user_id, slot, max(s)['v'] AS v_last,
-        |    count(*) AS n FROM e GROUP BY 1, 2),
-        |sp AS (SELECT user_id, min(slot) AS t0, max(slot) AS t1
-        |  FROM ps GROUP BY 1),
-        |spine AS (SELECT user_id,
-        |    unnest(generate_series(t0, t1, 21600)) AS slot FROM sp),
-        |j AS (SELECT spine.user_id, spine.slot, ps.v_last,
-        |    coalesce(ps.n, 0) AS n_events
-        |  FROM spine LEFT JOIN ps
-        |  ON spine.user_id = ps.user_id AND spine.slot = ps.slot)
-        |SELECT user_id, slot,
-        |  last_value(v_last IGNORE NULLS) OVER (PARTITION BY user_id
-        |    ORDER BY slot ROWS BETWEEN UNBOUNDED PRECEDING AND
-        |    CURRENT ROW) AS value_filled,
-        |  CAST(n_events AS BIGINT) AS n_events
-        |FROM j ORDER BY user_id, slot""".stripMargin,
-
-    "q69_sketch_segments" ->
-      """SELECT source, 1 AS sketch_ok FROM documents
-        |GROUP BY source ORDER BY source""".stripMargin,
-
-    "q71_join_cardinality" ->
-      """WITH lc AS (SELECT l_orderkey AS k, count(*) AS n_l
-        |    FROM lineitem GROUP BY 1),
-        |rc AS (SELECT o_orderkey AS k, count(*) AS n_r
-        |    FROM orders GROUP BY 1),
-        |j AS (SELECT coalesce(lc.n_l, 0) AS n_l, coalesce(rc.n_r, 0) AS n_r
-        |  FROM lc FULL OUTER JOIN rc ON lc.k = rc.k),
-        |a AS (SELECT sum(n_l) AS n_left, sum(n_r) AS n_right,
-        |    count(*) FILTER (n_l > 0 AND n_r > 0) AS n_keys_matched,
-        |    sum(n_l * n_r) AS est_out_rows,
-        |    max(n_l * n_r) AS top_pair_rows FROM j)
-        |SELECT CAST(n_left AS BIGINT) AS n_left,
-        |  CAST(n_right AS BIGINT) AS n_right,
-        |  CAST(n_keys_matched AS BIGINT) AS n_keys_matched,
-        |  CAST(est_out_rows AS BIGINT) AS est_out_rows,
-        |  CAST(top_pair_rows AS BIGINT) AS top_pair_rows,
-        |  floor(CAST(top_pair_rows AS DOUBLE) / greatest(est_out_rows, 1)
-        |    * 1e6 + 0.5) / 1e6 AS top_share,
-        |  CASE WHEN n_right <= 1000 THEN 'broadcast_right'
-        |       WHEN CAST(top_pair_rows AS DOUBLE) >
-        |         greatest(est_out_rows, 1) * 0.2 THEN 'salt_skew'
-        |       ELSE 'shuffle' END AS advice
-        |FROM a""".stripMargin,
-
-    "t12_html_strip" ->
-      """WITH h AS (SELECT doc_id,
-        |    '<html><head><title>D</title><style>p{c:red}</style>' ||
-        |    '<script>var a="<p>no</p>";</script></head>' ||
-        |    '<body><!-- x --><p class="t">' || text ||
-        |    '</p>&amp; &lt;tail&gt;<br/></body></html>' AS t
-        |  FROM documents),
-        |s1 AS (SELECT doc_id, regexp_replace(t,
-        |    '(?is)<script\b.*?</script>', ' ', 'g') AS t FROM h),
-        |s2 AS (SELECT doc_id, regexp_replace(t,
-        |    '(?is)<style\b.*?</style>', ' ', 'g') AS t FROM s1),
-        |s3 AS (SELECT doc_id, regexp_replace(t,
-        |    '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
-        |s4 AS (SELECT doc_id, regexp_replace(t,
-        |    '<[^>]+>', ' ', 'g') AS t FROM s3),
-        |e1 AS (SELECT doc_id, regexp_replace(t, '&lt;', '<', 'g') AS t
-        |  FROM s4),
-        |e2 AS (SELECT doc_id, regexp_replace(t, '&gt;', '>', 'g') AS t
-        |  FROM e1),
-        |e3 AS (SELECT doc_id, regexp_replace(t, '&quot;', '"', 'g') AS t
-        |  FROM e2),
-        |e4 AS (SELECT doc_id, regexp_replace(t, '&#39;', '''', 'g') AS t
-        |  FROM e3),
-        |e5 AS (SELECT doc_id, regexp_replace(t, '&nbsp;', ' ', 'g') AS t
-        |  FROM e4),
-        |e6 AS (SELECT doc_id, regexp_replace(t, '&amp;', '&', 'g') AS t
-        |  FROM e5)
-        |SELECT doc_id, trim(regexp_replace(t, '[ \t\n\f\r]+', ' ', 'g'))
-        |  AS clean
-        |FROM e6 ORDER BY doc_id""".stripMargin,
-
-    "q72_hierarchy" ->
-      """WITH RECURSIVE h AS (SELECT c_custkey AS id,
-        |    CASE WHEN c_custkey <= 1 THEN NULL
-        |         ELSE c_custkey // 2 END AS parent
-        |  FROM customer),
-        |r(id, root_id, depth, path) AS (
-        |  SELECT id, id, 0, [id] FROM h WHERE parent IS NULL
-        |  UNION ALL
-        |  SELECT h.id, r.root_id, r.depth + 1, list_append(r.path, h.id)
-        |  FROM h JOIN r ON h.parent = r.id)
-        |SELECT id, root_id, CAST(depth AS BIGINT) AS depth,
-        |  array_to_string(path, '/') AS path
-        |FROM r ORDER BY id""".stripMargin,
-
-    "q73_drift_ks" ->
-      """WITH r0 AS (SELECT value FROM events
-        |    WHERE user_id % 2 = 0 AND value IS NOT NULL),
-        |c0 AS (SELECT value FROM events
-        |    WHERE user_id % 2 = 1 AND value IS NOT NULL),
-        |q AS (SELECT quantile_cont(value,
-        |    [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS qs FROM r0),
-        |bd AS (SELECT list_transform(qs, x -> floor(x * 1e6 + 0.5) / 1e6)
-        |    AS bounds FROM q),
-        |rb AS (SELECT len(list_filter(bd.bounds, x -> x <= value))
-        |    AS bucket, count(*) AS ref_n
-        |  FROM r0 CROSS JOIN bd GROUP BY 1),
-        |cb AS (SELECT len(list_filter(bd.bounds, x -> x <= value))
-        |    AS bucket, count(*) AS cur_n
-        |  FROM c0 CROSS JOIN bd GROUP BY 1),
-        |j AS (SELECT coalesce(rb.bucket, cb.bucket) AS bucket,
-        |    coalesce(ref_n, 0) AS ref_n, coalesce(cur_n, 0) AS cur_n
-        |  FROM rb FULL OUTER JOIN cb ON rb.bucket = cb.bucket),
-        |t AS (SELECT sum(ref_n) AS rt, sum(cur_n) AS ct FROM j),
-        |c1 AS (SELECT bucket, ref_n, cur_n,
-        |    floor(CAST(sum(ref_n) OVER (ORDER BY bucket
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      AS DOUBLE) / rt * 1e6 + 0.5) / 1e6 AS ref_cum,
-        |    floor(CAST(sum(cur_n) OVER (ORDER BY bucket
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      AS DOUBLE) / ct * 1e6 + 0.5) / 1e6 AS cur_cum
-        |  FROM j CROSS JOIN t),
-        |c2 AS (SELECT *, floor(abs(ref_cum - cur_cum) * 1e6 + 0.5) / 1e6
-        |    AS cdf_gap FROM c1)
-        |SELECT CAST(bucket AS INT) AS bucket,
-        |  CAST(ref_n AS BIGINT) AS ref_n, CAST(cur_n AS BIGINT) AS cur_n,
-        |  ref_cum, cur_cum, cdf_gap, max(cdf_gap) OVER () AS ks
-        |FROM c2 ORDER BY bucket""".stripMargin,
-
-    "q74_winsorize" ->
-      """WITH b AS (SELECT event_type,
-        |    floor(quantile_cont(value, 0.05) * 1e6 + 0.5) / 1e6 AS p_lo,
-        |    floor(quantile_cont(value, 0.95) * 1e6 + 0.5) / 1e6 AS p_hi
-        |  FROM events GROUP BY event_type)
-        |SELECT e.event_id, e.event_type, e.value, b.p_lo, b.p_hi,
-        |  CASE WHEN e.value < b.p_lo THEN b.p_lo
-        |       WHEN e.value > b.p_hi THEN b.p_hi
-        |       ELSE e.value END AS value_w
-        |FROM events e JOIN b USING (event_type)
-        |ORDER BY event_id""".stripMargin,
-
-    "t13_url_canonical" ->
-      """SELECT doc_id,
-        |  'https://www.example.com/' || source || '/Doc/' ||
-        |  CAST(doc_id AS VARCHAR) || '?a=1&z=2' AS url
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "q75_split_assign" ->
-      """SELECT doc_id,
-        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'g75'), 1, 8)
-        |         < 'cccccccd' THEN 'train'
-        |       WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'g75'), 1, 8)
-        |         < 'e6666667' THEN 'val'
-        |       ELSE 'test' END AS split
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "q76_transitions" ->
-      """WITH p AS (SELECT event_type AS f,
-        |    lead(event_type) OVER (PARTITION BY user_id
-        |      ORDER BY ts, event_id) AS t
-        |  FROM events),
-        |c AS (SELECT f AS from_state, t AS to_state, count(*) AS n
-        |  FROM p WHERE t IS NOT NULL GROUP BY 1, 2),
-        |o AS (SELECT from_state, sum(n) AS tot FROM c GROUP BY 1)
-        |SELECT c.from_state, c.to_state, CAST(c.n AS BIGINT) AS n,
-        |  floor(CAST(c.n AS DOUBLE) / o.tot * 1e6 + 0.5) / 1e6 AS share
-        |FROM c JOIN o USING (from_state)
-        |ORDER BY from_state, to_state""".stripMargin,
-
-    "q77_cohort_retention" ->
-      """WITH e AS (SELECT user_id,
-        |    CAST(floor(epoch(ts) / 604800) AS BIGINT) AS p
-        |  FROM events WHERE ts IS NOT NULL),
-        |f AS (SELECT user_id, min(p) AS p0 FROM e GROUP BY 1)
-        |SELECT f.p0 AS cohort_period, e.p - f.p0 AS period_offset,
-        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
-        |FROM e JOIN f USING (user_id)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    "q78_chisq" ->
-      """WITH c AS (SELECT lang AS a, source AS b, count(*) AS observed
-        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
-        |  GROUP BY 1, 2),
-        |am AS (SELECT a, sum(observed) AS ra FROM c GROUP BY 1),
-        |bm AS (SELECT b, sum(observed) AS cb FROM c GROUP BY 1),
-        |t AS (SELECT sum(observed) AS n, count(DISTINCT a) AS ca,
-        |    count(DISTINCT b) AS cbn FROM c),
-        |g AS (SELECT am.a, bm.b, am.ra, bm.cb, t.n, t.ca, t.cbn,
-        |    coalesce(c.observed, 0) AS observed
-        |  FROM am CROSS JOIN bm CROSS JOIN t
-        |  LEFT JOIN c ON c.a = am.a AND c.b = bm.b),
-        |x AS (SELECT *, CAST(ra AS DOUBLE) * cb / n AS expected FROM g),
-        |y AS (SELECT *, pow(observed - expected, 2) / expected AS contrib
-        |  FROM x)
-        |SELECT a, b, CAST(observed AS BIGINT) AS observed,
-        |  floor(expected * 1e4 + 0.5) / 1e4 AS expected,
-        |  floor(contrib * 1e4 + 0.5) / 1e4 AS contrib,
-        |  floor(sum(contrib) OVER () * 1e4 + 0.5) / 1e4 AS chi2,
-        |  CAST((ca - 1) * (cbn - 1) AS BIGINT) AS dof,
-        |  CAST(n AS BIGINT) AS n
-        |FROM y ORDER BY a, b""".stripMargin,
-
-    "q79_interval_join" ->
-      """WITH l AS (SELECT event_id AS id,
-        |    CAST(floor(epoch(ts)) AS BIGINT) AS s,
-        |    CAST(floor(epoch(ts)) AS BIGINT) + 60 + event_id % 600 AS e
-        |  FROM events WHERE user_id % 40 = 0),
-        |r AS (SELECT event_id AS id,
-        |    CAST(floor(epoch(ts)) AS BIGINT) AS s,
-        |    CAST(floor(epoch(ts)) AS BIGINT) + 60 + event_id % 600 AS e
-        |  FROM events WHERE user_id % 40 = 20)
-        |SELECT l.id AS l_id, r.id AS r_id
-        |FROM l JOIN r ON l.s < r.e AND r.s < l.e
-        |  AND l.s < l.e AND r.s < r.e
-        |ORDER BY l_id, r_id""".stripMargin,
-
-    "q80_trend" ->
-      """WITH e AS (SELECT event_type, value,
-        |    CAST(floor(epoch(ts)) - 1704067200 AS DOUBLE) AS x
-        |  FROM events WHERE value IS NOT NULL)
-        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-        |  floor(regr_slope(value, x) * 86400 * 1e6 + 0.5) / 1e6
-        |    AS slope_per_day,
-        |  floor(regr_intercept(value, x) * 1e4 + 0.5) / 1e4 AS intercept,
-        |  floor(regr_r2(value, x) * 1e6 + 0.5) / 1e6 AS r2
-        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
-
-    "q81_curation_e2e" ->
-      ("WITH " + dedupQualityCtes + ",\n" +
-      """gw AS (SELECT doc_id, x AS w FROM q,
-        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS u(x)
-        |  WHERE x <> ''),
-        |gws AS (SELECT doc_id, count(*) AS n_words,
-        |    CAST(sum(length(w)) AS BIGINT) AS wchars,
-        |    CAST(sum(CASE WHEN regexp_matches(w, '[A-Za-z]')
-        |      THEN 1 ELSE 0 END) AS BIGINT) AS alpha_words,
-        |    count(DISTINCT CASE WHEN lower(w) IN ('the','be','to','of',
-        |      'and','that','have','with') THEN lower(w) END) AS stop_hits
-        |  FROM gw GROUP BY doc_id),
-        |gls AS (SELECT doc_id, count(*) AS n_lines,
-        |    CAST(sum(CASE WHEN regexp_matches(line, '^[-*•]')
-        |      THEN 1 ELSE 0 END) AS BIGINT) AS bullets,
-        |    CAST(sum(CASE WHEN line LIKE '%...' OR line LIKE '%…'
-        |      THEN 1 ELSE 0 END) AS BIGINT) AS ellipses
-        |  FROM (SELECT doc_id, trim(x) AS line FROM q,
-        |      unnest(str_split(text, chr(10))) AS u(x))
-        |  WHERE line <> '' GROUP BY doc_id),
-        |gsy AS (SELECT doc_id,
-        |    (length(text) - length(replace(text, '#', '')))
-        |    + (length(text) - length(replace(text, '…', '')))
-        |    + (length(text) - length(replace(text, '...', ''))) // 3
-        |      AS syms
-        |  FROM q),
-        |gf AS (SELECT q.doc_id, q.text FROM q
-        |    LEFT JOIN gws USING (doc_id) LEFT JOIN gls USING (doc_id)
-        |    JOIN gsy ON q.doc_id = gsy.doc_id
-        |  WHERE coalesce(gws.n_words, 0) >= 20
-        |    AND coalesce(gws.n_words, 0) <= 100000
-        |    AND coalesce(gws.wchars::DOUBLE / gws.n_words, 0.0) >= 3.0
-        |    AND coalesce(gws.wchars::DOUBLE / gws.n_words, 0.0) <= 10.0
-        |    AND coalesce(gsy.syms::DOUBLE / gws.n_words, 0.0) < 0.1
-        |    AND coalesce(gls.bullets::DOUBLE / gls.n_lines, 0.0) < 0.9
-        |    AND coalesce(gls.ellipses::DOUBLE / gls.n_lines, 0.0) < 0.3
-        |    AND coalesce(gws.alpha_words::DOUBLE / gws.n_words, 0.0)
-        |      > 0.8
-        |    AND coalesce(gws.stop_hits, 0) >= 1),
-        |tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+')
-        |    AS a FROM gf),
-        |g AS (SELECT doc_id, unnest(list_distinct(
-        |    list_transform(range(1, len(a) - 11),
-        |      i -> array_to_string(a[i:i+12], ' ')))) AS gram
-        |  FROM tok WHERE len(a) >= 13),
-        |etok AS (SELECT regexp_split_to_array(trim(text), '\s+') AS a
-        |  FROM documents WHERE doc_id % 50 = 0),
-        |eg AS (SELECT DISTINCT unnest(list_distinct(
-        |    list_transform(range(1, len(a) - 11),
-        |      i -> array_to_string(a[i:i+12], ' ')))) AS gram
-        |  FROM etok WHERE len(a) >= 13),
-        |hit AS (SELECT DISTINCT g.doc_id FROM g JOIN eg USING (gram)),
-        |clean AS (SELECT doc_id FROM gf
-        |  WHERE doc_id NOT IN (SELECT doc_id FROM hit)
-        |    AND doc_id % 50 <> 0)
-        |SELECT doc_id,
-        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'g81'), 1, 8)
-        |         < 'cccccccd' THEN 'train'
-        |       WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'g81'), 1, 8)
-        |         < 'e6666667' THEN 'val'
-        |       ELSE 'test' END AS split
-        |FROM clean ORDER BY doc_id""".stripMargin),
-
-    "q82_quantile_sketch" ->
-      """SELECT source, 1 AS sketch_ok FROM documents
-        |GROUP BY source ORDER BY source""".stripMargin,
-
-    "t17_gopher_repetition" ->
-      """WITH s AS (SELECT doc_id, regexp_replace(text,
-        |    ' (the|a|and|of|to|in) ', chr(10) || '\1 ', 'g') AS t
-        |  FROM documents),
-        |l0 AS (SELECT doc_id, trim(x) AS line
-        |  FROM s, unnest(str_split(t, chr(10))) AS u(x)),
-        |lg AS (SELECT doc_id, line, count(*) AS cnt, length(line) AS len
-        |  FROM l0 WHERE line <> '' GROUP BY doc_id, line),
-        |ls AS (SELECT doc_id,
-        |    1.0 - count(*)::DOUBLE / sum(cnt) AS dup_line_frac,
-        |    sum((cnt - 1) * len)::DOUBLE / sum(cnt * len)
-        |      AS dup_line_char_frac
-        |  FROM lg GROUP BY doc_id),
-        |w AS (SELECT doc_id, length(trim(t)) AS tchars,
-        |    regexp_split_to_array(trim(t), '\s+') AS a FROM s),
-        |b AS (SELECT doc_id, tchars, a[i] || ' ' || a[i+1] AS gram
-        |  FROM w, unnest(generate_series(1, len(a) - 1)) AS g(i)
-        |  WHERE len(a) >= 2),
-        |bc AS (SELECT doc_id, tchars, gram, count(*) AS cnt
-        |  FROM b GROUP BY doc_id, tchars, gram),
-        |bt AS (SELECT doc_id,
-        |    (cnt * length(gram))::DOUBLE / tchars AS top_bigram_char_frac
-        |  FROM (SELECT bc.*, row_number() OVER (PARTITION BY doc_id
-        |      ORDER BY cnt DESC, gram DESC) AS rk FROM bc)
-        |  WHERE rk = 1)
-        |SELECT s.doc_id,
-        |  coalesce(ls.dup_line_frac, 0.0) AS dup_line_frac,
-        |  coalesce(ls.dup_line_char_frac, 0.0) AS dup_line_char_frac,
-        |  coalesce(bt.top_bigram_char_frac, 0.0) AS top_bigram_char_frac
-        |FROM s LEFT JOIN ls USING (doc_id) LEFT JOIN bt USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
-
-    "t18_gopher_battery" ->
-      """WITH s AS (SELECT doc_id, regexp_replace(text,
-        |    ' (the|a|and|of|to|in) ', chr(10) || '\1 ', 'g') AS t
-        |  FROM documents),
-        |w AS (SELECT doc_id, x AS w FROM s,
-        |    unnest(regexp_split_to_array(trim(t), '\s+')) AS u(x)
-        |  WHERE x <> ''),
-        |ws AS (SELECT doc_id, count(*) AS n_words,
-        |    CAST(sum(length(w)) AS BIGINT) AS wchars,
-        |    CAST(sum(CASE WHEN regexp_matches(w, '[A-Za-z]')
-        |      THEN 1 ELSE 0 END) AS BIGINT) AS alpha_words,
-        |    count(DISTINCT CASE WHEN lower(w) IN ('the','be','to','of',
-        |      'and','that','have','with') THEN lower(w) END) AS stop_hits
-        |  FROM w GROUP BY doc_id),
-        |l AS (SELECT doc_id, trim(x) AS line FROM s,
-        |    unnest(str_split(t, chr(10))) AS u(x)),
-        |ls AS (SELECT doc_id, count(*) AS n_lines,
-        |    CAST(sum(CASE WHEN regexp_matches(line, '^[-*•]')
-        |      THEN 1 ELSE 0 END) AS BIGINT) AS bullets,
-        |    CAST(sum(CASE WHEN line LIKE '%...' OR line LIKE '%…'
-        |      THEN 1 ELSE 0 END) AS BIGINT) AS ellipses
-        |  FROM l WHERE line <> '' GROUP BY doc_id),
-        |sy AS (SELECT doc_id,
-        |    (length(t) - length(replace(t, '#', '')))
-        |    + (length(t) - length(replace(t, '…', '')))
-        |    + (length(t) - length(replace(t, '...', ''))) // 3 AS syms
-        |  FROM s),
-        |j AS (SELECT s.doc_id,
-        |    CAST(coalesce(ws.n_words, 0) AS BIGINT) AS n_words,
-        |    coalesce(ws.wchars::DOUBLE / ws.n_words, 0.0)
-        |      AS mean_word_len,
-        |    coalesce(sy.syms::DOUBLE / ws.n_words, 0.0)
-        |      AS symbol_word_ratio,
-        |    coalesce(ls.bullets::DOUBLE / ls.n_lines, 0.0)
-        |      AS bullet_line_frac,
-        |    coalesce(ls.ellipses::DOUBLE / ls.n_lines, 0.0)
-        |      AS ellipsis_line_frac,
-        |    coalesce(ws.alpha_words::DOUBLE / ws.n_words, 0.0)
-        |      AS alpha_word_frac,
-        |    CAST(coalesce(ws.stop_hits, 0) AS BIGINT) AS stopword_hits
-        |  FROM s LEFT JOIN ws USING (doc_id) LEFT JOIN ls USING (doc_id)
-        |    JOIN sy ON s.doc_id = sy.doc_id)
-        |SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
-        |  bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
-        |  stopword_hits,
-        |  (n_words >= 50 AND n_words <= 100000
-        |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-        |   AND symbol_word_ratio < 0.1 AND bullet_line_frac < 0.9
-        |   AND ellipsis_line_frac < 0.3 AND alpha_word_frac > 0.8
-        |   AND stopword_hits >= 2) AS gopher_pass
-        |FROM j ORDER BY doc_id""".stripMargin,
-
-    "t14_line_clean" ->
-      """WITH s AS (SELECT doc_id, regexp_replace(text,
-        |    ' (the|a|and|of|to|in) ', chr(10) || '\1 ', 'g') AS t
-        |  FROM documents),
-        |a AS (SELECT doc_id, str_split(t, chr(10)) AS ls FROM s),
-        |k AS (SELECT doc_id, ls, list_filter(ls, l ->
-        |    len(regexp_split_to_array(trim(l), '\s+')) >= 5) AS k0
-        |  FROM a),
-        |d AS (SELECT doc_id, ls, list_filter(k0, (x, i) ->
-        |    NOT list_contains(k0[1:i-1], x)) AS kd FROM k)
-        |SELECT doc_id,
-        |  coalesce(array_to_string(kd, chr(10)), '') AS clean,
-        |  CAST(len(kd) AS INT) AS n_kept,
-        |  CAST(len(ls) - len(kd) AS INT) AS n_dropped
-        |FROM d ORDER BY doc_id""".stripMargin,
-
-    "q83_line_dedup" ->
-      """WITH s AS (SELECT doc_id, regexp_replace(text,
-        |    ' (the|a|and|of|to|in) ', chr(10) || '\1 ', 'g') AS t
-        |  FROM documents),
-        |aa AS (SELECT doc_id, str_split(t, chr(10)) AS a FROM s),
-        |l AS (SELECT doc_id, i, a[i] AS line FROM aa,
-        |  unnest(generate_series(1, len(a))) AS g(i)),
-        |stop AS (SELECT line FROM l GROUP BY line
-        |  HAVING count(DISTINCT doc_id) > 2),
-        |kept AS (SELECT doc_id, i, line FROM l
-        |  WHERE line NOT IN (SELECT line FROM stop)),
-        |re AS (SELECT doc_id,
-        |    array_to_string(list(line ORDER BY i), chr(10)) AS clean,
-        |    count(*) AS n FROM kept GROUP BY doc_id)
-        |SELECT aa.doc_id, coalesce(re.clean, '') AS clean,
-        |  CAST(coalesce(re.n, 0) AS BIGINT) AS n_lines_kept,
-        |  CAST(len(aa.a) - coalesce(re.n, 0) AS BIGINT)
-        |    AS n_lines_dropped
-        |FROM aa LEFT JOIN re ON aa.doc_id = re.doc_id
-        |ORDER BY aa.doc_id""".stripMargin,
-
-    "q84_curation_report" ->
-      """WITH fp AS (SELECT min(doc_id) AS doc_id FROM documents
-        |  GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ',
-        |    'g'))))),
-        |k0 AS (SELECT d.doc_id, d.text FROM documents d
-        |  JOIN fp USING (doc_id)),
-        |q AS (SELECT doc_id, text FROM k0 WHERE floor((
-        |    least(len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE
-        |      / 50.0, 1.0) * 0.4
-        |    + (len(list_distinct(regexp_split_to_array(trim(text),
-        |        '\s+')))::DOUBLE
-        |       / len(regexp_split_to_array(trim(text), '\s+'))) * 0.3
-        |    + least((length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
-        |       / len(regexp_split_to_array(trim(text), '\s+'))) / 8.0,
-        |       1.0) * 0.2
-        |    + (1.0 - length(regexp_replace(text, '[A-Za-z0-9\s]', '',
-        |        'g'))::DOUBLE / length(text)) * 0.1) * 1e6 + 0.5) / 1e6
-        |    >= 0.5),
-        |gw AS (SELECT doc_id, x AS w FROM q,
-        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS u(x)
-        |  WHERE x <> ''),
-        |gws AS (SELECT doc_id, count(*) AS n_words,
-        |    CAST(sum(length(w)) AS BIGINT) AS wchars,
-        |    CAST(sum(CASE WHEN regexp_matches(w, '[A-Za-z]')
-        |      THEN 1 ELSE 0 END) AS BIGINT) AS alpha_words,
-        |    count(DISTINCT CASE WHEN lower(w) IN ('the','be','to','of',
-        |      'and','that','have','with') THEN lower(w) END) AS stop_hits
-        |  FROM gw GROUP BY doc_id),
-        |gls AS (SELECT doc_id, count(*) AS n_lines,
-        |    CAST(sum(CASE WHEN regexp_matches(line, '^[-*•]')
-        |      THEN 1 ELSE 0 END) AS BIGINT) AS bullets,
-        |    CAST(sum(CASE WHEN line LIKE '%...' OR line LIKE '%…'
-        |      THEN 1 ELSE 0 END) AS BIGINT) AS ellipses
-        |  FROM (SELECT doc_id, trim(x) AS line FROM q,
-        |      unnest(str_split(text, chr(10))) AS u(x))
-        |  WHERE line <> '' GROUP BY doc_id),
-        |gsy AS (SELECT doc_id,
-        |    (length(text) - length(replace(text, '#', '')))
-        |    + (length(text) - length(replace(text, '…', '')))
-        |    + (length(text) - length(replace(text, '...', ''))) // 3
-        |      AS syms
-        |  FROM q),
-        |gf AS (SELECT q.doc_id, q.text FROM q
-        |    LEFT JOIN gws USING (doc_id) LEFT JOIN gls USING (doc_id)
-        |    JOIN gsy ON q.doc_id = gsy.doc_id
-        |  WHERE coalesce(gws.n_words, 0) >= 20
-        |    AND coalesce(gws.n_words, 0) <= 100000
-        |    AND coalesce(gws.wchars::DOUBLE / gws.n_words, 0.0) >= 3.0
-        |    AND coalesce(gws.wchars::DOUBLE / gws.n_words, 0.0) <= 10.0
-        |    AND coalesce(gsy.syms::DOUBLE / gws.n_words, 0.0) < 0.1
-        |    AND coalesce(gls.bullets::DOUBLE / gls.n_lines, 0.0) < 0.9
-        |    AND coalesce(gls.ellipses::DOUBLE / gls.n_lines, 0.0) < 0.3
-        |    AND coalesce(gws.alpha_words::DOUBLE / gws.n_words, 0.0)
-        |      > 0.8
-        |    AND coalesce(gws.stop_hits, 0) >= 1),
-        |tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+')
-        |    AS a FROM gf),
-        |g AS (SELECT doc_id, unnest(list_distinct(
-        |    list_transform(range(1, len(a) - 11),
-        |      i -> array_to_string(a[i:i+12], ' ')))) AS gram
-        |  FROM tok WHERE len(a) >= 13),
-        |etok AS (SELECT regexp_split_to_array(trim(text), '\s+') AS a
-        |  FROM documents WHERE doc_id % 50 = 0),
-        |eg AS (SELECT DISTINCT unnest(list_distinct(
-        |    list_transform(range(1, len(a) - 11),
-        |      i -> array_to_string(a[i:i+12], ' ')))) AS gram
-        |  FROM etok WHERE len(a) >= 13),
-        |hit AS (SELECT DISTINCT g.doc_id FROM g JOIN eg USING (gram)),
-        |lab AS (SELECT doc_id,
-        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'g81'), 1, 8)
-        |           < 'cccccccd' THEN 'train'
-        |         WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'g81'), 1, 8)
-        |           < 'e6666667' THEN 'val'
-        |         ELSE 'test' END AS split
-        |  FROM gf WHERE doc_id NOT IN (SELECT doc_id FROM hit)
-        |    AND doc_id % 50 <> 0)
-        |SELECT '0_input' AS stage, CAST(count(*) AS BIGINT) AS n_docs
-        |  FROM documents
-        |UNION ALL SELECT '1_deduped', count(*) FROM k0
-        |UNION ALL SELECT '2_quality', count(*) FROM q
-        |UNION ALL SELECT '2g_gopher', count(*) FROM gf
-        |UNION ALL SELECT '3_decontaminated', count(*) FROM lab
-        |UNION ALL SELECT '4_split_' || split, count(*) FROM lab
-        |  GROUP BY split
-        |ORDER BY stage""".stripMargin,
-
-    "q85_flatten" ->
-      """SELECT c_custkey, c_name AS info_name,
-        |  c_acctbal AS info_acct_bal, c_mktsegment AS info_acct_seg
-        |FROM customer ORDER BY c_custkey""".stripMargin,
-
-    "t15_lm_perplexity" ->
-      """WITH g AS (SELECT doc_id, substr(text, i, 3) AS gram
-        |  FROM documents,
-        |    unnest(generate_series(1, length(text) - 2)) AS t(i)),
-        |cnt AS (SELECT gram, count(*) AS c FROM g GROUP BY gram),
-        |ctx AS (SELECT substr(gram, 1, 2) AS pre, sum(c) AS cc
-        |  FROM cnt GROUP BY pre)
-        |SELECT doc_id, count(*) AS n_grams,
-        |  floor(avg(-ln((c + 0.5) / (cc + 0.5 * 64))) * 1e4 + 0.5) / 1e4
-        |    AS avg_nll
-        |FROM g JOIN cnt USING (gram)
-        |  JOIN ctx ON substr(gram, 1, 2) = ctx.pre
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-    "q86_kmeans_assign" ->
-      s"""$kmeansOraclePreamble
-         |SELECT vec_id, cell FROM asg ORDER BY vec_id""".stripMargin,
-
-    "q87_kmeans_summary" ->
-      s"""$kmeansOraclePreamble
-         |SELECT cell, CAST(count(*) AS BIGINT) AS n,
-         |  floor(sum(
-         |    list_sum(list_transform(e.embedding,
-         |      x -> x::DOUBLE * x::DOUBLE))
-         |    - 2 * list_sum(list_transform(list_zip(e.embedding, ct.c),
-         |        x -> x[1]::DOUBLE * x[2]::DOUBLE))
-         |    + list_sum(list_transform(ct.c, x -> x::DOUBLE * x::DOUBLE))
-         |  ) * 1e3 + 0.5) / 1e3 AS wcss
-         |FROM asg JOIN e USING (vec_id) JOIN cents ct USING (cell)
-         |GROUP BY cell ORDER BY cell""".stripMargin,
-
-    "q88_kmeans_balanced_sample" ->
-      s"""$kmeansOraclePreamble,
-         |sz AS (SELECT cell, count(*) AS csize FROM asg GROUP BY cell)
-         |SELECT a.vec_id, a.cell FROM asg a JOIN sz USING (cell)
-         |WHERE ('0x' || substr(md5(CAST(a.vec_id AS VARCHAR) || '|q88'),
-         |    1, 8))::BIGINT
-         |  < least(1.0, 30.0 / csize) * 4294967296.0
-         |ORDER BY vec_id""".stripMargin,
-
-    "q96_d4_diversify" ->
-      s"""$kmeansOraclePreamble,
-         |dd AS (SELECT a.vec_id, a.cell,
-         |    floor((
-         |      list_sum(list_transform(e.embedding,
-         |        x -> x::DOUBLE * x::DOUBLE))
-         |      - 2 * list_sum(list_transform(list_zip(e.embedding, ct.c),
-         |          x -> x[1]::DOUBLE * x[2]::DOUBLE))
-         |      + list_sum(list_transform(ct.c, x -> x::DOUBLE * x::DOUBLE))
-         |    ) * 1e6 + 0.5) / 1e6 AS dist2
-         |  FROM asg a JOIN e USING (vec_id) JOIN cents ct USING (cell)),
-         |rr AS (SELECT vec_id, cell, dist2,
-         |    row_number() OVER (PARTITION BY cell
-         |      ORDER BY dist2, vec_id) AS rn,
-         |    count(*) OVER (PARTITION BY cell) AS cn
-         |  FROM dd)
-         |SELECT vec_id, cell, dist2 FROM rr
-         |WHERE rn > ceil(0.25 * cn) ORDER BY vec_id""".stripMargin,
-
-    // intersection sizes come from a grouped join-count over the inverted
-    // index — exact (a pair with containment > 0 shares >= 1 gram, and
-    // every shared gram contributes exactly one joined row), and far
-    // cheaper than per-pair list_intersect at sf0.1
-    "x11_containment" ->
-      """WITH s AS (SELECT doc_id, list_distinct(list_transform(
-        |    generate_series(1, length(text) - 7),
-        |    i -> substr(text, i, 8))) AS sh
-        |  FROM documents),
-        |ss AS (SELECT doc_id, len(sh) AS nsh FROM s WHERE len(sh) > 0),
-        |g AS (SELECT doc_id, unnest(sh) AS gram FROM s WHERE len(sh) > 0),
-        |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
-        |    count(*) AS shared
-        |  FROM g a JOIN g b USING (gram) WHERE a.doc_id <> b.doc_id
-        |  GROUP BY ia, ib)
-        |SELECT ia AS id, ib AS container_id,
-        |  shared::DOUBLE / a.nsh AS containment
-        |FROM inter JOIN ss a ON inter.ia = a.doc_id
-        |WHERE shared >= 0.8 * a.nsh
-        |ORDER BY id, container_id""".stripMargin,
-
-    // x12: x7's recursive closure over the exact-Jaccard pair graph gives
-    // the clusters; each doc's group = its component's min id (or itself),
-    // and the label is q75's hex-threshold chain on md5(group || salt).
-    // Same sf0.01-gate scale bound as the x7 oracle (full reachability).
-    "x12_leakage_safe_split" ->
-      """WITH RECURSIVE d AS (SELECT doc_id,
-        |    list_distinct(regexp_split_to_array(trim(text), '\s+')) AS ws
-        |  FROM documents),
-        |p AS (SELECT a.doc_id AS u, b.doc_id AS v
-        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.ws, b.ws))::DOUBLE
-        |      / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.8),
-        |e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
-        |reach(id, r) AS (
-        |  SELECT u, u FROM e
-        |  UNION
-        |  SELECT reach.id, e.v FROM reach JOIN e ON reach.r = e.u),
-        |cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
-        |g AS (SELECT doc_id, coalesce(cc.cluster_id, doc_id) AS grp
-        |  FROM documents LEFT JOIN cc ON documents.doc_id = cc.id)
-        |SELECT doc_id,
-        |  CASE WHEN substr(md5(CAST(grp AS VARCHAR) || 'x12'), 1, 8)
-        |         < 'cccccccd' THEN 'train'
-        |       WHEN substr(md5(CAST(grp AS VARCHAR) || 'x12'), 1, 8)
-        |         < 'e6666667' THEN 'val'
-        |       ELSE 'test' END AS split
-        |FROM g ORDER BY doc_id""".stripMargin,
-
-    "t16_quality_classifier" ->
-      """SELECT CAST(2 * count(*) AS BIGINT) AS n_eval, 1 AS acc_ok
-        |FROM documents WHERE doc_id % 5 = 0""".stripMargin,
-
-    "q89_pca_cov" ->
-      """WITH e AS (SELECT vec_id, g.i AS pos, embedding[g.i]::DOUBLE AS v
-        |  FROM embeddings,
-        |    unnest(generate_series(1, len(embedding))) AS g(i))
-        |SELECT CAST(a.pos - 1 AS INT) AS i, CAST(b.pos - 1 AS INT) AS j,
-        |  floor((avg(a.v * b.v) - avg(a.v) * avg(b.v)) * 1e6 + 0.5) / 1e6
-        |    AS cov
-        |FROM e a JOIN e b USING (vec_id)
-        |GROUP BY a.pos, b.pos ORDER BY i, j""".stripMargin,
-
-    // (1024 - 256) / 128 + 1 = 7 frames; every frame of a bin-aligned
-    // tone must peak at bin doc_id % 20 + 5, so min = max = that bin
-    "m10_audio_spectrogram" ->
-      """SELECT doc_id AS media_id, CAST(7 AS BIGINT) AS n_frames,
-        |  CAST(doc_id % 20 + 5 AS INT) AS bin_lo,
-        |  CAST(doc_id % 20 + 5 AS INT) AS bin_hi
-        |FROM documents ORDER BY media_id""".stripMargin,
-
-    "q90_seasonal_decompose" ->
-      """WITH hr AS (SELECT event_type,
-        |    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS slot,
-        |    floor(sum(value) * 1e6 + 0.5) / 1e6 AS y
-        |  FROM events GROUP BY 1, 2),
-        |srs AS (SELECT event_type, CAST(row_number() OVER
-        |      (PARTITION BY event_type ORDER BY slot) - 1 AS BIGINT)
-        |      AS idx, y
-        |  FROM hr),
-        |tr AS (SELECT event_type, idx, y,
-        |    CASE WHEN count(*) OVER w = 25 THEN
-        |      floor((sum(y) OVER w
-        |        - (lag(y, 12) OVER wk + lead(y, 12) OVER wk) / 2) / 24
-        |        * 1e6 + 0.5) / 1e6
-        |    END AS trend,
-        |    idx % 24 AS phase
-        |  FROM srs
-        |  WINDOW w AS (PARTITION BY event_type ORDER BY idx
-        |      ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING),
-        |    wk AS (PARTITION BY event_type ORDER BY idx)),
-        |sr AS (SELECT event_type, phase,
-        |    floor(avg(y - trend) * 1e6 + 0.5) / 1e6 AS sraw FROM tr
-        |  WHERE trend IS NOT NULL GROUP BY 1, 2),
-        |sm AS (SELECT event_type,
-        |    floor(avg(sraw) * 1e6 + 0.5) / 1e6 AS smean FROM sr GROUP BY 1)
-        |SELECT t.event_type, t.idx, floor(y * 1e2 + 0.5) / 1e2 AS y,
-        |  floor(trend * 1e4 + 0.5) / 1e4 AS trend,
-        |  floor((sr.sraw - sm.smean) * 1e4 + 0.5) / 1e4 AS seasonal,
-        |  floor((y - trend - (sr.sraw - sm.smean)) * 1e4 + 0.5) / 1e4
-        |    AS residual
-        |FROM tr t LEFT JOIN sr
-        |    ON t.event_type = sr.event_type AND t.phase = sr.phase
-        |  LEFT JOIN sm ON t.event_type = sm.event_type
-        |ORDER BY t.event_type, t.idx""".stripMargin,
-
-    "q91_span_excise" ->
-      """WITH dd AS (SELECT doc_id, text, length(text) AS n FROM documents
-        |  WHERE text IS NOT NULL AND length(text) >= 15),
-        |pos AS (SELECT doc_id, i,
-        |    CAST('0x' || substr(md5(substr(text, CAST(i AS INT), 15)),
-        |      1, 12) AS BIGINT) AS h
-        |  FROM dd, unnest(generate_series(1, n - 14)) AS t(i)),
-        |hot AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd
-        |    FROM pos GROUP BY h) WHERE nd > 10),
-        |hits AS (SELECT doc_id, i FROM pos JOIN hot USING (h)),
-        |m AS (SELECT doc_id, i,
-        |    CASE WHEN i > coalesce(max(i + 14) OVER (PARTITION BY doc_id
-        |        ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
-        |        AND 1 PRECEDING), -2) + 1 THEN 1 ELSE 0 END AS ng
-        |  FROM hits),
-        |g AS (SELECT doc_id, i, sum(ng) OVER (PARTITION BY doc_id
-        |    ORDER BY i) AS grp FROM m),
-        |sp AS (SELECT doc_id, grp, min(i) AS s, max(i) + 14 AS e
-        |  FROM g GROUP BY 1, 2),
-        |seg AS (SELECT doc_id, s,
-        |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0)
-        |      AS pe
-        |  FROM sp),
-        |cuts AS (SELECT doc_id, max(e) AS me, count(*) AS nsp,
-        |    sum(e - s + 1) AS nch FROM sp GROUP BY doc_id),
-        |pieces AS (
-        |  SELECT doc_id, s AS ord, pe + 1 AS st, s - pe - 1 AS ln FROM seg
-        |  UNION ALL
-        |  SELECT doc_id, 2147483647, me + 1, NULL FROM cuts),
-        |reb AS (SELECT p.doc_id,
-        |    string_agg(substr(dd.text, CAST(p.st AS INT),
-        |      CAST(coalesce(p.ln, dd.n - p.st + 1) AS INT)), ''
-        |      ORDER BY p.ord) AS clean
-        |  FROM pieces p JOIN dd USING (doc_id)
-        |  GROUP BY p.doc_id)
-        |SELECT d.doc_id, coalesce(reb.clean, d.text) AS clean,
-        |  CAST(coalesce(cuts.nsp, 0) AS BIGINT) AS n_spans_removed,
-        |  CAST(coalesce(cuts.nch, 0) AS BIGINT) AS n_chars_removed
-        |FROM documents d LEFT JOIN reb ON d.doc_id = reb.doc_id
-        |  LEFT JOIN cuts ON d.doc_id = cuts.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
-
-    // q90's construction + a per-key residual stddev; sd and z snap to
-    // the 1e-6 grid BEFORE the 2.5 threshold compare, so the boolean
-    // matches Spark even for a z sitting exactly on the boundary
-    "q92_seasonal_anomalies" ->
-      """WITH hr AS (SELECT event_type,
-        |    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS slot,
-        |    floor(sum(value) * 1e6 + 0.5) / 1e6 AS y
-        |  FROM events GROUP BY 1, 2),
-        |srs AS (SELECT event_type, CAST(row_number() OVER
-        |      (PARTITION BY event_type ORDER BY slot) - 1 AS BIGINT)
-        |      AS idx, y
-        |  FROM hr),
-        |tr AS (SELECT event_type, idx, y,
-        |    CASE WHEN count(*) OVER w = 25 THEN
-        |      floor((sum(y) OVER w
-        |        - (lag(y, 12) OVER wk + lead(y, 12) OVER wk) / 2) / 24
-        |        * 1e6 + 0.5) / 1e6
-        |    END AS trend,
-        |    idx % 24 AS phase
-        |  FROM srs
-        |  WINDOW w AS (PARTITION BY event_type ORDER BY idx
-        |      ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING),
-        |    wk AS (PARTITION BY event_type ORDER BY idx)),
-        |sr AS (SELECT event_type, phase,
-        |    floor(avg(y - trend) * 1e6 + 0.5) / 1e6 AS sraw FROM tr
-        |  WHERE trend IS NOT NULL GROUP BY 1, 2),
-        |sm AS (SELECT event_type,
-        |    floor(avg(sraw) * 1e6 + 0.5) / 1e6 AS smean FROM sr GROUP BY 1),
-        |res AS (SELECT t.event_type, t.idx,
-        |    y - trend - (sr.sraw - sm.smean) AS residual
-        |  FROM tr t LEFT JOIN sr
-        |      ON t.event_type = sr.event_type AND t.phase = sr.phase
-        |    LEFT JOIN sm ON t.event_type = sm.event_type),
-        |sd AS (SELECT event_type,
-        |    floor(stddev_samp(residual) * 1e6 + 0.5) / 1e6 AS sdv
-        |  FROM res WHERE residual IS NOT NULL GROUP BY 1),
-        |z AS (SELECT r.event_type, r.idx, r.residual,
-        |    floor(r.residual / NULLIF(sd.sdv, 0) * 1e6 + 0.5) / 1e6 AS zs
-        |  FROM res r LEFT JOIN sd ON r.event_type = sd.event_type)
-        |SELECT event_type, idx,
-        |  floor(residual * 1e4 + 0.5) / 1e4 AS residual,
-        |  floor(zs * 1e4 + 0.5) / 1e4 AS z,
-        |  coalesce(abs(zs) > 2.5, false) AS is_anomaly
-        |FROM z ORDER BY event_type, idx""".stripMargin,
-
-    "q93_retention_expiry" ->
-      """SELECT strftime(o_orderdate, '%Y-%m') AS od,
-        |  count(*) AS n_rows,
-        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
-        |  min(o_totalprice) AS min_price,
-        |  max(o_totalprice) AS max_price
-        |FROM orders
-        |WHERE strftime(o_orderdate, '%Y-%m') >= '1996-01'
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q94_schema_evolution" ->
-      """SELECT c_custkey, c_name,
-        |  CAST(NULL AS VARCHAR) AS c_mktsegment, c_acctbal
-        |FROM customer WHERE c_custkey % 2 = 0
-        |UNION ALL
-        |SELECT c_custkey, c_name, c_mktsegment, c_acctbal
-        |FROM customer WHERE c_custkey % 2 = 1
-        |ORDER BY c_custkey""".stripMargin,
-
-    // q97: compaction is a physical rewrite — the logical content must be
-    // exactly the source partition, so the oracle is the source itself
-    // (plus the shrink verdict the Spark side derives from the returned
-    // file counts)
-    "q97_compaction" ->
-      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
-        |  true AS compacted
-        |FROM customer ORDER BY c_custkey""".stripMargin,
-
-    "q95_dsir_select" ->
-      ("WITH " + dsirOracleTail("documents", "dsir", 500)),
-
-    // q99: per-language sizes, the closed-form prefix waterfill (capped
-    // prefix found by the min-over-prefix window on the all-integer
-    // fair-share test), the integer 1e-6/1e-9 grids via HUGEINT `//`
-    // round-half-up, and the md5-coin fractional-epoch count. Every
-    // compare column is integer-derived — the HUGEINT arithmetic here
-    // is the oracle twin of unimaxAllocation's BigInt rationals, so no
-    // double-grid boundary exists for a driver environment to flip.
-    "q99_unimax_sampling" ->
-      """WITH c AS MATERIALIZED (SELECT lang, count(*) AS n_docs,
-        |    coalesce(sum(length(text)), 0) AS chars
-        |  FROM documents GROUP BY 1),
-        |gl AS MATERIALIZED (SELECT count(*) AS L, sum(chars) AS tc
-        |  FROM c),
-        |prm AS MATERIALIZED (SELECT CAST(floor(tc * 1.5) AS HUGEINT) AS B,
-        |    CAST(2000000 AS HUGEINT) AS capn,
-        |    CAST(1000000 AS HUGEINT) AS capd
-        |  FROM gl),
-        |ordx AS MATERIALIZED (SELECT c.*,
-        |    row_number() OVER (ORDER BY chars, lang) AS rn,
-        |    coalesce(sum(chars) OVER (ORDER BY chars, lang
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS cum0
-        |  FROM c),
-        |cap AS MATERIALIZED (SELECT rn,
-        |    CASE WHEN (SELECT capn FROM prm) * chars
-        |          * ((SELECT L FROM gl) - rn + 1)
-        |        <= (SELECT B * capd FROM prm)
-        |          - (SELECT capn FROM prm) * cum0
-        |      THEN 1 ELSE 0 END AS ok
-        |  FROM ordx),
-        |pfx AS MATERIALIZED (SELECT rn, min(ok) OVER (ORDER BY rn
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS allok
-        |  FROM cap),
-        |mx AS MATERIALIZED (SELECT coalesce(max(rn), 0) AS m FROM pfx
-        |  WHERE allok = 1),
-        |cm AS MATERIALIZED (SELECT coalesce(sum(chars), 0) AS cum_m
-        |  FROM ordx WHERE rn <= (SELECT m FROM mx)),
-        |w AS MATERIALIZED (SELECT o.lang, o.n_docs, o.chars,
-        |    CASE WHEN o.rn <= (SELECT m FROM mx)
-        |      THEN (SELECT capn FROM prm) * o.chars
-        |      ELSE (SELECT B * capd FROM prm)
-        |        - (SELECT capn FROM prm) * (SELECT cum_m FROM cm)
-        |      END AS num,
-        |    CASE WHEN o.rn <= (SELECT m FROM mx)
-        |      THEN (SELECT capd FROM prm)
-        |      ELSE (SELECT capd FROM prm)
-        |        * greatest((SELECT L FROM gl) - (SELECT m FROM mx), 1)
-        |      END AS den
-        |  FROM ordx o),
-        |w2 AS MATERIALIZED (SELECT lang, n_docs, chars,
-        |    (num * 2000000 + den) // (den * 2) AS am,
-        |    CASE WHEN chars = 0 THEN CAST(0 AS HUGEINT)
-        |      ELSE (num * 2000000 + den * chars) // (den * chars * 2)
-        |      END AS em,
-        |    (num * 2000000000 + den * (SELECT B FROM prm))
-        |      // (den * (SELECT B FROM prm) * 2) AS pn
-        |  FROM w),
-        |w3 AS MATERIALIZED (SELECT *,
-        |    CAST(em // 1000000 AS BIGINT) AS k,
-        |    CAST(((em % 1000000) * 1048576) // 1000000 AS BIGINT) AS thr
-        |  FROM w2),
-        |v AS MATERIALIZED (SELECT d.lang,
-        |    sum(w3.k + CASE WHEN CAST('0x' || substr(md5(
-        |        CAST(d.doc_id AS VARCHAR) || 'q99'), 1, 5) AS BIGINT)
-        |      < w3.thr THEN 1 ELSE 0 END) AS n_virtual
-        |  FROM documents d JOIN w3 USING (lang) GROUP BY 1)
-        |SELECT w3.lang, w3.n_docs, w3.chars,
-        |  CAST(w3.am AS BIGINT) AS alloc_micro,
-        |  CAST(w3.em AS BIGINT) AS epochs_micro,
-        |  CAST(w3.pn AS BIGINT) AS p_nano,
-        |  coalesce(v.n_virtual, 0) AS n_virtual
-        |FROM w3 LEFT JOIN v USING (lang) ORDER BY w3.lang""".stripMargin,
-
-    // q100: per-probe containment recount — duplicates among probes
-    // count separately (the engine's automaton keeps multiplicities),
-    // eval items shorter than 16 chars carry no probe.
-    "q100_exact_decontam" ->
-      """WITH d AS (SELECT doc_id, text FROM documents
-        |  WHERE text IS NOT NULL AND doc_id % 5 <> 0),
-        |p AS (SELECT substr(text, 1, 16) AS probe FROM documents
-        |  WHERE text IS NOT NULL AND doc_id % 5 = 0
-        |    AND length(text) >= 16),
-        |h AS (SELECT d.doc_id, count(*) AS n FROM d JOIN p
-        |  ON position(p.probe IN d.text) > 0 GROUP BY 1)
-        |SELECT d.doc_id, coalesce(h.n, 0) AS n_eval_hits,
-        |  coalesce(h.n, 0) > 0 AS contaminated
-        |FROM d LEFT JOIN h USING (doc_id) ORDER BY d.doc_id""".stripMargin,
-
-    // x16: corpus-side k-means replay (kmeansOracle at the %10<9 split),
-    // eval probe scoring against those cells, exact-cosine verify of
-    // every (eval probe, corpus home) candidate, per-corpus-doc verdict.
-    "x16_semantic_decontam" ->
-      s"""${kmeansOracle(8, " WHERE vec_id % 10 < 9")},
-        |enx AS (SELECT vec_id, embedding,
-        |    sqrt(list_sum(list_transform(embedding,
-        |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
-        |  FROM embeddings),
-        |eq AS (SELECT vec_id, embedding FROM embeddings
-        |  WHERE vec_id % 10 = 9),
-        |qs AS (SELECT q.vec_id, t.cell,
-        |    list_sum(list_transform(list_zip(q.embedding, t.c),
-        |      x -> x[1]::DOUBLE * x[2]::DOUBLE))
-        |    - list_sum(list_transform(t.c, x -> x::DOUBLE * x::DOUBLE)) / 2
-        |      AS score
-        |  FROM eq q CROSS JOIN cents t),
-        |eprobes AS (SELECT vec_id AS eval_id, cell FROM (
-        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY score DESC, cell) AS rn FROM qs) t7 WHERE rn <= 4),
-        |cand AS (SELECT p.eval_id, a.vec_id AS corpus_id
-        |  FROM eprobes p JOIN asg a ON p.cell = a.cell),
-        |scx AS (SELECT c.corpus_id,
-        |    list_sum(list_transform(list_zip(q.embedding, n.embedding),
-        |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * n.nrm)
-        |      AS cosine
-        |  FROM cand c JOIN enx q ON c.eval_id = q.vec_id
-        |    JOIN enx n ON c.corpus_id = n.vec_id),
-        |hits AS (SELECT corpus_id, count(*) AS n_eval_hits,
-        |    max(cosine) AS max_cosine
-        |  FROM scx WHERE cosine IS NOT NULL AND NOT isnan(cosine)
-        |    AND cosine >= 0.45
-        |  GROUP BY 1)
-        |SELECT e.vec_id, coalesce(h.n_eval_hits, 0) AS n_eval_hits,
-        |  h.max_cosine,
-        |  coalesce(h.n_eval_hits, 0) > 0 AS contaminated
-        |FROM e LEFT JOIN hits h ON e.vec_id = h.corpus_id
-        |ORDER BY e.vec_id""".stripMargin,
-
-    // q98: the DoReMi replay — specialist reference LMs, three unrolled
-    // EG steps over the α-weighted mixture LM, and the md5-coin resample
-    // (doremiOracle generates the step CTEs with the engine's exact
-    // arithmetic order and grids).
-    "q98_doremi_weights" -> doremiOracle(3, "0.01"),
-
-    // x13: models re-derived from the vec_id%10<8 train split
-    // (kmeansOracleSqrt + pqTrainEncodeCtes — y7's preambles at the x13
-    // filter); the SERVED corpus is the post-expiry union vec_id%10 in
-    // [2,8], so its assignments (asg2), encodes (enc2/recon2) and norms
-    // (spn) are replayed over that wider-than-train row set before y7's
-    // serving tail; the dup rows are x9's exact cross-split Jaccard.
-    "x13_snapshot_lifecycle" ->
-      s"""${kmeansOracleSqrt(" WHERE vec_id % 10 < 8")},
-        |$pqTrainEncodeCtes,
-        |sp AS (SELECT vec_id, embedding FROM embeddings
-        |  WHERE vec_id % 10 BETWEEN 2 AND 8),
-        |spn AS (SELECT vec_id, embedding,
-        |    sqrt(list_sum(list_transform(embedding,
-        |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
-        |  FROM sp),
-        |xs AS (SELECT sp.vec_id, t.cell,
-        |    list_sum(list_transform(list_zip(sp.embedding, t.c),
-        |      x -> x[1]::DOUBLE * x[2]::DOUBLE))
-        |    - list_sum(list_transform(t.c, x -> x::DOUBLE * x::DOUBLE))
-        |      / 2 AS score
-        |  FROM sp CROSS JOIN cents t),
-        |asg2 AS (SELECT vec_id, cell FROM (
-        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY score DESC, cell) AS rn FROM xs) tx WHERE rn = 1),
-        |sv2 AS (SELECT sp.vec_id, j.j AS sub,
-        |    sp.embedding[j.j * 4 + 1 : j.j * 4 + 4] AS v
-        |  FROM sp, range(16) j(j)),
-        |enc2 AS (SELECT vec_id, sub, cell FROM (
-        |    SELECT sv2.vec_id, sv2.sub, t.cell,
-        |      row_number() OVER (PARTITION BY sv2.vec_id, sv2.sub
-        |        ORDER BY list_sum(list_transform(list_zip(sv2.v, t.c),
-        |            x -> x[1]::DOUBLE * x[2]::DOUBLE))
-        |          - list_sum(list_transform(t.c,
-        |            x -> x::DOUBLE * x::DOUBLE)) / 2 DESC, t.cell) AS rn
-        |    FROM sv2 JOIN pcents t ON sv2.sub = t.sub) ty WHERE rn = 1),
-        |recon2 AS (SELECT c.vec_id, flatten(list(p.c ORDER BY c.sub))
-        |    AS rv
-        |  FROM enc2 c JOIN pcents p ON c.sub = p.sub AND c.cell = p.cell
-        |  GROUP BY c.vec_id),
-        |$batchQueryCte,
-        |${indexedServeCtes("(SELECT nb FROM params)",
-             "asg2", "recon2", "spn")},
-        |d AS (SELECT doc_id,
-        |    list_distinct(regexp_split_to_array(trim(text), '\\s+'))
-        |      AS ws
-        |  FROM documents),
-        |dup AS (SELECT a.doc_id AS corpus_id, b.doc_id AS new_id,
-        |    len(list_intersect(a.ws, b.ws))::DOUBLE
-        |      / len(list_distinct(list_concat(a.ws, b.ws))) AS jaccard
-        |  FROM d a JOIN d b
-        |    ON a.doc_id % 10 < 8 AND b.doc_id % 10 >= 8
-        |  WHERE len(list_intersect(a.ws, b.ws))::DOUBLE
-        |      / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.8)
-        |SELECT kind, a, b, rank, score FROM (
-        |  SELECT 'knn' AS kind, query_id AS a, neighbor_id AS b, rank,
-        |    cosine AS score FROM served
-        |  UNION ALL
-        |  SELECT 'dup', corpus_id, new_id, 0, jaccard FROM dup) u
-        |ORDER BY kind, a, b, rank""".stripMargin,
-
-    // x15: q81's dedup + quality CTEs → the q40-shape distinct-13-gram
-    // contamination join vs the %50 eval set → eval ids dropped → q95's
-    // full DSIR chain (bucket hash, Laplace log-ratios, Gumbel top-k at
-    // salt x15) bound to the surviving corpus instead of raw documents.
-    "x15_curate_then_select" ->
-      ("WITH " + dedupQualityCtes + ",\n" +
-        """tok AS (SELECT doc_id,
-          |    regexp_split_to_array(trim(text), '\s+') AS a FROM q),
-          |gq AS (SELECT doc_id, unnest(list_distinct(
-          |    list_transform(range(1, len(a) - 11),
-          |      i -> array_to_string(a[i:i+12], ' ')))) AS gram
-          |  FROM tok WHERE len(a) >= 13),
-          |etok AS (SELECT doc_id,
-          |    regexp_split_to_array(trim(text), '\s+') AS a
-          |  FROM documents WHERE doc_id % 50 = 0),
-          |ge AS (SELECT DISTINCT unnest(list_distinct(
-          |    list_transform(range(1, len(a) - 11),
-          |      i -> array_to_string(a[i:i+12], ' ')))) AS gram
-          |  FROM etok WHERE len(a) >= 13),
-          |hits AS (SELECT DISTINCT gq.doc_id FROM gq JOIN ge USING (gram)),
-          |cur AS (SELECT doc_id, text FROM q WHERE doc_id % 50 <> 0
-          |  AND doc_id NOT IN (SELECT doc_id FROM hits)),""".stripMargin +
-        "\n" + dsirOracleTail("cur", "x15", 200)),
-
-    // x18: the q86 k-means assignment (asg) + q60's tokenization, term
-    // counts summed per cell, TF-IDF with cells as the document unit,
-    // top-3 per cell on the 1e-4 grid with term tiebreak.
-    "x18_cluster_topics" ->
-      s"""${kmeansOracle(8)},
-        |tok AS (SELECT doc_id,
-        |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
-        |  FROM documents WHERE text IS NOT NULL),
-        |tfd AS (SELECT doc_id, term, count(*) AS tf FROM tok
-        |  WHERE len(term) > 0 GROUP BY doc_id, term),
-        |ctf AS (SELECT a.cell, t.term, sum(t.tf) AS tf
-        |  FROM tfd t JOIN asg a ON t.doc_id = a.vec_id GROUP BY 1, 2),
-        |dfq AS (SELECT term, count(*) AS df FROM ctf GROUP BY term),
-        |nn AS (SELECT CAST(count(DISTINCT cell) AS DOUBLE) AS n FROM ctf),
-        |sx AS (SELECT ctf.cell, ctf.term,
-        |    floor(ctf.tf * ln(nn.n / dfq.df) * 1e4 + 0.5) / 1e4 AS score
-        |  FROM ctf JOIN dfq USING (term) CROSS JOIN nn),
-        |rr AS (SELECT sx.*, row_number() OVER (PARTITION BY cell
-        |    ORDER BY score DESC, term) AS rank FROM sx)
-        |SELECT cell, CAST(rank AS INT) AS rank, term, score
-        |FROM rr WHERE rank <= 3 ORDER BY cell, rank""".stripMargin,
-
-    // x17: x15's curation prefix (dedup + quality CTEs, the 13-gram
-    // contamination join, the eval anti-joins) re-joined with documents
-    // for the source column, then the full q98 DoReMi chain bound to the
-    // surviving corpus at salt x17.
-    "x17_curate_then_reweight" ->
-      ("WITH " + dedupQualityCtes + ",\n" +
-        """tok AS (SELECT doc_id,
-          |    regexp_split_to_array(trim(text), '\s+') AS a FROM q),
-          |gq AS (SELECT doc_id, unnest(list_distinct(
-          |    list_transform(range(1, len(a) - 11),
-          |      i -> array_to_string(a[i:i+12], ' ')))) AS gram
-          |  FROM tok WHERE len(a) >= 13),
-          |etok AS (SELECT doc_id,
-          |    regexp_split_to_array(trim(text), '\s+') AS a
-          |  FROM documents WHERE doc_id % 50 = 0),
-          |ge AS (SELECT DISTINCT unnest(list_distinct(
-          |    list_transform(range(1, len(a) - 11),
-          |      i -> array_to_string(a[i:i+12], ' ')))) AS gram
-          |  FROM etok WHERE len(a) >= 13),
-          |hits AS (SELECT DISTINCT gq.doc_id FROM gq JOIN ge USING (gram)),
-          |cur AS (SELECT doc_id, text FROM q WHERE doc_id % 50 <> 0
-          |  AND doc_id NOT IN (SELECT doc_id FROM hits)),
-          |curd AS MATERIALIZED (SELECT c.doc_id, d.source, c.text
-          |  FROM cur c JOIN documents d USING (doc_id)),""".stripMargin +
-        "\n" + doremiOracleTail("curd", "x17", 3, "0.01")),
-
-    // x14: re-derive the 16-bin count/64 luminance histograms as byte
-    // math (m8's proof: pixel = text byte, zero-padded past 64; ascii('')
-    // = 0 lands padding in bin 0), bind the k-means preamble's `e` to the
-    // corpus half, replay the q86 training loop, then the batch's probe
-    // ranking + exact-cosine top-5 against corpus home cells.
-    "x14_visual_near_dup" ->
-      s"""WITH px AS (SELECT doc_id,
-        |    CAST(ascii(substr(text, g.i, 1)) // 16 AS INT) AS bin
-        |  FROM documents, unnest(range(1, 65)) AS g(i)),
-        |hist AS (SELECT doc_id, bin, count(*) AS cnt
-        |  FROM px GROUP BY doc_id, bin),
-        |feat AS (SELECT d.doc_id AS vec_id,
-        |    list(CAST(coalesce(h.cnt, 0) / 64.0 AS REAL) ORDER BY bb.b)
-        |      AS embedding
-        |  FROM documents d CROSS JOIN range(16) bb(b)
-        |  LEFT JOIN hist h ON h.doc_id = d.doc_id AND h.bin = bb.b
-        |  GROUP BY d.doc_id),
-        |e AS (SELECT vec_id, embedding FROM feat WHERE vec_id % 10 < 9),
-        |init AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
-        |      AS INT) AS cell, embedding AS c
-        |  FROM (SELECT vec_id, embedding FROM e
-        |        ORDER BY vec_id LIMIT 8) t0),
-        |$kmeansOracleBody,
-        |$enCte,
-        |eqn AS (SELECT vec_id, embedding,
-        |    sqrt(list_sum(list_transform(embedding,
-        |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
-        |  FROM feat WHERE vec_id % 10 = 9),
-        |qs AS (SELECT q.vec_id, t.cell,
-        |    list_sum(list_transform(list_zip(q.embedding, t.c),
-        |      x -> x[1]::DOUBLE * x[2]::DOUBLE))
-        |    - list_sum(list_transform(t.c, x -> x::DOUBLE * x::DOUBLE)) / 2
-        |      AS score
-        |  FROM eqn q CROSS JOIN cents t),
-        |probes AS (SELECT vec_id AS query_id, cell FROM (
-        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY score DESC, cell) AS rn FROM qs) t7 WHERE rn <= 4),
-        |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
-        |  FROM probes p JOIN asg a ON p.cell = a.cell
-        |  WHERE p.query_id <> a.vec_id),
-        |sc AS (SELECT c.query_id, c.neighbor_id,
-        |    list_sum(list_transform(list_zip(q.embedding, n.embedding),
-        |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * n.nrm) AS cosine
-        |  FROM cand c JOIN eqn q ON c.query_id = q.vec_id
-        |    JOIN en n ON c.neighbor_id = n.vec_id)
-        |SELECT query_id, neighbor_id, rank, cosine,
-        |  cosine >= 0.9999 AS is_dup
-        |FROM (SELECT sc.*, CAST(row_number() OVER (PARTITION BY query_id
-        |    ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
-        |  FROM sc WHERE cosine IS NOT NULL AND NOT isnan(cosine)) t
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
-
-    // s1: the streamed gate's final table must equal the one-shot batch
-    // filter — x9's exact cross-split Jaccard (the k=128/b=32 LSH
-    // equality claim) deciding which crawl docs die, survivors
-    // anti-joined with full payload columns.
-    "s1_stream_dedup_gate" ->
-      """WITH d AS (SELECT doc_id,
-        |    list_distinct(regexp_split_to_array(trim(text), '\s+')) AS ws
-        |  FROM documents),
-        |dup AS (SELECT DISTINCT b.doc_id
-        |  FROM d a JOIN d b ON a.doc_id % 10 < 8 AND b.doc_id % 10 >= 8
-        |  WHERE len(list_intersect(a.ws, b.ws))::DOUBLE
-        |      / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.8)
-        |SELECT doc_id, lang, source FROM documents
-        |WHERE doc_id % 10 >= 8
-        |  AND doc_id NOT IN (SELECT doc_id FROM dup)
-        |ORDER BY doc_id""".stripMargin,
-
-    // q101: the observed write metrics must equal the source stats —
-    // cents on the per-row 1e-2 floor grid summed as BIGINT (never a
-    // raw double sum across engines).
-    "q101_observe_load" ->
-      """SELECT count(*) AS n_rows,
-        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
-        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
-        |    AS BIGINT) AS cents_sum,
-        |  strftime(min(o_orderdate), '%Y-%m-%d') AS min_date,
-        |  strftime(max(o_orderdate), '%Y-%m-%d') AS max_date
-        |FROM orders""".stripMargin,
-
-    // y8: the rule-sized k-means replay on the 80% index split
-    // (x13Models' recipe), then per-frame quantization-error sums —
-    // top-1 cell by the v·c − |c|²/2 ranking (ties to the smaller
-    // cell), per-row squared distance |v|² − 2·v·c + |c|² in exactly
-    // that operation order, snapped to the 1e-6 grid BEFORE the BIGINT
-    // sum — and the two staleness report rows with the exact-integer
-    // ratio and the rule's verdicts.
-    "y8_index_staleness" ->
-      s"""${kmeansOracleSqrt(" WHERE vec_id % 10 < 8")},
-        |cnorm AS MATERIALIZED (SELECT cell, c,
-        |    list_sum(list_transform(c, x -> x::DOUBLE * x::DOUBLE)) AS cc
-        |  FROM cents),
-        |dd AS (SELECT vec_id, list_transform(embedding,
-        |    x -> CAST(x + 0.25 AS REAL)) AS embedding
-        |  FROM embeddings WHERE vec_id % 10 = 8),
-        |d0 AS (SELECT vec_id, embedding FROM embeddings
-        |  WHERE vec_id % 10 = 8),
-        |si AS (SELECT f.vec_id,
-        |    list_sum(list_transform(f.embedding,
-        |      x -> x::DOUBLE * x::DOUBLE)) AS vv,
-        |    list_sum(list_transform(list_zip(f.embedding, t.c),
-        |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) AS vc,
-        |    t.cc, t.cell
-        |  FROM e f CROSS JOIN cnorm t),
-        |ai AS (SELECT vec_id, vv, vc, cc FROM (
-        |    SELECT si.*, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY vc - cc / 2 DESC, cell) AS rn FROM si) t1
-        |  WHERE rn = 1),
-        |qi AS (SELECT count(*) AS n, CAST(sum(CAST(floor(
-        |    (vv - 2 * vc + cc) * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
-        |    AS qerr FROM ai),
-        |sa AS (SELECT f.vec_id,
-        |    list_sum(list_transform(f.embedding,
-        |      x -> x::DOUBLE * x::DOUBLE)) AS vv,
-        |    list_sum(list_transform(list_zip(f.embedding, t.c),
-        |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) AS vc,
-        |    t.cc, t.cell
-        |  FROM d0 f CROSS JOIN cnorm t),
-        |aa AS (SELECT vec_id, vv, vc, cc FROM (
-        |    SELECT sa.*, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY vc - cc / 2 DESC, cell) AS rn FROM sa) t2
-        |  WHERE rn = 1),
-        |qa AS (SELECT count(*) AS n, CAST(sum(CAST(floor(
-        |    (vv - 2 * vc + cc) * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
-        |    AS qerr FROM aa),
-        |sb AS (SELECT f.vec_id,
-        |    list_sum(list_transform(f.embedding,
-        |      x -> x::DOUBLE * x::DOUBLE)) AS vv,
-        |    list_sum(list_transform(list_zip(f.embedding, t.c),
-        |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) AS vc,
-        |    t.cc, t.cell
-        |  FROM dd f CROSS JOIN cnorm t),
-        |ab AS (SELECT vec_id, vv, vc, cc FROM (
-        |    SELECT sb.*, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY vc - cc / 2 DESC, cell) AS rn FROM sb) t3
-        |  WHERE rn = 1),
-        |qb AS (SELECT count(*) AS n, CAST(sum(CAST(floor(
-        |    (vv - 2 * vc + cc) * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
-        |    AS qerr FROM ab),
-        |rep AS (
-        |  SELECT 'in_dist' AS delta_kind,
-        |    qi.n AS n_index, qa.n AS n_delta,
-        |    qi.qerr AS qerr_index_micro, qa.qerr AS qerr_delta_micro,
-        |    floor(CAST(qa.qerr * qi.n AS DOUBLE)
-        |      / CAST(qi.qerr * qa.n AS DOUBLE) * 1e6 + 0.5) / 1e6
-        |      AS qerr_ratio,
-        |    CAST((SELECT k FROM params) AS INT) AS nlist,
-        |    CAST(floor(sqrt(qi.n + qa.n) + 0.5) AS INT) AS nlist_rule
-        |  FROM qi CROSS JOIN qa
-        |  UNION ALL
-        |  SELECT 'drifted',
-        |    qi.n, qb.n, qi.qerr, qb.qerr,
-        |    floor(CAST(qb.qerr * qi.n AS DOUBLE)
-        |      / CAST(qi.qerr * qb.n AS DOUBLE) * 1e6 + 0.5) / 1e6,
-        |    CAST((SELECT k FROM params) AS INT),
-        |    CAST(floor(sqrt(qi.n + qb.n) + 0.5) AS INT)
-        |  FROM qi CROSS JOIN qb)
-        |SELECT delta_kind, n_index, n_delta, qerr_index_micro,
-        |  qerr_delta_micro, qerr_ratio, nlist, nlist_rule,
-        |  (qerr_ratio > 1.5 OR nlist_rule >= 2 * nlist) AS rebuild
-        |FROM rep ORDER BY delta_kind""".stripMargin,
-
-    // y8r ground truth: brute-force top-5 counts for the raw union
-    // (in-dist append) and the drifted union (drifted queries), with
-    // the three declared recall relations as literal verdicts.
-    "y8r_append_recall" ->
-      """WITH u0 AS (SELECT vec_id, embedding,
-        |    sqrt(list_sum(list_transform(embedding,
-        |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
-        |  FROM embeddings WHERE vec_id % 10 < 9),
-        |udr AS (SELECT vec_id, embedding FROM embeddings
-        |    WHERE vec_id % 10 < 8
-        |  UNION ALL
-        |  SELECT vec_id, list_transform(embedding,
-        |      x -> CAST(x + 0.25 AS REAL))
-        |    FROM embeddings WHERE vec_id % 10 = 8),
-        |ud AS (SELECT vec_id, embedding,
-        |    sqrt(list_sum(list_transform(embedding,
-        |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
-        |  FROM udr),
-        |q0 AS (SELECT vec_id, embedding,
-        |    sqrt(list_sum(list_transform(embedding,
-        |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
-        |  FROM embeddings WHERE vec_id % 10 = 9),
-        |qd AS (SELECT vec_id, list_transform(embedding,
-        |      x -> CAST(x + 0.25 AS REAL)) AS embedding
-        |  FROM embeddings WHERE vec_id % 10 = 9),
-        |qdn AS (SELECT vec_id, embedding,
-        |    sqrt(list_sum(list_transform(embedding,
-        |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
-        |  FROM qd),
-        |g0 AS (SELECT count(*) AS n FROM (
-        |  SELECT row_number() OVER (PARTITION BY q.vec_id
-        |      ORDER BY list_sum(list_transform(
-        |        list_zip(q.embedding, c.embedding),
-        |        x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * c.nrm)
-        |        DESC, c.vec_id) AS rank
-        |  FROM q0 q CROSS JOIN u0 c) t WHERE rank <= 5),
-        |gd AS (SELECT count(*) AS n FROM (
-        |  SELECT row_number() OVER (PARTITION BY q.vec_id
-        |      ORDER BY list_sum(list_transform(
-        |        list_zip(q.embedding, c.embedding),
-        |        x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * c.nrm)
-        |        DESC, c.vec_id) AS rank
-        |  FROM qdn q CROSS JOIN ud c) t WHERE rank <= 5)
-        |SELECT 'appended_drifted' AS kind,
-        |  (SELECT n FROM gd) AS n_exact, 1 AS recall_ok
-        |UNION ALL SELECT 'appended_in_dist', (SELECT n FROM g0), 1
-        |UNION ALL SELECT 'rebuilt_drifted', (SELECT n FROM gd), 1
-        |ORDER BY kind""".stripMargin
-  )
+  def oracleSql: Map[String, String] =
+    oraclesRelA ++
+    oraclesRelB ++
+    oraclesText ++
+    oraclesDedup ++
+    oraclesKnn ++
+    oraclesMultimodal ++
+    oraclesCuration
 
   /** The q86-q88/x10/y3/y5 oracles' shared training loop, generalized
     * over k: re-derives [[ivfDemo]]'s model in SQL — init = first k
@@ -6195,7 +510,7 @@ object SparkEntry {
     * arithmetic sequence pinned to the engine's ((c · (a · (T / tot))),
     * 1e-4 / 1e-6 / 1e-9 grid) order so the hash compares exactly.
     */
-  private def doremiOracle(steps: Int, addK: String = "0.5"): String =
+  private[graft] def doremiOracle(steps: Int, addK: String = "0.5"): String =
     "WITH " + doremiOracleTail("documents", "q98", steps, addK)
 
   /** The parameterized body: `docsFrom` is any relation/CTE with
@@ -6206,7 +521,7 @@ object SparkEntry {
     * parameter change must be threaded here too instead of silently
     * diverging from a hardcoded literal.
     */
-  private def doremiOracleTail(
+  private[graft] def doremiOracleTail(
       docsFrom: String, salt: String, steps: Int, addK: String,
       eta: String = "1.0", smoothing: String = "0.001",
       alphabetSize: Int = 64): String = {
@@ -6284,7 +599,7 @@ object SparkEntry {
       |ORDER BY f.source""".stripMargin
   }
 
-  private def kmeansOracle(k: Int, where: String = ""): String =
+  private[graft] def kmeansOracle(k: Int, where: String = ""): String =
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings$where),
       |init AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
       |    AS cell, embedding AS c
@@ -6297,7 +612,7 @@ object SparkEntry {
     * the probe budget `nb = ceil(0.75 × k)`, both exposed as the `params`
     * CTE so the y7 oracle stays correct at every scale the driver runs it.
     */
-  private def kmeansOracleSqrt(where: String = ""): String =
+  private[graft] def kmeansOracleSqrt(where: String = ""): String =
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings$where),
       |params AS (SELECT CAST(floor(sqrt(count(*)) + 0.5) AS INT) AS k,
       |    CAST(ceil(0.75 * floor(sqrt(count(*)) + 0.5)) AS INT) AS nb
@@ -6311,7 +626,7 @@ object SparkEntry {
     * k) and [[kmeansOracleSqrt]] (data-derived k): one assignment round,
     * the grid-rounded refit, and the final scored frame / assignment.
     */
-  private lazy val kmeansOracleBody: String =
+  private[graft] lazy val kmeansOracleBody: String =
     s"""s0 AS (SELECT e.vec_id, e.embedding, i.cell,
       |    list_sum(list_transform(list_zip(e.embedding, i.c),
       |      x -> x[1]::DOUBLE * x[2]::DOUBLE))
@@ -6341,12 +656,12 @@ object SparkEntry {
       |      ORDER BY score DESC, cell) AS rn FROM s1) t2 WHERE rn = 1)"""
       .stripMargin
 
-  private lazy val kmeansOraclePreamble: String = kmeansOracle(8)
+  private[graft] lazy val kmeansOraclePreamble: String = kmeansOracle(8)
 
   /** y6r/y7r's shared exact ground truth: the 10% batch's brute-force
     * top-5 within the 90% snapshot, counted for the recall companions.
     */
-  private lazy val snapshotKnnRecallOracle: String =
+  private[graft] lazy val snapshotKnnRecallOracle: String =
     """WITH e AS (SELECT vec_id, embedding,
       |    sqrt(list_sum(list_transform(embedding,
       |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
@@ -6368,7 +683,7 @@ object SparkEntry {
     * preceding k-means preamble bound it to (full corpus for y5; the 90%
     * snapshot for y6/y7).
     */
-  private lazy val pqTrainEncodeCtes: String =
+  private[graft] lazy val pqTrainEncodeCtes: String =
     """sv AS (SELECT e.vec_id, j.j AS sub,
       |    e.embedding[j.j * 4 + 1 : j.j * 4 + 4] AS v
       |  FROM e, range(16) j(j)),
@@ -6409,7 +724,7 @@ object SparkEntry {
   /** The `eqn` CTE — the 10% NEW-ARRIVAL query batch with norms, the side
     * that never participates in training, encode, or the index (y6/y7).
     */
-  private lazy val batchQueryCte: String =
+  private[graft] lazy val batchQueryCte: String =
     """eqn AS (SELECT vec_id, embedding,
       |    sqrt(list_sum(list_transform(embedding,
       |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
@@ -6427,7 +742,7 @@ object SparkEntry {
     * "recon" / "en" when the served corpus IS the training corpus
     * (y6/y7), the post-expiry variants for x13.
     */
-  private def indexedServeCtes(
+  private[graft] def indexedServeCtes(
       probeBound: String,
       asg: String = "asg",
       recon: String = "recon",
@@ -6466,7 +781,7 @@ object SparkEntry {
       |    FROM sc WHERE cosine IS NOT NULL AND NOT isnan(cosine)) t9
       |  WHERE rank <= 5)""".stripMargin
 
-  private def indexedServeOracleTail(probeBound: String): String =
+  private[graft] def indexedServeOracleTail(probeBound: String): String =
     s"""${indexedServeCtes(probeBound)}
       |SELECT query_id, neighbor_id, rank, cosine FROM served
       |ORDER BY query_id, rank""".stripMargin
@@ -6476,7 +791,7 @@ object SparkEntry {
     * base): the same `sqrt(Σ x²)` double sequence as
     * [[graft.functions.VectorFunctions.vector_norm]].
     */
-  private val enCte: String =
+  private[graft] val enCte: String =
     """en AS (SELECT vec_id, embedding,
       |    sqrt(list_sum(list_transform(embedding,
       |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
@@ -6487,7 +802,7 @@ object SparkEntry {
     * (x15) can never silently diverge from the standalone one (q81): a
     * fix to the quality blend lands in exactly one place.
     */
-  private lazy val dedupQualityCtes: String =
+  private[graft] lazy val dedupQualityCtes: String =
     """fp AS (SELECT min(doc_id) AS doc_id FROM documents
       |  GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ',
       |    'g'))))),
@@ -6513,7 +828,7 @@ object SparkEntry {
     * k. Plain-literal templating (no interpolation) keeps the regex
     * escapes byte-identical to the proven q95 text.
     */
-  private def dsirOracleTail(source: String, salt: String, k: Int): String =
+  private[graft] def dsirOracleTail(source: String, salt: String, k: Int): String =
     """dd AS (SELECT doc_id,
       |    list_filter(regexp_split_to_array(trim(text), '\s+'),
       |      x -> length(x) > 0) AS ws
@@ -6557,7 +872,7 @@ object SparkEntry {
       .replace("__SALT__", salt)
       .replace("__K__", k.toString)
 
-  private lazy val contaminationOracle: String =
+  private[graft] lazy val contaminationOracle: String =
     """WITH tok AS (SELECT doc_id,
       |    regexp_split_to_array(trim(text), '\s+') AS a FROM documents),
       |  g AS (SELECT doc_id, unnest(list_distinct(
