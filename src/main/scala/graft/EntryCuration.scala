@@ -179,7 +179,7 @@ private[graft] trait EntryCuration { this: SparkEntry.type =>
       // re-runs real: a reused checkpoint would replay nothing.
       val docs = rd(s, dir, "documents")
       val base = Scratch.ephemeralDir(
-        s"s1-run${s1Runs.incrementAndGet()}")
+        s"s1-run${streamRuns.incrementAndGet()}")
       // the index is a parquet ARTIFACT (x13's store posture), not a
       // live plan: built once per corpus snapshot, read by every
       // micro-batch — a live plan would re-run the minhash scan per
@@ -198,6 +198,45 @@ private[graft] trait EntryCuration { this: SparkEntry.type =>
         stream, index, "doc_id", "text", threshold = 0.8,
         outPath = s"$base/out", checkpoint = s"$base/ckpt",
         numHashes = 128, bands = 32)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
+    "s2_stream_lm_gate" -> ((s, dir) => {
+      // second oracle-backed foreachBatch surface: the CCNet-style
+      // perplexity gate (EventStream.lmGateSink) under s1's staging
+      // pattern. The char-trigram LM trains on the 80% trusted split
+      // and reaches the gate THROUGH a parquet model artifact
+      // (LanguageModel.save/load — train offline per snapshot, gate the
+      // crawl continuously, Wenzek et al.'s production cadence); the
+      // 20% crawl replays as 3 real micro-batches, each scored against
+      // the broadcast model and landed only at ppl <= 2.2 (splits the
+      // crawl 24/31/63% kept at sf0.001/0.01/0.1; the nearest document
+      // sits 1e-4 off the threshold, 8 orders above cross-engine avg
+      // drift). The oracle retrains the LM in SQL (t15's CTEs bound to
+      // the trusted split), rescores the crawl with the identical
+      // smoothing, and keeps the same survivor set.
+      val docs = rd(s, dir, "documents")
+      val base = Scratch.ephemeralDir(
+        s"s2-run${streamRuns.incrementAndGet()}")
+      graft.ext.LanguageModel.save(
+        graft.ext.LanguageModel.train(
+          docs.filter(pmod(col("doc_id"), lit(10)) < 8), col("text"),
+          n = 3),
+        s"$base/model")
+      val model = graft.ext.LanguageModel.load(s, s"$base/model")
+      val crawl = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+        .select("doc_id", "text", "lang", "source")
+      crawl.repartition(3).write.mode("overwrite").parquet(s"$base/in")
+      val stream = s.readStream.schema(crawl.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      val q = graft.streaming.EventStream.lmGateSink(
+        stream, model, "doc_id", "text", maxPpl = 2.2,
+        outPath = s"$base/out", checkpoint = s"$base/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
@@ -387,6 +426,33 @@ private[graft] trait EntryCuration { this: SparkEntry.type =>
         |SELECT doc_id, lang, source FROM documents
         |WHERE doc_id % 10 >= 8
         |  AND doc_id NOT IN (SELECT doc_id FROM dup)
+        |ORDER BY doc_id""".stripMargin,
+
+    // s2: retrain the trusted-split trigram LM (t15's CTEs bound to
+    // doc_id % 10 < 8), rescore the crawl with the identical add-0.5 /
+    // 64-alphabet smoothing (unseen grams coalesce to count 0 — the
+    // engine's left-join posture), keep exp(avg nll) <= 2.2.
+    "s2_stream_lm_gate" ->
+      """WITH tg AS (SELECT substr(text, i, 3) AS gram
+        |  FROM documents,
+        |    unnest(generate_series(1, length(text) - 2)) AS t(i)
+        |  WHERE doc_id % 10 < 8),
+        |cnt AS (SELECT gram, count(*) AS c FROM tg GROUP BY gram),
+        |ctx AS (SELECT substr(gram, 1, 2) AS pre, sum(c) AS cc
+        |  FROM cnt GROUP BY pre),
+        |cg AS (SELECT doc_id, substr(text, i, 3) AS gram
+        |  FROM documents,
+        |    unnest(generate_series(1, length(text) - 2)) AS t(i)
+        |  WHERE doc_id % 10 >= 8),
+        |keep AS (SELECT cg.doc_id FROM cg
+        |  LEFT JOIN cnt USING (gram)
+        |  LEFT JOIN ctx ON substr(cg.gram, 1, 2) = ctx.pre
+        |  GROUP BY cg.doc_id
+        |  HAVING exp(avg(-ln((coalesce(c, 0) + 0.5)
+        |    / (coalesce(cc, 0) + 0.5 * 64)))) <= 2.2)
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id % 10 >= 8
+        |  AND doc_id IN (SELECT doc_id FROM keep)
         |ORDER BY doc_id""".stripMargin,
 
 

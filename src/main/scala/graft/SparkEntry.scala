@@ -182,7 +182,7 @@ object SparkEntry extends EntryRelA with EntryRelB with EntryText with EntryDedu
     * under [[Scratch.ephemeralDir]]'s pid tree (shutdown-hook-removed,
     * dead-pid-swept).
     */
-  private[graft] val s1Runs = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[graft] val streamRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Build-once cache for the demo ANN/clustering models. The deterministic
     * trainers are pure functions of (parquet dir, hyperparams) — the data
