@@ -34,7 +34,14 @@ object Plans {
     "x14_visual_near_dup", "x15_curate_then_select",
     "q98_doremi_weights", "q99_unimax_sampling", "x16_semantic_decontam",
     "x17_curate_then_reweight", "x18_cluster_topics",
-    "t21_unigram_roundtrip")
+    "t21_unigram_roundtrip",
+    // round 13: the AC-kernel decontamination scan (row-local, no join),
+    // the staleness report (two narrow scans + broadcast codebook), and
+    // the appended-vs-rebuilt serving contrast. The streaming gates
+    // (s1/s2) and q101 are deliberately absent: building their frames
+    // RUNS the staged micro-batches / instrumented write, and the
+    // declared result's plan is just the read-back scan.
+    "q100_exact_decontam", "y8_index_staleness", "y8r_append_recall")
 
   /** x11 and q91 materialize eagerly in their public form (persist +
     * localCheckpoint — the executed plan of the DECLARED query is just a
