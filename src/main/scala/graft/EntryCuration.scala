@@ -181,14 +181,11 @@ private[graft] trait EntryCuration { this: SparkEntry.type =>
       val base = Scratch.ephemeralDir(
         s"s1-run${streamRuns.incrementAndGet()}")
       // the index is a parquet ARTIFACT (x13's store posture), not a
-      // live plan: built once per corpus snapshot, read by every
-      // micro-batch — a live plan would re-run the minhash scan per
-      // foreachBatch invocation
-      Dedup.minhashIndex(
-        docs.filter(pmod(col("doc_id"), lit(10)) < 8), "doc_id", "text",
-        numHashes = 128, bands = 32)
-        .write.mode("overwrite").parquet(s"$base/idx")
-      val index = s.read.parquet(s"$base/idx")
+      // live plan: built once per corpus snapshot (s1IndexPath — memoized
+      // + prewarmed, so repeated bench passes measure the GATE, not the
+      // per-snapshot training), read by every micro-batch — a live plan
+      // would re-run the minhash scan per foreachBatch invocation
+      val index = s.read.parquet(s1IndexPath(s, dir))
       val crawl = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
         .select("doc_id", "text", "lang", "source")
       crawl.repartition(3).write.mode("overwrite").parquet(s"$base/in")
@@ -223,12 +220,9 @@ private[graft] trait EntryCuration { this: SparkEntry.type =>
       val docs = rd(s, dir, "documents")
       val base = Scratch.ephemeralDir(
         s"s2-run${streamRuns.incrementAndGet()}")
-      graft.ext.LanguageModel.save(
-        graft.ext.LanguageModel.train(
-          docs.filter(pmod(col("doc_id"), lit(10)) < 8), col("text"),
-          n = 3),
-        s"$base/model")
-      val model = graft.ext.LanguageModel.load(s, s"$base/model")
+      // train-once artifact (s2ModelPath, memoized + prewarmed): the
+      // per-snapshot LM fit never lands in a timed gate pass
+      val model = graft.ext.LanguageModel.load(s, s2ModelPath(s, dir))
       val crawl = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
         .select("doc_id", "text", "lang", "source")
       crawl.repartition(3).write.mode("overwrite").parquet(s"$base/in")
@@ -243,6 +237,79 @@ private[graft] trait EntryCuration { this: SparkEntry.type =>
       s.read.parquet(s"$base/out")
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
+    }),
+
+    "s3_stream_mixture_gate" -> ((s, dir) => {
+      // third oracle-backed foreachBatch surface: the DoReMi mixture
+      // gate (EventStream.mixtureGateSink). The domain weights FIT
+      // OFFLINE on the 80% trusted split (the q98 recipe at salt s3fit)
+      // and reach the gate through a parquet artifact; each of the 3
+      // crawl micro-batches keeps a document with its domain's resample
+      // rate, decided by the md5 coin at salt "s3" — membership is a
+      // pure function of the id, so the streamed survivor set equals
+      // the one-shot batch resample whatever the batch split. LANGUAGE
+      // is the domain axis (not the uniform 16-way source column, whose
+      // fit correctly concludes rate ≈ 1 everywhere and gates nothing):
+      // en holds ~41% of the corpus against a ~20% DoReMi weight, so
+      // the gate genuinely halves the en crawl (rate 0.462/0.489 at
+      // sf0.01/0.1) while the other languages pass whole — both gate
+      // branches live at every SF. The oracle replays the full
+      // trusted-split fit (the shared doremiRatesCtes with lang aliased
+      // to source) and keeps the same crawl rows; unseen domains pass
+      // at rate 1 on BOTH sides (fail-open, mirrored by the left join).
+      val docs = rd(s, dir, "documents")
+      val base = Scratch.ephemeralDir(
+        s"s3-run${streamRuns.incrementAndGet()}")
+      // train-once artifact (s3WeightsPath, memoized + prewarmed): the
+      // 3-EG-step DoReMi fit never lands in a timed gate pass
+      val weights = s.read.parquet(s3WeightsPath(s, dir))
+      val crawl = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+        .select("doc_id", "text", "lang", "source")
+      crawl.repartition(3).write.mode("overwrite").parquet(s"$base/in")
+      val stream = s.readStream.schema(crawl.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      val q = graft.streaming.EventStream.mixtureGateSink(
+        stream, weights, "doc_id", "lang",
+        outPath = s"$base/out", checkpoint = s"$base/ckpt", salt = "s3")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
+    "s4_stream_decontam_gate" -> ((s, dir) => {
+      // fourth oracle-backed foreachBatch surface — with this one every
+      // GATE sink in streaming/EventStream (dedup s1, perplexity s2,
+      // mixture s3, semantic decontamination s4) carries a full value
+      // oracle. The x16 shape run through the stream: the corpus
+      // (vec_id % 10 < 9) replays as 3 micro-batches, each dropping
+      // every vector within cosine 0.45 of ANY eval vector (% 10 == 9)
+      // under the corpus-trained k=8 quantizer (x16Model — production
+      // decontamination must not leak eval vectors into the model).
+      // Stateless per batch: the verdict is row-local against the
+      // static eval set, so the streamed survivor set equals the batch
+      // filter; the oracle replays training, probe/home assignment and
+      // the exact-cosine verify (x16's CTEs) and anti-joins.
+      val emb = rd(s, dir, "embeddings")
+      val evalSet = emb.filter(pmod(col("vec_id"), lit(10)) === 9)
+      val corpus = emb.filter(pmod(col("vec_id"), lit(10)) < 9)
+      val base = Scratch.ephemeralDir(
+        s"s4-run${streamRuns.incrementAndGet()}")
+      corpus.repartition(3).write.mode("overwrite").parquet(s"$base/in")
+      val stream = s.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      val q = graft.streaming.EventStream.decontamGateSink(
+        stream, evalSet, "vec_id", "embedding", minCosine = 0.45,
+        centroids = x16Model(s, dir).centroids,
+        outPath = s"$base/out", checkpoint = s"$base/ckpt", nprobe = 4)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .select("vec_id")
+        .orderBy("vec_id")
     }),
 
 
@@ -454,6 +521,37 @@ private[graft] trait EntryCuration { this: SparkEntry.type =>
         |WHERE doc_id % 10 >= 8
         |  AND doc_id IN (SELECT doc_id FROM keep)
         |ORDER BY doc_id""".stripMargin,
+
+    // s3: the full trusted-split DoReMi fit over LANGUAGE domains (the
+    // shared rates CTEs with lang aliased to source), then keep every
+    // crawl row whose md5 coin at salt s3 lands under its language's
+    // rate — left join + coalesce(rate, 1) mirrors the gate's
+    // fail-open posture for unseen domains.
+    "s3_stream_mixture_gate" ->
+      ("WITH " + doremiRatesCtes(
+        "(SELECT doc_id, lang AS source, text FROM documents " +
+          "WHERE doc_id % 10 < 8)",
+        3, "0.01") +
+        """,
+          |keep AS (SELECT d.doc_id FROM documents d
+          |  LEFT JOIN fr f ON d.lang = f.source
+          |  WHERE d.doc_id % 10 >= 8
+          |    AND CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+          |        || 's3'), 1, 5) AS BIGINT)
+          |      < CAST(floor(coalesce(f.rate, 1.0) * 1048576) AS BIGINT))
+          |SELECT doc_id, lang, source FROM documents
+          |WHERE doc_id % 10 >= 8
+          |  AND doc_id IN (SELECT doc_id FROM keep)
+          |ORDER BY doc_id""".stripMargin),
+
+    // s4: x16's training / probe / exact-cosine chain, survivors =
+    // corpus vectors with no eval hit.
+    "s4_stream_decontam_gate" ->
+      s"""${kmeansOracle(8, " WHERE vec_id % 10 < 9")},
+        |$x16HitsCtes
+        |SELECT e.vec_id FROM e
+        |WHERE e.vec_id NOT IN (SELECT corpus_id FROM hits)
+        |ORDER BY e.vec_id""".stripMargin,
 
 
     // q101: the observed write metrics must equal the source stats —

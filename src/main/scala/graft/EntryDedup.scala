@@ -832,34 +832,7 @@ private[graft] trait EntryDedup { this: SparkEntry.type =>
     // every (eval probe, corpus home) candidate, per-corpus-doc verdict.
     "x16_semantic_decontam" ->
       s"""${kmeansOracle(8, " WHERE vec_id % 10 < 9")},
-        |enx AS (SELECT vec_id, embedding,
-        |    sqrt(list_sum(list_transform(embedding,
-        |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
-        |  FROM embeddings),
-        |eq AS (SELECT vec_id, embedding FROM embeddings
-        |  WHERE vec_id % 10 = 9),
-        |qs AS (SELECT q.vec_id, t.cell,
-        |    list_sum(list_transform(list_zip(q.embedding, t.c),
-        |      x -> x[1]::DOUBLE * x[2]::DOUBLE))
-        |    - list_sum(list_transform(t.c, x -> x::DOUBLE * x::DOUBLE)) / 2
-        |      AS score
-        |  FROM eq q CROSS JOIN cents t),
-        |eprobes AS (SELECT vec_id AS eval_id, cell FROM (
-        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY score DESC, cell) AS rn FROM qs) t7 WHERE rn <= 4),
-        |cand AS (SELECT p.eval_id, a.vec_id AS corpus_id
-        |  FROM eprobes p JOIN asg a ON p.cell = a.cell),
-        |scx AS (SELECT c.corpus_id,
-        |    list_sum(list_transform(list_zip(q.embedding, n.embedding),
-        |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * n.nrm)
-        |      AS cosine
-        |  FROM cand c JOIN enx q ON c.eval_id = q.vec_id
-        |    JOIN enx n ON c.corpus_id = n.vec_id),
-        |hits AS (SELECT corpus_id, count(*) AS n_eval_hits,
-        |    max(cosine) AS max_cosine
-        |  FROM scx WHERE cosine IS NOT NULL AND NOT isnan(cosine)
-        |    AND cosine >= 0.45
-        |  GROUP BY 1)
+        |$x16HitsCtes
         |SELECT e.vec_id, coalesce(h.n_eval_hits, 0) AS n_eval_hits,
         |  h.max_cosine,
         |  coalesce(h.n_eval_hits, 0) > 0 AS contaminated

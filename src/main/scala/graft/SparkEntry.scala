@@ -217,6 +217,9 @@ object SparkEntry extends EntryRelA with EntryRelB with EntryText with EntryDedu
     x13Models(s, dir)
     x14Model(s, dir)
     y8RebuildModels(s, dir)
+    s1IndexPath(s, dir)
+    s2ModelPath(s, dir)
+    s3WeightsPath(s, dir)
   }
 
   /** x13's models: y7's rule-sized recipes trained on the INITIAL 80%
@@ -261,14 +264,61 @@ object SparkEntry extends EntryRelA with EntryRelB with EntryText with EntryDedu
     */
   private[graft] def x14FeaturePath(s: SparkSession, dir: String): String =
     cachedModel(s"x14feat|$dir") {
-      // the path must be DIR-dependent like the memo key: a session that
-      // evaluates x14 over two data dirs (spec suites share one JVM)
-      // must never serve one dir's features from the other's table
-      val dirTag = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_))
-        .mkString
-      val p = s"${Scratch.ephemeralDir("x14")}/feat-$dirTag"
+      val p = s"${Scratch.ephemeralDir("x14")}/feat-${dirTag(dir)}"
       imageFeatureFrame(s, dir).write.mode("overwrite").parquet(p)
+      p
+    }
+
+  /** Artifact paths must be DIR-dependent like their memo keys: a
+    * session that evaluates one declaration over two data dirs (spec
+    * suites share one JVM) must never serve one dir's artifact from the
+    * other's table.
+    */
+  private[graft] def dirTag(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_))
+      .mkString
+
+  /** The streaming gates' snapshot-trained model artifacts, memoized per
+    * dir and prewarmed with the other models — production trains once
+    * per corpus snapshot and gates many crawl batches, so the one-time
+    * fit cost must never land in an arbitrary timed slot (the
+    * [[prewarmModels]] rationale applied to the s1/s2/s3 declarations).
+    * Each returns the parquet PATH: the artifact, not a live plan, is
+    * what the gate reads per micro-batch.
+    */
+  private[graft] def s1IndexPath(s: SparkSession, dir: String): String =
+    cachedModel(s"s1idx|$dir") {
+      val p = s"${Scratch.ephemeralDir("s1idx")}/idx-${dirTag(dir)}"
+      Dedup.minhashIndex(
+        rd(s, dir, "documents")
+          .filter(pmod(col("doc_id"), lit(10)) < 8), "doc_id", "text",
+        numHashes = 128, bands = 32)
+        .write.mode("overwrite").parquet(p)
+      p
+    }
+
+  private[graft] def s2ModelPath(s: SparkSession, dir: String): String =
+    cachedModel(s"s2lm|$dir") {
+      val p = s"${Scratch.ephemeralDir("s2lm")}/model-${dirTag(dir)}"
+      graft.ext.LanguageModel.save(
+        graft.ext.LanguageModel.train(
+          rd(s, dir, "documents")
+            .filter(pmod(col("doc_id"), lit(10)) < 8), col("text"), n = 3),
+        p)
+      p
+    }
+
+  private[graft] def s3WeightsPath(s: SparkSession, dir: String): String =
+    cachedModel(s"s3w|$dir") {
+      val p = s"${Scratch.ephemeralDir("s3w")}/weights-${dirTag(dir)}"
+      graft.ext.Doremi.domainWeights(
+        rd(s, dir, "documents")
+          .filter(pmod(col("doc_id"), lit(10)) < 8),
+        "doc_id", "text", "lang", n = 3, addK = 0.01,
+        alphabetSize = 64, steps = 3, eta = 1.0, smoothing = 1e-3,
+        salt = "s3fit")
+        .write.mode("overwrite").parquet(p)
       p
     }
 
@@ -513,16 +563,19 @@ object SparkEntry extends EntryRelA with EntryRelB with EntryText with EntryDedu
   private[graft] def doremiOracle(steps: Int, addK: String = "0.5"): String =
     "WITH " + doremiOracleTail("documents", "q98", steps, addK)
 
-  /** The parameterized body: `docsFrom` is any relation/CTE with
+  /** The DoReMi fit as CTEs ending at `fr` (source, n_docs, share,
+    * excess, weight, rate): `docsFrom` is any relation/CTE/subquery with
     * (doc_id, source, text) — "documents" for q98, the curated corpus
-    * CTE for x17 — and `salt` feeds the resample coin. `eta`,
-    * `smoothing`, and `alphabetSize` mirror [[ext.Doremi.domainWeights]]'s
-    * parameters (defaults = both call sites' values) so a future q98/x17
-    * parameter change must be threaded here too instead of silently
-    * diverging from a hardcoded literal.
+    * CTE for x17, the trusted-split subquery for s3. `eta`, `smoothing`,
+    * and `alphabetSize` mirror [[ext.Doremi.domainWeights]]'s parameters
+    * (defaults = every call site's values) so a parameter change must be
+    * threaded here too instead of silently diverging from a hardcoded
+    * literal. Callers append their own consumer of `fr` ([[
+    * doremiOracleTail]] recounts the resample per domain; s3's gate
+    * oracle keeps the surviving crawl rows).
     */
-  private[graft] def doremiOracleTail(
-      docsFrom: String, salt: String, steps: Int, addK: String,
+  private[graft] def doremiRatesCtes(
+      docsFrom: String, steps: Int, addK: String,
       eta: String = "1.0", smoothing: String = "0.001",
       alphabetSize: Int = 64): String = {
     val stepCtes = (0 until steps).map { k =>
@@ -586,7 +639,19 @@ object SparkEntry extends EntryRelA with EntryRelB with EntryText with EntryDedu
       |    LEFT JOIN e${steps - 1} ON n.source = e${steps - 1}.source),
       |fr AS MATERIALIZED (SELECT source, n_docs, share, excess, weight,
       |    floor(least(1.0, weight / share) * 1e6 + 0.5) / 1e6 AS rate
-      |  FROM fin),
+      |  FROM fin)""".stripMargin
+  }
+
+  /** [[doremiRatesCtes]] completed to q98/x17's declared report: the
+    * per-domain n_kept recount under the md5 resample coin and the
+    * final (source, n_docs, share, excess, weight, rate, n_kept) rows.
+    */
+  private[graft] def doremiOracleTail(
+      docsFrom: String, salt: String, steps: Int, addK: String,
+      eta: String = "1.0", smoothing: String = "0.001",
+      alphabetSize: Int = 64): String = {
+    doremiRatesCtes(docsFrom, steps, addK, eta, smoothing, alphabetSize) +
+      s""",
       |k1 AS MATERIALIZED (SELECT d.source, count(*) AS n_kept
       |  FROM $docsFrom d JOIN fr f ON d.source = f.source
       |  WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
@@ -598,6 +663,43 @@ object SparkEntry extends EntryRelA with EntryRelB with EntryText with EntryDedu
       |FROM fr f LEFT JOIN k1 USING (source)
       |ORDER BY f.source""".stripMargin
   }
+
+  /** x16/s4's shared candidate-and-verify chain (appended after a
+    * [[kmeansOracle]] preamble whose `e`/`cents`/`asg` carry the corpus
+    * split and trained cells): eval probes its top-4 cells, corpus
+    * vectors answer from their home cell, exact cosine ≥ 0.45 verifies —
+    * ends at `hits (corpus_id, n_eval_hits, max_cosine)`. x16 reports
+    * per-corpus verdicts from it; s4's gate oracle anti-joins survivors.
+    */
+  private[graft] lazy val x16HitsCtes: String =
+    """enx AS (SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
+      |  FROM embeddings),
+      |eq AS (SELECT vec_id, embedding FROM embeddings
+      |  WHERE vec_id % 10 = 9),
+      |qs AS (SELECT q.vec_id, t.cell,
+      |    list_sum(list_transform(list_zip(q.embedding, t.c),
+      |      x -> x[1]::DOUBLE * x[2]::DOUBLE))
+      |    - list_sum(list_transform(t.c, x -> x::DOUBLE * x::DOUBLE)) / 2
+      |      AS score
+      |  FROM eq q CROSS JOIN cents t),
+      |eprobes AS (SELECT vec_id AS eval_id, cell FROM (
+      |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY score DESC, cell) AS rn FROM qs) t7 WHERE rn <= 4),
+      |cand AS (SELECT p.eval_id, a.vec_id AS corpus_id
+      |  FROM eprobes p JOIN asg a ON p.cell = a.cell),
+      |scx AS (SELECT c.corpus_id,
+      |    list_sum(list_transform(list_zip(q.embedding, n.embedding),
+      |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * n.nrm)
+      |      AS cosine
+      |  FROM cand c JOIN enx q ON c.eval_id = q.vec_id
+      |    JOIN enx n ON c.corpus_id = n.vec_id),
+      |hits AS (SELECT corpus_id, count(*) AS n_eval_hits,
+      |    max(cosine) AS max_cosine
+      |  FROM scx WHERE cosine IS NOT NULL AND NOT isnan(cosine)
+      |    AND cosine >= 0.45
+      |  GROUP BY 1)""".stripMargin
 
   private[graft] def kmeansOracle(k: Int, where: String = ""): String =
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings$where),
