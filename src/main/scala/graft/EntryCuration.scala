@@ -279,6 +279,92 @@ private[graft] trait EntryCuration { this: SparkEntry.type =>
         .orderBy("doc_id")
     }),
 
+    "s5_stream_windowed_agg" -> ((s, dir) => {
+      // the STATEFUL streaming surface's first oracle row: q20's
+      // tumbling 1-day aggregation run as a real watermarked stream
+      // (EventStream.windowedEventAgg — state store, append-mode
+      // emission, watermark-driven finalization), hash-equal to the
+      // batch query. Staging is the part append mode makes subtle:
+      // events arrive as 3 TIME-ORDERED thirds (so nothing is ever
+      // late under the 1-hour watermark — within-batch disorder is
+      // free, the watermark only advances between batches), then TWO
+      // far-future sentinel batches: the first advances the watermark
+      // past every real window, the second triggers the batch in which
+      // Spark actually evicts-and-emits them (emission happens in the
+      // batch AFTER the watermark moves). The sentinels' own window
+      // stays withheld forever — the watermark never passes it — so
+      // the final table is exactly the real windows and the oracle is
+      // q20's SQL verbatim. Files are staged with increasing mtimes
+      // AND lexicographic names so the file source's (timestamp, path)
+      // order is the arrival order at every SF.
+      val events = rd(s, dir, "events")
+      val base = Scratch.ephemeralDir(
+        s"s5-run${streamRuns.incrementAndGet()}")
+      // type-agnostic time axis: events.ts ships as TIMESTAMP or
+      // TIMESTAMP_NTZ depending on the testdata generation (the rd
+      // gotcha) — unix_micros over a cast is monotone for both, and
+      // the cuts only need a consistent ordering
+      val tsm = unix_micros(col("ts").cast("timestamp"))
+      val mm = events.agg(min(tsm), max(tsm)).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val cut1 = lo + (hi - lo) / 3
+      val cut2 = lo + 2 * (hi - lo) / 3
+      def sentinel(id: Long) = s.range(1).select(
+        lit(id).as("event_id"),
+        timestamp_micros(lit(hi + 30L * 24 * 3600 * 1000000L))
+          .cast(events.schema("ts").dataType).as("ts"),
+        lit(-1L).as("user_id"), lit("__advance__").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+        .select(events.columns.map(col): _*)
+      val batches = Seq(
+        events.filter(tsm < cut1),
+        events.filter(tsm >= cut1 && tsm < cut2),
+        events.filter(tsm >= cut2),
+        sentinel(-1L), sentinel(-2L))
+      val inDir = java.nio.file.Paths.get(s"$base/in")
+      java.nio.file.Files.createDirectories(inDir)
+      batches.zipWithIndex.foreach { case (b, i) =>
+        val stage = s"$base/stage$i"
+        b.repartition(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .filter(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).head
+        java.nio.file.Files.copy(part.toPath,
+          inDir.resolve(s"b$i.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      // watermarks require TimestampType; under the UTC session the
+      // NTZ→TIMESTAMP cast preserves wall-clock values, so the window
+      // boundaries stay aligned with the oracle's naive date_trunc
+      val stream = s.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+        .withColumn("ts", col("ts").cast("timestamp"))
+      // the stateful agg pays per-(batch × shuffle-partition) state
+      // store commits: at the session's 32 partitions that is 160
+      // checkpointed state tasks for O(100) window groups. 4 partitions
+      // carry the same groups at an eighth of the commit overhead
+      // (state partitioning is value-neutral — groups hash wherever
+      // they land); restored after the run
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val q = graft.streaming.EventStream.parquetSink(
+          graft.streaming.EventStream.windowedEventAgg(
+            stream, "ts", "1 day", "1 hour"),
+          s"$base/out", s"$base/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        // restore only after the run: micro-batch planning is async,
+        // so an earlier restore could race the first batch
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.parquet(s"$base/out")
+        .select(date_format(col("window_start"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("n_events"),
+          rnd(col("total_value"), 2).as("total_value"))
+        .orderBy("day", "event_type")
+    }),
+
     "s4_stream_decontam_gate" -> ((s, dir) => {
       // fourth oracle-backed foreachBatch surface — with this one every
       // GATE sink in streaming/EventStream (dedup s1, perplexity s2,
@@ -543,6 +629,16 @@ private[graft] trait EntryCuration { this: SparkEntry.type =>
           |WHERE doc_id % 10 >= 8
           |  AND doc_id IN (SELECT doc_id FROM keep)
           |ORDER BY doc_id""".stripMargin),
+
+    // s5: the streamed watermarked window agg's final table must equal
+    // the batch tumbling-day aggregation — q20's oracle verbatim (the
+    // sentinel advancer rows are synthetic and their window is
+    // watermark-withheld, so they never reach the output).
+    "s5_stream_windowed_agg" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  event_type, count(*) AS n_events,
+        |  floor((sum(value)) * 1e2 + 0.5) / 1e2 AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // s4: x16's training / probe / exact-cosine chain, survivors =
     // corpus vectors with no eval hit.
