@@ -365,6 +365,132 @@ private[graft] trait EntryCuration { this: SparkEntry.type =>
         .orderBy("day", "event_type")
     }),
 
+    "s6_stream_sessionize" -> ((s, dir) => {
+      // second STATEFUL streaming oracle row, and the harder state
+      // shape: arbitrary per-key state via flatMapGroupsWithState
+      // (EventStream.sessionizeStream — open-session merge on either
+      // side, event-time timeout close) instead of s5's built-in window
+      // state. Staged like s5 (3 time-ordered thirds so nothing is
+      // late under the 1-hour watermark; 2 sentinel batches — the first
+      // advances the watermark past every real session's end + gap, the
+      // second runs the batch in which the timeouts actually FIRE and
+      // the sessions emit). The sentinels' own session stays open
+      // forever and never reaches the output — the oracle would catch a
+      // leak. Oracle = the gap-islands rewrite of the STREAM's
+      // semantics: a session splits when the inter-event gap strictly
+      // exceeds 30 minutes (the state merges at exactly the gap, so
+      // the SQL splits on `>`, not q25's `>=` session_window twin).
+      val events = rd(s, dir, "events")
+      val base = Scratch.ephemeralDir(
+        s"s6-run${streamRuns.incrementAndGet()}")
+      val tsm = unix_micros(col("ts").cast("timestamp"))
+      val mm = events.agg(min(tsm), max(tsm)).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val cut1 = lo + (hi - lo) / 3
+      val cut2 = lo + 2 * (hi - lo) / 3
+      val cols = Seq("user_id", "ts", "value")
+      def sentinel(tag: Long) = s.range(1).select(
+        lit(-1L).as("user_id"),
+        timestamp_micros(lit(hi + 30L * 24 * 3600 * 1000000L + tag))
+          .cast(events.schema("ts").dataType).as("ts"),
+        lit(0.0).as("value"))
+      val batches = Seq(
+        events.filter(tsm < cut1).select(cols.map(col): _*),
+        events.filter(tsm >= cut1 && tsm < cut2).select(cols.map(col): _*),
+        events.filter(tsm >= cut2).select(cols.map(col): _*),
+        sentinel(0L), sentinel(1L))
+      val inDir = java.nio.file.Paths.get(s"$base/in")
+      java.nio.file.Files.createDirectories(inDir)
+      batches.zipWithIndex.foreach { case (b, i) =>
+        val stage = s"$base/stage$i"
+        b.repartition(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .filter(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).head
+        java.nio.file.Files.copy(part.toPath,
+          inDir.resolve(s"b$i.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      import s.implicits._
+      val stream = s.readStream
+        .schema(batches.head.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .as[(Long, java.sql.Timestamp, Double)]
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val q = graft.streaming.EventStream.parquetSink(
+          graft.streaming.EventStream.sessionizeStream(
+            stream, gapMs = 30L * 60 * 1000, lateness = "1 hour").toDF(),
+          s"$base/out", s"$base/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.parquet(s"$base/out")
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss")
+            .as("session_end"),
+          col("n_events"),
+          rnd(col("total_value"), 2).as("total_value"))
+        .orderBy("user_id", "session_start")
+    }),
+
+    "s7_stream_cdc_apply" -> ((s, dir) => {
+      // the CDC upsert SINK's oracle row: q39's change feed replayed as
+      // a real ordered micro-batch stream through EventStream.cdcSink —
+      // each trigger folds its batch into the parquet table via the
+      // crash-recoverable ._next/._bak swap (exercised once per batch),
+      // so the declared result proves the fold ∘ fold ∘ fold equals the
+      // one-shot latest-wins apply. Batches arrive in seq order (the
+      // production CDC contract: a feed is ordered per key): batch 0 =
+      // the seq-1 updates + inserts, batch 1 = the seq-2 updates that
+      // must overwrite them, batch 2 = the seq-3 deletes that must beat
+      // everything. Oracle = q39's closed-form final table.
+      val c = rd(s, dir, "customer")
+      val base = Scratch.ephemeralDir(
+        s"s7-run${streamRuns.incrementAndGet()}")
+      c.select("c_custkey", "c_name", "c_acctbal")
+        .write.mode("overwrite").parquet(s"$base/table")
+      val k = col("c_custkey")
+      def ch(flt: Column, seq: Long, op: String, key: Column,
+          name: Column, bal: Column) =
+        c.filter(flt).select(key.as("c_custkey"), lit(seq).as("seq"),
+          lit(op).as("op"), name.as("c_name"), bal.as("c_acctbal"))
+      val batches = Seq(
+        ch(k % 4 === 0, 1L, "U", k, col("c_name"), col("c_acctbal") + 5)
+          .unionByName(ch(k % 10 === 0, 1L, "I", k + 20000000L,
+            concat(lit("NEW "), col("c_name")), col("c_acctbal"))),
+        ch(k % 4 === 0, 2L, "U", k, col("c_name"), col("c_acctbal") + 10),
+        ch(k % 9 === 0, 3L, "D", k, col("c_name"), col("c_acctbal")))
+      val inDir = java.nio.file.Paths.get(s"$base/in")
+      java.nio.file.Files.createDirectories(inDir)
+      batches.zipWithIndex.foreach { case (b, i) =>
+        val stage = s"$base/stage$i"
+        b.repartition(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .filter(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).head
+        java.nio.file.Files.copy(part.toPath,
+          inDir.resolve(s"b$i.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      val stream = s.readStream.schema(batches.head.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      val q = graft.streaming.EventStream.cdcSink(
+        stream, s"$base/table", s"$base/ckpt",
+        keys = Seq("c_custkey"), seqCol = "seq", opCol = "op")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/table")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    }),
+
     "s4_stream_decontam_gate" -> ((s, dir) => {
       // fourth oracle-backed foreachBatch surface — with this one every
       // GATE sink in streaming/EventStream (dedup s1, perplexity s2,
@@ -639,6 +765,40 @@ private[graft] trait EntryCuration { this: SparkEntry.type =>
         |  event_type, count(*) AS n_events,
         |  floor((sum(value)) * 1e2 + 0.5) / 1e2 AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // s6: the gap-islands rewrite of sessionizeStream's semantics —
+    // a session splits when the inter-event gap STRICTLY exceeds 30
+    // minutes (the open-session state merges at exactly the gap, so
+    // `>`, not the `>=` of q25's session_window twin).
+    "s6_stream_sessionize" ->
+      """WITH m AS (SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |      > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (SELECT user_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  count(*) AS n_events,
+        |  floor(sum(value) * 1e2 + 0.5) / 1e2 AS total_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    // s7: the streamed CDC fold's final table must equal the one-shot
+    // latest-wins apply — q39's closed form verbatim.
+    "s7_stream_cdc_apply" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |  WHERE c_custkey % 9 <> 0 AND c_custkey % 4 <> 0
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal + 10 FROM customer
+        |  WHERE c_custkey % 9 <> 0 AND c_custkey % 4 = 0
+        |UNION ALL
+        |SELECT c_custkey + 20000000, 'NEW ' || c_name, c_acctbal
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |ORDER BY c_custkey""".stripMargin,
 
     // s4: x16's training / probe / exact-cosine chain, survivors =
     // corpus vectors with no eval hit.
