@@ -321,18 +321,7 @@ private[graft] trait EntryCuration { this: SparkEntry.type =>
         events.filter(tsm >= cut1 && tsm < cut2),
         events.filter(tsm >= cut2),
         sentinel(-1L), sentinel(-2L))
-      val inDir = java.nio.file.Paths.get(s"$base/in")
-      java.nio.file.Files.createDirectories(inDir)
-      batches.zipWithIndex.foreach { case (b, i) =>
-        val stage = s"$base/stage$i"
-        b.repartition(1).write.mode("overwrite").parquet(stage)
-        val part = new java.io.File(stage).listFiles()
-          .filter(f => f.getName.startsWith("part-") &&
-            f.getName.endsWith(".parquet")).head
-        java.nio.file.Files.copy(part.toPath,
-          inDir.resolve(s"b$i.parquet"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
+      stageOrderedBatches(base, batches)
       // watermarks require TimestampType; under the UTC session the
       // NTZ→TIMESTAMP cast preserves wall-clock values, so the window
       // boundaries stay aligned with the oracle's naive date_trunc
@@ -399,18 +388,7 @@ private[graft] trait EntryCuration { this: SparkEntry.type =>
         events.filter(tsm >= cut1 && tsm < cut2).select(cols.map(col): _*),
         events.filter(tsm >= cut2).select(cols.map(col): _*),
         sentinel(0L), sentinel(1L))
-      val inDir = java.nio.file.Paths.get(s"$base/in")
-      java.nio.file.Files.createDirectories(inDir)
-      batches.zipWithIndex.foreach { case (b, i) =>
-        val stage = s"$base/stage$i"
-        b.repartition(1).write.mode("overwrite").parquet(stage)
-        val part = new java.io.File(stage).listFiles()
-          .filter(f => f.getName.startsWith("part-") &&
-            f.getName.endsWith(".parquet")).head
-        java.nio.file.Files.copy(part.toPath,
-          inDir.resolve(s"b$i.parquet"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
+      stageOrderedBatches(base, batches)
       import s.implicits._
       val stream = s.readStream
         .schema(batches.head.schema)
@@ -466,18 +444,7 @@ private[graft] trait EntryCuration { this: SparkEntry.type =>
             concat(lit("NEW "), col("c_name")), col("c_acctbal"))),
         ch(k % 4 === 0, 2L, "U", k, col("c_name"), col("c_acctbal") + 10),
         ch(k % 9 === 0, 3L, "D", k, col("c_name"), col("c_acctbal")))
-      val inDir = java.nio.file.Paths.get(s"$base/in")
-      java.nio.file.Files.createDirectories(inDir)
-      batches.zipWithIndex.foreach { case (b, i) =>
-        val stage = s"$base/stage$i"
-        b.repartition(1).write.mode("overwrite").parquet(stage)
-        val part = new java.io.File(stage).listFiles()
-          .filter(f => f.getName.startsWith("part-") &&
-            f.getName.endsWith(".parquet")).head
-        java.nio.file.Files.copy(part.toPath,
-          inDir.resolve(s"b$i.parquet"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
+      stageOrderedBatches(base, batches)
       val stream = s.readStream.schema(batches.head.schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
       val q = graft.streaming.EventStream.cdcSink(

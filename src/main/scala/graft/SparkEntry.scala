@@ -184,6 +184,32 @@ object SparkEntry extends EntryRelA with EntryRelB with EntryText with EntryDedu
     */
   private[graft] val streamRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Stage `batches` as single parquet files `b0.parquet … bN.parquet`
+    * under `base/in` with BOTH increasing mtimes (sequential copies) and
+    * lexicographic names, so the file stream source's (timestamp, path)
+    * ordering replays them as micro-batches in EXACTLY this order under
+    * `maxFilesPerTrigger = 1` — the arrival-order contract the ordered
+    * streaming declarations (s5 watermark thirds + sentinels, s6
+    * sessions, s7 seq-ordered CDC feed) are correct against. Returns the
+    * input directory path.
+    */
+  private[graft] def stageOrderedBatches(
+      base: String, batches: Seq[DataFrame]): String = {
+    val inDir = java.nio.file.Paths.get(s"$base/in")
+    java.nio.file.Files.createDirectories(inDir)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val stage = s"$base/stage$i"
+      b.repartition(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        inDir.resolve(s"b$i.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    inDir.toString
+  }
+
   /** Build-once cache for the demo ANN/clustering models. The deterministic
     * trainers are pure functions of (parquet dir, hyperparams) — the data
     * under a dir is immutable for the life of a session (the driver's
