@@ -92,6 +92,25 @@ def main(sf_dir, out_dir, shard=None, skip=(), only=()):
     for name in names:
         t0 = time.time()
         results[name] = check_one(con, oracle, out_dir, name)
+        if results[name] != "OK" and results[name].startswith("HASH"):
+            # a parallel DuckDB aggregation sums doubles in a run-varying
+            # order, which can flip a grid-boundary value between runs
+            # (q92's z at sf0.001 flips between 0.839 and 0.8391 at
+            # threads=8). Adjudicate with a DETERMINISTIC single-thread
+            # oracle evaluation: if that matches, the mismatch was the
+            # oracle's own parallelism, not a logic bug.
+            st = duckdb.connect()
+            st.execute("SET threads=1")
+            for t in TABLES:
+                st.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                           f"read_parquet('{sf_dir}/{t}.parquet')")
+            retry = check_one(st, oracle, out_dir, name)
+            st.close()
+            if retry == "OK":
+                print(f"  [{name}: parallel-oracle grid flake, "
+                      "single-thread oracle matches]",
+                      file=sys.stderr, flush=True)
+                results[name] = "OK"
         mark = "PASS" if results[name] == "OK" else "FAIL"
         print(f"{mark} {name}"
               + ("" if results[name] == "OK" else f": {results[name]}"),
