@@ -437,7 +437,9 @@ object Bench {
     // (noise refuted inside the record) or the flag survives WITH its
     // remeasure evidence attached. Flag set is re-read between passes
     // since each remeasure can change the medians it was computed from.
-    flaggedVsBaseline().sortBy(-_._2).take(12).foreach {
+    // worst adjusted ratio first (not raw median): with >12 flags the
+    // top offenders of the 2x gate must be the ones that get their A/B
+    flaggedVsBaseline().sortBy(-_._3).take(12).foreach {
       case (name, oldMed, _) =>
         if (!remeasured.contains(name))
           remeasureQuery(name, oldMed, recordConfirmation = true)

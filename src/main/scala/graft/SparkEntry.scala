@@ -210,6 +210,29 @@ object SparkEntry extends EntryRelA with EntryRelB with EntryText with EntryDedu
     inDir.toString
   }
 
+  /** Isolated child session for a streaming declaration's
+    * shuffle-partition override. The stateful streaming rows (s5/s6)
+    * want 4 shuffle partitions — state-store commits are paid
+    * per-(batch × partition) and the O(100) groups fit in 4 — but
+    * mutating the SHARED session conf (even with a try/finally restore)
+    * is a latent trap: any future parallel harness would let one
+    * declaration replan another's query at 4 partitions mid-flight.
+    * `newSession()` shares the SparkContext, catalog, and cached data
+    * but owns an independent SQLConf, so the override can never leak.
+    * Builder-time confs (UTC session timezone, UI off) are inherited via
+    * the shared SparkConf; runtime confs set post-builder on the parent
+    * (the nanosAsLong testdata toggle) are copied explicitly.
+    */
+  private[graft] def isolatedStreamSession(
+      s: SparkSession, shufflePartitions: Int): SparkSession = {
+    val ss = s.newSession()
+    Seq("spark.sql.legacy.parquet.nanosAsLong").foreach { k =>
+      s.conf.getOption(k).foreach(ss.conf.set(k, _))
+    }
+    ss.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    ss
+  }
+
   /** Build-once cache for the demo ANN/clustering models. The deterministic
     * trainers are pure functions of (parquet dir, hyperparams) — the data
     * under a dir is immutable for the life of a session (the driver's

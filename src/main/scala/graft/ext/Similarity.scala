@@ -1159,17 +1159,25 @@ object Similarity {
       .select(col("n").as("n_delta"),
         col("qerr_sum_micro").as("qerr_delta_micro"))
     qi.crossJoin(broadcast(qd))
+      // guards mirror suggestRebuild's scalar twin: an empty delta has
+      // no drift to measure (ratio NULL, never Infinity), and a
+      // perfectly-quantized index (qerr 0) must not trip drift via a
+      // 0-denominator NaN — Spark orders NaN greatest, so an unguarded
+      // NaN > errFactor would report rebuild=true on the degenerate
+      // best-case index
       .withColumn("qerr_ratio",
-        floor(
-          (col("qerr_delta_micro") * col("n_index")).cast("double")
-            / (col("qerr_index_micro") * col("n_delta")).cast("double")
-            * 1e6 + 0.5) / 1e6)
+        when(col("qerr_index_micro") > 0 && col("n_delta") > 0,
+          floor(
+            (col("qerr_delta_micro") * col("n_index")).cast("double")
+              / (col("qerr_index_micro") * col("n_delta")).cast("double")
+              * 1e6 + 0.5) / 1e6)
+          .otherwise(lit(null)))
       .withColumn("nlist", lit(nlist))
       .withColumn("nlist_rule",
         floor(sqrt((col("n_index") + col("n_delta")).cast("double"))
           + 0.5).cast("int"))
       .withColumn("rebuild",
-        col("qerr_ratio") > errFactor ||
+        coalesce(col("qerr_ratio") > errFactor, lit(false)) ||
           col("nlist_rule") >= col("nlist") * growthFactor)
   }
 

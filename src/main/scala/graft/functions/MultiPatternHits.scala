@@ -145,6 +145,12 @@ private[functions] final class AhoCorasick(patterns: Seq[String])
   /** Sum of multiplicities of the patterns contained in `bytes`. */
   def countContained(bytes: Array[Byte]): Long = {
     val (stamps, genBox) = scratch.get()
+    // on Int wrap a node stamped exactly 2^32 calls ago would alias the
+    // current gen and silently skip a true match — reset instead
+    if (genBox(0) == Int.MaxValue) {
+      java.util.Arrays.fill(stamps, 0)
+      genBox(0) = 0
+    }
     genBox(0) += 1
     val gen = genBox(0)
     var total = 0L

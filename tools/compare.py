@@ -120,6 +120,28 @@ def main(sf_dir, out_dir, shard=None, skip=(), only=()):
     print(f"\n{npass}/{len(results)} oracle-backed queries pass")
 
 
+def lint_oracle_types(con, sql):
+    """Output-type lint (the generalized q99 lesson): DuckDB widens
+    sum(BIGINT) to HUGEINT and exact division to DECIMAL; the driver's
+    pandas comparator renders both as float64, so an integer-valued
+    column hashes as "19525.0" against Spark's "19525" and the query
+    ships red even though the engine is bit-correct. DESCRIBE is
+    plan-only (cheap), so every compare run lints every oracle; any
+    HUGEINT/UHUGEINT/DECIMAL output column is a FAIL before values are
+    even fetched."""
+    try:
+        desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    except Exception as e:
+        return f"ORACLE ERROR (describe): {e}"
+    risky = [(r[0], r[1]) for r in desc
+             if "HUGEINT" in r[1].upper() or "DECIMAL" in r[1].upper()]
+    if risky:
+        return (f"ORACLE-TYPE {risky}: HUGEINT/DECIMAL render as float "
+                "in the driver's pandas comparator — CAST the oracle's "
+                "final select to BIGINT/DOUBLE")
+    return None
+
+
 def check_one(con, oracle, out_dir, name):
     files = glob.glob(f"{out_dir}/{name}/*.parquet")
     if not files:
@@ -138,6 +160,9 @@ def check_one(con, oracle, out_dir, name):
     s_cols = spark_t.column_names
     s_rows = [tuple(spark_t.column(c)[i].as_py() for c in s_cols)
               for i in range(spark_t.num_rows)]
+    lint = lint_oracle_types(con, oracle[name])
+    if lint:
+        return lint
     try:
         cur = con.execute(oracle[name])
         o_cols = [d[0] for d in cur.description]
