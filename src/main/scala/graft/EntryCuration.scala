@@ -487,6 +487,127 @@ private[graft] trait EntryCuration { this: SparkEntry.type =>
     }),
 
 
+    "s8_stream_interval_join" -> ((s, dir) => {
+      // the last stateful streaming SHAPE CLASS to join the oracle
+      // surface: a two-sided watermarked stream-stream interval join
+      // (EventStream.intervalJoinStream — both sides buffer state,
+      // both sides' watermarks govern eviction). Left = even event_ids,
+      // right = odd, matched on user_id within ±10 minutes. Each side
+      // is staged as 3 time-ordered thirds on the SAME cuts, so matches
+      // that span a batch boundary (left arrives a batch before its
+      // right partner, and vice versa) prove cross-batch join-state
+      // retention and that eviction under the advancing watermark never
+      // drops a live row: lateness (10 min) + the two-sided bound keep
+      // every partner inside the buffered horizon until its batch
+      // lands. Inner-join matches emit in the batch where the later
+      // side arrives — no watermark finalization, so no sentinel.
+      // Oracle = the naive all-pairs batch range join (q19/q79's
+      // definition) on the same subsets.
+      val events = rd(s, dir, "events")
+      val base = Scratch.ephemeralDir(
+        s"s8-run${streamRuns.incrementAndGet()}")
+      val tsm = unix_micros(col("ts").cast("timestamp"))
+      val mm = events.agg(min(tsm), max(tsm)).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val cut1 = lo + (hi - lo) / 3
+      val cut2 = lo + 2 * (hi - lo) / 3
+      // stream-stream joins need disjoint column names across sides
+      def side(par: Int, p: String) = events
+        .filter(col("event_id") % 2 === par)
+        .select(col("event_id").as(s"${p}_id"),
+          col("user_id").as(s"${p}_user"),
+          col("ts").cast("timestamp").as(s"${p}_ts"))
+      def thirds(df: DataFrame, p: String) = {
+        val t = unix_micros(col(s"${p}_ts"))
+        Seq(df.filter(t < cut1),
+          df.filter(t >= cut1 && t < cut2),
+          df.filter(t >= cut2))
+      }
+      val l = side(0, "l")
+      val r = side(1, "r")
+      stageOrderedBatches(s"$base/l", thirds(l, "l"))
+      stageOrderedBatches(s"$base/r", thirds(r, "r"))
+      val ss = isolatedStreamSession(s, shufflePartitions = 4)
+      def src(p: String, schema: org.apache.spark.sql.types.StructType) =
+        ss.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$base/$p/in")
+          .withColumn(s"${p}_ts", col(s"${p}_ts").cast("timestamp"))
+      val joined = graft.streaming.EventStream.intervalJoinStream(
+        src("l", l.schema), src("r", r.schema),
+        "l_user", "r_user", "l_ts", "r_ts",
+        before = "10 minutes", after = "10 minutes",
+        lateness = "10 minutes")
+      graft.streaming.EventStream.parquetSink(
+        joined.select("l_id", "r_id"), s"$base/out", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s.read.parquet(s"$base/out").orderBy("l_id", "r_id")
+    }),
+
+    "s9_stream_funnel" -> ((s, dir) => {
+      // stateful streaming corner s6 doesn't cover: arbitrary per-key
+      // state WITH a binding completion window and event-time-timeout
+      // GC of incomplete chains (EventStream.funnelStream). The
+      // signup→click→purchase funnel at a 7-day window runs over 3
+      // time-ordered thirds; two far-future sentinel signups then (1)
+      // advance the watermark past every real chain's head + window and
+      // (2) run the batch in which those timeouts actually FIRE — the
+      // GC path executes for every stuck user, and because the operator
+      // resets expired chains INLINE (see funnelStream's scaladoc), GC
+      // is output-invariant: the oracle below reproduces the streamed
+      // rows exactly, multi-cycle completions included. The sentinels'
+      // own 1-stage chains sit in state forever and emit nothing.
+      // Oracle = the repeated greedy chain-of-minima as a recursive
+      // per-cycle walk (q55's chain logic iterated per completion /
+      // window-expiry reset), at the stream's millisecond precision.
+      val events = rd(s, dir, "events")
+      val base = Scratch.ephemeralDir(
+        s"s9-run${streamRuns.incrementAndGet()}")
+      val tsm = unix_micros(col("ts").cast("timestamp"))
+      val mm = events.agg(min(tsm), max(tsm)).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val cut1 = lo + (hi - lo) / 3
+      val cut2 = lo + 2 * (hi - lo) / 3
+      val fe = events
+        .filter(col("event_type").isin("signup", "click", "purchase"))
+        .select(col("user_id"), col("ts"), col("event_type"))
+      def sentinel(uid: Long, offsetMicros: Long) = s.range(1).select(
+        lit(uid).as("user_id"),
+        timestamp_micros(lit(hi + 30L * 24 * 3600 * 1000000L
+          + offsetMicros))
+          .cast(events.schema("ts").dataType).as("ts"),
+        lit("signup").as("event_type"))
+      val batches = Seq(
+        fe.filter(tsm < cut1),
+        fe.filter(tsm >= cut1 && tsm < cut2),
+        fe.filter(tsm >= cut2),
+        sentinel(-1L, 0L), sentinel(-2L, 1000L))
+      stageOrderedBatches(base, batches)
+      import s.implicits._
+      val ss = isolatedStreamSession(s, shufflePartitions = 4)
+      val stream = ss.readStream.schema(batches.head.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .as[(Long, java.sql.Timestamp, String)]
+      graft.streaming.EventStream.parquetSink(
+        graft.streaming.EventStream.funnelStream(
+          stream, Seq("signup", "click", "purchase"),
+          windowMs = 7L * 24 * 3600 * 1000L, lateness = "1 hour").toDF(),
+        s"$base/out", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s.read.parquet(s"$base/out")
+        .select(col("user_id"),
+          date_format(col("ts_first"), "yyyy-MM-dd HH:mm:ss")
+            .as("ts_first"),
+          date_format(col("ts_last"), "yyyy-MM-dd HH:mm:ss")
+            .as("ts_last"),
+          col("duration_ms"))
+        .orderBy("user_id", "ts_first")
+    }),
+
     "q101_observe_load" -> ((s, dir) => {
       // zero-extra-pass load instrumentation (ops.Observe / Dataset
       // .observe): the metrics ride the WRITE action itself — counting
@@ -766,6 +887,74 @@ private[graft] trait EntryCuration { this: SparkEntry.type =>
         |SELECT c_custkey + 20000000, 'NEW ' || c_name, c_acctbal
         |  FROM customer WHERE c_custkey % 10 = 0
         |ORDER BY c_custkey""".stripMargin,
+
+    // s8: the streamed two-sided interval join must equal the naive
+    // all-pairs batch range join on the same even/odd event subsets —
+    // exact micros interval arithmetic on both engines.
+    "s8_stream_interval_join" ->
+      """WITH l AS (SELECT event_id AS l_id, user_id AS u, ts AS l_ts
+        |    FROM events WHERE event_id % 2 = 0),
+        |r AS (SELECT event_id AS r_id, user_id AS u, ts AS r_ts
+        |    FROM events WHERE event_id % 2 = 1)
+        |SELECT l.l_id, r.r_id FROM l JOIN r ON l.u = r.u
+        |  AND r.r_ts >= l.l_ts - INTERVAL 10 MINUTE
+        |  AND r.r_ts <= l.l_ts + INTERVAL 10 MINUTE
+        |ORDER BY l_id, r_id""".stripMargin,
+
+    // s9: funnelStream's exact semantics — repeated greedy
+    // chain-of-minima at millisecond precision with inline
+    // window-expiry reset — as a recursive per-cycle walk: each
+    // iteration finds the cycle head (first signup after the previous
+    // boundary), the greedy click/purchase minima inside head+window,
+    // and on completion advances the boundary to the purchase; on a
+    // stall the boundary advances to just before the first event past
+    // the expired window (that event may head the next cycle). A user
+    // with no event past a stuck chain's window terminates the
+    // recursion — exactly the state the stream's timeout GC removes
+    // without emitting. Verified equal to a direct fold simulation at
+    // sf0.001/0.01/0.1.
+    "s9_stream_funnel" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, epoch_ms(ts) AS t, event_type AS tpe
+        |  FROM events
+        |  WHERE event_type IN ('signup', 'click', 'purchase')
+        |),
+        |walk AS (
+        |  SELECT user_id, CAST(-9223372036854775807 AS BIGINT) AS bnd,
+        |         CAST(NULL AS BIGINT) AS hit_h,
+        |         CAST(NULL AS BIGINT) AS hit_c3
+        |  FROM (SELECT DISTINCT user_id FROM ev)
+        |  UNION ALL
+        |  SELECT q.user_id,
+        |    CASE WHEN q.c3 IS NOT NULL THEN q.c3 ELSE q.r - 1 END AS bnd,
+        |    CASE WHEN q.c3 IS NOT NULL THEN q.h END AS hit_h,
+        |    q.c3 AS hit_c3
+        |  FROM (
+        |    SELECT w.user_id, hh.h,
+        |      (SELECT min(e.t) FROM ev e WHERE e.user_id = w.user_id
+        |         AND e.tpe = 'purchase' AND e.t <= hh.h + 604800000
+        |         AND e.t > (SELECT min(c.t) FROM ev c
+        |                      WHERE c.user_id = w.user_id
+        |                        AND c.tpe = 'click' AND c.t > hh.h
+        |                        AND c.t <= hh.h + 604800000)) AS c3,
+        |      (SELECT min(e.t) FROM ev e WHERE e.user_id = w.user_id
+        |         AND e.t > hh.h + 604800000) AS r
+        |    FROM walk w,
+        |      LATERAL (SELECT min(e.t) AS h FROM ev e
+        |                 WHERE e.user_id = w.user_id
+        |                   AND e.tpe = 'signup' AND e.t > w.bnd) hh
+        |    WHERE hh.h IS NOT NULL
+        |  ) q
+        |  WHERE q.c3 IS NOT NULL OR q.r IS NOT NULL
+        |)
+        |SELECT user_id,
+        |  strftime(make_timestamp(hit_h * 1000), '%Y-%m-%d %H:%M:%S')
+        |    AS ts_first,
+        |  strftime(make_timestamp(hit_c3 * 1000), '%Y-%m-%d %H:%M:%S')
+        |    AS ts_last,
+        |  hit_c3 - hit_h AS duration_ms
+        |FROM walk WHERE hit_c3 IS NOT NULL
+        |ORDER BY user_id, ts_first""".stripMargin,
 
     // s4: x16's training / probe / exact-cosine chain, survivors =
     // corpus vectors with no eval hit.

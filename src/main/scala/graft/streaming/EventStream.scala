@@ -320,18 +320,32 @@ object EventStream {
     * Per-user state is the stage chain reached so far — O(stages) longs,
     * nothing else — advanced by the same greedy walk as the batch fold
     * (next expected stage, strictly increasing event time, processed in
-    * event-time order within each micro-batch). A user emits ONE
-    * [[FunnelHit]] the moment the final stage lands within `windowMs` of
-    * stage 1, then the state clears; users whose window expires are
-    * garbage-collected by event-time timeout without emitting.
+    * event-time order within each micro-batch). A user emits a
+    * [[FunnelHit]] each time the final stage lands within `windowMs` of
+    * stage 1, then the chain clears and later events may start a fresh
+    * cycle.
     *
-    * Parity caveat (inherent to single-pass streaming): the batch
-    * operator's chain-of-minima revises stage picks when an earlier
-    * qualifying event arrives later; the stream advances greedily in
-    * arrival order and never revises, so a cross-micro-batch
-    * out-of-order arrival can yield a later (but still valid) chain than
-    * the batch result. Within one micro-batch, events are sorted by
-    * event time first, so in-order delivery reproduces batch exactly.
+    * The output is a pure function of the per-user event sequence in
+    * event-time order, INDEPENDENT of micro-batch boundaries and
+    * watermark timing: when an event arrives more than `windowMs` after
+    * the chain head, the chain resets INLINE (that very event may start
+    * a fresh cycle if it is stage 1), so an expired chain never blocks a
+    * user and never waits for a timeout to clear. The event-time timeout
+    * is therefore pure memory GC — it removes state the inline reset
+    * would discard anyway on the next arrival (or that can never
+    * complete because the watermark has passed head + window), emitting
+    * nothing and changing no output. That determinism is what makes the
+    * operator oracle-checkable end to end (s9): the exact semantics are
+    * the repeated greedy chain-of-minima — cycle head = first stage-1
+    * event after the previous completion (or at/after the first event
+    * past an expired head's window), stages strictly increasing in time,
+    * all within `windowMs` of the head.
+    *
+    * Parity caveat (inherent to single-pass streaming): the stream never
+    * revises a stage pick when an earlier qualifying event arrives LATE
+    * (cross-batch out-of-order); in-order delivery reproduces the
+    * repeated chain-of-minima exactly. Comparisons are at millisecond
+    * precision (`Timestamp.getTime`).
     */
   def funnelStream(
       events: Dataset[(Long, Timestamp, String)],
@@ -355,36 +369,40 @@ object EventStream {
          rows: Iterator[(Long, Timestamp, String)],
          state: GroupState[FunnelState]) => {
           if (state.hasTimedOut) {
-            // window expired without completion: drop the chain
+            // pure GC: the chain's window expired with no further
+            // arrivals — the inline reset would discard it on the next
+            // event anyway, so removing it changes no output
             state.remove()
             Iterator.empty
           } else {
             var chain = state.getOption.map(_.chain.toVector)
               .getOrElse(Vector.empty[Long])
-            var hit: Option[FunnelHit] = None
+            val hits = Vector.newBuilder[FunnelHit]
             val sorted = rows.toSeq.sortBy(_._2.getTime)
             sorted.foreach { case (_, ts, tpe) =>
               val t = ts.getTime
-              if (hit.isEmpty && chain.size < stageArr.size &&
-                  tpe == stageArr(chain.size) &&
-                  (chain.isEmpty || t > chain.last) &&
-                  (chain.isEmpty || t - chain.head <= windowMs)) {
+              // inline window reset: this event may start a fresh cycle
+              if (chain.nonEmpty && t - chain.head > windowMs)
+                chain = Vector.empty
+              if (tpe == stageArr(chain.size) &&
+                  (chain.isEmpty || t > chain.last)) {
                 chain = chain :+ t
-                if (chain.size == stageArr.size)
-                  hit = Some(FunnelHit(userId, new Timestamp(chain.head),
-                    new Timestamp(chain.last), chain.last - chain.head))
+                if (chain.size == stageArr.size) {
+                  hits += FunnelHit(userId, new Timestamp(chain.head),
+                    new Timestamp(chain.last), chain.last - chain.head)
+                  chain = Vector.empty
+                }
               }
             }
-            if (hit.isDefined) state.remove()
-            else if (chain.nonEmpty) {
+            if (chain.nonEmpty) {
               state.update(FunnelState(chain))
               // completion impossible once the watermark passes
               // stage-1 time + window (clamped: a timeout may not be set
               // behind the current watermark)
               state.setTimeoutTimestamp(math.max(
                 chain.head + windowMs, state.getCurrentWatermarkMs + 1))
-            }
-            hit.iterator
+            } else if (state.exists) state.remove()
+            hits.result().iterator
           }
         })
   }

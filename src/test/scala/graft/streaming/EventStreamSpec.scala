@@ -416,6 +416,49 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel: inline window reset lets the expiring event start a fresh cycle") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val hits = EventStream.funnelStream(
+      input.toDS(), Seq("a", "b"),
+      windowMs = 10L * 60 * 1000, lateness = "5 minutes")
+    val q = hits.writeStream.format("memory").queryName("funnel_reset")
+      .outputMode("append").start()
+    try {
+      // head at 10:00 expires when a@10:15 arrives (>10 min): the chain
+      // resets INLINE and a@10:15 itself becomes the new head, so
+      // b@10:16 completes — no dependence on timeout/watermark timing
+      input.addData((1L, ts(0), "a"), (1L, ts(15), "a"), (1L, ts(16), "b"))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_reset").as[FunnelHit].collect().toSeq
+      rows.map(h => (h.ts_first, h.ts_last)) shouldBe Seq((ts(15), ts(16)))
+    } finally q.stop()
+  }
+
+  test("streaming funnel: completion clears the chain WITHIN a batch (multi-cycle)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val hits = EventStream.funnelStream(
+      input.toDS(), Seq("a", "b"),
+      windowMs = 60L * 60 * 1000, lateness = "5 minutes")
+    val q = hits.writeStream.format("memory").queryName("funnel_multi")
+      .outputMode("append").start()
+    try {
+      // both cycles land in ONE micro-batch: output must not depend on
+      // where the batch boundary falls
+      input.addData(
+        (1L, ts(0), "a"), (1L, ts(1), "b"),
+        (1L, ts(2), "a"), (1L, ts(3), "b"))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_multi").as[FunnelHit].collect().toSeq
+        .sortBy(_.ts_first.getTime)
+      rows.map(h => (h.ts_first, h.ts_last)) shouldBe
+        Seq((ts(0), ts(1)), (ts(2), ts(3)))
+    } finally q.stop()
+  }
+
   test("streaming funnel: stage order enforced, repeat completion not re-emitted") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
