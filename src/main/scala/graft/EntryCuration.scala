@@ -608,6 +608,181 @@ private[graft] trait EntryCuration { this: SparkEntry.type =>
         .orderBy("user_id", "ts_first")
     }),
 
+    "s10_stream_transitions" -> ((s, dir) => {
+      // the transition-matrix analytics stream joins the oracle
+      // surface: per-entity carried last-event state
+      // (EventStream.transitionsStream) bridges consecutive pairs
+      // ACROSS micro-batches — the property the 3 time-ordered thirds
+      // exercise: a third's first event must pair with the previous
+      // third's last. Idle-timeout GC (40 days) can never fire
+      // mid-data (the events table spans 30 days, so no user is idle
+      // longer than the span); the two far-future sentinels then
+      // advance the watermark and run the batch where every user's
+      // state times out — exercising the GC path after the last real
+      // bridge, where removal is output-invariant. The declared result
+      // aggregates the emitted pairs into q76's transition matrix, so
+      // the oracle is q76's lead-window SQL verbatim: equality proves
+      // every global consecutive pair was emitted exactly once.
+      val events = rd(s, dir, "events")
+      val base = Scratch.ephemeralDir(
+        s"s10-run${streamRuns.incrementAndGet()}")
+      val tsm = unix_micros(col("ts").cast("timestamp"))
+      val mm = events.agg(min(tsm), max(tsm)).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val cut1 = lo + (hi - lo) / 3
+      val cut2 = lo + 2 * (hi - lo) / 3
+      val ev = events.select(col("user_id"), col("ts"), col("event_type"))
+      def sentinel(uid: Long, offsetMicros: Long) = s.range(1).select(
+        lit(uid).as("user_id"),
+        timestamp_micros(lit(hi + 100L * 24 * 3600 * 1000000L
+          + offsetMicros))
+          .cast(events.schema("ts").dataType).as("ts"),
+        lit("__advance__").as("event_type"))
+      val batches = Seq(
+        ev.filter(tsm < cut1),
+        ev.filter(tsm >= cut1 && tsm < cut2),
+        ev.filter(tsm >= cut2),
+        sentinel(-1L, 0L), sentinel(-2L, 1000L))
+      stageOrderedBatches(base, batches)
+      import s.implicits._
+      val ss = isolatedStreamSession(s, shufflePartitions = 4)
+      val stream = ss.readStream.schema(batches.head.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .as[(Long, java.sql.Timestamp, String)]
+      graft.streaming.EventStream.parquetSink(
+        graft.streaming.EventStream.transitionsStream(
+          stream, lateness = "1 hour", idleTimeout = "960h"),
+        s"$base/out", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      val pairs = s.read.parquet(s"$base/out")
+        .filter(col("user_id") >= 0) // drop the sentinels' own rows
+      val c = pairs.groupBy(col("from_state"), col("to_state"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("from_state")
+      c.withColumn("share",
+        floor(col("n").cast("double") / sum(col("n")).over(w)
+          * 1e6 + 0.5) / 1e6)
+        .orderBy("from_state", "to_state")
+    }),
+
+    "s11_stream_drift" -> ((s, dir) => {
+      // the windowed drift monitor joins the oracle surface: the
+      // reference profile (equi-depth bounds + shares over user%2=0)
+      // is computed ONCE batch-side and rides into the stream as
+      // literals (EventStream.driftStream — the deployment shape of a
+      // PSI monitor: profile the trusted corpus offline, watch the
+      // live feed continuously); the current side (user%2=1) streams
+      // as 3 time-ordered thirds, one O(buckets) state row per tumbling
+      // day. Two far-future sentinels advance the watermark through the
+      // finalization of every real window; their own window is
+      // watermark-withheld forever (they must carry a NON-null value:
+      // Catalyst pushes the monitor's not-null filter BELOW the
+      // watermark node, so a null-value sentinel would be dropped
+      // before the watermark statistic ever saw it — observed as the
+      // last real window never flushing). Oracle = q64's PSI arithmetic
+      // applied per day window, zero-count buckets restored by the grid.
+      val events = rd(s, dir, "events")
+      val (bounds, refShares) = graft.ops.Drift.referenceProfile(
+        events.filter(col("user_id") % 2 === 0), "value",
+        buckets = 8, exact = true)
+      val base = Scratch.ephemeralDir(
+        s"s11-run${streamRuns.incrementAndGet()}")
+      val tsm = unix_micros(col("ts").cast("timestamp"))
+      val mm = events.agg(min(tsm), max(tsm)).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val cut1 = lo + (hi - lo) / 3
+      val cut2 = lo + 2 * (hi - lo) / 3
+      val cur = events.filter(col("user_id") % 2 === 1)
+        .select(col("ts"), col("value"))
+      def sentinel(offsetMicros: Long) = s.range(1).select(
+        timestamp_micros(lit(hi + 30L * 24 * 3600 * 1000000L
+          + offsetMicros))
+          .cast(events.schema("ts").dataType).as("ts"),
+        lit(0.0).as("value"))
+      val batches = Seq(
+        cur.filter(tsm < cut1),
+        cur.filter(tsm >= cut1 && tsm < cut2),
+        cur.filter(tsm >= cut2),
+        sentinel(0L), sentinel(1000L))
+      stageOrderedBatches(base, batches)
+      val ss = isolatedStreamSession(s, shufflePartitions = 4)
+      val stream = ss.readStream.schema(batches.head.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+        .withColumn("ts", col("ts").cast("timestamp"))
+      graft.streaming.EventStream.parquetSink(
+        graft.streaming.EventStream.driftStream(
+          stream, "ts", "value", bounds, refShares,
+          window = "1 day", lateness = "1 hour"),
+        s"$base/out", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s.read.parquet(s"$base/out")
+        .select(
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"),
+          date_format(col("window_end"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_end"),
+          col("n_events"), col("bucket"), col("cur_n"),
+          col("cur_share"), col("psi"), col("window_psi"))
+        .orderBy("window_start", "bucket")
+    }),
+
+    "s12_stream_heavy_hitters" -> ((s, dir) => {
+      // the windowed top-k monitor joins the oracle surface: per
+      // tumbling day, ONE mergeable Misra-Gries summary row of state
+      // (EventStream.heavyHittersStream). Capacity 64 > the column's
+      // ndv (5 event types), so no decrement round ever fires and the
+      // summary is EXACT — q57's oracle-checkable stance lifted to
+      // windows: est = the true per-(day, item) count, err = 0, rank =
+      // the summary's deterministic (est desc, item) order. Two
+      // far-future sentinels finalize every real window; their own
+      // window is watermark-withheld forever.
+      val events = rd(s, dir, "events")
+      val base = Scratch.ephemeralDir(
+        s"s12-run${streamRuns.incrementAndGet()}")
+      val tsm = unix_micros(col("ts").cast("timestamp"))
+      val mm = events.agg(min(tsm), max(tsm)).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val cut1 = lo + (hi - lo) / 3
+      val cut2 = lo + 2 * (hi - lo) / 3
+      val ev = events.select(col("ts"), col("event_type"))
+      def sentinel(offsetMicros: Long) = s.range(1).select(
+        timestamp_micros(lit(hi + 30L * 24 * 3600 * 1000000L
+          + offsetMicros))
+          .cast(events.schema("ts").dataType).as("ts"),
+        lit("__advance__").as("event_type"))
+      val batches = Seq(
+        ev.filter(tsm < cut1),
+        ev.filter(tsm >= cut1 && tsm < cut2),
+        ev.filter(tsm >= cut2),
+        sentinel(0L), sentinel(1000L))
+      stageOrderedBatches(base, batches)
+      val ss = isolatedStreamSession(s, shufflePartitions = 4)
+      val stream = ss.readStream.schema(batches.head.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+        .withColumn("ts", col("ts").cast("timestamp"))
+      graft.streaming.EventStream.parquetSink(
+        graft.streaming.EventStream.heavyHittersStream(
+          stream, "ts", "event_type", capacity = 64,
+          window = "1 day", lateness = "1 hour"),
+        s"$base/out", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s.read.parquet(s"$base/out")
+        .select(
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"),
+          date_format(col("window_end"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_end"),
+          col("rank"), col("item"), col("est"), col("err"))
+        .orderBy("window_start", "rank")
+    }),
+
     "q101_observe_load" -> ((s, dir) => {
       // zero-extra-pass load instrumentation (ops.Observe / Dataset
       // .observe): the metrics ride the WRITE action itself — counting
@@ -955,6 +1130,90 @@ private[graft] trait EntryCuration { this: SparkEntry.type =>
         |  hit_c3 - hit_h AS duration_ms
         |FROM walk WHERE hit_c3 IS NOT NULL
         |ORDER BY user_id, ts_first""".stripMargin,
+
+    // s10: the streamed transition pairs, re-aggregated, must equal
+    // the batch transition matrix — q76's lead-window oracle verbatim
+    // (the sentinels are single-event users and emit no pairs).
+    "s10_stream_transitions" ->
+      """WITH p AS (SELECT event_type AS f,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS t
+        |  FROM events),
+        |c AS (SELECT f AS from_state, t AS to_state, count(*) AS n
+        |  FROM p WHERE t IS NOT NULL GROUP BY 1, 2),
+        |o AS (SELECT from_state, sum(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.from_state, c.to_state, CAST(c.n AS BIGINT) AS n,
+        |  floor(CAST(c.n AS DOUBLE) / o.tot * 1e6 + 0.5) / 1e6 AS share
+        |FROM c JOIN o USING (from_state)
+        |ORDER BY from_state, to_state""".stripMargin,
+
+    // s11: q64's PSI arithmetic per day window — reference bounds
+    // (exact percentiles on the 1e-6 grid) and raw-double reference
+    // shares from the user%2=0 side, current side bucketed by the same
+    // cutpoints, eps-floored shares, per-bucket psi on the 1e-6 grid,
+    // window_psi = the re-rounded sum of the ROUNDED per-bucket psi
+    // (the stream sums the rounded struct fields). Zero-count buckets
+    // are restored by the 0..7 grid, exactly as the stream emits all
+    // nb buckets per finalized window.
+    "s11_stream_drift" ->
+      """WITH r0 AS (SELECT value FROM events
+        |    WHERE user_id % 2 = 0 AND value IS NOT NULL),
+        |q AS (SELECT quantile_cont(value,
+        |    [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS qs FROM r0),
+        |bd AS (SELECT list_transform(qs, x -> floor(x * 1e6 + 0.5) / 1e6)
+        |    AS bounds FROM q),
+        |rb AS (SELECT len(list_filter(bd.bounds, x -> x <= value))
+        |    AS bucket, count(*) AS ref_n
+        |  FROM r0 CROSS JOIN bd GROUP BY 1),
+        |rt AS (SELECT sum(ref_n) AS t FROM rb),
+        |rs AS (SELECT b.i AS bucket,
+        |    greatest(CAST(coalesce(rb.ref_n, 0) AS DOUBLE) / rt.t, 1e-6)
+        |      AS rs
+        |  FROM range(8) b(i) LEFT JOIN rb ON rb.bucket = b.i
+        |  CROSS JOIN rt),
+        |c0 AS (SELECT date_trunc('day', ts) AS d, value FROM events
+        |    WHERE user_id % 2 = 1 AND value IS NOT NULL),
+        |cb AS (SELECT d, len(list_filter(bd.bounds, x -> x <= value))
+        |    AS bucket, count(*) AS cur_n
+        |  FROM c0 CROSS JOIN bd GROUP BY 1, 2),
+        |ct AS (SELECT d, sum(cur_n) AS tot FROM cb GROUP BY 1),
+        |grid AS (SELECT ct.d, b.i AS bucket, ct.tot
+        |  FROM ct CROSS JOIN range(8) b(i)),
+        |j AS (SELECT g.d, g.bucket, coalesce(cb.cur_n, 0) AS cur_n, g.tot
+        |  FROM grid g LEFT JOIN cb
+        |    ON cb.d = g.d AND cb.bucket = g.bucket),
+        |x AS (SELECT j.d, j.bucket, j.cur_n, j.tot,
+        |    greatest(CAST(j.cur_n AS DOUBLE) / j.tot, 1e-6) AS cs, rs.rs
+        |  FROM j JOIN rs ON rs.bucket = j.bucket),
+        |p AS (SELECT d, bucket, cur_n, tot, cs,
+        |    floor((cs - rs) * ln(cs / rs) * 1e6 + 0.5) / 1e6 AS psi
+        |  FROM x)
+        |SELECT strftime(d, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  strftime(d + INTERVAL 1 DAY, '%Y-%m-%d %H:%M:%S')
+        |    AS window_end,
+        |  CAST(tot AS BIGINT) AS n_events,
+        |  CAST(bucket AS INT) AS bucket,
+        |  CAST(cur_n AS BIGINT) AS cur_n,
+        |  floor(cs * 1e6 + 0.5) / 1e6 AS cur_share,
+        |  psi,
+        |  floor(sum(psi) OVER (PARTITION BY d) * 1e6 + 0.5) / 1e6
+        |    AS window_psi
+        |FROM p ORDER BY window_start, bucket""".stripMargin,
+
+    // s12: exact per-(day, item) counts with the summary's
+    // deterministic (est desc, item) rank — the Misra-Gries exact
+    // regime (capacity > ndv, zero decrement rounds → err = 0).
+    "s12_stream_heavy_hitters" ->
+      """WITH w AS (SELECT date_trunc('day', ts) AS d,
+        |    event_type AS item, count(*) AS est
+        |  FROM events GROUP BY 1, 2)
+        |SELECT strftime(d, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  strftime(d + INTERVAL 1 DAY, '%Y-%m-%d %H:%M:%S')
+        |    AS window_end,
+        |  CAST(row_number() OVER (PARTITION BY d
+        |    ORDER BY est DESC, item) AS INT) AS rank,
+        |  item, CAST(est AS BIGINT) AS est, CAST(0 AS BIGINT) AS err
+        |FROM w ORDER BY window_start, rank""".stripMargin,
 
     // s4: x16's training / probe / exact-cosine chain, survivors =
     // corpus vectors with no eval hit.
