@@ -783,6 +783,193 @@ private[graft] trait EntryCuration { this: SparkEntry.type =>
         .orderBy("window_start", "rank")
     }),
 
+    "s13_stream_neardup_index" -> ((s, dir) => {
+      // x9's incremental near-dup shape run through the STREAM-STATIC
+      // join (EventStream.nearDupAgainstIndexStream): the 80% corpus
+      // index is prebuilt once (snapshot cadence), the 20% new docs
+      // arrive as 3 micro-batches, each shingled/banded with the batch
+      // expressions and equi-joined against the exploded index —
+      // STATELESS (no watermark, no state store: a crawl-ingest filter
+      // holds only the current micro-batch). A pair colliding in
+      // several bands emits once per band (a streaming distinct would
+      // be unbounded state); duplicates are strictly intra-batch, so
+      // the declared result dedupes after the fact. Oracle = x9's
+      // exact cross-split Jaccard SQL verbatim (k=128/b=32 makes the
+      // LSH pair set provably equal to it).
+      val docs = rd(s, dir, "documents")
+      val idx = graft.ext.Dedup.minhashIndex(
+        docs.filter(pmod(col("doc_id"), lit(10)) < 8), "doc_id", "text",
+        numHashes = 128, bands = 32)
+      val newDocs = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+        .select("doc_id", "text")
+      val base = Scratch.ephemeralDir(
+        s"s13-run${streamRuns.incrementAndGet()}")
+      newDocs.repartition(3).write.mode("overwrite").parquet(s"$base/in")
+      val ss = isolatedStreamSession(s, shufflePartitions = 4)
+      val stream = ss.readStream.schema(newDocs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      graft.streaming.EventStream.parquetSink(
+        graft.streaming.EventStream.nearDupAgainstIndexStream(
+          stream, "doc_id", "text", idx, threshold = 0.8,
+          numHashes = 128, bands = 32),
+        s"$base/out", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s.read.parquet(s"$base/out")
+        .dropDuplicates("corpus_id", "new_id")
+        .orderBy("corpus_id", "new_id")
+    }),
+
+    "s14_stream_exact_dedup" -> ((s, dir) => {
+      // streamed exact dedup (EventStream.dedupStream →
+      // dropDuplicatesWithinWatermark on the normalize-md5 fingerprint):
+      // the 3 micro-batches carry arbitrary splits of the corpus, the
+      // dedup state spans batches (lateness exceeds the synthetic time
+      // axis, so nothing is evicted mid-run), and the contract the
+      // oracle pins is the DEDUP INVARIANT — exactly one survivor per
+      // distinct fingerprint, none lost, none double-emitted. Which
+      // copy survives is arrival-order-dependent (the operator keeps
+      // the first it sees), so the declared result projects to
+      // (fingerprint, n_rows) — the deterministic part of the
+      // semantics; x1 pins the keep-min-id policy on the batch twin.
+      val docs = rd(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          timestamp_micros(lit(1704067200000000L) + col("doc_id"))
+            .as("ts"))
+      val base = Scratch.ephemeralDir(
+        s"s14-run${streamRuns.incrementAndGet()}")
+      docs.repartition(3).write.mode("overwrite").parquet(s"$base/in")
+      val ss = isolatedStreamSession(s, shufflePartitions = 4)
+      val stream = ss.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+        .withColumn("ts", col("ts").cast("timestamp"))
+      graft.streaming.EventStream.parquetSink(
+        graft.streaming.EventStream.dedupStream(
+          stream, "text", "ts", lateness = "3650 days"),
+        s"$base/out", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s.read.parquet(s"$base/out")
+        .groupBy(graft.ext.Dedup.exactFingerprint(col("text"))
+          .as("fingerprint"))
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy("fingerprint")
+    }),
+
+    "s15_stream_summary_sink" -> ((s, dir) => {
+      // the materialized-rollup sink joins the oracle surface
+      // (EventStream.summarySink): each micro-batch is summarized and
+      // FOLDED into the parquet summary table through the
+      // applied-batch-id fenced ._next/._bak swap (idempotent under
+      // redelivery — spec-tested; here the 3-batch fold's RESULT is
+      // value-checked). counts/sums add, ranges combine, HLL sketches
+      // union — fold ∘ fold ∘ fold must equal the one-shot scan, which
+      // is exactly q47's oracle (the 1e-2/1e-4 grids absorb the
+      // fold-order double-sum difference, as they do for q47's
+      // two-half fold).
+      val ev = rd(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("user_id"))
+      val base = Scratch.ephemeralDir(
+        s"s15-run${streamRuns.incrementAndGet()}")
+      val batches = Seq(
+        ev.filter(pmod(col("event_id"), lit(3)) === 0),
+        ev.filter(pmod(col("event_id"), lit(3)) === 1),
+        ev.filter(pmod(col("event_id"), lit(3)) === 2))
+      stageOrderedBatches(base, batches)
+      val ss = isolatedStreamSession(s, shufflePartitions = 4)
+      val stream = ss.readStream.schema(batches.head.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      graft.streaming.EventStream.summarySink(
+        stream, s"$base/table", s"$base/ckpt",
+        groupCols = Seq("event_type"), sumCols = Seq("value"),
+        rangeCols = Seq("value"), ndvCols = Seq("user_id"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      val folded = graft.pipeline.IncrementalAgg.estimate(
+        s.read.parquet(s"$base/table"), Seq("user_id"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("__exact_ndv"))
+      folded.join(exact, "event_type")
+        .select(
+          col("event_type"), col("n"),
+          rnd(col("sum_value"), 2).as("sum_value"),
+          rnd(col("min_value"), 4).as("min_value"),
+          rnd(col("max_value"), 4).as("max_value"),
+          (abs(col("ndv_user_id") - col("__exact_ndv"))
+            <= col("__exact_ndv") * 0.05).cast("int").as("ndv_ok"))
+        .orderBy("event_type")
+    }),
+
+    "s16_stream_dsir_score" -> ((s, dir) => {
+      // the DSIR scoring sink joins the oracle surface
+      // (EventStream.dsirScoreSink): the log-ratio model is fit ONCE
+      // batch-side on the q95 split (target = doc_id%17==0), persisted
+      // to parquet (the artifact cadence: fit per snapshot, gate the
+      // crawl continuously), and each of the 3 raw micro-batches scores
+      // against it statelessly. The union of the appended scores,
+      // ranked, must equal q95's full Gumbel ranking — the oracle is
+      // q95's replay with the top-k limit lifted past the corpus size.
+      val docs = rd(s, dir, "documents")
+      val target = docs.filter(pmod(col("doc_id"), lit(17)) === 0)
+      val raw = docs.filter(pmod(col("doc_id"), lit(17)) =!= 0)
+        .select("doc_id", "text")
+      val base = Scratch.ephemeralDir(
+        s"s16-run${streamRuns.incrementAndGet()}")
+      graft.ext.Dsir.fit(target, raw, "doc_id", "text",
+        buckets = 8192, salt = "dsir")
+        .write.mode("overwrite").parquet(s"$base/model")
+      val lam = s.read.parquet(s"$base/model")
+      raw.repartition(3).write.mode("overwrite").parquet(s"$base/in")
+      val ss = isolatedStreamSession(s, shufflePartitions = 4)
+      val stream = ss.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      graft.streaming.EventStream.dsirScoreSink(
+        stream, lam, "doc_id", "text", buckets = 8192, salt = "dsir",
+        outPath = s"$base/out", checkpoint = s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      val w = Window.orderBy(col("score").desc, col("doc_id"))
+      s.read.parquet(s"$base/out")
+        .withColumn("rank", row_number().over(w))
+        .select("doc_id", "rank", "score")
+        .orderBy("rank")
+    }),
+
+    "s17_stream_ann_serve" -> ((s, dir) => {
+      // the ANN serving sink joins the oracle surface
+      // (EventStream.annServeSink): y6's snapshot index — coarse cells,
+      // PQ codes, norms, built once from the deterministic
+      // snapshot-trained models — serves 3 micro-batches of new query
+      // vectors with no retraining and no re-encoding. Per-batch top-k
+      // is complete where it happens (a query id lives in exactly one
+      // micro-batch), so the appended union must equal the one-shot
+      // batch search: the oracle is y6's end-to-end SQL re-derivation
+      // verbatim (index build AND ADC serve at nprobe=12, rf=16).
+      val (snapshot, batch) = y6Parts(s, dir)
+      val (coarse, pq) = y6Models(s, dir)
+      val index = graft.ext.Similarity.buildIvfPqIndex(
+        snapshot, "vec_id", "embedding", coarse, pq)
+      val base = Scratch.ephemeralDir(
+        s"s17-run${streamRuns.incrementAndGet()}")
+      batch.repartition(3).write.mode("overwrite").parquet(s"$base/in")
+      val ss = isolatedStreamSession(s, shufflePartitions = 4)
+      val stream = ss.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      graft.streaming.EventStream.annServeSink(
+        stream, index, snapshot, "vec_id", "embedding", k = 5,
+        coarse = coarse, pq = pq, nprobe = 12, rescoreFactor = 16,
+        outPath = s"$base/out", checkpoint = s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s.read.parquet(s"$base/out").orderBy("query_id", "rank")
+    }),
+
     "q101_observe_load" -> ((s, dir) => {
       // zero-extra-pass load instrumentation (ops.Observe / Dataset
       // .observe): the metrics ride the WRITE action itself — counting
@@ -1214,6 +1401,34 @@ private[graft] trait EntryCuration { this: SparkEntry.type =>
         |    ORDER BY est DESC, item) AS INT) AS rank,
         |  item, CAST(est AS BIGINT) AS est, CAST(0 AS BIGINT) AS err
         |FROM w ORDER BY window_start, rank""".stripMargin,
+
+    // s13: the streamed LSH pairs, deduped, must equal the exact
+    // cross-split Jaccard set — x9's oracle verbatim.
+    "s13_stream_neardup_index" -> oraclesDedup("x9_dedup_incremental"),
+
+    // s14: the dedup invariant — exactly one survivor per distinct
+    // normalize-md5 fingerprint (which copy survives is
+    // arrival-order-dependent and deliberately not compared; x1 pins
+    // the keep-min policy on the batch twin).
+    "s14_stream_exact_dedup" ->
+      """SELECT DISTINCT
+        |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+        |    AS fingerprint,
+        |  CAST(1 AS BIGINT) AS n_rows
+        |FROM documents ORDER BY fingerprint""".stripMargin,
+
+    // s15: fold-of-3-batches equals the one-shot scan — q47's oracle
+    // verbatim (same grids absorbing the fold-order double sums).
+    "s15_stream_summary_sink" -> oraclesRelA("q47_incr_agg"),
+
+    // s16: q95's full DSIR replay with the top-k limit lifted past any
+    // corpus size — the streamed scores, ranked, are the whole ranking.
+    "s16_stream_dsir_score" ->
+      ("WITH " + dsirOracleTail("documents", "dsir", 1000000000)),
+
+    // s17: y6's end-to-end index-build + ADC-serve re-derivation,
+    // verbatim — the streamed appends must union to the batch search.
+    "s17_stream_ann_serve" -> oraclesKnn("y6_knn_indexed"),
 
     // s4: x16's training / probe / exact-cosine chain, survivors =
     // corpus vectors with no eval hit.
