@@ -267,6 +267,7 @@ object SparkEntry extends EntryRelA with EntryRelB with EntryText with EntryDedu
     x14Model(s, dir)
     y8RebuildModels(s, dir)
     s1IndexPath(s, dir)
+    s13IndexPath(s, dir)
     s2ModelPath(s, dir)
     s3WeightsPath(s, dir)
   }
@@ -343,6 +344,20 @@ object SparkEntry extends EntryRelA with EntryRelB with EntryText with EntryDedu
         rd(s, dir, "documents")
           .filter(pmod(col("doc_id"), lit(10)) < 8), "doc_id", "text",
         numHashes = 128, bands = 32)
+        .write.mode("overwrite").parquet(p)
+      p
+    }
+
+  /** s13's snapshot artifact: the COLLAPSED form of the s1 index
+    * ([[ext.Dedup.collapseIndex]] — unique shingle sets as groups),
+    * which is what [[graft.streaming.EventStream.nearDupPairsSink]]
+    * reads per trigger (the collapsed groups skip the per-batch
+    * re-aggregation the raw per-doc form would pay).
+    */
+  private[graft] def s13IndexPath(s: SparkSession, dir: String): String =
+    cachedModel(s"s13idx|$dir") {
+      val p = s"${Scratch.ephemeralDir("s13idx")}/idx-${dirTag(dir)}"
+      Dedup.collapseIndex(s.read.parquet(s1IndexPath(s, dir)))
         .write.mode("overwrite").parquet(p)
       p
     }

@@ -438,7 +438,8 @@ object Dedup {
       bands: Int = 16,
       preIndexedBatch: Option[DataFrame] = None): DataFrame =
     nearDuplicatesAgainstIndexPlan(index, newDocs, idCol, textCol,
-      threshold, numHashes, bands, preIndexedBatch)._1
+      threshold, numHashes, bands, preIndexedBatch,
+      indexPreCollapsed = false)._1
 
   /** Scoped form of [[nearDuplicatesAgainstIndex]] that OWNS the persist
     * lifecycle (same contract as [[withNearDuplicatesMinhash]]): hands the
@@ -456,12 +457,38 @@ object Dedup {
       textCol: String,
       threshold: Double,
       numHashes: Int = 64,
-      bands: Int = 16)(f: DataFrame => T): T = {
+      bands: Int = 16,
+      indexPreCollapsed: Boolean = false)(f: DataFrame => T): T = {
     val (pairs, caches) = nearDuplicatesAgainstIndexPlan(
-      index, newDocs, idCol, textCol, threshold, numHashes, bands, None)
+      index, newDocs, idCol, textCol, threshold, numHashes, bands, None,
+      indexPreCollapsed)
     try f(pairs)
     finally caches.foreach(_.unpersist(blocking = false))
   }
+
+  /** Collapse a [[minhashIndex]] frame into unique-shingle-set GROUPS:
+    * `(gid, members, nsh, shingles, bands)` with `gid` = the smallest
+    * member id. md5 of the sorted set is the group key (a collision
+    * would silently fabricate pairs, so 128 bits, not 64); bands, nsh
+    * and shingles are identical within a group by construction, so
+    * `first` is exact. This is the unique-set collapse that kills the
+    * m² blowup on duplicate-heavy corpora (a 3,700-doc exact-dup clique
+    * is ONE group): candidate generation and Jaccard verification run
+    * per GROUP pair, members re-expand afterward. The batch incremental
+    * plan applies it to both sides internally; the streaming transform
+    * ([[graft.streaming.EventStream.nearDupAgainstIndexStream]]) takes
+    * the index PRE-collapsed — materialize this frame to parquet as the
+    * snapshot artifact.
+    */
+  def collapseIndex(ix: DataFrame): DataFrame = ix
+    .groupBy(md5(to_json(col("shingles"))).as("set_key"))
+    .agg(
+      min(col("id")).as("gid"),
+      collect_list(col("id")).as("members"),
+      first(col("nsh")).as("nsh"),
+      first(col("shingles")).as("shingles"),
+      first(col("bands")).as("bands"))
+    .drop("set_key")
 
   private def nearDuplicatesAgainstIndexPlan(
       index: DataFrame,
@@ -471,25 +498,20 @@ object Dedup {
       threshold: Double,
       numHashes: Int,
       bands: Int,
-      preIndexedBatch: Option[DataFrame]): (DataFrame, Seq[DataFrame]) = {
+      preIndexedBatch: Option[DataFrame],
+      indexPreCollapsed: Boolean): (DataFrame, Seq[DataFrame]) = {
     val batch = preIndexedBatch.getOrElse(
       minhashIndex(newDocs, idCol, textCol, numHashes, bands))
 
-    // md5 of the sorted set as the group key (collision = silently
-    // fabricated pairs, so 128 bits, not 64); bands/nsh/shingles are
-    // identical within a group by construction — `first` is exact.
-    def collapse(ix: DataFrame): DataFrame = ix
-      .groupBy(md5(to_json(col("shingles"))).as("set_key"))
-      .agg(
-        min(col("id")).as("gid"),
-        collect_list(col("id")).as("members"),
-        first(col("nsh")).as("nsh"),
-        first(col("shingles")).as("shingles"),
-        first(col("bands")).as("bands"))
-      .drop("set_key")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def persistG(g: DataFrame): DataFrame =
+      g.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def collapse(ix: DataFrame): DataFrame = persistG(collapseIndex(ix))
 
-    val gIndex = collapse(index)
+    // indexPreCollapsed: the caller stores the COLLAPSED form as the
+    // snapshot artifact (collapseIndex -> parquet), so repeated batches
+    // (the streaming sink's cadence) skip the per-call re-aggregation
+    val gIndex =
+      if (indexPreCollapsed) persistG(index) else collapse(index)
     val gBatch = collapse(batch)
 
     def exploded(ix: DataFrame, side: String): DataFrame = ix

@@ -103,16 +103,22 @@ object EventStream {
     * the streaming twin of [[graft.ext.Dedup.nearDuplicatesAgainstIndex]]:
     * each arriving document is shingled and banded with the SAME
     * expressions the batch path uses, stream-static-joined against the
-    * exploded [[graft.ext.Dedup.minhashIndex]] on `(band, bucket)`, and
-    * verified with exact Jaccard. Emits `(corpus_id, new_id, jaccard)`
-    * rows as documents arrive.
+    * COLLAPSED index ([[graft.ext.Dedup.collapseIndex]] — unique shingle
+    * sets as groups, materialized to parquet as the snapshot artifact)
+    * on `(band, bucket)`, Jaccard-verified once per (row, group) band
+    * collision, and expanded back to member ids. Emits
+    * `(corpus_id, new_id, jaccard)` rows as documents arrive.
     *
     * Scale shape: a stream-static equi-join is STATELESS — no watermark,
-    * no state store; each micro-batch joins against the (broadcast or
-    * shuffled) index and forgets. That is exactly what a crawl-ingest
-    * near-dup filter needs: the corpus index updates on snapshot cadence
-    * (re-read per batch via the lazily re-planned static side), while the
-    * stream only ever holds the current micro-batch.
+    * no state store; each micro-batch joins against the index and
+    * forgets. Two structural choices carry the cost at duplicate-heavy
+    * corpora: (1) the static side is group-collapsed, so an m-doc
+    * exact-dup clique is ONE group (the uncollapsed form made the band
+    * join quadratic in clique size — measured 13× slower end-to-end at
+    * sf0.1); (2) only `(gid, nsh, band, bucket)` ride the band join —
+    * the corpus shingle arrays attach AFTER the size-ratio prune, by a
+    * second stream-static join on the surviving gids, and `members`
+    * expand only for verified pairs.
     *
     * `numHashes`/`bands` must match the index's build parameters.
     *
@@ -122,12 +128,23 @@ object EventStream {
     * duplicates are strictly intra-batch). Callers wanting unique pairs
     * dedupe per batch: `.writeStream.foreachBatch((b, _) => b.dropDuplicates
     * ("corpus_id", "new_id")...)` — batch-scoped, zero cross-batch state.
+    *
+    * WHEN TO USE WHICH: this transform keeps the verify inside the
+    * continuous plan, which is right for low-duplication streams (alert
+    * on any hit, no sink roundtrip). On duplicate-HEAVY corpora the
+    * stream side cannot collapse its own identical sets (a stateless
+    * plan has no groupBy), so every member of an exact-dup batch row
+    * verifies against every colliding group × band — use
+    * [[nearDupPairsSink]] instead, which runs the FULL batch plan
+    * (both-side collapse, distinct group candidates, one verify per
+    * group pair) inside foreachBatch (measured 5× faster on the sf0.1
+    * near-clique).
     */
   def nearDupAgainstIndexStream(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      index: DataFrame,
+      collapsedIndex: DataFrame,
       threshold: Double,
       numHashes: Int = 64,
       bands: Int = 16): DataFrame = {
@@ -140,22 +157,31 @@ object EventStream {
       .select(
         col("new_id"), col("new_nsh"), col("sh_b"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val staticSide = index
+    // the band spine carries NO arrays — gid + size only
+    val staticBands = collapsedIndex
       .select(
-        col("id").as("corpus_id"), col("nsh").as("corpus_nsh"),
-        col("shingles").as("sh_a"), explode(col("bands")).as("bb"))
+        col("gid"), col("nsh").as("corpus_nsh"),
+        explode(col("bands")).as("bb"))
       .select(
-        col("corpus_id"), col("corpus_nsh"), col("sh_a"),
+        col("gid"), col("corpus_nsh"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    streamSide.join(staticSide, Seq("band", "bucket"))
+    streamSide.join(staticBands, Seq("band", "bucket"))
       .filter(
         least(col("corpus_nsh"), col("new_nsh")).cast("double") >=
           greatest(col("corpus_nsh"), col("new_nsh")) * threshold)
+      .select(col("gid"), col("new_id"), col("sh_b"))
+      .join(
+        collapsedIndex.select(
+          col("gid"), col("shingles").as("sh_a"), col("members")),
+        Seq("gid"))
       .select(
-        col("corpus_id"), col("new_id"),
+        col("members"), col("new_id"),
         graft.functions.JaccardFunctions.jaccard_sorted(
           col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+      .select(
+        explode(col("members")).as("corpus_id"),
+        col("new_id"), col("jaccard"))
   }
 
   /** Custom-state sessionization via `flatMapGroupsWithState`: one state
@@ -710,6 +736,46 @@ object EventStream {
     * then the next crawl gates against the refreshed index), matching
     * the published crawl cadence.
     */
+  /** Streaming near-duplicate PAIR emitter against a static corpus
+    * index — [[dedupGateSink]]'s sibling that emits the
+    * `(corpus_id, new_id, jaccard)` pairs instead of dropping rows:
+    * each micro-batch runs the FULL batch plan
+    * ([[graft.ext.Dedup.withNearDuplicatesAgainstIndex]] — both-side
+    * unique-shingle-set collapse, distinct group candidates, exactly
+    * one Jaccard verify per group pair, scoped persist lifecycle) and
+    * appends distinct pairs. Use this over the
+    * [[nearDupAgainstIndexStream]] transform whenever the corpus or
+    * the stream is duplicate-heavy — the stateless transform cannot
+    * collapse the stream side's identical sets, so its verify count is
+    * members × bands where this sink's is group pairs (5× end-to-end
+    * on the sf0.1 near-clique). `collapsedIndex` is the
+    * [[graft.ext.Dedup.collapseIndex]] form, materialized to parquet as
+    * the snapshot artifact — every trigger re-reads it, so storing the
+    * collapsed groups (not the raw per-doc index) also skips a per-batch
+    * re-aggregation.
+    */
+  def nearDupPairsSink(
+      docs: DataFrame,
+      collapsedIndex: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      outPath: String,
+      checkpoint: String,
+      numHashes: Int = 64,
+      bands: Int = 16): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ext.Dedup.withNearDuplicatesAgainstIndex(
+          collapsedIndex, batch, idCol, textCol, threshold, numHashes,
+          bands, indexPreCollapsed = true) {
+          pairs => pairs.write.mode("append").parquet(outPath)
+        }
+        ()
+      }
+
   def dedupGateSink(
       docs: DataFrame,
       index: DataFrame,

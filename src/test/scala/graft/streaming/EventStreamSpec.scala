@@ -89,8 +89,8 @@ class EventStreamSpec extends SparkSpec {
       (1L, "the quick brown fox jumps over the lazy dog near the river"),
       (2L, "completely different text about spark query engines and joins"))
       .toDF("doc_id", "text")
-    val index = graft.ext.Dedup.minhashIndex(
-      corpus, "doc_id", "text", numHashes = 128, bands = 32)
+    val index = graft.ext.Dedup.collapseIndex(graft.ext.Dedup.minhashIndex(
+      corpus, "doc_id", "text", numHashes = 128, bands = 32))
 
     val input = MemoryStream[(Long, String)]
     val docs = input.toDF().toDF("doc_id", "text")
