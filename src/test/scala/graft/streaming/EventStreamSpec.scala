@@ -82,6 +82,41 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupPairsSink: per-batch batch-plan pairs, exact-dup expansion, distinct") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river"),
+      (3L, "completely different text about spark query engines and joins"))
+      .toDF("doc_id", "text")
+    // the sink takes the COLLAPSED artifact: docs 1+2 are one group
+    val index = graft.ext.Dedup.collapseIndex(graft.ext.Dedup.minhashIndex(
+      corpus, "doc_id", "text", numHashes = 128, bands = 32))
+    val dir = Files.createTempDirectory("ndp_sink").toString
+    val input = MemoryStream[(Long, String)]
+    val q = EventStream.nearDupPairsSink(
+      input.toDF().toDF("doc_id", "text"), index, "doc_id", "text",
+      threshold = 0.5, outPath = s"$dir/out", checkpoint = s"$dir/ckpt",
+      numHashes = 128, bands = 32).start()
+    try {
+      input.addData(
+        (10L, "the quick brown fox jumps over the lazy cat near the river"),
+        (11L, "totally unrelated sentence with no shared vocabulary at all"))
+      q.processAllAvailable()
+      input.addData(
+        (12L, "completely different text about spark query engines and joins"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.read.parquet(s"$dir/out")
+      .as[(Long, Long, Double)].collect().toSet
+    // group (1,2) expands to BOTH members against doc 10; pairs are
+    // distinct (one row per pair, unlike the transform's per-band rows)
+    rows.map(p => (p._1, p._2)) shouldBe Set((1L, 10L), (2L, 10L), (3L, 12L))
+    rows.find(_._2 == 12L).get._3 shouldBe 1.0
+    rows.forall(_._3 >= 0.5) shouldBe true
+  }
+
   test("streaming near-dup against a static minhash index") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
