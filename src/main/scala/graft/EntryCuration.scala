@@ -954,8 +954,11 @@ private[graft] trait EntryCuration { this: SparkEntry.type =>
       // verbatim (index build AND ADC serve at nprobe=12, rf=16).
       val (snapshot, batch) = y6Parts(s, dir)
       val (coarse, pq) = y6Models(s, dir)
-      val index = graft.ext.Similarity.buildIvfPqIndex(
-        snapshot, "vec_id", "embedding", coarse, pq)
+      // the parquet ARTIFACT, not a live plan: the sink's static side
+      // re-plans per trigger, and an unmaterialized buildIvfPqIndex
+      // would re-run the whole snapshot encode every micro-batch
+      // (memoized + prewarmed like s1/s13's artifacts)
+      val index = s.read.parquet(s17IndexPath(s, dir))
       val base = Scratch.ephemeralDir(
         s"s17-run${streamRuns.incrementAndGet()}")
       batch.repartition(3).write.mode("overwrite").parquet(s"$base/in")
@@ -1221,11 +1224,15 @@ private[graft] trait EntryCuration { this: SparkEntry.type =>
     // s6: the gap-islands rewrite of sessionizeStream's semantics —
     // a session splits when the inter-event gap STRICTLY exceeds 30
     // minutes (the open-session state merges at exactly the gap, so
-    // `>`, not the `>=` of q25's session_window twin).
+    // `>`, not the `>=` of q25's session_window twin). The gap test
+    // runs on epoch MILLISECONDS — the stream's documented precision
+    // (Timestamp.getTime) — so a gap of exactly 30 min + sub-ms residue
+    // can never split on one engine and merge on the other.
     "s6_stream_sessionize" ->
       """WITH m AS (SELECT user_id, ts, value,
-        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-        |      > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |    CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+        |        OVER (PARTITION BY user_id ORDER BY ts)
+        |      > 1800000 THEN 1 ELSE 0 END AS new_s
         |  FROM events),
         |s AS (SELECT user_id, ts, value,
         |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts

@@ -268,6 +268,7 @@ object SparkEntry extends EntryRelA with EntryRelB with EntryText with EntryDedu
     y8RebuildModels(s, dir)
     s1IndexPath(s, dir)
     s13IndexPath(s, dir)
+    s17IndexPath(s, dir)
     s2ModelPath(s, dir)
     s3WeightsPath(s, dir)
   }
@@ -358,6 +359,22 @@ object SparkEntry extends EntryRelA with EntryRelB with EntryText with EntryDedu
     cachedModel(s"s13idx|$dir") {
       val p = s"${Scratch.ephemeralDir("s13idx")}/idx-${dirTag(dir)}"
       Dedup.collapseIndex(s.read.parquet(s1IndexPath(s, dir)))
+        .write.mode("overwrite").parquet(p)
+      p
+    }
+
+  /** s17's snapshot artifact: y6's IVF-PQ index
+    * ([[ext.Similarity.buildIvfPqIndex]] over the 90% snapshot under the
+    * memoized y6 models) materialized to parquet — the serving sink's
+    * static side re-plans per trigger, so a live index plan would re-run
+    * the whole snapshot encode every micro-batch.
+    */
+  private[graft] def s17IndexPath(s: SparkSession, dir: String): String =
+    cachedModel(s"s17idx|$dir") {
+      val p = s"${Scratch.ephemeralDir("s17idx")}/idx-${dirTag(dir)}"
+      val (snapshot, _) = y6Parts(s, dir)
+      val (coarse, pq) = y6Models(s, dir)
+      Similarity.buildIvfPqIndex(snapshot, "vec_id", "embedding", coarse, pq)
         .write.mode("overwrite").parquet(p)
       p
     }

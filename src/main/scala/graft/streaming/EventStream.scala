@@ -55,6 +55,19 @@ final case class FunnelState(chain: Seq[Long])
   */
 object EventStream {
 
+  /** Full-microsecond sort key for the per-batch event-time sorts in the
+    * stateful folds. `Timestamp.getTime` truncates to milliseconds, and a
+    * stable sort on it preserves nondeterministic shuffle arrival order
+    * among same-millisecond events — the driver testdata happens to have
+    * no same-user same-ms collisions today, but a regenerated or larger
+    * dataset would turn that into a nondeterministic oracle red. The
+    * folds' COMPARISONS stay at their documented ms precision; only the
+    * processing ORDER is pinned to the full timestamp.
+    */
+  private def tsMicros(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+
   /** Landed-JSONL streaming source: the streaming twin of
     * [[graft.ingest.JsonlSource.read]] (schema must be declared — streaming
     * sources cannot infer).
@@ -216,7 +229,7 @@ object EventStream {
             Iterator(UserSession(userId, new Timestamp(s.start),
               new Timestamp(s.end), s.n, s.total))
           } else {
-            val sorted = rows.toSeq.sortBy(_._2.getTime)
+            val sorted = rows.toSeq.sortBy(r => tsMicros(r._2))
             var open = state.getOption
             val closed = Seq.newBuilder[UserSession]
             sorted.foreach { case (_, ts, v) =>
@@ -404,7 +417,7 @@ object EventStream {
             var chain = state.getOption.map(_.chain.toVector)
               .getOrElse(Vector.empty[Long])
             val hits = Vector.newBuilder[FunnelHit]
-            val sorted = rows.toSeq.sortBy(_._2.getTime)
+            val sorted = rows.toSeq.sortBy(r => tsMicros(r._2))
             sorted.foreach { case (_, ts, tpe) =>
               val t = ts.getTime
               // inline window reset: this event may start a fresh cycle
@@ -471,7 +484,7 @@ object EventStream {
           } else {
             var last = state.getOption
             val out = Vector.newBuilder[(Long, String, String, Timestamp)]
-            rows.toSeq.sortBy(_._2.getTime).foreach { case (_, ts, tpe) =>
+            rows.toSeq.sortBy(r => tsMicros(r._2)).foreach { case (_, ts, tpe) =>
               val t = ts.getTime
               last match {
                 case Some((lt, ls)) if t >= lt =>
@@ -720,22 +733,6 @@ object EventStream {
         ()
       }
 
-  /** Streaming near-duplicate gate against the persisted minhash index —
-    * the crawl-side twin of incremental dedup (x9): each micro-batch of
-    * candidate documents drops every row whose token-set Jaccard against
-    * the STATIC corpus index reaches `threshold`
-    * ([[graft.ext.Dedup.nearDuplicatesAgainstIndex]] — build the index
-    * once per corpus snapshot, gate the crawl continuously). Stateless
-    * per batch: the verdict depends only on the row and the fixed index,
-    * so no state store, and a redelivered batch appends the same
-    * survivor rows (at-least-once × downstream dedup-by-id, the gate
-    * sinks' shared contract). Survivors keep their full payload.
-    *
-    * Duplicates WITHIN the stream are out of scope by design — that is
-    * the batch pipeline's job at the next snapshot boundary (re-index,
-    * then the next crawl gates against the refreshed index), matching
-    * the published crawl cadence.
-    */
   /** Streaming near-duplicate PAIR emitter against a static corpus
     * index — [[dedupGateSink]]'s sibling that emits the
     * `(corpus_id, new_id, jaccard)` pairs instead of dropping rows:
@@ -776,6 +773,22 @@ object EventStream {
         ()
       }
 
+  /** Streaming near-duplicate gate against the persisted minhash index —
+    * the crawl-side twin of incremental dedup (x9): each micro-batch of
+    * candidate documents drops every row whose token-set Jaccard against
+    * the STATIC corpus index reaches `threshold`
+    * ([[graft.ext.Dedup.nearDuplicatesAgainstIndex]] — build the index
+    * once per corpus snapshot, gate the crawl continuously). Stateless
+    * per batch: the verdict depends only on the row and the fixed index,
+    * so no state store, and a redelivered batch appends the same
+    * survivor rows (at-least-once × downstream dedup-by-id, the gate
+    * sinks' shared contract). Survivors keep their full payload.
+    *
+    * Duplicates WITHIN the stream are out of scope by design — that is
+    * the batch pipeline's job at the next snapshot boundary (re-index,
+    * then the next crawl gates against the refreshed index), matching
+    * the published crawl cadence.
+    */
   def dedupGateSink(
       docs: DataFrame,
       index: DataFrame,

@@ -494,7 +494,7 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("streaming funnel: stage order enforced, repeat completion not re-emitted") {
+  test("streaming funnel: stage order enforced, completion starts a fresh cycle") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]

@@ -146,6 +146,12 @@ def check_one(con, oracle, out_dir, name):
     files = glob.glob(f"{out_dir}/{name}/*.parquet")
     if not files:
         return "MISSING spark output"
+    # lint first: it needs only the SQL (DESCRIBE is plan-only), so a
+    # type failure must not pay the Spark parquet scan + per-cell
+    # Python materialization below
+    lint = lint_oracle_types(con, oracle[name])
+    if lint:
+        return lint
     spark_t = pq.read_table(files[0])
     # The driver's comparator is pandas-based and dies on list/struct
     # columns (unhashable ndarray). Fail locally the same way so an
@@ -160,9 +166,6 @@ def check_one(con, oracle, out_dir, name):
     s_cols = spark_t.column_names
     s_rows = [tuple(spark_t.column(c)[i].as_py() for c in s_cols)
               for i in range(spark_t.num_rows)]
-    lint = lint_oracle_types(con, oracle[name])
-    if lint:
-        return lint
     try:
         cur = con.execute(oracle[name])
         o_cols = [d[0] for d in cur.description]

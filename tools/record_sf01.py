@@ -4,8 +4,7 @@ into CORRECTNESS_sf0.1.json (same shape the round-4 record used).
 
 Usage: python3 tools/compare.py <sfDir> <outDir> | python3 tools/record_sf01.py <note> [<verifyOutDir>]
 
-If <verifyOutDir> is given (or compare_env.json is found next to a
-default location), the comparator-environment stamp (duckdb/pyarrow
+If <verifyOutDir> is given, the comparator-environment stamp (duckdb/pyarrow
 versions + per-table testdata fingerprints, written by compare.py) is
 embedded under _meta.compare_env so a future cross-environment hash
 split is diagnosable from the committed record alone (judge r13 #6).
