@@ -631,13 +631,18 @@ private[graft] trait EntryCuration { this: SparkEntry.type =>
       val (lo, hi) = (mm.getLong(0), mm.getLong(1))
       val cut1 = lo + (hi - lo) / 3
       val cut2 = lo + 2 * (hi - lo) / 3
-      val ev = events.select(col("user_id"), col("ts"), col("event_type"))
+      // event_id rides along as the stream's tiebreak, mirroring the
+      // oracle's ORDER BY ts, event_id at a same-µs collision (none in
+      // the generated data today — this keeps a regen deterministic)
+      val ev = events.select(col("user_id"), col("ts"),
+        col("event_type"), col("event_id"))
       def sentinel(uid: Long, offsetMicros: Long) = s.range(1).select(
         lit(uid).as("user_id"),
         timestamp_micros(lit(hi + 100L * 24 * 3600 * 1000000L
           + offsetMicros))
           .cast(events.schema("ts").dataType).as("ts"),
-        lit("__advance__").as("event_type"))
+        lit("__advance__").as("event_type"),
+        lit(uid).as("event_id"))
       val batches = Seq(
         ev.filter(tsm < cut1),
         ev.filter(tsm >= cut1 && tsm < cut2),
@@ -649,7 +654,7 @@ private[graft] trait EntryCuration { this: SparkEntry.type =>
       val stream = ss.readStream.schema(batches.head.schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
         .withColumn("ts", col("ts").cast("timestamp"))
-        .as[(Long, java.sql.Timestamp, String)]
+        .as[(Long, java.sql.Timestamp, String, Long)]
       graft.streaming.EventStream.parquetSink(
         graft.streaming.EventStream.transitionsStream(
           stream, lateness = "1 hour", idleTimeout = "960h"),

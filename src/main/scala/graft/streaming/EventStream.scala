@@ -31,9 +31,14 @@ final case class FunnelHit(
     duration_ms: Long)
 
 /** Per-user funnel progress state for [[EventStream.funnelStream]]:
-  * epoch-millis of each stage reached so far, in stage order.
+  * epoch-millis of each stage reached so far, in stage order, plus the
+  * cycle boundary `bound` — the epoch-ms a fresh cycle's head must be
+  * STRICTLY after (last completion time, or first-event-past-an-expired-
+  * window minus one). Carried even with an empty chain until the
+  * watermark passes it, so a stage-1 event in the very millisecond of a
+  * completion can never start a head the batch walk would reject.
   */
-final case class FunnelState(chain: Seq[Long])
+final case class FunnelState(chain: Seq[Long], bound: Long)
 
 /** Structured Streaming extension (SURVEY.md §2.9 declares the reference
   * batch-only; this module is the engine's declared extension beyond
@@ -384,7 +389,13 @@ object EventStream {
     * revises a stage pick when an earlier qualifying event arrives LATE
     * (cross-batch out-of-order); in-order delivery reproduces the
     * repeated chain-of-minima exactly. Comparisons are at millisecond
-    * precision (`Timestamp.getTime`).
+    * precision (`Timestamp.getTime`). Tie rule at a cycle boundary: a
+    * fresh head must be STRICTLY later (in ms) than the previous
+    * completion — a stage-1 event in the completing purchase's very
+    * millisecond does not start a new cycle, exactly as the batch
+    * walk's `h > bnd` demands; the boundary is carried in state (even
+    * with an empty chain, until the watermark passes it) so the rule
+    * holds across micro-batch splits too.
     */
   def funnelStream(
       events: Dataset[(Long, Timestamp, String)],
@@ -408,38 +419,60 @@ object EventStream {
          rows: Iterator[(Long, Timestamp, String)],
          state: GroupState[FunnelState]) => {
           if (state.hasTimedOut) {
-            // pure GC: the chain's window expired with no further
-            // arrivals — the inline reset would discard it on the next
-            // event anyway, so removing it changes no output
+            // pure GC: either the chain's window expired with no further
+            // arrivals (the inline reset would discard it on the next
+            // event anyway) or an empty-chain boundary record whose
+            // bound the watermark has passed — removal changes no output
             state.remove()
             Iterator.empty
           } else {
-            var chain = state.getOption.map(_.chain.toVector)
+            val prev = state.getOption
+            var chain = prev.map(_.chain.toVector)
               .getOrElse(Vector.empty[Long])
+            // boundary a fresh cycle's head must be STRICTLY after —
+            // mirrors the batch walk's `h > bnd` (bnd = the previous
+            // completion's purchase time, or r − 1 after a window
+            // expiry where r = the first event past head + window)
+            var bound = prev.map(_.bound).getOrElse(Long.MinValue)
             val hits = Vector.newBuilder[FunnelHit]
             val sorted = rows.toSeq.sortBy(r => tsMicros(r._2))
             sorted.foreach { case (_, ts, tpe) =>
               val t = ts.getTime
-              // inline window reset: this event may start a fresh cycle
-              if (chain.nonEmpty && t - chain.head > windowMs)
+              if (chain.nonEmpty && t - chain.head > windowMs) {
+                // inline window reset: bnd = r − 1, so this very event
+                // (t = r > bnd) may itself start the fresh cycle
+                bound = t - 1
                 chain = Vector.empty
+              }
               if (tpe == stageArr(chain.size) &&
-                  (chain.isEmpty || t > chain.last)) {
+                  (if (chain.isEmpty) t > bound else t > chain.last)) {
                 chain = chain :+ t
                 if (chain.size == stageArr.size) {
                   hits += FunnelHit(userId, new Timestamp(chain.head),
                     new Timestamp(chain.last), chain.last - chain.head)
+                  // completion boundary: the next head must be strictly
+                  // later in ms — a same-ms stage-1 event (later micros,
+                  // hence processed after) must NOT start a new head
+                  bound = t
                   chain = Vector.empty
                 }
               }
             }
             if (chain.nonEmpty) {
-              state.update(FunnelState(chain))
+              state.update(FunnelState(chain, bound))
               // completion impossible once the watermark passes
               // stage-1 time + window (clamped: a timeout may not be set
               // behind the current watermark)
               state.setTimeoutTimestamp(math.max(
                 chain.head + windowMs, state.getCurrentWatermarkMs + 1))
+            } else if (bound > state.getCurrentWatermarkMs) {
+              // empty chain but a live boundary: an in-watermark event in
+              // the boundary's very ms may still arrive, so the bound
+              // must survive until the watermark passes it (then GC'd by
+              // the timeout above, output-invariantly)
+              state.update(FunnelState(Vector.empty, bound))
+              state.setTimeoutTimestamp(math.max(
+                bound + 1, state.getCurrentWatermarkMs + 1))
             } else if (state.exists) state.remove()
             hits.result().iterator
           }
@@ -455,6 +488,13 @@ object EventStream {
     * advances the state. Entities idle past `idleTimeout` are
     * garbage-collected by event-time timeout.
     *
+    * The 4th tuple element is a per-event TIEBREAK id (the batch
+    * operator's `event_id`): events sharing one microsecond for one
+    * entity sort on it, so the emitted from/to pairs are a
+    * deterministic mirror of the batch sort key `(ts, event_id)`
+    * instead of shuffle arrival order. Pass any unique id; pass a
+    * constant only if the source provably never collides at one µs.
+    *
     * Parity caveat (single-pass streaming, same as [[funnelStream]]):
     * an event arriving OLDER than the carried last event would rewrite
     * history, so it is dropped — in-order delivery reproduces the batch
@@ -462,21 +502,21 @@ object EventStream {
     * matrix is the batch `groupBy` on this emitter's output.
     */
   def transitionsStream(
-      events: Dataset[(Long, Timestamp, String)],
+      events: Dataset[(Long, Timestamp, String, Long)],
       lateness: String = "10 minutes",
       idleTimeout: String = "60m"): DataFrame = {
     import events.sparkSession.implicits._
     val idleMs =
       org.apache.spark.network.util.JavaUtils.timeStringAsMs(idleTimeout)
     events
-      .toDF("user_id", "ts", "tpe")
+      .toDF("user_id", "ts", "tpe", "tiebreak")
       .withWatermark("ts", lateness)
-      .as[(Long, Timestamp, String)]
+      .as[(Long, Timestamp, String, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (userId: Long,
-         rows: Iterator[(Long, Timestamp, String)],
+         rows: Iterator[(Long, Timestamp, String, Long)],
          state: GroupState[(Long, String)]) => {
           if (state.hasTimedOut) {
             state.remove()
@@ -484,7 +524,8 @@ object EventStream {
           } else {
             var last = state.getOption
             val out = Vector.newBuilder[(Long, String, String, Timestamp)]
-            rows.toSeq.sortBy(r => tsMicros(r._2)).foreach { case (_, ts, tpe) =>
+            rows.toSeq.sortBy(r => (tsMicros(r._2), r._4))
+              .foreach { case (_, ts, tpe, _) =>
               val t = ts.getTime
               last match {
                 case Some((lt, ls)) if t >= lt =>

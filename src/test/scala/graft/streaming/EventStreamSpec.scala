@@ -548,15 +548,16 @@ class EventStreamSpec extends SparkSpec {
   test("transitionsStream: pairs bridge micro-batches, O(1) state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val input = MemoryStream[(Long, Timestamp, String)]
+    val input = MemoryStream[(Long, Timestamp, String, Long)]
     val q = EventStream.transitionsStream(input.toDS())
       .writeStream.format("memory").queryName("trans")
       .outputMode("append").start()
     try {
-      input.addData((1L, ts(1), "a"), (1L, ts(2), "b"), (2L, ts(1), "x"))
+      input.addData((1L, ts(1), "a", 1L), (1L, ts(2), "b", 2L),
+        (2L, ts(1), "x", 3L))
       q.processAllAvailable()
       // next batch: u1 bridges b -> c from the carried state
-      input.addData((1L, ts(3), "c"), (2L, ts(4), "y"))
+      input.addData((1L, ts(3), "c", 4L), (2L, ts(4), "y", 5L))
       q.processAllAvailable()
       val rows = spark.table("trans")
         .select("user_id", "from_state", "to_state")
@@ -572,6 +573,58 @@ class EventStreamSpec extends SparkSpec {
         .select("from_state", "to_state").as[(String, String)]
         .collect().toSet
       rows.map(r => (r._2, r._3)) shouldBe batch
+    } finally q.stop()
+  }
+
+  test("transitionsStream: same-µs events for one entity order by the tiebreak id") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String, Long)]
+    val q = EventStream.transitionsStream(input.toDS())
+      .writeStream.format("memory").queryName("trans_tie")
+      .outputMode("append").start()
+    try {
+      // "a" (id 1) and "b" (id 2) share one microsecond: the emitted
+      // pairs must mirror the batch sort key (ts, event_id) — s→a→b —
+      // not shuffle arrival order (which could read s→b→a)
+      input.addData((1L, ts(0), "s", 0L), (1L, ts(1), "b", 2L),
+        (1L, ts(1), "a", 1L))
+      q.processAllAvailable()
+      val rows = spark.table("trans_tie")
+        .select("from_state", "to_state")
+        .as[(String, String)].collect().toSet
+      rows shouldBe Set(("s", "a"), ("a", "b"))
+    } finally q.stop()
+  }
+
+  test("funnelStream: a stage-1 event in the completing stage's very ms starts no cycle") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val hits = EventStream.funnelStream(
+      input.toDS(), Seq("a", "b"),
+      windowMs = 60L * 60 * 1000, lateness = "5 minutes")
+    val q = hits.writeStream.format("memory").queryName("funnel_tie")
+      .outputMode("append").start()
+    try {
+      // completion at 10:01; an "a" in that very ms (later micros —
+      // processed after) arrives in the NEXT batch, so the boundary
+      // must survive the batch split in state. The batch walk demands
+      // h > bnd = the completion time, so this "a" heads nothing and
+      // the b@10:02 finds no chain; a@10:03 + b@10:04 then prove fresh
+      // cycles still start strictly after the boundary.
+      val sameMs = new Timestamp(ts(1).getTime)
+      sameMs.setNanos(500000)
+      input.addData((1L, ts(0), "a"), (1L, ts(1), "b"))
+      q.processAllAvailable()
+      input.addData((1L, sameMs, "a"), (1L, ts(2), "b"))
+      q.processAllAvailable()
+      input.addData((1L, ts(3), "a"), (1L, ts(4), "b"))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_tie").as[FunnelHit].collect().toSeq
+        .sortBy(_.ts_first.getTime)
+      rows.map(h => (h.ts_first, h.ts_last)) shouldBe
+        Seq((ts(0), ts(1)), (ts(3), ts(4)))
     } finally q.stop()
   }
 

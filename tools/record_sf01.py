@@ -13,6 +13,25 @@ import sys, json, datetime, os
 
 note = sys.argv[1] if len(sys.argv) > 1 else ""
 env_dir = sys.argv[2] if len(sys.argv) > 2 else None
+
+
+def load_compare_env(d):
+    """Best-effort read of compare.py's environment stamp. A truncated or
+    half-written stamp (compare.py interrupted mid-write) must not crash
+    the record AFTER the full compare output has been consumed from stdin
+    — the record is the valuable artifact; the stamp is advisory."""
+    if not d:
+        return None
+    p = os.path.join(d, "compare_env.json")
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+    except (json.JSONDecodeError, OSError) as e:
+        print(f"warning: compare_env.json unreadable ({e}); "
+              "recording 'unreadable'", file=sys.stderr)
+        return "unreadable"
 queries = {}
 for line in sys.stdin:
     line = line.rstrip()
@@ -38,9 +57,7 @@ out = {
                    "checked by tools/cc_check.py - union-find + md5-coin "
                    "replay over the oracle-verified x2 pair set"),
         "note": note,
-        "compare_env": (json.load(open(os.path.join(env_dir, "compare_env.json")))
-                        if env_dir and os.path.exists(os.path.join(env_dir, "compare_env.json"))
-                        else None),
+        "compare_env": load_compare_env(env_dir),
     },
     "pass": npass,
     "total": len(queries),
