@@ -825,6 +825,7 @@ private[graft] trait EntryCuration { this: SparkEntry.type =>
         .start()
         .awaitTermination()
       s.read.parquet(s"$base/out")
+        .drop("batch") // landBatch's per-trigger partition column
         .orderBy("corpus_id", "new_id")
     }),
 
@@ -977,7 +978,9 @@ private[graft] trait EntryCuration { this: SparkEntry.type =>
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
         .awaitTermination()
-      s.read.parquet(s"$base/out").orderBy("query_id", "rank")
+      s.read.parquet(s"$base/out")
+        .drop("batch") // landBatch's per-trigger partition column
+        .orderBy("query_id", "rank")
     }),
 
     "q101_observe_load" -> ((s, dir) => {

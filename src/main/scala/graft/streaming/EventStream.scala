@@ -73,6 +73,27 @@ object EventStream {
     t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
 
 
+  /** Idempotent landing zone shared by every append-mode foreachBatch
+    * sink below: batch `batchId`'s rows land under
+    * `outPath/batch=<batchId>` in overwrite mode. foreachBatch is
+    * at-least-once — after a crash between the sink write and the
+    * checkpoint commit the SAME batch (same id, same rows — the
+    * replayed source offsets are in the checkpoint) is redelivered,
+    * and a plain `mode("append")` would double-land it. Keying the
+    * write by the stable batch id turns redelivery into an overwrite
+    * of the identical directory: at-least-once delivery ×
+    * per-batch-keyed overwrite = effectively-once output, with no
+    * applied-id marker protocol (that is [[summarySink]]'s job, where
+    * the fold is non-idempotent) and no cross-batch state. Readers
+    * `spark.read.parquet(outPath)` exactly as before; partition
+    * discovery surfaces the extra `batch` column — drop/ignore it, or
+    * filter on it for a per-trigger audit. The shared redelivery
+    * property over all sinks lives in `SinkRedeliverySpec`.
+    */
+  private[graft] def landBatch(
+      rows: DataFrame, outPath: String, batchId: Long): Unit =
+    rows.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+
   /** Landed-JSONL streaming source: the streaming twin of
     * [[graft.ingest.JsonlSource.read]] (schema must be declared — streaming
     * sources cannot infer).
@@ -610,30 +631,39 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Update)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-        val cur = new org.apache.hadoop.fs.Path(tablePath)
-        val next = new org.apache.hadoop.fs.Path(tablePath + "._next")
-        val bak = new org.apache.hadoop.fs.Path(tablePath + "._bak")
-        // recover from a crash inside a previous swap: current is missing
-        // exactly when the crash hit between rename(cur→bak) and
-        // rename(next→cur), so bak holds the intact pre-batch table
-        if (!fs.exists(cur) && fs.exists(bak))
-          require(fs.rename(bak, cur), s"cdcSink: recovery rename $bak -> $cur failed")
-        val base =
-          if (fs.exists(cur)) spark.read.parquet(tablePath)
-          else batch.drop(seqCol, opCol).limit(0)
-        graft.pipeline.Cdc.applyChanges(base, batch, keys, seqCol, opCol)
-          .write.mode("overwrite").parquet(next.toString)
-        if (fs.exists(cur)) {
-          fs.delete(bak, true)
-          require(fs.rename(cur, bak), s"cdcSink: rename $cur -> $bak failed")
-        }
-        require(fs.rename(next, cur), s"cdcSink: rename $next -> $cur failed")
-        fs.delete(bak, true)
+        applyCdcBatch(batch, tablePath, keys, seqCol, opCol)
         ()
       }
+
+  /** One CDC fold transaction (testable redelivery unit — idempotent by
+    * `Cdc.applyChanges`'s latest-wins semantics, not by batch fencing).
+    */
+  private[graft] def applyCdcBatch(
+      batch: DataFrame, tablePath: String,
+      keys: Seq[String], seqCol: String, opCol: String): Unit = {
+    val spark = batch.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val cur = new org.apache.hadoop.fs.Path(tablePath)
+    val next = new org.apache.hadoop.fs.Path(tablePath + "._next")
+    val bak = new org.apache.hadoop.fs.Path(tablePath + "._bak")
+    // recover from a crash inside a previous swap: current is missing
+    // exactly when the crash hit between rename(cur→bak) and
+    // rename(next→cur), so bak holds the intact pre-batch table
+    if (!fs.exists(cur) && fs.exists(bak))
+      require(fs.rename(bak, cur), s"cdcSink: recovery rename $bak -> $cur failed")
+    val base =
+      if (fs.exists(cur)) spark.read.parquet(tablePath)
+      else batch.drop(seqCol, opCol).limit(0)
+    graft.pipeline.Cdc.applyChanges(base, batch, keys, seqCol, opCol)
+      .write.mode("overwrite").parquet(next.toString)
+    if (fs.exists(cur)) {
+      fs.delete(bak, true)
+      require(fs.rename(cur, bak), s"cdcSink: rename $cur -> $bak failed")
+    }
+    require(fs.rename(next, cur), s"cdcSink: rename $next -> $cur failed")
+    fs.delete(bak, true)
+  }
 
   /** Streaming ANN serving: each micro-batch of query vectors is searched
     * against a STATIC, prebuilt IVF-PQ index —
@@ -651,11 +681,11 @@ object EventStream {
     * by-cell index; corpus float vectors are touched only by the
     * id-list-sized rescore.
     *
-    * Delivery: results append as parquet under `outPath`. Scoring is
-    * deterministic (total order: score desc, id asc), so an at-least-once
-    * replay rewrites byte-identical rows; a downstream reader that must
-    * be exactly-once dedups on (query_id, rank), the same fencing stance
-    * as [[summarySink]] without needing its applied-id protocol.
+    * Delivery: results land per batch under `outPath/batch=<id>`
+    * ([[landBatch]]) — an at-least-once replay overwrites the same
+    * directory with byte-identical rows (scoring is deterministic:
+    * total order score desc, id asc), so the output is effectively
+    * exactly-once with no reader-side dedup.
     */
   def annServeSink(
       queries: DataFrame,
@@ -673,13 +703,25 @@ object EventStream {
     queries.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.ext.Similarity.searchIvfPqIndex(
-          batch, index, corpus, idCol, vecCol, k, coarse, pq,
-          nprobe, rescoreFactor)
-          .write.mode("append").parquet(outPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyAnnServeBatch(batch, batchId, index, corpus, idCol, vecCol,
+          k, coarse, pq, nprobe, rescoreFactor, outPath)
         ()
       }
+
+  /** One ANN-serving batch, factored out so redelivery idempotence is
+    * directly testable (SinkRedeliverySpec).
+    */
+  private[graft] def applyAnnServeBatch(
+      batch: DataFrame, batchId: Long,
+      index: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, coarse: Seq[Array[Float]], pq: Seq[Seq[Seq[Float]]],
+      nprobe: Int, rescoreFactor: Int, outPath: String): Unit =
+    landBatch(
+      graft.ext.Similarity.searchIvfPqIndex(
+        batch, index, corpus, idCol, vecCol, k, coarse, pq,
+        nprobe, rescoreFactor),
+      outPath, batchId)
 
   /** Streaming DSIR scoring sink: score each micro-batch of raw documents
     * against a PRE-FIT hashed-n-gram log-ratio model
@@ -690,6 +732,8 @@ object EventStream {
     * decision, so the sink emits SCORES (threshold or rank downstream);
     * per-batch everything is stateless — the model broadcasts, the
     * text tokenizes once through the fused kernel, no state store.
+    * Scores land per batch under `outPath/batch=<id>` ([[landBatch]]),
+    * so a redelivered batch overwrites itself — effectively-once.
     */
   def dsirScoreSink(
       docs: DataFrame,
@@ -703,12 +747,20 @@ object EventStream {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.ext.Dsir.scoreWithModel(
-          batch, lam, idCol, textCol, buckets, salt)
-          .write.mode("append").parquet(outPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyDsirScoreBatch(
+          batch, batchId, lam, idCol, textCol, buckets, salt, outPath)
         ()
       }
+
+  /** One DSIR-scoring batch (testable redelivery unit). */
+  private[graft] def applyDsirScoreBatch(
+      batch: DataFrame, batchId: Long, lam: DataFrame,
+      idCol: String, textCol: String, buckets: Int, salt: String,
+      outPath: String): Unit =
+    landBatch(
+      graft.ext.Dsir.scoreWithModel(batch, lam, idCol, textCol, buckets, salt),
+      outPath, batchId)
 
   /** CCNet-style streaming quality gate: score each micro-batch of raw
     * documents against a PRE-TRAINED char-n-gram LM (the parquet model
@@ -720,10 +772,10 @@ object EventStream {
     * snapshot, not per batch). Stateless per micro-batch: the O(vocab)
     * model and its derived context table broadcast into map-side joins
     * ([[graft.ext.LanguageModel.filterByPerplexity]]), so there is no
-    * state store, and a redelivered batch appends the same survivor
-    * rows (at-least-once × downstream dedup-by-id, the score sink's
-    * contract). Survivors keep their full payload — the gate slots
-    * directly in front of [[cdcSink]]/[[parquetSink]].
+    * state store, and a redelivered batch overwrites its own
+    * `batch=<id>` directory ([[landBatch]] — effectively-once, no
+    * reader-side dedup). Survivors keep their full payload — the gate
+    * slots directly in front of [[cdcSink]]/[[parquetSink]].
     */
   def lmGateSink(
       docs: DataFrame,
@@ -739,23 +791,34 @@ object EventStream {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.ext.LanguageModel.filterByPerplexity(
-          batch, Seq(idCol), col(textCol), model, maxPpl,
-          n, addK, alphabetSize)
-          .write.mode("append").parquet(outPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyLmGateBatch(batch, batchId, model, idCol, textCol, maxPpl,
+          outPath, n, addK, alphabetSize)
         ()
       }
+
+  /** One perplexity-gate batch (testable redelivery unit). */
+  private[graft] def applyLmGateBatch(
+      batch: DataFrame, batchId: Long, model: DataFrame,
+      idCol: String, textCol: String, maxPpl: Double, outPath: String,
+      n: Int, addK: Double, alphabetSize: Int): Unit =
+    landBatch(
+      graft.ext.LanguageModel.filterByPerplexity(
+        batch, Seq(idCol), col(textCol), model, maxPpl, n, addK,
+        alphabetSize),
+      outPath, batchId)
 
   /** Streaming domain-mixture gate — apply a PRE-FIT DoReMi weight table
     * ([[graft.ext.Doremi.domainWeights]], persisted as parquet) to the
     * crawl as it lands: each micro-batch keeps every document with its
     * domain's resample rate, decided by the md5 coin
     * ([[graft.ext.Doremi.resample]] — membership is a pure function of
-    * the id, so replays rewrite identical rows). Fit the mixture offline
-    * per corpus snapshot, gate continuously; stateless per batch, no
-    * state store. The downsample-only contract means the online gate
-    * materializes exactly the mixture the offline fit prescribed.
+    * the id, so a redelivered batch overwrites its own `batch=<id>`
+    * directory with identical rows, [[landBatch]]). Fit the mixture
+    * offline per corpus snapshot, gate continuously; stateless per
+    * batch, no state store. The downsample-only contract means the
+    * online gate materializes exactly the mixture the offline fit
+    * prescribed.
     */
   def mixtureGateSink(
       docs: DataFrame,
@@ -768,11 +831,20 @@ object EventStream {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.ext.Doremi.resample(batch, idCol, domainCol, weights, salt)
-          .write.mode("append").parquet(outPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyMixtureGateBatch(
+          batch, batchId, weights, idCol, domainCol, outPath, salt)
         ()
       }
+
+  /** One mixture-gate batch (testable redelivery unit). */
+  private[graft] def applyMixtureGateBatch(
+      batch: DataFrame, batchId: Long, weights: DataFrame,
+      idCol: String, domainCol: String, outPath: String,
+      salt: String): Unit =
+    landBatch(
+      graft.ext.Doremi.resample(batch, idCol, domainCol, weights, salt),
+      outPath, batchId)
 
   /** Streaming near-duplicate PAIR emitter against a static corpus
     * index — [[dedupGateSink]]'s sibling that emits the
@@ -781,7 +853,10 @@ object EventStream {
     * ([[graft.ext.Dedup.withNearDuplicatesAgainstIndex]] — both-side
     * unique-shingle-set collapse, distinct group candidates, exactly
     * one Jaccard verify per group pair, scoped persist lifecycle) and
-    * appends distinct pairs. Use this over the
+    * lands its distinct pairs under `batch=<id>` ([[landBatch]] — a
+    * micro-batch redelivered after a sink crash overwrites itself, so
+    * the distinct-pairs claim survives at-least-once delivery). Use
+    * this over the
     * [[nearDupAgainstIndexStream]] transform whenever the corpus or
     * the stream is duplicate-heavy — the stateless transform cannot
     * collapse the stream side's identical sets, so its verify count is
@@ -805,14 +880,22 @@ object EventStream {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.ext.Dedup.withNearDuplicatesAgainstIndex(
-          collapsedIndex, batch, idCol, textCol, threshold, numHashes,
-          bands, indexPreCollapsed = true) {
-          pairs => pairs.write.mode("append").parquet(outPath)
-        }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyNearDupPairsBatch(batch, batchId, collapsedIndex, idCol,
+          textCol, threshold, outPath, numHashes, bands)
         ()
       }
+
+  /** One near-dup-pairs batch (testable redelivery unit). */
+  private[graft] def applyNearDupPairsBatch(
+      batch: DataFrame, batchId: Long, collapsedIndex: DataFrame,
+      idCol: String, textCol: String, threshold: Double, outPath: String,
+      numHashes: Int, bands: Int): Unit =
+    graft.ext.Dedup.withNearDuplicatesAgainstIndex(
+      collapsedIndex, batch, idCol, textCol, threshold, numHashes,
+      bands, indexPreCollapsed = true) {
+      pairs => landBatch(pairs, outPath, batchId)
+    }
 
   /** Streaming near-duplicate gate against the persisted minhash index —
     * the crawl-side twin of incremental dedup (x9): each micro-batch of
@@ -821,9 +904,9 @@ object EventStream {
     * ([[graft.ext.Dedup.nearDuplicatesAgainstIndex]] — build the index
     * once per corpus snapshot, gate the crawl continuously). Stateless
     * per batch: the verdict depends only on the row and the fixed index,
-    * so no state store, and a redelivered batch appends the same
-    * survivor rows (at-least-once × downstream dedup-by-id, the gate
-    * sinks' shared contract). Survivors keep their full payload.
+    * so no state store, and a redelivered batch overwrites its own
+    * `batch=<id>` directory ([[landBatch]] — effectively-once, no
+    * reader-side dedup). Survivors keep their full payload.
     *
     * Duplicates WITHIN the stream are out of scope by design — that is
     * the batch pipeline's job at the next snapshot boundary (re-index,
@@ -843,14 +926,22 @@ object EventStream {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val dupIds = graft.ext.Dedup.nearDuplicatesAgainstIndex(
-          index, batch, idCol, textCol, threshold, numHashes, bands)
-          .select(col("new_id").as(idCol))
-        batch.join(dupIds, Seq(idCol), "left_anti")
-          .write.mode("append").parquet(outPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyDedupGateBatch(batch, batchId, index, idCol, textCol,
+          threshold, outPath, numHashes, bands)
         ()
       }
+
+  /** One dedup-gate batch (testable redelivery unit). */
+  private[graft] def applyDedupGateBatch(
+      batch: DataFrame, batchId: Long, index: DataFrame,
+      idCol: String, textCol: String, threshold: Double, outPath: String,
+      numHashes: Int, bands: Int): Unit = {
+    val dupIds = graft.ext.Dedup.nearDuplicatesAgainstIndex(
+      index, batch, idCol, textCol, threshold, numHashes, bands)
+      .select(col("new_id").as(idCol))
+    landBatch(batch.join(dupIds, Seq(idCol), "left_anti"), outPath, batchId)
+  }
 
   /** Streaming semantic decontamination gate — [[lmGateSink]]'s sibling
     * for the embedding check (x16): each micro-batch of candidate
@@ -860,8 +951,8 @@ object EventStream {
     * quantizer — train offline per eval-suite snapshot, gate the crawl
     * continuously). Stateless per batch: the verdict depends only on
     * the row and the fixed eval set, so there is no state store, and a
-    * redelivered batch appends the same survivor rows (at-least-once ×
-    * downstream dedup-by-id, the gate sinks' shared contract).
+    * redelivered batch overwrites its own `batch=<id>` directory
+    * ([[landBatch]] — effectively-once, no reader-side dedup).
     * Survivors keep their full payload.
     */
   def decontamGateSink(
@@ -877,12 +968,21 @@ object EventStream {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.ext.Curation.semanticDecontaminate(
-          batch, evalSet, idCol, vecCol, minCosine, centroids, nprobe)
-          .write.mode("append").parquet(outPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyDecontamGateBatch(batch, batchId, evalSet, idCol, vecCol,
+          minCosine, centroids, outPath, nprobe)
         ()
       }
+
+  /** One decontamination-gate batch (testable redelivery unit). */
+  private[graft] def applyDecontamGateBatch(
+      batch: DataFrame, batchId: Long, evalSet: DataFrame,
+      idCol: String, vecCol: String, minCosine: Double,
+      centroids: Seq[Array[Float]], outPath: String, nprobe: Int): Unit =
+    landBatch(
+      graft.ext.Curation.semanticDecontaminate(
+        batch, evalSet, idCol, vecCol, minCosine, centroids, nprobe),
+      outPath, batchId)
 
   /** Streaming materialized summary view: fold each micro-batch into a
     * parquet-backed [[graft.pipeline.IncrementalAgg]] summary table — the

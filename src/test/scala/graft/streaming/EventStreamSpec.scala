@@ -109,6 +109,7 @@ class EventStreamSpec extends SparkSpec {
       q.processAllAvailable()
     } finally q.stop()
     val rows = spark.read.parquet(s"$dir/out")
+      .select("corpus_id", "new_id", "jaccard") // landBatch adds `batch`
       .as[(Long, Long, Double)].collect().toSet
     // group (1,2) expands to BOTH members against doc 10; pairs are
     // distinct (one row per pair, unlike the transform's per-band rows)
@@ -755,6 +756,7 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
 
     val got = spark.read.parquet(outDir)
+      .select("doc_id", "score") // landBatch adds `batch`
       .as[(Long, Double)].collect().toSet
     got shouldBe expected
   }
