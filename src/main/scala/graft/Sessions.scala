@@ -48,6 +48,47 @@ object Sessions {
     byBytes.min(maxPartitions.toLong).max(minPartitions.toLong).toInt
   }
 
+  /** Spark's RocksDB state-store provider (shipped in spark-sql; the
+    * rocksdbjni native bundle rides in Spark's jars). The default
+    * HDFS-backed provider keeps EVERY state row on the executor HEAP —
+    * fine for the O(100)-group test streams, the first thing a real
+    * deployment hits at production state sizes (sessionization over
+    * millions of live users, a multi-hour interval-join buffer): state
+    * competes with execution memory and every snapshot rewrites the
+    * full map. RocksDB keeps state off-heap/on-disk with incremental
+    * changelog checkpoints, bounding heap by the block cache, not the
+    * key count. Output is provider-invariant
+    * (`StateStoreProviderSpec` proves it per stateful shape class) —
+    * this is purely a capacity/footprint decision.
+    */
+  final val RocksDbStateStoreProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Builder-time switch onto [[RocksDbStateStoreProvider]] for every
+    * stateful streaming query of the session. Changelog checkpointing
+    * uploads per-batch deltas instead of full RocksDB snapshots — the
+    * production posture for large state at short trigger intervals.
+    */
+  def withRocksDbStateStore(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.streaming.stateStore.providerClass",
+        RocksDbStateStoreProvider)
+      .config("spark.sql.streaming.stateStore.rocksdb."
+        + "changelogCheckpointing.enabled", "true")
+
+  /** Runtime twin of [[withRocksDbStateStore]] for an existing session
+    * (the provider class is read per QUERY at stream start, so a
+    * runtime conf on an isolated child session scopes the choice to the
+    * streams declared on it — the [[SparkEntry.isolatedStreamSession]]
+    * pattern). Returns the same session for chaining.
+    */
+  def useRocksDbStateStore(s: SparkSession): SparkSession = {
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      RocksDbStateStoreProvider)
+    s.conf.set("spark.sql.streaming.stateStore.rocksdb."
+      + "changelogCheckpointing.enabled", "true")
+    s
+  }
+
   /** The production builder. `master` is left to spark-submit unless the
     * caller pins one (tests pass `local[n]`).
     */
