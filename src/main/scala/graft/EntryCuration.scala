@@ -167,9 +167,12 @@ private[graft] trait EntryCuration { this: SparkEntry.type =>
       // the x9 daily-crawl shape run THROUGH the streaming dedup gate.
       // 80% of documents (doc_id % 10 < 8) is the prebuilt minhash index;
       // the 20% crawl is staged as parquet and replayed as a genuine
-      // micro-batch sequence (3 files × maxFilesPerTrigger=1 under
-      // Trigger.AvailableNow = 3 foreachBatch invocations against the
-      // static index), exercising checkpointing + the append sink. The
+      // micro-batch sequence (2 files × maxFilesPerTrigger=1 under
+      // Trigger.AvailableNow = 2 foreachBatch invocations against the
+      // static index — the stateless semantic minimum: ≥2 triggers
+      // prove cross-trigger checkpointing + landing, a 3rd adds only
+      // fixed micro-batch cost; round-15 trigger audit), exercising
+      // checkpointing + the append sink. The
       // gate is stateless per batch, so the final survivor table equals
       // the one-shot batch filter whatever the batch split — the oracle
       // replays x9's exact cross-split Jaccard (k=128/b=32 makes the LSH
@@ -188,7 +191,7 @@ private[graft] trait EntryCuration { this: SparkEntry.type =>
       val index = s.read.parquet(s1IndexPath(s, dir))
       val crawl = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
         .select("doc_id", "text", "lang", "source")
-      crawl.repartition(3).write.mode("overwrite").parquet(s"$base/in")
+      crawl.repartition(2).write.mode("overwrite").parquet(s"$base/in")
       val stream = s.readStream.schema(crawl.schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
       val q = graft.streaming.EventStream.dedupGateSink(
@@ -210,7 +213,8 @@ private[graft] trait EntryCuration { this: SparkEntry.type =>
       // and reaches the gate THROUGH a parquet model artifact
       // (LanguageModel.save/load — train offline per snapshot, gate the
       // crawl continuously, Wenzek et al.'s production cadence); the
-      // 20% crawl replays as 3 real micro-batches, each scored against
+      // 20% crawl replays as 2 real micro-batches (the stateless
+      // semantic minimum — s1's trigger-audit note), each scored against
       // the broadcast model and landed only at ppl <= 2.2 (splits the
       // crawl 24/31/63% kept at sf0.001/0.01/0.1; the nearest document
       // sits 1e-4 off the threshold, 8 orders above cross-engine avg
@@ -225,7 +229,7 @@ private[graft] trait EntryCuration { this: SparkEntry.type =>
       val model = graft.ext.LanguageModel.load(s, s2ModelPath(s, dir))
       val crawl = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
         .select("doc_id", "text", "lang", "source")
-      crawl.repartition(3).write.mode("overwrite").parquet(s"$base/in")
+      crawl.repartition(2).write.mode("overwrite").parquet(s"$base/in")
       val stream = s.readStream.schema(crawl.schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
       val q = graft.streaming.EventStream.lmGateSink(
@@ -243,8 +247,9 @@ private[graft] trait EntryCuration { this: SparkEntry.type =>
       // third oracle-backed foreachBatch surface: the DoReMi mixture
       // gate (EventStream.mixtureGateSink). The domain weights FIT
       // OFFLINE on the 80% trusted split (the q98 recipe at salt s3fit)
-      // and reach the gate through a parquet artifact; each of the 3
-      // crawl micro-batches keeps a document with its domain's resample
+      // and reach the gate through a parquet artifact; each of the 2
+      // crawl micro-batches (the stateless semantic minimum — s1's
+      // trigger-audit note) keeps a document with its domain's resample
       // rate, decided by the md5 coin at salt "s3" — membership is a
       // pure function of the id, so the streamed survivor set equals
       // the one-shot batch resample whatever the batch split. LANGUAGE
@@ -265,7 +270,7 @@ private[graft] trait EntryCuration { this: SparkEntry.type =>
       val weights = s.read.parquet(s3WeightsPath(s, dir))
       val crawl = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
         .select("doc_id", "text", "lang", "source")
-      crawl.repartition(3).write.mode("overwrite").parquet(s"$base/in")
+      crawl.repartition(2).write.mode("overwrite").parquet(s"$base/in")
       val stream = s.readStream.schema(crawl.schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
       val q = graft.streaming.EventStream.mixtureGateSink(
@@ -458,7 +463,8 @@ private[graft] trait EntryCuration { this: SparkEntry.type =>
       // GATE sink in streaming/EventStream (dedup s1, perplexity s2,
       // mixture s3, semantic decontamination s4) carries a full value
       // oracle. The x16 shape run through the stream: the corpus
-      // (vec_id % 10 < 9) replays as 3 micro-batches, each dropping
+      // (vec_id % 10 < 9) replays as 2 micro-batches (the stateless
+      // semantic minimum — s1's trigger-audit note), each dropping
       // every vector within cosine 0.45 of ANY eval vector (% 10 == 9)
       // under the corpus-trained k=8 quantizer (x16Model — production
       // decontamination must not leak eval vectors into the model).
@@ -471,7 +477,7 @@ private[graft] trait EntryCuration { this: SparkEntry.type =>
       val corpus = emb.filter(pmod(col("vec_id"), lit(10)) < 9)
       val base = Scratch.ephemeralDir(
         s"s4-run${streamRuns.incrementAndGet()}")
-      corpus.repartition(3).write.mode("overwrite").parquet(s"$base/in")
+      corpus.repartition(2).write.mode("overwrite").parquet(s"$base/in")
       val stream = s.readStream.schema(corpus.schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
       val q = graft.streaming.EventStream.decontamGateSink(
@@ -794,7 +800,8 @@ private[graft] trait EntryCuration { this: SparkEntry.type =>
       // prebuilt once and materialized to parquet (snapshot cadence —
       // the static side re-plans per trigger, so an unmaterialized
       // index would re-run the 128-hash build every batch), the 20%
-      // new docs arrive as 3 micro-batches, and each batch runs the
+      // new docs arrive as 2 micro-batches (the stateless semantic
+      // minimum — s1's trigger-audit note), and each batch runs the
       // FULL batch pair plan (both-side unique-set collapse, distinct
       // group candidates, one verify per group pair) — on this
       // duplicate-heavy corpus the stateless TRANSFORM variant cannot
@@ -812,7 +819,7 @@ private[graft] trait EntryCuration { this: SparkEntry.type =>
       val idx = s.read.parquet(s13IndexPath(s, dir))
       val newDocs = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
         .select("doc_id", "text")
-      newDocs.repartition(3).write.mode("overwrite").parquet(s"$base/in")
+      newDocs.repartition(2).write.mode("overwrite").parquet(s"$base/in")
       // no isolated 4-partition session: stateless and data-heavy
       // (~950k true pairs at sf0.1) — wants full shuffle parallelism
       val stream = s.readStream.schema(newDocs.schema)
@@ -917,7 +924,8 @@ private[graft] trait EntryCuration { this: SparkEntry.type =>
       // (EventStream.dsirScoreSink): the log-ratio model is fit ONCE
       // batch-side on the q95 split (target = doc_id%17==0), persisted
       // to parquet (the artifact cadence: fit per snapshot, gate the
-      // crawl continuously), and each of the 3 raw micro-batches scores
+      // crawl continuously), and each of the 2 raw micro-batches (the
+      // stateless semantic minimum — s1's trigger-audit note) scores
       // against it statelessly. The union of the appended scores,
       // ranked, must equal q95's full Gumbel ranking — the oracle is
       // q95's replay with the top-k limit lifted past the corpus size.
@@ -931,7 +939,7 @@ private[graft] trait EntryCuration { this: SparkEntry.type =>
         buckets = 8192, salt = "dsir")
         .write.mode("overwrite").parquet(s"$base/model")
       val lam = s.read.parquet(s"$base/model")
-      raw.repartition(3).write.mode("overwrite").parquet(s"$base/in")
+      raw.repartition(2).write.mode("overwrite").parquet(s"$base/in")
       val ss = isolatedStreamSession(s, shufflePartitions = 4)
       val stream = ss.readStream.schema(raw.schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
@@ -952,7 +960,8 @@ private[graft] trait EntryCuration { this: SparkEntry.type =>
       // the ANN serving sink joins the oracle surface
       // (EventStream.annServeSink): y6's snapshot index — coarse cells,
       // PQ codes, norms, built once from the deterministic
-      // snapshot-trained models — serves 3 micro-batches of new query
+      // snapshot-trained models — serves 2 micro-batches (the
+      // stateless semantic minimum — s1's trigger-audit note) of new query
       // vectors with no retraining and no re-encoding. Per-batch top-k
       // is complete where it happens (a query id lives in exactly one
       // micro-batch), so the appended union must equal the one-shot
@@ -967,7 +976,7 @@ private[graft] trait EntryCuration { this: SparkEntry.type =>
       val index = s.read.parquet(s17IndexPath(s, dir))
       val base = Scratch.ephemeralDir(
         s"s17-run${streamRuns.incrementAndGet()}")
-      batch.repartition(3).write.mode("overwrite").parquet(s"$base/in")
+      batch.repartition(2).write.mode("overwrite").parquet(s"$base/in")
       val ss = isolatedStreamSession(s, shufflePartitions = 4)
       val stream = ss.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
