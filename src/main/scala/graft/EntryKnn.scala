@@ -175,6 +175,14 @@ private[graft] trait EntryKnn { this: SparkEntry.type =>
       // the old rf=64) while rescoring 80 candidates/query instead of
       // 320 — the id-list rescore join is the only part of serving that
       // touches corpus vectors, so its size is the scaling knob.
+      //
+      // SCALE NOTE (round-15 soak): nlist is FIXED at 16 here, so this
+      // declaration joins y2/y3 as a fixed-capacity contrast — at the
+      // 10× corpus its serving cost grew 39.9× (SCALING_SOAK.md, probed
+      // fraction 12/16 of a 10×-bigger corpus × a 10×-bigger batch).
+      // The scale path is y7's √corpus rule with nprobe CALIBRATED per
+      // snapshot against the recall SLO (Soak.annPostureStudy measures
+      // per-query growth ≈ √n at the calibrated point).
       val (snapshot, batch) = y6Parts(s, dir)
       val (coarse, pq) = y6Models(s, dir)
       Similarity.searchIvfPqIndex(batch,

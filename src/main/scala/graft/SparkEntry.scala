@@ -538,11 +538,18 @@ object SparkEntry extends EntryRelA with EntryRelB with EntryText with EntryDedu
     * `pqFromDF`) before serving, so the declared query proves the
     * train-once / persist / serve path end-to-end under the oracle.
     * Returns (nlist, nprobe, loaded coarse, loaded pq); nprobe holds y6's
-    * 0.75 probe fraction (recall is set by cell coverage on this loosely-
-    * correlated corpus — at production scale with clustered embeddings
-    * nprobe stays fixed while nlist grows with the snapshot, which is the
-    * whole point of the rule). Memoized per dir: one write+load per
-    * snapshot per JVM — the same train-once cadence production would use.
+    * 0.75 probe fraction — a RECALL CRUTCH for the near-uniform sf*
+    * vectors (no cluster structure → recall is set by raw cell coverage),
+    * NOT production guidance: tying nprobe to nlist pins the probed
+    * fraction, so per-query cost grows linearly with the corpus and the
+    * √corpus rule's sub-linearity is cancelled (measured at the 10×
+    * soak corpus: 42.4× vs the 15× family bound — SCALING_SOAK.md). The
+    * production posture CALIBRATES nprobe per snapshot against the
+    * recall SLO with a brute-forced sample; on a clustered corpus the
+    * calibrated point grows far slower than 0.75·nlist and per-query
+    * cost follows the IVF √n design curve ([[Soak.annPostureStudy]]
+    * measures both). Memoized per dir: one write+load per snapshot per
+    * JVM — the same train-once cadence production would use.
     */
   private[graft] def y7Models(s: SparkSession, dir: String)
       : (Int, Int, Seq[Array[Float]], Seq[Seq[Seq[Float]]]) =
