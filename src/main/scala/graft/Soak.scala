@@ -202,33 +202,24 @@ object Soak {
         snap, "vec_id", "embedding", k = 5, coarse = coarse, pq = pq,
         nprobe = nprobe, rescoreFactor = 16)
 
-    // SLO calibration at the 10× snapshot: recall vs nprobe, brute force
-    // computed once. Production recalibrates nprobe per snapshot against
-    // a brute-forced SAMPLE; the rule's payoff is that the calibrated
-    // point grows much slower than the tie's 0.75·nlist.
-    val exact = Similarity.topKBruteForce(
-      batchSoak, snapSoak, "vec_id", "embedding", k = 5)
-      .select(col("query_id"), col("neighbor_id")).cache()
-    val nExact = exact.count()
-    val grid = (Seq(1.0, 1.25, 1.5, 1.75, 2.0, 2.5)
-      .map(f => math.ceil(nprobeB * f).toInt) :+ nprobeS)
-      .distinct.filter(_ <= nlistS).sorted
-    var curve = Vector.empty[(Int, Double)]
-    var cal = nprobeS
-    val gridIt = grid.iterator
-    var done = false
-    while (gridIt.hasNext && !done) {
-      val np = gridIt.next()
-      val rc = SparkEntry.recallHits(exact,
-        serve(batchSoak, snapSoak, coarseS, pqS, np),
-        Seq("query_id", "neighbor_id")).head()
-      val r = if (nExact == 0) 1.0
-        else rc.getAs[Long]("n_hit").toDouble / nExact
-      curve :+= (np, r)
+    // SLO calibration at the 10× snapshot — the library's production
+    // path ([[ext.Similarity.calibrateNprobe]]), here with the sample =
+    // the whole 10× batch (so the reported recall is exact, not a
+    // sample estimate) and the grid anchored on the sf0.1 operating
+    // point; production would default both.
+    val calib = Similarity.calibrateNprobe(
+      batchSoak,
+      Similarity.buildIvfPqIndex(snapSoak, "vec_id", "embedding",
+        coarseS, pqS),
+      snapSoak, "vec_id", "embedding", k = 5, coarse = coarseS, pq = pqS,
+      slo = 0.9, sampleQueries = Int.MaxValue, rescoreFactor = 16,
+      grid = (Seq(1.0, 1.25, 1.5, 1.75, 2.0, 2.5)
+        .map(f => math.ceil(nprobeB * f).toInt) :+ nprobeS)
+        .distinct.filter(_ <= nlistS))
+    calib.curve.foreach { case (np, r) =>
       println(f"[soak] ann calibrate: nprobe=$np%3d/$nlistS recall $r%.4f")
-      if (r >= 0.9) { cal = np; done = true }
     }
-    exact.unpersist()
+    val (cal, curve, nExact) = (calib.nprobe, calib.curve, calib.nExact)
 
     // A/B interleaved min-of-2 at the CALIBRATED point, same statistic
     // as the chains

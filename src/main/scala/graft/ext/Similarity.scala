@@ -1242,6 +1242,98 @@ object Similarity {
       .transform(rankTopK(k))
   }
 
+  /** Result of [[calibrateNprobe]]: the chosen probe count, the measured
+    * ascending (nprobe → recall) curve (stops at the first point meeting
+    * the SLO), and the calibration sample sizes. `met` is false when even
+    * probing every cell missed the SLO — with exact rescore that means
+    * the PQ-ADC candidate stage (k × rescoreFactor) is the limiter, so
+    * raise rescoreFactor rather than nprobe.
+    */
+  final case class NprobeCalibration(
+      nprobe: Int, curve: Seq[(Int, Double)], nSample: Long, nExact: Long) {
+    def recallAtChosen: Double =
+      curve.collectFirst { case (np, r) if np == nprobe => r }.getOrElse(0.0)
+    def met(slo: Double): Boolean = recallAtChosen >= slo
+  }
+
+  /** Calibrate `nprobe` for [[searchIvfPqIndex]] against a recall SLO.
+    *
+    * The scaling contract of a rule-sized IVF index (nlist ≈ √corpus,
+    * [[graft.ext.Clustering.suggestNlist]]) only pays if nprobe is NOT a
+    * fraction of nlist: a tied probe fraction scans a constant share of
+    * the corpus per query, cancelling the rule's sub-linearity (measured
+    * at the round-15 10× soak: the 0.75·nlist tie cost 42× on 10× data
+    * where the calibrated point cost 2.3× — SCALING_SOAK.md). The
+    * production cadence is one calibration per index snapshot, alongside
+    * model training: brute-force the exact top-k for a bounded,
+    * deterministic sample of the query stream, then walk an ascending
+    * nprobe grid and return the first point whose sample recall meets the
+    * SLO. Cost is O(sample × corpus) for the ground truth (the same
+    * bounded shape as the recall companions) plus one sample-sized serve
+    * per grid point — independent of the live query volume.
+    *
+    * The sample is the `sampleQueries` smallest `md5(id)` values — a
+    * deterministic, content-independent draw (`TakeOrdered`, no full
+    * sort) re-derivable on any engine. Default grid: geometric ×1.5 from
+    * 5% of nlist up to nlist; pass `grid` to anchor on a known prior
+    * operating point instead.
+    */
+  def calibrateNprobe(
+      queries: DataFrame,
+      index: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      coarse: Seq[Array[Float]],
+      pq: Seq[Seq[Seq[Float]]],
+      slo: Double = 0.9,
+      sampleQueries: Int = 256,
+      rescoreFactor: Int = 4,
+      grid: Seq[Int] = Nil): NprobeCalibration = {
+    require(slo > 0.0 && slo <= 1.0, s"slo=$slo must be in (0, 1]")
+    require(sampleQueries >= 1, s"sampleQueries=$sampleQueries must be >= 1")
+    val nlist = coarse.size
+    val points = (if (grid.nonEmpty) grid.sorted
+      else Iterator.iterate(math.max(1, math.round(0.05 * nlist).toInt))(
+        np => math.max(np + 1, math.ceil(np * 1.5).toInt))
+        .takeWhile(_ < nlist).toSeq :+ nlist)
+      .distinct.filter(np => np >= 1 && np <= nlist)
+    require(points.nonEmpty, s"empty nprobe grid for nlist=$nlist")
+
+    val sample = queries
+      .orderBy(md5(col(idCol).cast("string")))
+      .limit(sampleQueries).cache()
+    val nSample = sample.count()
+    val exact = topKBruteForce(sample, corpus, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id")).cache()
+    val nExact = exact.count()
+
+    def recallAt(nprobe: Int): Double =
+      if (nExact == 0) 1.0
+      else {
+        val served = searchIvfPqIndex(sample, index, corpus, idCol, vecCol,
+          k, coarse, pq, nprobe, rescoreFactor)
+          .select(col("query_id"), col("neighbor_id")).distinct()
+        val hits = exact.join(served, Seq("query_id", "neighbor_id"))
+          .count()
+        hits.toDouble / nExact
+      }
+
+    var curve = Vector.empty[(Int, Double)]
+    val it = points.iterator
+    var chosen = points.last
+    var done = false
+    while (it.hasNext && !done) {
+      val np = it.next()
+      val r = recallAt(np)
+      curve :+= (np, r)
+      if (r >= slo) { chosen = np; done = true }
+    }
+    sample.unpersist(); exact.unpersist()
+    NprobeCalibration(chosen, curve, nSample, nExact)
+  }
+
   /** Sentinel: infer dimensionality from the first row (one tiny job). */
   final val InferDims: Int = -1
 

@@ -569,4 +569,92 @@ class SimilaritySpec extends SparkSpec {
       recon shouldBe orig
     }
   }
+
+  // ------------------------------------------------ nprobe calibration
+
+  /** nClusters one-hot-axis clusters in 8 dims, perCluster members each,
+    * seeded noise — tight at 0.4 (own-cluster neighbors dominate), id =
+    * cluster*100 + member.
+    */
+  private def clusteredCorpus(
+      nClusters: Int, perCluster: Int, noise: Float) = {
+    import spark.implicits._
+    val dims = 8
+    (for { c <- 0 until nClusters; j <- 0 until perCluster } yield {
+      val rng = new scala.util.Random(c * 1000 + j)
+      (c.toLong * 100 + j, Seq.tabulate(dims)(i =>
+        (if (i == c % dims) 1f else 0f) + (rng.nextFloat() - 0.5f) * noise))
+    }).toDF("vec_id", "embedding")
+  }
+
+  test("calibrateNprobe: meets the SLO sub-exhaustively on a clustered " +
+      "corpus, walks an ascending curve, and is deterministic") {
+    val corpus = clusteredCorpus(8, 16, 0.4f)
+    val coarse = Similarity.trainCentroids(
+      corpus, "vec_id", "embedding", nlist = 8, iterations = 5,
+      sampleSize = 1024, seed = 42L)
+    val pq = Similarity.trainPq(
+      corpus, "vec_id", "embedding", m = 2, ksub = 4,
+      iterations = 3, sampleSize = 1024, seed = 7L)
+    val index = Similarity.buildIvfPqIndex(
+      corpus, "vec_id", "embedding", coarse, pq)
+    val queries = corpus.filter(col("vec_id") % 100 < 2)
+
+    val cal = Similarity.calibrateNprobe(
+      queries, index, corpus, "vec_id", "embedding", k = 3,
+      coarse = coarse, pq = pq, slo = 0.9, sampleQueries = 16,
+      rescoreFactor = 8)
+    // chosen point meets the SLO without probing every cell (the whole
+    // reason the knob exists)
+    assert(cal.met(0.9), s"calibration missed the SLO: ${cal.curve}")
+    assert(cal.nprobe < coarse.size,
+      s"calibration needed an exhaustive probe: ${cal.curve}")
+    // the curve is the ascending walk that STOPS at the chosen point:
+    // strictly increasing nprobe, every earlier point under the SLO
+    cal.curve.last._1 shouldBe cal.nprobe
+    cal.curve.map(_._1) shouldBe cal.curve.map(_._1).sorted
+    cal.curve.dropRight(1).foreach { case (_, r) => assert(r < 0.9) }
+    cal.nSample shouldBe 16
+    // deterministic end to end (md5 sample, seeded models, no RNG)
+    Similarity.calibrateNprobe(
+      queries, index, corpus, "vec_id", "embedding", k = 3,
+      coarse = coarse, pq = pq, slo = 0.9, sampleQueries = 16,
+      rescoreFactor = 8) shouldBe cal
+  }
+
+  test("calibrateNprobe: full probe + covering rescore reaches recall " +
+      "1.0, and an unreachable SLO reports met = false at nlist") {
+    val corpus = clusteredCorpus(8, 16, 0.4f)
+    val coarse = Similarity.trainCentroids(
+      corpus, "vec_id", "embedding", nlist = 8, iterations = 5,
+      sampleSize = 1024, seed = 42L)
+    val pq = Similarity.trainPq(
+      corpus, "vec_id", "embedding", m = 2, ksub = 4,
+      iterations = 3, sampleSize = 1024, seed = 7L)
+    val index = Similarity.buildIvfPqIndex(
+      corpus, "vec_id", "embedding", coarse, pq)
+    val queries = corpus.filter(col("vec_id") % 100 < 2)
+
+    // nprobe = nlist and k*rescoreFactor >= corpus: the ADC stage cannot
+    // drop a true neighbor, and the exact rescore restores the exact
+    // ranking — recall is 1.0 by construction
+    val full = Similarity.calibrateNprobe(
+      queries, index, corpus, "vec_id", "embedding", k = 3,
+      coarse = coarse, pq = pq, slo = 1.0, sampleQueries = 16,
+      rescoreFactor = 64, grid = Seq(coarse.size))
+    full.recallAtChosen shouldBe 1.0
+    full.nprobe shouldBe coarse.size
+
+    // an SLO above what a starved candidate stage can reach: the walk
+    // exhausts the grid, lands on nlist, and reports met = false —
+    // the caller's signal to raise rescoreFactor, not nprobe
+    val starved = Similarity.calibrateNprobe(
+      queries, index, corpus, "vec_id", "embedding", k = 3,
+      coarse = coarse, pq = pq, slo = 1.0, sampleQueries = 16,
+      rescoreFactor = 1, grid = Seq(1, coarse.size))
+    if (!starved.met(1.0)) {
+      starved.nprobe shouldBe coarse.size
+      starved.curve.size shouldBe 2
+    }
+  }
 }
