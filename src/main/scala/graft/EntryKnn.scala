@@ -253,6 +253,38 @@ private[graft] trait EntryKnn { this: SparkEntry.type =>
     }),
 
 
+    "y9_nprobe_calibration" -> ((s, dir) => {
+      // the per-snapshot nprobe calibration the round-15 10× soak
+      // showed production needs (Similarity.calibrateNprobe — see its
+      // scaladoc and SCALING_SOAK.md §ANN serving posture): the probed
+      // fraction must NOT be tied to nlist, so the serving knob is set
+      // by walking an ascending nprobe grid over a bounded,
+      // deterministic md5-sampled query set against its brute-forced
+      // exact top-5, stopping at the first point whose sample recall
+      // meets the 0.9 SLO. Declared with a FULL value oracle: the grid
+      // (ceil(nlist/8), /4, /2, and the legacy tie point 0.75·nlist)
+      // and the sample (64 smallest md5(vec_id) of the batch) are
+      // data-derived, and the oracle re-runs the whole walk — four
+      // re-derived serves joined against the re-derived ground truth —
+      // with the SLO compare in exact integer arithmetic
+      // (10·hits ≥ 9·n_exact), so every output column is an integer.
+      import s.implicits._
+      val (snapshot, batch) = y6Parts(s, dir)
+      val (nlist, nprobeTied, coarse, pq) = y7Models(s, dir)
+      val cal = Similarity.calibrateNprobe(
+        batch,
+        Similarity.buildIvfPqIndex(snapshot, "vec_id", "embedding",
+          coarse, pq),
+        snapshot, "vec_id", "embedding", k = 5, coarse = coarse, pq = pq,
+        slo = 0.9, sampleQueries = 64, rescoreFactor = 16,
+        grid = Seq(
+          math.ceil(nlist / 8.0).toInt, math.ceil(nlist / 4.0).toInt,
+          math.ceil(nlist / 2.0).toInt, nprobeTied))
+      Seq((if (cal.met(0.9)) 1 else 0, cal.nExact, cal.nSample, cal.nprobe))
+        .toDF("met", "n_exact", "n_sample", "nprobe_cal")
+    }),
+
+
     "y8_index_staleness" -> ((s, dir) => {
       // the ANN append-staleness report (Similarity.indexStalenessReport
       // / suggestRebuild): appendToIvfPqIndex keeps the coarse/PQ models
@@ -423,6 +455,71 @@ private[graft] trait EntryKnn { this: SparkEntry.type =>
 
 
     "y7r_knn_artifact_recall" -> snapshotKnnRecallOracle,
+
+
+    // y9: the full calibration walk re-derived — rule-sized k-means +
+    // PQ train/encode (y7's proven CTEs), the 64-doc md5 sample as the
+    // serve-side query CTE, the exact top-5 ground truth, FOUR served
+    // grid points (suffix-renamed copies of the y6/y7 serve chain with
+    // data-derived probe bounds), and the first-passing-else-last pick
+    // with the SLO as exact integers (10·hits ≥ 9·n_exact)
+    "y9_nprobe_calibration" ->
+      s"""${kmeansOracleSqrt(" WHERE vec_id % 10 < 9")},
+        |$enCte,
+        |eqn AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
+        |  FROM embeddings WHERE vec_id % 10 = 9
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 64),
+        |$pqTrainEncodeCtes,
+        |exact AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_sum(list_transform(
+        |            list_zip(q.embedding, c.embedding),
+        |            x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * c.nrm)
+        |          DESC, c.vec_id) AS rank
+        |    FROM eqn q JOIN en c ON c.vec_id <> q.vec_id) t
+        |  WHERE rank <= 5),
+        |${indexedServeCtes(
+          "(SELECT CAST(ceil(k / 8.0) AS INT) FROM params)", suffix = "_g1")},
+        |${indexedServeCtes(
+          "(SELECT CAST(ceil(k / 4.0) AS INT) FROM params)", suffix = "_g2")},
+        |${indexedServeCtes(
+          "(SELECT CAST(ceil(k / 2.0) AS INT) FROM params)", suffix = "_g3")},
+        |${indexedServeCtes("(SELECT nb FROM params)", suffix = "_g4")},
+        |ne AS (SELECT count(*) AS n_exact FROM exact),
+        |curve AS (
+        |  SELECT 1 AS gi,
+        |    (SELECT CAST(ceil(k / 8.0) AS INT) FROM params) AS np,
+        |    (SELECT count(*) FROM exact e JOIN served_g1 s
+        |      ON e.query_id = s.query_id
+        |      AND e.neighbor_id = s.neighbor_id) AS h
+        |  UNION ALL SELECT 2,
+        |    (SELECT CAST(ceil(k / 4.0) AS INT) FROM params),
+        |    (SELECT count(*) FROM exact e JOIN served_g2 s
+        |      ON e.query_id = s.query_id
+        |      AND e.neighbor_id = s.neighbor_id)
+        |  UNION ALL SELECT 3,
+        |    (SELECT CAST(ceil(k / 2.0) AS INT) FROM params),
+        |    (SELECT count(*) FROM exact e JOIN served_g3 s
+        |      ON e.query_id = s.query_id
+        |      AND e.neighbor_id = s.neighbor_id)
+        |  UNION ALL SELECT 4, (SELECT nb FROM params),
+        |    (SELECT count(*) FROM exact e JOIN served_g4 s
+        |      ON e.query_id = s.query_id
+        |      AND e.neighbor_id = s.neighbor_id)),
+        |chosen AS (SELECT * FROM (
+        |    SELECT curve.*, ne.n_exact,
+        |      CASE WHEN 10 * h >= 9 * n_exact THEN 1 ELSE 0 END AS pass
+        |    FROM curve, ne) c
+        |  ORDER BY pass DESC,
+        |    CASE WHEN pass = 1 THEN gi ELSE -gi END
+        |  LIMIT 1)
+        |SELECT CAST(pass AS INT) AS met, n_exact,
+        |  (SELECT count(*) FROM eqn) AS n_sample,
+        |  CAST(np AS INT) AS nprobe_cal
+        |FROM chosen""".stripMargin,
 
 
     "y1_knn_brute" ->

@@ -936,39 +936,42 @@ object SparkEntry extends EntryRelA with EntryRelB with EntryText with EntryDedu
       probeBound: String,
       asg: String = "asg",
       recon: String = "recon",
-      corpus: String = "en"): String =
-    s"""qs AS (SELECT q.vec_id, t.cell,
+      corpus: String = "en",
+      suffix: String = "",
+      queries: String = "eqn"): String =
+    s"""qs$suffix AS (SELECT q.vec_id, t.cell,
       |    list_sum(list_transform(list_zip(q.embedding, t.c),
       |      x -> x[1]::DOUBLE * x[2]::DOUBLE))
       |    - list_sum(list_transform(t.c, x -> x::DOUBLE * x::DOUBLE)) / 2
       |      AS score
-      |  FROM eqn q CROSS JOIN cents t),
-      |probes AS (SELECT vec_id AS query_id, cell FROM (
+      |  FROM $queries q CROSS JOIN cents t),
+      |probes$suffix AS (SELECT vec_id AS query_id, cell FROM (
       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
-      |      ORDER BY score DESC, cell) AS rn FROM qs) t7
+      |      ORDER BY score DESC, cell) AS rn FROM qs$suffix) t7
       |  WHERE rn <= $probeBound),
-      |adc AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+      |adc$suffix AS (SELECT p.query_id, a.vec_id AS neighbor_id,
       |    list_sum(list_transform(list_zip(q.embedding, r.rv),
       |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * c.nrm) AS ascore
-      |  FROM probes p JOIN $asg a ON p.cell = a.cell
-      |    JOIN eqn q ON p.query_id = q.vec_id
+      |  FROM probes$suffix p JOIN $asg a ON p.cell = a.cell
+      |    JOIN $queries q ON p.query_id = q.vec_id
       |    JOIN $recon r ON a.vec_id = r.vec_id
       |    JOIN $corpus c ON a.vec_id = c.vec_id
       |  WHERE p.query_id <> a.vec_id),
-      |surv AS (SELECT query_id, neighbor_id FROM (
-      |    SELECT adc.*, row_number() OVER (PARTITION BY query_id
+      |surv$suffix AS (SELECT query_id, neighbor_id FROM (
+      |    SELECT t8.*, row_number() OVER (PARTITION BY query_id
       |      ORDER BY ascore DESC, neighbor_id) AS rn
-      |    FROM adc WHERE ascore IS NOT NULL AND NOT isnan(ascore)) t8
+      |    FROM adc$suffix t8
+      |    WHERE ascore IS NOT NULL AND NOT isnan(ascore)) t8b
       |  WHERE rn <= 80),
-      |sc AS (SELECT s.query_id, s.neighbor_id,
+      |sc$suffix AS (SELECT s.query_id, s.neighbor_id,
       |    list_sum(list_transform(list_zip(q.embedding, n.embedding),
       |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (q.nrm * n.nrm) AS cosine
-      |  FROM surv s JOIN eqn q ON s.query_id = q.vec_id
+      |  FROM surv$suffix s JOIN $queries q ON s.query_id = q.vec_id
       |    JOIN $corpus n ON s.neighbor_id = n.vec_id),
-      |served AS (SELECT query_id, neighbor_id, rank, cosine FROM (
-      |    SELECT sc.*, CAST(row_number() OVER (PARTITION BY query_id
+      |served$suffix AS (SELECT query_id, neighbor_id, rank, cosine FROM (
+      |    SELECT sc$suffix.*, CAST(row_number() OVER (PARTITION BY query_id
       |        ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
-      |    FROM sc WHERE cosine IS NOT NULL AND NOT isnan(cosine)) t9
+      |    FROM sc$suffix WHERE cosine IS NOT NULL AND NOT isnan(cosine)) t9
       |  WHERE rank <= 5)""".stripMargin
 
   private[graft] def indexedServeOracleTail(probeBound: String): String =
