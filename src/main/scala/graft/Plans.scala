@@ -40,7 +40,11 @@ object Plans {
     // the appended-vs-rebuilt serving contrast. The streaming gates
     // (s1/s2) and q101 are deliberately absent: building their frames
     // RUNS the staged micro-batches / instrumented write, and the
-    // declared result's plan is just the read-back scan.
+    // declared result's plan is just the read-back scan. y9 (round 15)
+    // is absent for the same reason: the calibration walk runs eagerly
+    // inside calibrateNprobe (per-grid-point recall counts) and the
+    // declared result is a one-row local relation; its serve plans are
+    // y6/y7's, which ARE audited above.
     "q100_exact_decontam", "y8_index_staleness", "y8r_append_recall")
 
   /** x11 and q91 materialize eagerly in their public form (persist +
