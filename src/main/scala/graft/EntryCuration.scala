@@ -305,16 +305,20 @@ private[graft] trait EntryCuration { this: SparkEntry.type =>
       // batch query. Staging is the part append mode makes subtle:
       // events arrive as 3 TIME-ORDERED thirds (so nothing is ever
       // late under the 1-hour watermark — within-batch disorder is
-      // free, the watermark only advances between batches), then TWO
-      // far-future sentinel batches: the first advances the watermark
-      // past every real window, the second triggers the batch in which
-      // Spark actually evicts-and-emits them (emission happens in the
-      // batch AFTER the watermark moves). The sentinels' own window
-      // stays withheld forever — the watermark never passes it — so
-      // the final table is exactly the real windows and the oracle is
-      // q20's SQL verbatim. Files are staged with increasing mtimes
-      // AND lexicographic names so the file source's (timestamp, path)
-      // order is the arrival order at every SF.
+      // free, the watermark only advances between batches), with ONE
+      // far-future sentinel row riding in the final third: the batch's
+      // max event time advances the watermark past every real window,
+      // and the closing no-data micro-batch (noDataMicroBatches, on by
+      // default — AvailableNow runs it before stopping) is the batch in
+      // which Spark actually evicts-and-emits them (emission happens in
+      // the batch AFTER the watermark moves; round-15 trigger trim: the
+      // old second sentinel batch bought nothing the free no-data batch
+      // doesn't). The sentinel's own window stays withheld forever —
+      // the watermark never passes it — so the final table is exactly
+      // the real windows and the oracle is q20's SQL verbatim. Files
+      // are staged with increasing mtimes AND lexicographic names so
+      // the file source's (timestamp, path) order is the arrival order
+      // at every SF.
       val events = rd(s, dir, "events")
       val base = Scratch.ephemeralDir(
         s"s5-run${streamRuns.incrementAndGet()}")
@@ -341,8 +345,7 @@ private[graft] trait EntryCuration { this: SparkEntry.type =>
         val batches = Seq(
           events.filter(tsm < cut1),
           events.filter(tsm >= cut1 && tsm < cut2),
-          events.filter(tsm >= cut2),
-          sentinel(-1L), sentinel(-2L))
+          events.filter(tsm >= cut2).unionByName(sentinel(-1L)))
         stageOrderedBatches(b, batches)
       }
       // the stateful agg pays per-(batch × shuffle-partition) state
@@ -380,10 +383,11 @@ private[graft] trait EntryCuration { this: SparkEntry.type =>
       // (EventStream.sessionizeStream — open-session merge on either
       // side, event-time timeout close) instead of s5's built-in window
       // state. Staged like s5 (3 time-ordered thirds so nothing is
-      // late under the 1-hour watermark; 2 sentinel batches — the first
-      // advances the watermark past every real session's end + gap, the
-      // second runs the batch in which the timeouts actually FIRE and
-      // the sessions emit). The sentinels' own session stays open
+      // late under the 1-hour watermark; one far-future sentinel rides
+      // the final third — it advances the watermark past every real
+      // session's end + gap, and the closing no-data micro-batch runs
+      // the timeouts that emit the sessions — s5's trigger-trim
+      // rationale). The sentinel's own session stays open
       // forever and never reaches the output — the oracle would catch a
       // leak. Oracle = the gap-islands rewrite of the STREAM's
       // semantics: a session splits when the inter-event gap strictly
@@ -408,8 +412,8 @@ private[graft] trait EntryCuration { this: SparkEntry.type =>
         val batches = Seq(
           events.filter(tsm < cut1).select(cols.map(col): _*),
           events.filter(tsm >= cut1 && tsm < cut2).select(cols.map(col): _*),
-          events.filter(tsm >= cut2).select(cols.map(col): _*),
-          sentinel(0L), sentinel(1L))
+          events.filter(tsm >= cut2).select(cols.map(col): _*)
+            .unionByName(sentinel(0L)))
         stageOrderedBatches(b, batches)
       }
       import s.implicits._
@@ -590,14 +594,15 @@ private[graft] trait EntryCuration { this: SparkEntry.type =>
       // state WITH a binding completion window and event-time-timeout
       // GC of incomplete chains (EventStream.funnelStream). The
       // signup→click→purchase funnel at a 7-day window runs over 3
-      // time-ordered thirds; two far-future sentinel signups then (1)
-      // advance the watermark past every real chain's head + window and
-      // (2) run the batch in which those timeouts actually FIRE — the
-      // GC path executes for every stuck user, and because the operator
-      // resets expired chains INLINE (see funnelStream's scaladoc), GC
-      // is output-invariant: the oracle below reproduces the streamed
-      // rows exactly, multi-cycle completions included. The sentinels'
-      // own 1-stage chains sit in state forever and emit nothing.
+      // time-ordered thirds; one far-future sentinel signup riding the
+      // final third advances the watermark past every real chain's head
+      // + window, and the closing no-data micro-batch runs those
+      // timeouts (s5's trigger-trim rationale) — the GC path executes
+      // for every stuck user, and because the operator resets expired
+      // chains INLINE (see funnelStream's scaladoc), GC is
+      // output-invariant: the oracle below reproduces the streamed
+      // rows exactly, multi-cycle completions included. The sentinel's
+      // own 1-stage chain sits in state forever and emits nothing.
       // Oracle = the repeated greedy chain-of-minima as a recursive
       // per-cycle walk (q55's chain logic iterated per completion /
       // window-expiry reset), at the stream's millisecond precision.
@@ -623,8 +628,7 @@ private[graft] trait EntryCuration { this: SparkEntry.type =>
         val batches = Seq(
           fe.filter(tsm < cut1),
           fe.filter(tsm >= cut1 && tsm < cut2),
-          fe.filter(tsm >= cut2),
-          sentinel(-1L, 0L), sentinel(-2L, 1000L))
+          fe.filter(tsm >= cut2).unionByName(sentinel(-1L, 0L)))
         stageOrderedBatches(b, batches)
       }
       import s.implicits._
@@ -659,9 +663,10 @@ private[graft] trait EntryCuration { this: SparkEntry.type =>
       // exercise: a third's first event must pair with the previous
       // third's last. Idle-timeout GC (40 days) can never fire
       // mid-data (the events table spans 30 days, so no user is idle
-      // longer than the span); the two far-future sentinels then
-      // advance the watermark and run the batch where every user's
-      // state times out — exercising the GC path after the last real
+      // longer than the span); the far-future sentinel riding the
+      // final third advances the watermark, and the closing no-data
+      // micro-batch runs every user's idle timeout (s5's trigger-trim
+      // rationale) — exercising the GC path after the last real
       // bridge, where removal is output-invariant. The declared result
       // aggregates the emitted pairs into q76's transition matrix, so
       // the oracle is q76's lead-window SQL verbatim: equality proves
@@ -691,8 +696,7 @@ private[graft] trait EntryCuration { this: SparkEntry.type =>
         val batches = Seq(
           ev.filter(tsm < cut1),
           ev.filter(tsm >= cut1 && tsm < cut2),
-          ev.filter(tsm >= cut2),
-          sentinel(-1L, 0L), sentinel(-2L, 1000L))
+          ev.filter(tsm >= cut2).unionByName(sentinel(-1L, 0L)))
         stageOrderedBatches(b, batches)
       }
       import s.implicits._
@@ -727,9 +731,11 @@ private[graft] trait EntryCuration { this: SparkEntry.type =>
       // PSI monitor: profile the trusted corpus offline, watch the
       // live feed continuously); the current side (user%2=1) streams
       // as 3 time-ordered thirds, one O(buckets) state row per tumbling
-      // day. Two far-future sentinels advance the watermark through the
-      // finalization of every real window; their own window is
-      // watermark-withheld forever (they must carry a NON-null value:
+      // day. One far-future sentinel riding the final third advances
+      // the watermark; the closing no-data micro-batch finalizes every
+      // real window (s5's trigger-trim rationale). The sentinel's own
+      // window is watermark-withheld forever (it must carry a NON-null
+      // value:
       // Catalyst pushes the monitor's not-null filter BELOW the
       // watermark node, so a null-value sentinel would be dropped
       // before the watermark statistic ever saw it — observed as the
@@ -764,8 +770,7 @@ private[graft] trait EntryCuration { this: SparkEntry.type =>
         val batches = Seq(
           cur.filter(tsm < cut1),
           cur.filter(tsm >= cut1 && tsm < cut2),
-          cur.filter(tsm >= cut2),
-          sentinel(0L), sentinel(1000L))
+          cur.filter(tsm >= cut2).unionByName(sentinel(0L)))
         stageOrderedBatches(b, batches)
       }
       val ss = isolatedStreamSession(s, shufflePartitions = 4)
@@ -798,9 +803,11 @@ private[graft] trait EntryCuration { this: SparkEntry.type =>
       // ndv (5 event types), so no decrement round ever fires and the
       // summary is EXACT — q57's oracle-checkable stance lifted to
       // windows: est = the true per-(day, item) count, err = 0, rank =
-      // the summary's deterministic (est desc, item) order. Two
-      // far-future sentinels finalize every real window; their own
-      // window is watermark-withheld forever.
+      // the summary's deterministic (est desc, item) order. One
+      // far-future sentinel rides the final third; the closing no-data
+      // micro-batch finalizes every real window (s5's trigger-trim
+      // rationale); the sentinel's own window is watermark-withheld
+      // forever.
       val events = rd(s, dir, "events")
       val base = Scratch.ephemeralDir(
         s"s12-run${streamRuns.incrementAndGet()}")
@@ -820,8 +827,7 @@ private[graft] trait EntryCuration { this: SparkEntry.type =>
         val batches = Seq(
           ev.filter(tsm < cut1),
           ev.filter(tsm >= cut1 && tsm < cut2),
-          ev.filter(tsm >= cut2),
-          sentinel(0L), sentinel(1000L))
+          ev.filter(tsm >= cut2).unionByName(sentinel(0L)))
         stageOrderedBatches(b, batches)
       }
       val ss = isolatedStreamSession(s, shufflePartitions = 4)
@@ -895,7 +901,10 @@ private[graft] trait EntryCuration { this: SparkEntry.type =>
     "s14_stream_exact_dedup" -> ((s, dir) => {
       // streamed exact dedup (EventStream.dedupStream →
       // dropDuplicatesWithinWatermark on the normalize-md5 fingerprint):
-      // the 3 micro-batches carry arbitrary splits of the corpus, the
+      // 2 micro-batches carry arbitrary splits of the corpus (the
+      // stateful semantic minimum: one batch seeds the dedup state, the
+      // second proves survivors dedupe AGAINST it — a 3rd re-proved the
+      // same property at pure fixed cost; round-15 trigger trim), the
       // dedup state spans batches (lateness exceeds the synthetic time
       // axis, so nothing is evicted mid-run), and the contract the
       // oracle pins is the DEDUP INVARIANT — exactly one survivor per
@@ -912,7 +921,7 @@ private[graft] trait EntryCuration { this: SparkEntry.type =>
         s"s14-run${streamRuns.incrementAndGet()}")
       // memoized fixture staging (stagedStreamInput) — s1's rationale
       val in = stagedStreamInput(s, dir, "s14") { b =>
-        docs.repartition(3).write.mode("overwrite").parquet(s"$b/in")
+        docs.repartition(2).write.mode("overwrite").parquet(s"$b/in")
         s"$b/in"
       }
       val ss = isolatedStreamSession(s, shufflePartitions = 4)

@@ -1308,11 +1308,17 @@ object Similarity {
     val exact = topKBruteForce(sample, corpus, idCol, vecCol, k)
       .select(col("query_id"), col("neighbor_id")).cache()
     val nExact = exact.count()
+    // the walk serves the SAME index once per grid point: a live
+    // buildIvfPqIndex plan would re-run the full snapshot encode per
+    // point (the s17/x13 parquet-artifact lesson, applied operator-side
+    // for callers that pass an unmaterialized index). Persisted for the
+    // walk only, released before returning.
+    val idx = index.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     def recallAt(nprobe: Int): Double =
       if (nExact == 0) 1.0
       else {
-        val served = searchIvfPqIndex(sample, index, corpus, idCol, vecCol,
+        val served = searchIvfPqIndex(sample, idx, corpus, idCol, vecCol,
           k, coarse, pq, nprobe, rescoreFactor)
           .select(col("query_id"), col("neighbor_id")).distinct()
         val hits = exact.join(served, Seq("query_id", "neighbor_id"))
@@ -1330,7 +1336,7 @@ object Similarity {
       curve :+= (np, r)
       if (r >= slo) { chosen = np; done = true }
     }
-    sample.unpersist(); exact.unpersist()
+    sample.unpersist(); exact.unpersist(); idx.unpersist(blocking = false)
     NprobeCalibration(chosen, curve, nSample, nExact)
   }
 
