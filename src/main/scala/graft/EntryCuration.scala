@@ -184,11 +184,16 @@ private[graft] trait EntryCuration { this: SparkEntry.type =>
       val base = Scratch.ephemeralDir(
         s"s1-run${streamRuns.incrementAndGet()}")
       // the index is a parquet ARTIFACT (x13's store posture), not a
-      // live plan: built once per corpus snapshot (s1IndexPath — memoized
-      // + prewarmed, so repeated bench passes measure the GATE, not the
-      // per-snapshot training), read by every micro-batch — a live plan
-      // would re-run the minhash scan per foreachBatch invocation
-      val index = s.read.parquet(s1IndexPath(s, dir))
+      // live plan: built once per corpus snapshot (memoized + prewarmed,
+      // so repeated bench passes measure the GATE, not the per-snapshot
+      // training), read by every micro-batch — a live plan would re-run
+      // the minhash scan per foreachBatch invocation. Round-15: the
+      // artifact is the COLLAPSED unique-set form (s13IndexPath — s13's
+      // snapshot contract), so the gate stops re-aggregating the whole
+      // corpus index inside every trigger (that collapse was most of
+      // this row's cost; the raw-index path stays spec-covered via the
+      // sink's default indexPreCollapsed = false)
+      val index = s.read.parquet(s13IndexPath(s, dir))
       val crawl = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
         .select("doc_id", "text", "lang", "source")
       // input-fixture staging memoized per (query, dir) — the write job
@@ -202,7 +207,7 @@ private[graft] trait EntryCuration { this: SparkEntry.type =>
       val q = graft.streaming.EventStream.dedupGateSink(
         stream, index, "doc_id", "text", threshold = 0.8,
         outPath = s"$base/out", checkpoint = s"$base/ckpt",
-        numHashes = 128, bands = 32)
+        numHashes = 128, bands = 32, indexPreCollapsed = true)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()

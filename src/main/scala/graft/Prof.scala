@@ -111,6 +111,43 @@ object Prof {
       spark.stop()
       return
     }
+    // Same-JVM A/B of the s1 dedup-gate trigger: RAW index artifact
+    // (per-trigger collapseIndex aggregation, the pre-round-15 path) vs
+    // COLLAPSED artifact (indexPreCollapsed). Alternating rounds in one
+    // JVM — the only timing protocol that survives this host's ±50%
+    // cross-session drift (verify-skill lesson). Cold = cache cleared
+    // before the trigger; warm = second trigger with the retained index
+    // cache, the sink's steady state.
+    if (args.headOption.contains("s1ab")) {
+      import org.apache.spark.sql.functions._
+      val data = Scratch.stage(dir)
+      val raw = spark.read.parquet(SparkEntry.s1IndexPath(spark, data))
+      val collapsed = spark.read.parquet(SparkEntry.s13IndexPath(spark, data))
+      val crawl = SparkEntry.rd(spark, data, "documents")
+        .filter(pmod(col("doc_id"), lit(10)) >= 8)
+        .select("doc_id", "text", "lang", "source")
+      val out = Scratch.ephemeralDir("s1ab")
+      var n = 0
+      def trigger(tag: String, ix: org.apache.spark.sql.DataFrame,
+          pre: Boolean): Unit = {
+        n += 1
+        val t0 = System.nanoTime()
+        graft.streaming.EventStream.applyDedupGateBatch(
+          crawl, n.toLong, ix, "doc_id", "text", 0.8, s"$out/o$n",
+          numHashes = 128, bands = 32, indexPreCollapsed = pre)
+        println(f"[s1ab] $tag: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+      (1 to 4).foreach { i =>
+        settle()
+        trigger(s"raw-cold#$i", raw, pre = false)
+        trigger(s"raw-warm#$i", raw, pre = false)
+        settle()
+        trigger(s"col-cold#$i", collapsed, pre = true)
+        trigger(s"col-warm#$i", collapsed, pre = true)
+      }
+      spark.stop()
+      return
+    }
     // x13 composition breakdown: the halves (y7-shaped serve over the
     // post-expiry store; x9-shaped dedup against the stored minhash index)
     // each run ~1s standalone, so a slow x13 is a composition effect —

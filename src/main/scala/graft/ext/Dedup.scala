@@ -443,12 +443,21 @@ object Dedup {
 
   /** Scoped form of [[nearDuplicatesAgainstIndex]] that OWNS the persist
     * lifecycle (same contract as [[withNearDuplicatesMinhash]]): hands the
-    * pair plan to `f` and unpersists BOTH collapsed frames when `f`
+    * pair plan to `f` and unpersists the collapsed frames when `f`
     * returns or throws — no CacheManager entry outlives the call, so
     * repeated incremental batches in a long-lived session never accumulate
     * cached frames. `f` must CONSUME the DataFrame before returning; an
     * escaped lazy plan would re-run the index scan + collapse per
     * downstream action once the caches drop.
+    *
+    * `retainIndexCache = true` keeps the INDEX-side frame cached past
+    * the call — the streaming-sink posture: a serving gate hits the same
+    * snapshot index every trigger, and Spark's CacheManager dedupes
+    * identical plans, so the retained entry is ONE hot frame per index
+    * snapshot, not an accumulation (measured at sf0.1: re-materializing
+    * it per trigger cost more than the per-batch pair work itself). The
+    * batch-side frame is always released — its plan differs per batch
+    * and WOULD accumulate.
     */
   def withNearDuplicatesAgainstIndex[T](
       index: DataFrame,
@@ -458,12 +467,15 @@ object Dedup {
       threshold: Double,
       numHashes: Int = 64,
       bands: Int = 16,
-      indexPreCollapsed: Boolean = false)(f: DataFrame => T): T = {
+      indexPreCollapsed: Boolean = false,
+      retainIndexCache: Boolean = false)(f: DataFrame => T): T = {
+    // caches = Seq(gIndex, gBatch) — the plan helper's stable order
     val (pairs, caches) = nearDuplicatesAgainstIndexPlan(
       index, newDocs, idCol, textCol, threshold, numHashes, bands, None,
       indexPreCollapsed)
     try f(pairs)
-    finally caches.foreach(_.unpersist(blocking = false))
+    finally (if (retainIndexCache) caches.drop(1) else caches)
+      .foreach(_.unpersist(blocking = false))
   }
 
   /** Collapse a [[minhashIndex]] frame into unique-shingle-set GROUPS:

@@ -893,7 +893,7 @@ object EventStream {
       numHashes: Int, bands: Int): Unit =
     graft.ext.Dedup.withNearDuplicatesAgainstIndex(
       collapsedIndex, batch, idCol, textCol, threshold, numHashes,
-      bands, indexPreCollapsed = true) {
+      bands, indexPreCollapsed = true, retainIndexCache = true) {
       pairs => landBatch(pairs, outPath, batchId)
     }
 
@@ -922,26 +922,39 @@ object EventStream {
       outPath: String,
       checkpoint: String,
       numHashes: Int = 64,
-      bands: Int = 16): DataStreamWriter[Row] =
+      bands: Int = 16,
+      indexPreCollapsed: Boolean = false): DataStreamWriter[Row] =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyDedupGateBatch(batch, batchId, index, idCol, textCol,
-          threshold, outPath, numHashes, bands)
+          threshold, outPath, numHashes, bands, indexPreCollapsed)
         ()
       }
 
-  /** One dedup-gate batch (testable redelivery unit). */
+  /** One dedup-gate batch (testable redelivery unit). Runs through the
+    * SCOPED pair plan so the per-batch persisted frames are released
+    * when the batch lands (the public unscoped form leaked one cached
+    * index-collapse per trigger into a long-lived session's
+    * CacheManager). `indexPreCollapsed` is [[nearDupPairsSink]]'s
+    * artifact contract: store the unique-set collapse once per snapshot
+    * (Dedup.collapseIndex → parquet) instead of re-aggregating the full
+    * corpus index inside EVERY micro-batch — at sf0.1 that per-trigger
+    * collapse was most of the gate's cost.
+    */
   private[graft] def applyDedupGateBatch(
       batch: DataFrame, batchId: Long, index: DataFrame,
       idCol: String, textCol: String, threshold: Double, outPath: String,
-      numHashes: Int, bands: Int): Unit = {
-    val dupIds = graft.ext.Dedup.nearDuplicatesAgainstIndex(
-      index, batch, idCol, textCol, threshold, numHashes, bands)
-      .select(col("new_id").as(idCol))
-    landBatch(batch.join(dupIds, Seq(idCol), "left_anti"), outPath, batchId)
-  }
+      numHashes: Int, bands: Int,
+      indexPreCollapsed: Boolean = false): Unit =
+    graft.ext.Dedup.withNearDuplicatesAgainstIndex(
+      index, batch, idCol, textCol, threshold, numHashes, bands,
+      indexPreCollapsed, retainIndexCache = true) { pairs =>
+      val dupIds = pairs.select(col("new_id").as(idCol))
+      landBatch(batch.join(dupIds, Seq(idCol), "left_anti"), outPath,
+        batchId)
+    }
 
   /** Streaming semantic decontamination gate — [[lmGateSink]]'s sibling
     * for the embedding check (x16): each micro-batch of candidate
