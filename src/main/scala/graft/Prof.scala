@@ -148,6 +148,252 @@ object Prof {
       spark.stop()
       return
     }
+    // Same-JVM A/B of the round-16 DoReMi carrier rewrite. OLD shape =
+    // per-(doc, gram) count frame + specialist-reference scoring pass +
+    // per-EG-step broadcast-model joins and per-doc shuffles (the
+    // pre-round-16 ext.Doremi.plan, inlined verbatim below); NEW shape =
+    // the shipped ext.Doremi (per-doc vector frame, sufficient statistics
+    // collected once, map-only step passes). Alternating rounds in one
+    // JVM — the only timing protocol that survives this host's ±50%
+    // cross-session drift — and the two outputs are compared row-for-row
+    // (the rewrite must be a carrier change only; the oracle pins the
+    // same claim cross-engine).
+    if (args.headOption.contains("doremiAb")) {
+      import org.apache.spark.sql.{DataFrame, Row}
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types._
+      import org.apache.spark.storage.StorageLevel
+      val data = Scratch.stage(dir)
+      def g4(c: org.apache.spark.sql.Column) = floor(c * 1e4 + 0.5) / 1e4
+      def g6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + 0.5) / 1e6
+      def gridD(v: Double, g: Double): Double = math.floor(v * g + 0.5) / g
+      def coin(idCol: String, salt: String) =
+        conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 5),
+          16, 10).cast("long")
+      // the pre-round-16 plan, verbatim (params fixed at q98's values)
+      def oldDomainWeights(docs: DataFrame, idCol: String, textCol: String,
+          domainCol: String, salt: String): DataFrame = {
+        val n = 3; val addK = 0.01; val alphabetSize = 64
+        val steps = 3; val eta = 1.0; val smoothing = 1e-3
+        val pg = docs
+          .filter(col(textCol).isNotNull)
+          .select(col(idCol).as("_id"), col(domainCol).as("_dom"),
+            explode(ext.Shingles.charNGramsAll(col(textCol), n)).as("gram"))
+          .groupBy("_id", "_dom", "gram")
+          .agg(count(lit(1)).as("c"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val dgc = pg.groupBy("_dom", "gram").agg(sum("c").as("dc"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val dctx = dgc.groupBy(col("_dom"),
+            substring(col("gram"), 1, n - 1).as("pre"))
+          .agg(sum("dc").as("dcc"))
+        val tots: Map[String, Long] = dgc.groupBy("_dom")
+          .agg(sum("dc").as("tot")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val nDocs: Map[String, Long] = docs.groupBy(col(domainCol))
+          .agg(count(lit(1)).as("nd")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val domains = nDocs.keys.toSeq.sorted
+        val totalGrams = tots.values.sum.toDouble
+        val totalDocs = nDocs.values.sum.toDouble
+        val nd = domains.size
+        val refNllExpr = -log(
+          (col("dc").cast("double") + addK) /
+            (col("dcc").cast("double") + addK * alphabetSize))
+        val dctxR = dctx.select(col("_dom").as("_domc"), col("pre"), col("dcc"))
+        val refNll = pg
+          .join(broadcast(dgc), Seq("_dom", "gram"))
+          .join(broadcast(dctxR),
+            col("_dom") === col("_domc") &&
+              substring(col("gram"), 1, n - 1) === col("pre"))
+          .groupBy(col("_id"), col("_dom"))
+          .agg((sum(col("c") * refNllExpr) / sum(col("c")).cast("double"))
+            .as("_l"))
+          .select(col("_id"), col("_dom"), g4(col("_l")).as("lref"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        var alpha: Map[String, Double] = domains.map(_ -> 1.0 / nd).toMap
+        val iterates = scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]
+        var lastExcess: Map[String, Double] = domains.map(_ -> 0.0).toMap
+        for (_ <- 0 until steps) {
+          val scaleRows = domains.map { d =>
+            val tot = tots.getOrElse(d, 0L)
+            Row(d, if (tot == 0L) 0.0 else alpha(d) * (totalGrams / tot))
+          }
+          val scaleDF = spark.createDataFrame(
+            spark.sparkContext.parallelize(scaleRows, 1),
+            StructType(Seq(StructField("_dom", StringType),
+              StructField("scale", DoubleType))))
+          val model = dgc.join(broadcast(scaleDF), Seq("_dom"))
+            .groupBy("gram")
+            .agg(sum(col("dc").cast("double") * col("scale")).as("w"))
+          val ctx = model.groupBy(substring(col("gram"), 1, n - 1).as("pre"))
+            .agg(sum("w").as("wc"))
+          val mixNll = -log(
+            (col("w") + addK) / (col("wc") + addK * alphabetSize))
+          val scored = pg
+            .join(broadcast(model), Seq("gram"))
+            .join(broadcast(ctx), substring(col("gram"), 1, n - 1) === col("pre"))
+            .groupBy(col("_id"), col("_dom"))
+            .agg((sum(col("c") * mixNll) / sum(col("c")).cast("double"))
+              .as("_l"))
+            .select(col("_id"), g4(col("_l")).as("l"))
+          val excessRows = scored
+            .join(refNll.select(col("_id"), col("_dom"), col("lref")), Seq("_id"))
+            .groupBy("_dom")
+            .agg(g6(avg(greatest(col("l") - col("lref"), lit(0.0)))).as("ex"))
+            .collect()
+          val excess = domains.map(_ -> 0.0).toMap ++
+            excessRows.map(r => r.getString(0) -> r.getDouble(1)).toMap
+          lastExcess = excess
+          val unnorm = domains.map(d => d -> alpha(d) * math.exp(eta * excess(d)))
+          val z = unnorm.map(_._2).sum
+          alpha = unnorm.map { case (d, u) =>
+            d -> gridD((1.0 - smoothing) * (u / z) + smoothing / nd, 1e9)
+          }.toMap
+          iterates += alpha
+        }
+        val outRows = domains.map { d =>
+          val weight = gridD(iterates.map(_(d)).sum / steps, 1e9)
+          val share = gridD(nDocs(d) / totalDocs, 1e6)
+          val rate = gridD(math.min(1.0, weight / share), 1e6)
+          Row(d, nDocs(d), share, lastExcess(d), weight, rate)
+        }
+        val outDF = spark.createDataFrame(
+          spark.sparkContext.parallelize(outRows, 1),
+          StructType(Seq(
+            StructField(domainCol, StringType),
+            StructField("n_docs", LongType),
+            StructField("share", DoubleType),
+            StructField("excess", DoubleType),
+            StructField("weight", DoubleType),
+            StructField("rate", DoubleType))))
+        val kept = docs
+          .join(broadcast(outDF.select(col(domainCol), col("rate"))),
+            Seq(domainCol))
+          .filter(coin(idCol, salt) <
+            floor(col("rate") * 1048576L).cast("long"))
+          .groupBy(col(domainCol))
+          .agg(count(lit(1)).as("_nk"))
+        val weights = outDF
+          .join(kept, Seq(domainCol), "left")
+          .select(col(domainCol), col("n_docs"), col("share"), col("excess"),
+            col("weight"), col("rate"),
+            coalesce(col("_nk"), lit(0L)).as("n_kept"))
+        Seq(pg, dgc, refNll).foreach(_.unpersist(blocking = false))
+        weights
+      }
+      val docs = SparkEntry.rd(spark, data, "documents")
+      def runOld(): Array[Row] =
+        oldDomainWeights(docs, "doc_id", "text", "source", "q98")
+          .orderBy("source").collect()
+      def runNew(): Array[Row] =
+        ext.Doremi.domainWeights(docs, "doc_id", "text", "source",
+          n = 3, addK = 0.01, alphabetSize = 64, steps = 3, eta = 1.0,
+          smoothing = 1e-3, salt = "q98").orderBy("source").collect()
+      var oldOut: Array[Row] = null
+      var newOut: Array[Row] = null
+      (1 to 3).foreach { i =>
+        settle()
+        time(s"doremi OLD #$i") { oldOut = runOld(); oldOut.length }
+        settle()
+        time(s"doremi NEW #$i") { newOut = runNew(); newOut.length }
+      }
+      val same = oldOut.length == newOut.length &&
+        oldOut.zip(newOut).forall { case (a, b) => a == b }
+      println(s"[doremiAb] outputs identical: $same")
+      if (!same)
+        oldOut.zip(newOut).filter { case (a, b) => a != b }
+          .foreach { case (a, b) =>
+            println(s"[doremiAb]   OLD $a\n[doremiAb]   NEW $b") }
+      spark.stop()
+      return
+    }
+    // Stage volumes for the s1/s13 per-trigger against-index pair plan
+    // (round-16 ask #2): how many index-side rows flow into the band
+    // join, and what a batch-band-key semi-filter would cut them to.
+    if (args.headOption.contains("s1parts")) {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.DataFrame
+      val data = Scratch.stage(dir)
+      val gIndex = spark.read.parquet(SparkEntry.s13IndexPath(spark, data))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val crawl = SparkEntry.rd(spark, data, "documents")
+        .filter(pmod(col("doc_id"), lit(10)) >= 8)
+        .select("doc_id", "text")
+      val gBatch = graft.ext.Dedup.collapseIndex(
+        graft.ext.Dedup.minhashIndex(crawl, "doc_id", "text", 128, 32))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def expl(ix: DataFrame, side: String): DataFrame = ix
+        .select(col("gid").as(s"${side}_gid"), col("nsh").as(s"${side}_nsh"),
+          explode(col("bands")).as("bb"))
+        .select(col(s"${side}_gid"), col(s"${side}_nsh"),
+          col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      time("index groups")(gIndex.count())
+      time("batch groups")(gBatch.count())
+      val exIx = expl(gIndex, "corpus")
+      val exB = expl(gBatch, "new")
+      time("exploded index rows")(exIx.count())
+      time("exploded batch rows")(exB.count())
+      val keys = exB.select(col("band"), col("bucket")).distinct()
+      time("batch band keys")(keys.count())
+      val pruned = exIx.join(broadcast(keys), Seq("band", "bucket"),
+        "left_semi")
+      time("index rows after band-key semi")(pruned.count())
+      val joined = exIx.join(exB, Seq("band", "bucket"))
+        .filter(least(col("corpus_nsh"), col("new_nsh")).cast("double") >=
+          greatest(col("corpus_nsh"), col("new_nsh")) * 0.8)
+      time("band-join rows")(joined.count())
+      time("candidates distinct")(
+        joined.select(col("corpus_gid"), col("new_gid")).distinct().count())
+      println("[s1parts] ==== pairs plan (current shipped shape) ====")
+      graft.ext.Dedup.withNearDuplicatesAgainstIndex(
+        gIndex, crawl, "doc_id", "text", 0.8, 128, 32,
+        indexPreCollapsed = true) { pairs =>
+        pairs.explain("formatted")
+        time("full pairs")(pairs.count())
+      }
+      spark.stop()
+      return
+    }
+    // Same-JVM A/B of retainIndexCache on the collapsed-artifact gate
+    // (round-15 verdict ask #5): with the artifact pre-collapsed, does
+    // keeping the index frame cached across triggers actually buy the
+    // warm triggers anything? Protocol: alternating rounds; each round
+    // clears the cache, then runs 3 consecutive triggers (cold + 2 warm)
+    // with retain on vs off. retain=off re-persists and releases the
+    // index inside every trigger; retain=on leaves the CacheManager
+    // entry hot so triggers 2-3 hit it.
+    if (args.headOption.contains("s1retain")) {
+      import org.apache.spark.sql.functions._
+      val data = Scratch.stage(dir)
+      val collapsed = spark.read.parquet(SparkEntry.s13IndexPath(spark, data))
+      val crawl = SparkEntry.rd(spark, data, "documents")
+        .filter(pmod(col("doc_id"), lit(10)) >= 8)
+        .select("doc_id", "text", "lang", "source")
+      val out = Scratch.ephemeralDir("s1retain")
+      var n = 0
+      def trigger(tag: String, retain: Boolean): Unit = {
+        n += 1
+        val t0 = System.nanoTime()
+        graft.streaming.EventStream.applyDedupGateBatch(
+          crawl, n.toLong, collapsed, "doc_id", "text", 0.8, s"$out/o$n",
+          numHashes = 128, bands = 32, indexPreCollapsed = true,
+          retainIndexCache = retain)
+        println(f"[s1retain] $tag: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+      (1 to 4).foreach { i =>
+        settle()
+        trigger(s"on-cold#$i", retain = true)
+        trigger(s"on-warm1#$i", retain = true)
+        trigger(s"on-warm2#$i", retain = true)
+        settle()
+        trigger(s"off-cold#$i", retain = false)
+        trigger(s"off-warm1#$i", retain = false)
+        trigger(s"off-warm2#$i", retain = false)
+      }
+      spark.stop()
+      return
+    }
     // x13 composition breakdown: the halves (y7-shaped serve over the
     // post-expiry store; x9-shaped dedup against the stored minhash index)
     // each run ~1s standalone, so a slow x13 is a composition effect —

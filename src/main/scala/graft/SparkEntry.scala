@@ -252,6 +252,12 @@ object SparkEntry extends EntryRelA with EntryRelB with EntryText with EntryDedu
       s.conf.getOption(k).foreach(ss.conf.set(k, _))
     }
     ss.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    // the stateful rows finalize windows/sessions/chains in the closing
+    // no-data micro-batch (trigger-trim posture) — pin the conf that
+    // makes Spark run it rather than relying on the default staying true
+    // (a session that inherited `false` would silently drop every
+    // finalized window, caught only by the oracle)
+    ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     ss
   }
 

@@ -469,13 +469,16 @@ object Dedup {
       bands: Int = 16,
       indexPreCollapsed: Boolean = false,
       retainIndexCache: Boolean = false)(f: DataFrame => T): T = {
-    // caches = Seq(gIndex, gBatch) — the plan helper's stable order
     val (pairs, caches) = nearDuplicatesAgainstIndexPlan(
       index, newDocs, idCol, textCol, threshold, numHashes, bands, None,
       indexPreCollapsed)
     try f(pairs)
-    finally (if (retainIndexCache) caches.drop(1) else caches)
-      .foreach(_.unpersist(blocking = false))
+    finally {
+      // named sides (not a positional Seq): a reorder in the plan helper
+      // can never silently retain the per-batch frame instead of the index
+      caches.gBatch.unpersist(blocking = false)
+      if (!retainIndexCache) caches.gIndex.unpersist(blocking = false)
+    }
   }
 
   /** Collapse a [[minhashIndex]] frame into unique-shingle-set GROUPS:
@@ -502,6 +505,14 @@ object Dedup {
       first(col("bands")).as("bands"))
     .drop("set_key")
 
+  /** The two persisted collapsed-group frames of an against-index pair
+    * plan, by NAME — the index side (the corpus snapshot, one cache
+    * entry per snapshot plan under CacheManager dedup) and the batch
+    * side (a fresh plan per batch; must always be released).
+    */
+  private[graft] final case class AgainstIndexCaches(
+      gIndex: DataFrame, gBatch: DataFrame)
+
   private def nearDuplicatesAgainstIndexPlan(
       index: DataFrame,
       newDocs: DataFrame,
@@ -511,7 +522,7 @@ object Dedup {
       numHashes: Int,
       bands: Int,
       preIndexedBatch: Option[DataFrame],
-      indexPreCollapsed: Boolean): (DataFrame, Seq[DataFrame]) = {
+      indexPreCollapsed: Boolean): (DataFrame, AgainstIndexCaches) = {
     val batch = preIndexedBatch.getOrElse(
       minhashIndex(newDocs, idCol, textCol, numHashes, bands))
 
@@ -565,7 +576,7 @@ object Dedup {
       .select(explode(col("ma")).as("corpus_id"), col("mb"), col("jaccard"))
       .select(
         col("corpus_id"), explode(col("mb")).as("new_id"), col("jaccard"))
-    (pairs, Seq(gIndex, gBatch))
+    (pairs, AgainstIndexCaches(gIndex, gBatch))
   }
 
   // -------------------------------------------------------------- simhash

@@ -39,16 +39,24 @@ import org.apache.spark.storage.StorageLevel
   * the one t15/t19 already accept: ulp-order noise in float sums (and
   * libm exp/ln parity) sitting exactly on a grid boundary.
   *
-  * Scale shape (100 TB posture): the corpus text is tokenized ONCE into
-  * a persisted per-(doc, gram) count frame (the [[Dsir]] rawCounts
-  * pattern); every later pass — the specialist reference scoring and one
-  * scoring pass per EG step — is a broadcast-model join over that frame
-  * (models are vocabulary-bounded, alphabet^n at worst, like
-  * [[LanguageModel.score]]), never a re-scan of the text. Driver state
-  * is O(domains) per step (α, totals, excess) — the bounded-model-state
-  * exception [[Clustering.kmeans]] established. The EG loop is the
-  * [[QualityClassifier]] epoch cadence: T broadcast joins over one
-  * persisted frame.
+  * Scale shape (100 TB posture): the corpus text is tokenized ONCE, by a
+  * row-local kernel, into a persisted per-doc sorted gram-count VECTOR
+  * frame (one row per document — no corpus-sized (doc, gram) shuffle);
+  * the vocabulary-bounded integer sufficient statistics (domain, gram,
+  * count) are aggregated from it and collected once (the same driver
+  * residency the previous shape paid per step to build each broadcast
+  * model side). Every later pass — one per EG step — is then a MAP-ONLY
+  * scan of the vector frame under a broadcast per-gram NLL table: zero
+  * joins, zero corpus-sized exchanges, and the per-step driver work is
+  * O(vocabulary) closed-form arithmetic (alphabet^n at worst, like
+  * [[LanguageModel.score]]'s model side). Driver state is O(domains)
+  * per step (α, totals, excess) plus the one-time O(vocab × domains)
+  * statistics — the bounded-model-state exception [[Clustering.kmeans]]
+  * established, and no larger than the per-step broadcast builds it
+  * replaces. (The previous shape re-scanned the persisted (doc, gram)
+  * frame through two broadcast joins and a per-doc shuffle per step —
+  * guide §2.3/§2.4: the per-doc score needs only the doc's own counts
+  * and the vocabulary-bounded model, so the corpus never re-shuffles.)
   *
   * Reference basis: the reference repo has no data-selection surface
   * (its processors stop at column hygiene,
@@ -169,28 +177,68 @@ object Doremi {
     require(addK > 0 && alphabetSize > 1, "bad smoothing parameters")
     require(smoothing >= 0 && smoothing < 1, s"smoothing in [0,1): $smoothing")
     val spark = docs.sparkSession
+    import spark.implicits._
 
-    // one text scan: per-(doc, domain, gram) counts, multiplicity
-    // collapsed map-side before the shuffle (the Dsir rawCounts pattern)
-    val pg = docs
+    // ONE row-local text pass: per-doc gram-count vectors, grams sorted
+    // within each doc so every per-doc sum below runs in a pinned order.
+    // The gram walk is the exact CharNGrams expression kernel (byte-level
+    // UTF-8 char starts), so gram identity matches the previous
+    // explode(charNGramsAll) form bit-for-bit. Documents producing no
+    // grams (shorter than n) emit no row — they score under no model and
+    // are excluded from the excess means, exactly as before.
+    val nLocal = n
+    val docVec = docs
       .filter(col(textCol).isNotNull)
-      .select(col(idCol).as("_id"), col(domainCol).as("_dom"),
-        explode(Shingles.charNGramsAll(col(textCol), n)).as("gram"))
-      .groupBy("_id", "_dom", "gram")
-      .agg(count(lit(1)).as("c"))
+      .select(col(domainCol).as("_dom"), col(textCol).as("_txt"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (dom, txt) =>
+          val gs = graft.functions.ExprRuntimes.charNGrams(
+            org.apache.spark.unsafe.types.UTF8String.fromString(txt),
+            nLocal, false)
+          val sz = gs.numElements()
+          if (sz == 0) Iterator.empty
+          else {
+            val m = new java.util.HashMap[String, java.lang.Long](
+              math.min(sz * 2, 1 << 17))
+            var i = 0
+            while (i < sz) {
+              val g = gs.getUTF8String(i).toString
+              val prev = m.get(g)
+              m.put(g, if (prev == null) 1L else prev.longValue() + 1L)
+              i += 1
+            }
+            val grams = m.keySet.toArray(new Array[String](m.size))
+            java.util.Arrays.sort(grams,
+              java.util.Comparator.naturalOrder[String]())
+            val cs = grams.map(g => m.get(g).longValue())
+            Iterator.single((dom, grams.toSeq, cs.toSeq))
+          }
+        }
+      }
+      .toDF("_dom", "grams", "cs")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // vocabulary-bounded model tables, derived from pg (never the text)
-    val dgc = pg.groupBy("_dom", "gram").agg(sum("c").as("dc"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val dctx = dgc.groupBy(col("_dom"),
-        substring(col("gram"), 1, n - 1).as("pre"))
-      .agg(sum("dc").as("dcc"))
+    // vocabulary-bounded INTEGER sufficient statistics (domain, gram,
+    // count), aggregated in one pass and collected once — the previous
+    // shape already gave the driver this residency, once per step, as
+    // the build side of each broadcast model join
+    val dgcRows: Array[(String, String, Long)] = docVec
+      .select(col("_dom"),
+        explode(arrays_zip(col("grams"), col("cs"))).as("z"))
+      .groupBy(col("_dom"), col("z.grams").as("gram"))
+      .agg(sum(col("z.cs")).as("dc"))
+      .as[(String, String, Long)]
+      .collect()
 
-    // O(domains) driver state: gram totals and document counts
-    val tots: Map[String, Long] = dgc.groupBy("_dom")
-      .agg(sum("dc").as("tot")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // first n-1 code points — the substring(gram, 1, n-1) context key
+    def preOf(g: String): String =
+      g.substring(0, g.offsetByCodePoints(0, nLocal - 1))
+
+    // O(domains) driver state: gram totals and document counts (exact
+    // integer sums — order-free)
+    val tots: Map[String, Long] = dgcRows.groupBy(_._1)
+      .map { case (d, rs) => d -> rs.map(_._3).sum }
     val nDocs: Map[String, Long] = docs.groupBy(col(domainCol))
       .agg(count(lit(1)).as("nd")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -201,26 +249,46 @@ object Doremi {
     val totalDocs = nDocs.values.sum.toDouble
     val nd = domains.size
 
-    // reference: each domain's own specialist model, scored once.
-    // dgc/dctx are vocabulary-bounded — broadcast them so corpus-sized pg
-    // never shuffles on (domain, gram).
-    val refNllExpr = -log(
-      (col("dc").cast("double") + addK) /
-        (col("dcc").cast("double") + addK * alphabetSize))
-    val dctxR = dctx.select(col("_dom").as("_domc"), col("pre"), col("dcc"))
-    val refNll = pg
-      .join(broadcast(dgc), Seq("_dom", "gram"))
-      .join(broadcast(dctxR),
-        col("_dom") === col("_domc") &&
-          substring(col("gram"), 1, n - 1) === col("pre"))
-      .groupBy(col("_id"), col("_dom"))
-      .agg((sum(col("c") * refNllExpr) / sum(col("c")).cast("double"))
-        .as("_l"))
-      .select(col("_id"), col("_dom"), g4(col("_l")).as("lref"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // per-gram (domain, count) lists in sorted-domain order (pins the
+    // mixture sum), and the sorted vocabulary (pins the context sums)
+    val byGram = new java.util.HashMap[String, Array[(String, Long)]]()
+    dgcRows.groupBy(_._2).foreach { case (g, rs) =>
+      byGram.put(g, rs.map(r => (r._1, r._3)).sortBy(_._1))
+    }
+    val sortedGrams: Array[String] = {
+      val a = byGram.keySet.toArray(new Array[String](byGram.size))
+      java.util.Arrays.sort(a, java.util.Comparator.naturalOrder[String]())
+      a
+    }
+    // per-(domain, pre) context totals — exact integer sums
+    val dccMap = new java.util.HashMap[(String, String), java.lang.Long]()
+    dgcRows.foreach { case (d, g, dc) =>
+      val k = (d, preOf(g))
+      val prev = dccMap.get(k)
+      dccMap.put(k, if (prev == null) dc else prev.longValue() + dc)
+    }
+
+    // reference: each domain's own specialist model — a closed-form
+    // per-(domain, gram) NLL table, broadcast once and looked up inside
+    // every step's scoring pass (the doc's lref re-derives per step for
+    // the cost of one hash probe per distinct gram, cheaper than
+    // materializing a second persisted per-doc frame)
+    val refMap: Map[String, java.util.HashMap[String, java.lang.Double]] =
+      dgcRows.groupBy(_._1).map { case (d, rs) =>
+        val m = new java.util.HashMap[String, java.lang.Double](rs.length * 2)
+        rs.foreach { case (_, g, dc) =>
+          m.put(g, -math.log((dc.toDouble + addK) /
+            (dccMap.get((d, preOf(g))).longValue().toDouble +
+              addK * alphabetSize)))
+        }
+        d -> m
+      }
+    val refB = spark.sparkContext.broadcast(refMap)
 
     // exponentiated-gradient loop; α and excess live on the driver,
-    // O(domains) per step
+    // O(domains) per step. Each step: O(vocab) closed-form model
+    // arithmetic on the driver, then ONE map-only pass over the per-doc
+    // vector frame (no joins, no corpus-sized exchange).
     var alpha: Map[String, Double] = domains.map(_ -> 1.0 / nd).toMap
     val iterates = scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]
     var lastExcess: Map[String, Double] = domains.map(_ -> 0.0).toMap
@@ -229,34 +297,59 @@ object Doremi {
       // proxy = weighted-MLE mixture of the per-domain distributions:
       // scale_d = α_d · (T / tot_d); w(g) = Σ_d c(g,d) · scale_d.
       // The product order (c · (α · (T / tot))) is pinned — the oracle
-      // computes the identical sequence.
-      val scaleRows = domains.map { d =>
+      // computes the identical sequence — and the per-gram sum runs in
+      // sorted-domain order, the context sum in sorted-gram order.
+      val scale: Map[String, Double] = domains.map { d =>
         val tot = tots.getOrElse(d, 0L)
-        Row(d, if (tot == 0L) 0.0 else alpha(d) * (totalGrams / tot))
+        d -> (if (tot == 0L) 0.0 else alpha(d) * (totalGrams / tot))
+      }.toMap
+      val w =
+        new java.util.HashMap[String, java.lang.Double](sortedGrams.length * 2)
+      val wc = new java.util.HashMap[String, java.lang.Double]()
+      sortedGrams.foreach { g =>
+        var s = 0.0
+        byGram.get(g).foreach { case (d, dc) => s += dc.toDouble * scale(d) }
+        w.put(g, s)
+        val pre = preOf(g)
+        val prev = wc.get(pre)
+        wc.put(pre, if (prev == null) s else prev.doubleValue() + s)
       }
-      val scaleDF = spark.createDataFrame(
-        spark.sparkContext.parallelize(scaleRows, 1),
-        StructType(Seq(StructField("_dom", StringType),
-          StructField("scale", DoubleType))))
-      val model = dgc.join(broadcast(scaleDF), Seq("_dom"))
-        .groupBy("gram")
-        .agg(sum(col("dc").cast("double") * col("scale")).as("w"))
-      val ctx = model.groupBy(substring(col("gram"), 1, n - 1).as("pre"))
-        .agg(sum("w").as("wc"))
-      val mixNll = -log(
-        (col("w") + addK) / (col("wc") + addK * alphabetSize))
-      val scored = pg
-        .join(broadcast(model), Seq("gram"))
-        .join(broadcast(ctx), substring(col("gram"), 1, n - 1) === col("pre"))
-        .groupBy(col("_id"), col("_dom"))
-        .agg((sum(col("c") * mixNll) / sum(col("c")).cast("double"))
-          .as("_l"))
-        .select(col("_id"), g4(col("_l")).as("l"))
-      val excessRows = scored
-        .join(refNll.select(col("_id"), col("_dom"), col("lref")), Seq("_id"))
+      val nll =
+        new java.util.HashMap[String, java.lang.Double](sortedGrams.length * 2)
+      sortedGrams.foreach { g =>
+        nll.put(g, -math.log((w.get(g).doubleValue() + addK) /
+          (wc.get(preOf(g)).doubleValue() + addK * alphabetSize)))
+      }
+      val nllB = spark.sparkContext.broadcast(nll)
+      val excessRows = docVec
+        .as[(String, Seq[String], Seq[Long])]
+        .mapPartitions { it =>
+          val nm = nllB.value
+          val rm = refB.value
+          it.map { case (dom, grams, cs) =>
+            val rdm = rm(dom)
+            var num = 0.0
+            var rnum = 0.0
+            var den = 0L
+            var i = 0
+            while (i < grams.length) {
+              val g = grams(i)
+              val c = cs(i)
+              num += c * nm.get(g).doubleValue()
+              rnum += c * rdm.get(g).doubleValue()
+              den += c
+              i += 1
+            }
+            val l = math.floor(num / den * 1e4 + 0.5) / 1e4
+            val lref = math.floor(rnum / den * 1e4 + 0.5) / 1e4
+            (dom, math.max(l - lref, 0.0))
+          }
+        }
+        .toDF("_dom", "exd")
         .groupBy("_dom")
-        .agg(g6(avg(greatest(col("l") - col("lref"), lit(0.0)))).as("ex"))
+        .agg(g6(avg(col("exd"))).as("ex"))
         .collect()
+      nllB.destroy()
       val excess = domains.map(_ -> 0.0).toMap ++
         excessRows.map(r => r.getString(0) -> r.getDouble(1)).toMap
       lastExcess = excess
@@ -269,6 +362,7 @@ object Doremi {
       }.toMap
       iterates += alpha
     }
+    refB.destroy()
 
     // final weight = mean of the α iterates (the paper's output), and the
     // downsample-only resample verdicts
@@ -302,11 +396,11 @@ object Doremi {
         col("weight"), col("rate"),
         coalesce(col("_nk"), lit(0L)).as("n_kept"))
 
-    // every consumer of the persisted frames ran eagerly inside the EG
+    // every consumer of the persisted frame ran eagerly inside the EG
     // loop (the collects above); the returned frame reads only `docs`
-    // and the driver-built rows — release the caches before returning
+    // and the driver-built rows — release the cache before returning
     // so even the bare entry point leaves nothing pinned
-    Seq(pg, dgc, refNll).foreach(_.unpersist(blocking = false))
+    docVec.unpersist(blocking = false)
     (weights, Nil)
   }
 }

@@ -1312,8 +1312,15 @@ object Similarity {
     // buildIvfPqIndex plan would re-run the full snapshot encode per
     // point (the s17/x13 parquet-artifact lesson, applied operator-side
     // for callers that pass an unmaterialized index). Persisted for the
-    // walk only, released before returning.
-    val idx = index.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // walk only, released before returning — but only when THIS call
+    // added the cache entry: a caller that pre-cached its index keeps
+    // its entry (unpersisting it here would silently drop the caller's
+    // cache out from under its later reuse).
+    val callerCached =
+      index.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val idx =
+      if (callerCached) index
+      else index.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     def recallAt(nprobe: Int): Double =
       if (nExact == 0) 1.0
@@ -1336,7 +1343,8 @@ object Similarity {
       curve :+= (np, r)
       if (r >= slo) { chosen = np; done = true }
     }
-    sample.unpersist(); exact.unpersist(); idx.unpersist(blocking = false)
+    sample.unpersist(); exact.unpersist()
+    if (!callerCached) idx.unpersist(blocking = false)
     NprobeCalibration(chosen, curve, nSample, nExact)
   }
 

@@ -866,6 +866,13 @@ object EventStream {
     * the snapshot artifact — every trigger re-reads it, so storing the
     * collapsed groups (not the raw per-doc index) also skips a per-batch
     * re-aggregation.
+    *
+    * `retainIndexCache` (default true — the serving steady state) keeps
+    * the collapsed index frame cached across triggers; CacheManager
+    * dedupes the identical plan to ONE entry per snapshot. A long-lived
+    * session that rotates through MANY index snapshots should pass
+    * `false` (or `spark.catalog.clearCache()` on rotation) — each
+    * retained snapshot entry otherwise lives until session end.
     */
   def nearDupPairsSink(
       docs: DataFrame,
@@ -876,13 +883,15 @@ object EventStream {
       outPath: String,
       checkpoint: String,
       numHashes: Int = 64,
-      bands: Int = 16): DataStreamWriter[Row] =
+      bands: Int = 16,
+      retainIndexCache: Boolean = true): DataStreamWriter[Row] =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyNearDupPairsBatch(batch, batchId, collapsedIndex, idCol,
-          textCol, threshold, outPath, numHashes, bands)
+          textCol, threshold, outPath, numHashes, bands,
+          retainIndexCache)
         ()
       }
 
@@ -890,10 +899,11 @@ object EventStream {
   private[graft] def applyNearDupPairsBatch(
       batch: DataFrame, batchId: Long, collapsedIndex: DataFrame,
       idCol: String, textCol: String, threshold: Double, outPath: String,
-      numHashes: Int, bands: Int): Unit =
+      numHashes: Int, bands: Int,
+      retainIndexCache: Boolean = true): Unit =
     graft.ext.Dedup.withNearDuplicatesAgainstIndex(
       collapsedIndex, batch, idCol, textCol, threshold, numHashes,
-      bands, indexPreCollapsed = true, retainIndexCache = true) {
+      bands, indexPreCollapsed = true, retainIndexCache) {
       pairs => landBatch(pairs, outPath, batchId)
     }
 
@@ -912,6 +922,13 @@ object EventStream {
     * the batch pipeline's job at the next snapshot boundary (re-index,
     * then the next crawl gates against the refreshed index), matching
     * the published crawl cadence.
+    *
+    * `retainIndexCache` (default true — the serving steady state) keeps
+    * the index-side frame cached across triggers; CacheManager dedupes
+    * the identical plan to ONE entry per snapshot. A long-lived session
+    * that rotates through MANY index snapshots should pass `false` (or
+    * `spark.catalog.clearCache()` on rotation) — each retained snapshot
+    * entry otherwise lives until session end.
     */
   def dedupGateSink(
       docs: DataFrame,
@@ -923,13 +940,15 @@ object EventStream {
       checkpoint: String,
       numHashes: Int = 64,
       bands: Int = 16,
-      indexPreCollapsed: Boolean = false): DataStreamWriter[Row] =
+      indexPreCollapsed: Boolean = false,
+      retainIndexCache: Boolean = true): DataStreamWriter[Row] =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyDedupGateBatch(batch, batchId, index, idCol, textCol,
-          threshold, outPath, numHashes, bands, indexPreCollapsed)
+          threshold, outPath, numHashes, bands, indexPreCollapsed,
+          retainIndexCache)
         ()
       }
 
@@ -947,10 +966,11 @@ object EventStream {
       batch: DataFrame, batchId: Long, index: DataFrame,
       idCol: String, textCol: String, threshold: Double, outPath: String,
       numHashes: Int, bands: Int,
-      indexPreCollapsed: Boolean = false): Unit =
+      indexPreCollapsed: Boolean = false,
+      retainIndexCache: Boolean = true): Unit =
     graft.ext.Dedup.withNearDuplicatesAgainstIndex(
       index, batch, idCol, textCol, threshold, numHashes, bands,
-      indexPreCollapsed, retainIndexCache = true) { pairs =>
+      indexPreCollapsed, retainIndexCache) { pairs =>
       val dupIds = pairs.select(col("new_id").as(idCol))
       landBatch(batch.join(dupIds, Seq(idCol), "left_anti"), outPath,
         batchId)
