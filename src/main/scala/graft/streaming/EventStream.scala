@@ -867,12 +867,15 @@ object EventStream {
     * collapsed groups (not the raw per-doc index) also skips a per-batch
     * re-aggregation.
     *
-    * `retainIndexCache` (default true — the serving steady state) keeps
-    * the collapsed index frame cached across triggers; CacheManager
-    * dedupes the identical plan to ONE entry per snapshot. A long-lived
-    * session that rotates through MANY index snapshots should pass
-    * `false` (or `spark.catalog.clearCache()` on rotation) — each
-    * retained snapshot entry otherwise lives until session end.
+    * `retainIndexCache` (default false — full scoped release, nothing
+    * outlives the trigger) can keep the collapsed index frame cached
+    * across triggers; CacheManager dedupes the identical plan to ONE
+    * entry per snapshot. Measured at sf0.1 (`graft.Prof s1retain`,
+    * plans/r16/s1retain.log): warm triggers read the same with retention
+    * on and off — the pre-collapsed artifact re-materializes per trigger
+    * for the cost of one small parquet read — so the leak-proof posture
+    * is the default and retention is an opt-in for deployments whose
+    * artifact read is demonstrably expensive.
     */
   def nearDupPairsSink(
       docs: DataFrame,
@@ -884,7 +887,7 @@ object EventStream {
       checkpoint: String,
       numHashes: Int = 64,
       bands: Int = 16,
-      retainIndexCache: Boolean = true): DataStreamWriter[Row] =
+      retainIndexCache: Boolean = false): DataStreamWriter[Row] =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
@@ -900,7 +903,7 @@ object EventStream {
       batch: DataFrame, batchId: Long, collapsedIndex: DataFrame,
       idCol: String, textCol: String, threshold: Double, outPath: String,
       numHashes: Int, bands: Int,
-      retainIndexCache: Boolean = true): Unit =
+      retainIndexCache: Boolean = false): Unit =
     graft.ext.Dedup.withNearDuplicatesAgainstIndex(
       collapsedIndex, batch, idCol, textCol, threshold, numHashes,
       bands, indexPreCollapsed = true, retainIndexCache) {
@@ -923,12 +926,12 @@ object EventStream {
     * then the next crawl gates against the refreshed index), matching
     * the published crawl cadence.
     *
-    * `retainIndexCache` (default true — the serving steady state) keeps
-    * the index-side frame cached across triggers; CacheManager dedupes
-    * the identical plan to ONE entry per snapshot. A long-lived session
-    * that rotates through MANY index snapshots should pass `false` (or
-    * `spark.catalog.clearCache()` on rotation) — each retained snapshot
-    * entry otherwise lives until session end.
+    * `retainIndexCache` (default false — full scoped release, nothing
+    * outlives the trigger) can keep the index-side frame cached across
+    * triggers (one CacheManager entry per snapshot). Measured neutral at
+    * sf0.1 (`graft.Prof s1retain`, plans/r16/s1retain.log) — the
+    * pre-collapsed artifact re-materializes per trigger for one small
+    * parquet read — so the leak-proof posture is the default.
     */
   def dedupGateSink(
       docs: DataFrame,
@@ -941,7 +944,7 @@ object EventStream {
       numHashes: Int = 64,
       bands: Int = 16,
       indexPreCollapsed: Boolean = false,
-      retainIndexCache: Boolean = true): DataStreamWriter[Row] =
+      retainIndexCache: Boolean = false): DataStreamWriter[Row] =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
@@ -967,7 +970,7 @@ object EventStream {
       idCol: String, textCol: String, threshold: Double, outPath: String,
       numHashes: Int, bands: Int,
       indexPreCollapsed: Boolean = false,
-      retainIndexCache: Boolean = true): Unit =
+      retainIndexCache: Boolean = false): Unit =
     graft.ext.Dedup.withNearDuplicatesAgainstIndex(
       index, batch, idCol, textCol, threshold, numHashes, bands,
       indexPreCollapsed, retainIndexCache) { pairs =>
