@@ -394,6 +394,132 @@ object Prof {
       spark.stop()
       return
     }
+    // Same-JVM A/B of x13's minhash-store shape (round 16): RAW store
+    // (write per-doc index, re-collapse on every read — the pre-round-16
+    // declaration) vs COLLAPSED store (collapse once at build, read the
+    // group form). Times the store write + the dup pass, the two stages
+    // the artifact shape touches.
+    if (args.headOption.contains("x13ab")) {
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(10)) < 8)
+      val batch = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+      val tmp = Scratch.ephemeralDir("prof-x13ab")
+      def dupCount(path: String, pre: Boolean): Long =
+        ext.Dedup.nearDuplicatesAgainstIndex(
+          spark.read.parquet(path), batch, "doc_id", "text",
+          threshold = 0.8, numHashes = 128, bands = 32,
+          indexPreCollapsed = pre).count()
+      (1 to 3).foreach { i =>
+        settle()
+        time(s"raw write+dup #$i") {
+          ext.Dedup.minhashIndex(corpus, "doc_id", "text", 128, 32)
+            .write.mode("overwrite").parquet(s"$tmp/raw")
+          dupCount(s"$tmp/raw", pre = false)
+        }
+        settle()
+        time(s"collapsed write+dup #$i") {
+          ext.Dedup.collapseIndex(
+            ext.Dedup.minhashIndex(corpus, "doc_id", "text", 128, 32))
+            .write.mode("overwrite").parquet(s"$tmp/col")
+          dupCount(s"$tmp/col", pre = true)
+        }
+      }
+      spark.stop()
+      return
+    }
+    // Same-JVM A/B of the LSH top-k scoring mirror (round 16): OLD tail =
+    // mirror the candidate ids first, attach vectors and score BOTH
+    // directions (3.16M cosines at sf0.1); NEW tail (shipped in
+    // Similarity.topKLshImpl) = score each unordered pair once, mirror
+    // the scored rows with a generator. Outputs compared row-for-row.
+    if (args.headOption.contains("y2ab")) {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.Row
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val planes = SparkEntry.y2Planes
+      def oldY2(): org.apache.spark.sql.DataFrame = {
+        val sig = emb.select(col("vec_id").as("id"),
+          explode(ext.Similarity.bandedBucketsFromPlanes(
+            col("embedding"), planes)).as("bb"))
+          .select(col("id"), col("bb.band").as("band"),
+            col("bb.bucket").as("bucket"))
+        val half = sig.select(col("id").as("id_a"), col("band"), col("bucket"))
+          .join(sig.select(col("id").as("id_b"), col("band"), col("bucket")),
+            Seq("band", "bucket"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b")
+          .distinct()
+        val cand = half
+          .select(col("id_a").as("query_id"), col("id_b").as("neighbor_id"))
+          .unionByName(half
+            .select(col("id_b").as("query_id"), col("id_a").as("neighbor_id")))
+        val vecs = emb.select(col("vec_id").as("id"), col("embedding").as("v"),
+          graft.functions.VectorFunctions.vector_norm(col("embedding")).as("n"))
+        cand
+          .join(vecs.select(col("id").as("query_id"), col("v").as("qv"),
+            col("n").as("qn")), Seq("query_id"))
+          .join(vecs.select(col("id").as("neighbor_id"), col("v").as("cv"),
+            col("n").as("cn")), Seq("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            try_divide(graft.functions.VectorFunctions.vector_dot(
+              col("qv"), col("cv")), col("qn") * col("cn")).as("cosine"))
+          .groupBy("query_id")
+          .agg(graft.functions.TopKFunctions.top_k_pairs(
+            struct(col("cosine"), col("neighbor_id")), 5, dedupIds = true)
+            .as("_top"))
+          .select(col("query_id"), posexplode(col("_top")))
+          .select(col("query_id"), col("col.id").as("neighbor_id"),
+            (col("pos") + 1).cast("int").as("rank"),
+            col("col.score").as("cosine"))
+          .orderBy("query_id", "rank")
+      }
+      def newY2(): org.apache.spark.sql.DataFrame =
+        ext.Similarity.topKLshWithPlanes(emb, "vec_id", "embedding",
+          k = 5, planes = planes).orderBy("query_id", "rank")
+      var a: Array[Row] = null
+      var b: Array[Row] = null
+      (1 to 3).foreach { i =>
+        settle()
+        time(s"y2 OLD #$i") { a = oldY2().collect(); a.length }
+        settle()
+        time(s"y2 NEW #$i") { b = newY2().collect(); b.length }
+      }
+      println(s"[y2ab] outputs identical: ${a.sameElements(b)}")
+      spark.stop()
+      return
+    }
+    // y2 LSH candidate-volume audit (round-16 ask #7): the fixed (12, 3)
+    // plane model is the DECLARED super-linear scaling contrast (bucket
+    // population n/2^3), so this mode only MEASURES the volumes — band
+    // collisions, unique candidate pairs, final rows — to document how
+    // far candidates sit from the k·n output and why no lossless prune
+    // exists (top-k has no threshold to prune against; any candidate can
+    // enter some query's top 5).
+    if (args.headOption.contains("y2parts")) {
+      import org.apache.spark.sql.functions._
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val planes = SparkEntry.y2Planes
+      val sig = emb.select(col("vec_id").as("id"),
+        explode(ext.Similarity.bandedBucketsFromPlanes(
+          col("embedding"), planes)).as("bb"))
+        .select(col("id"), col("bb.band").as("band"),
+          col("bb.bucket").as("bucket"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time("vectors")(emb.count())
+      time("signature rows")(sig.count())
+      val half = sig.select(col("id").as("id_a"), col("band"), col("bucket"))
+        .join(sig.select(col("id").as("id_b"), col("band"), col("bucket")),
+          Seq("band", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+      time("band-collision rows (a<b)")(half.count())
+      time("unique candidate pairs")(
+        half.select("id_a", "id_b").distinct().count())
+      time("full y2 rows")(SparkEntry.queries("y2_knn_lsh")(spark, dir).count())
+      sig.unpersist()
+      spark.stop()
+      return
+    }
     // x13 composition breakdown: the halves (y7-shaped serve over the
     // post-expiry store; x9-shaped dedup against the stored minhash index)
     // each run ~1s standalone, so a slow x13 is a composition effect —

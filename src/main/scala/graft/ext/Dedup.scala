@@ -427,6 +427,9 @@ object Dedup {
     * batch are [[nearDuplicatesMinhash]] on the batch alone — run both and
     * union for full coverage. `numHashes`/`bands` must match the values
     * the index was built with (bucket hashes are parameter-dependent).
+    * `indexPreCollapsed = true` declares that `index` is already the
+    * [[collapseIndex]] group form (the snapshot artifact contract) and
+    * skips the per-call re-aggregation.
     */
   def nearDuplicatesAgainstIndex(
       index: DataFrame,
@@ -436,10 +439,11 @@ object Dedup {
       threshold: Double,
       numHashes: Int = 64,
       bands: Int = 16,
-      preIndexedBatch: Option[DataFrame] = None): DataFrame =
+      preIndexedBatch: Option[DataFrame] = None,
+      indexPreCollapsed: Boolean = false): DataFrame =
     nearDuplicatesAgainstIndexPlan(index, newDocs, idCol, textCol,
       threshold, numHashes, bands, preIndexedBatch,
-      indexPreCollapsed = false)._1
+      indexPreCollapsed)._1
 
   /** Scoped form of [[nearDuplicatesAgainstIndex]] that OWNS the persist
     * lifecycle (same contract as [[withNearDuplicatesMinhash]]): hands the

@@ -199,7 +199,7 @@ object Similarity {
     * reuse it run-to-run, pinning signatures the way
     * [[topKIvfWithCentroids]] pins cell assignments.
     */
-  private def bandedBucketsFromPlanes(
+  private[graft] def bandedBucketsFromPlanes(
       vec: Column, planes: Seq[Seq[Seq[Float]]]): Column =
     array(planes.zipWithIndex.map { case (tbl, b) =>
       struct(
@@ -273,35 +273,44 @@ object Similarity {
       explode(bucketsOf(col(vecCol))).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 
-    // UNORDERED pairs (a < b) through the join and the dedup — half the
-    // band-join output and half the distinct's shuffle vs emitting both
-    // directions — then mirror the deduped survivors so every vector ranks
-    // its neighbors. The two mirror branches share the distinct's exchange
-    // (ReusedExchange), so the halved shuffle is paid once.
+    // UNORDERED pairs (a < b) through the join, the dedup, the vector
+    // attach AND the scoring — half the band-join output, half the
+    // distinct's shuffle, half the wide-vector join volume and half the
+    // cosine work vs emitting both directions. Cosine is symmetric
+    // BIT-EXACTLY here: vector_dot multiplies the same index positions
+    // (IEEE multiply commutes per term, and the sum order over i is
+    // unchanged) and `na * nb` commutes — so scoring (a, b) once and
+    // mirroring the SCORED row is value-identical to scoring both
+    // directions. The mirror is a generator (explode of a 2-element
+    // struct array), not a union of two plan branches: the joins and the
+    // cosine execute ONCE (a self-union only shares the exchange, not
+    // the post-shuffle operators — it would have re-run them per branch).
     val half = sig.select(col("id").as("id_a"), col("band"), col("bucket"))
       .join(sig.select(col("id").as("id_b"), col("band"), col("bucket")),
         Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
-    val cand = half
-      .select(col("id_a").as("query_id"), col("id_b").as("neighbor_id"))
-      .unionByName(half
-        .select(col("id_b").as("query_id"), col("id_a").as("neighbor_id")))
 
     val vecs = df.select(
       col(idCol).as("id"),
       col(vecCol).as("v"),
       vector_norm(col(vecCol)).as("n"))
 
-    cand
-      .join(vecs.select(col("id").as("query_id"), col("v").as("qv"),
-        col("n").as("qn")), Seq("query_id"))
-      .join(vecs.select(col("id").as("neighbor_id"), col("v").as("cv"),
-        col("n").as("cn")), Seq("neighbor_id"))
+    half
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va"),
+        col("n").as("na")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb"),
+        col("n").as("nb")), Seq("id_b"))
       .select(
-        col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("qn"), col("cv"), col("cn")).as("cosine"))
+        col("id_a"), col("id_b"),
+        cosine(col("va"), col("na"), col("vb"), col("nb")).as("cosine"))
+      .select(explode(array(
+        struct(col("id_a").as("query_id"), col("id_b").as("neighbor_id"),
+          col("cosine")),
+        struct(col("id_b").as("query_id"), col("id_a").as("neighbor_id"),
+          col("cosine")))).as("p"))
+      .select(col("p.query_id"), col("p.neighbor_id"), col("p.cosine"))
       .transform(rankTopK(k))
   }
 
