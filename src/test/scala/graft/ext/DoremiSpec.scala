@@ -79,6 +79,20 @@ class DoremiSpec extends SparkSpec {
     assert(z.getDouble(4) > 0.0) // uniform smoothing keeps it alive
   }
 
+  test("domainWeights is invariant to input partitioning and row order") {
+    // pins the round-16 carrier: per-doc sums run over SORTED gram
+    // vectors and the per-step model arithmetic runs in sorted-domain /
+    // sorted-gram order on the driver — so a reshuffled, reordered input
+    // must reproduce every weight, excess and n_kept bit-for-bit
+    val base = Doremi.domainWeights(corpus, "doc_id", "text", "source",
+      addK = 0.01, salt = "spec").orderBy("source").collect().toSeq
+    val shuffled = Doremi.domainWeights(
+      corpus.repartition(7).sortWithinPartitions(col("doc_id").desc),
+      "doc_id", "text", "source", addK = 0.01, salt = "spec")
+      .orderBy("source").collect().toSeq
+    assert(shuffled === base)
+  }
+
   test("withDomainWeights matches the bare form and releases caches") {
     spark.catalog.clearCache()
     val cm = spark.sharedState.cacheManager

@@ -536,6 +536,29 @@ class SimilaritySpec extends SparkSpec {
     got(6L) shouldBe 0L
   }
 
+  test("topKLshWithPlanes: the scored-pair mirror emits both directions " +
+      "with one cosine") {
+    // pins the round-16 scoring shape: each unordered candidate pair is
+    // scored once and mirrored, so whenever (q, n) is emitted and (n, q)
+    // is also emitted, the two cosines must be the SAME double — and the
+    // result must be invariant to input partitioning/order
+    val planes = Similarity.md5Planes(
+      bands = 8, planesPerBand = 2, dims = 8, salt = "spec")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.topKLshWithPlanes(df, "vec_id", "embedding", k = 3, planes)
+        .orderBy("query_id", "rank").collect().toSeq
+    val rows = run(vectors)
+    val cos = rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3))
+      .toMap
+    val mirrored = cos.keys.filter { case (q, n) => cos.contains((n, q)) }
+    assert(mirrored.nonEmpty, "fixture emitted no mirrored pairs")
+    mirrored.foreach { case (q, n) =>
+      assert(cos((q, n)) === cos((n, q)),
+        s"asymmetric cosine for ($q, $n)")
+    }
+    assert(run(vectors.repartition(5)) === rows)
+  }
+
   test("trainPqDeterministic: grid-rounded codebooks, reproducible, and " +
       "exact on a covering corpus") {
     import spark.implicits._
